@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship BM25 query at sf0.001; ``queries()`` /
+``oracle_sql()`` pair every implemented operator with a DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from smse_backend_spark.corpus import load_corpus
+from smse_backend_spark.operators.search import bm25_scan_oracle_sql, bm25_topk_scan
+
+FLAGSHIP_QUERY = "hash join merge scan"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for a fixed query over the sf0.001 corpus."""
+    corpus = load_corpus(spark, "/root/testdata/sf0.001")
+    return bm25_topk_scan(corpus, FLAGSHIP_QUERY, k=10)
+
+
+def _bm25(query: str, k: int = 10, lang: str | None = None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return bm25_topk_scan(load_corpus(spark, sf_dir), query, k, lang)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_topk": _bm25(FLAGSHIP_QUERY),
+        "bm25_topk_lang": _bm25("batch stream spark window", lang="en"),
+        "bm25_topk_hot": _bm25("the row data", k=20),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk": bm25_scan_oracle_sql(FLAGSHIP_QUERY),
+        "bm25_topk_lang": bm25_scan_oracle_sql("batch stream spark window", lang="en"),
+        "bm25_topk_hot": bm25_scan_oracle_sql("the row data", k=20),
+    }

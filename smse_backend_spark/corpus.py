@@ -1,0 +1,81 @@
+"""Corpus ingest: the engine's ``docs`` table.
+
+Authoritative input shape (build target ``input_hint``): a table of
+source-code repositories ``(repo, path, commit, lang, content)``. Locally it
+is synthesized deterministically from the driver's
+``/root/testdata/sf*/documents.parquet``
+``(doc_id, text, lang, source, n_chars)`` with the column mapping from
+``FIXTURES.md §1``:
+
+    source -> repo,  doc_id -> path surrogate,  text -> content,
+    commit = sha2(repo || path || 'v1', 256)[:40]   (deterministic)
+
+Per-row invariant vs the reference corpus: ``content_sha256 =
+sha2(content, 256)`` — Spark built-in, checked at ingest (the analog of the
+reference's blob-integrity responsibility, smse_backend/services/
+file_storage.py:534-570, re-expressed as a data-plane column).
+
+Everything is a narrow projection over the parquet scan — no shuffle, no
+UDF; at 10^12 rows this stage is embarrassingly parallel and bounded by
+scan bandwidth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smse_backend_spark.functions.tokenizer import doc_len_col
+
+LANG_EXT = {"py": "py", "js": "js", "go": "go", "java": "java", "rs": "rs",
+            "en": "py", "es": "js", "de": "go", "fr": "java", "zh": "rs"}
+
+
+def load_corpus(spark: SparkSession, sf_dir: str, with_doc_len: bool = False) -> DataFrame:
+    """documents.parquet -> (doc_id, repo, path, commit, lang, content, content_sha256)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ext = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in LANG_EXT.items() for x in kv]), F.col("lang")
+        ),
+        F.lit("txt"),
+    )
+    path = F.concat(F.lit("src/m"), (F.col("doc_id") % 50).cast("string"),
+                    F.lit("/f"), F.col("doc_id").cast("string"), F.lit("."), ext)
+    out = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source").alias("repo"),
+        path.alias("path"),
+        F.substring(F.sha2(F.concat(F.col("source"), F.lit("/"), path, F.lit("v1")), 256), 1, 40)
+        .alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+    )
+    if with_doc_len:
+        out = out.withColumn("doc_len", doc_len_col("content"))
+    return out
+
+
+def scaled_corpus(corpus: DataFrame, replicas: int) -> DataFrame:
+    """Deterministic synthetic scale-up: replicate rows with distinct doc_ids.
+
+    Used only for the scaling bench (N vs 4N cores needs enough work that
+    fixed overhead doesn't mask parallel speedup). doc_id' = doc_id * R + r
+    keeps ids dense and deterministic; content is unchanged so per-doc CPU
+    cost is identical across replicas.
+    """
+    if replicas <= 1:
+        return corpus
+    spark = corpus.sparkSession
+    reps = spark.range(replicas).withColumnRenamed("id", "replica")
+    return (
+        corpus.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") * replicas + F.col("replica"))
+        .drop("replica")
+    )
+
+
+def verify_sha256_invariant(corpus: DataFrame) -> int:
+    """Count rows violating the per-row content-sha256 invariant (must be 0)."""
+    return corpus.filter(F.sha2(F.col("content"), 256) != F.col("content_sha256")).count()

@@ -1,0 +1,131 @@
+"""Code-aware tokenizer — the engine's single tokenization truth.
+
+The reference tokenizes only inside its embedding model worker (ImageBind
+BPE, ``smse_backend/tasks.py:88-103``); a BM25 engine needs an explicit,
+deterministic tokenizer. Semantics (applied in this exact order):
+
+1. split CamelCase runs:   ``([A-Z]+)([A-Z][a-z])`` -> ``\\1 \\2``
+     (``XMLHttp`` -> ``XML Http``)
+2. split lower->Upper:     ``([a-z0-9])([A-Z])``    -> ``\\1 \\2``
+     (``fooBar`` -> ``foo Bar``)
+3. lowercase
+4. split on ``[^a-z0-9]+`` (snake_case, punctuation, whitespace), drop empties
+
+Four interchangeable implementations MUST stay in lockstep (tests assert
+equality): a pure Column expression (JVM codegen — the fast default), a
+vectorized pandas UDF that additionally folds term-frequency counting into
+the same pass (saves one full-token-stream shuffle in the index build), a
+plain-Python/regex version (the numpy oracle), and a DuckDB SQL fragment
+(the driver's correctness oracle).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Java and Python regex dialects agree on these patterns.
+_RE_CAMEL_RUN = "([A-Z]+)([A-Z][a-z])"
+_RE_LOWER_UPPER = "([a-z0-9])([A-Z])"
+_RE_NON_ALNUM = "[^a-z0-9]+"
+
+_PY_CAMEL_RUN = re.compile(_RE_CAMEL_RUN)
+_PY_LOWER_UPPER = re.compile(_RE_LOWER_UPPER)
+_PY_NON_ALNUM = re.compile(_RE_NON_ALNUM)
+
+
+# ---------------------------------------------------------------------------
+# 1. Column-native (whole-stage-codegen, no Python in the plan)
+# ---------------------------------------------------------------------------
+
+def tokenize_col(content: Column | str) -> Column:
+    """``array<string>`` of terms; entirely JVM-side (regexp_replace/split/filter)."""
+    c = F.col(content) if isinstance(content, str) else content
+    c = F.regexp_replace(c, _RE_CAMEL_RUN, r"$1 $2")
+    c = F.regexp_replace(c, _RE_LOWER_UPPER, r"$1 $2")
+    arr = F.split(F.lower(c), _RE_NON_ALNUM)
+    return F.filter(arr, lambda t: t != F.lit(""))
+
+
+def doc_len_col(content: Column | str) -> Column:
+    """Token count (BM25 ``dl``) as a pure Column expression."""
+    return F.size(tokenize_col(content))
+
+
+# ---------------------------------------------------------------------------
+# 2. Vectorized pandas implementation (tokens + per-doc tf in one pass)
+# ---------------------------------------------------------------------------
+
+def tokenize_series(s: pd.Series) -> pd.Series:
+    """Series[str] -> Series[list[str]] — all pandas str ops, no per-row Python."""
+    s = s.fillna("")
+    s = s.str.replace(_PY_CAMEL_RUN, r"\1 \2", regex=True)
+    s = s.str.replace(_PY_LOWER_UPPER, r"\1 \2", regex=True)
+    s = s.str.lower()
+    return s.str.findall("[a-z0-9]+")
+
+
+def term_counts_frame(doc_ids: pd.Series, contents: pd.Series) -> pd.DataFrame:
+    """Vectorized per-doc term frequency: (doc_id, term, tf, doc_len).
+
+    Explode + two groupbys — pandas C kernels throughout. Emitting tf here
+    (while the whole document is still in one Arrow batch) means the index
+    build never shuffles the raw token stream, only (doc, term) pairs.
+    """
+    toks = tokenize_series(contents)
+    dl = toks.str.len().astype("int64")
+    frame = pd.DataFrame({"doc_id": doc_ids.values, "term": toks.values, "doc_len": dl.values})
+    frame = frame.explode("term", ignore_index=True)
+    frame = frame.dropna(subset=["term"])
+    if frame.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "term": pd.Series(dtype="object"),
+             "tf": pd.Series(dtype="int64"), "doc_len": pd.Series(dtype="int64")}
+        )
+    out = (
+        frame.groupby(["doc_id", "term", "doc_len"], sort=False)
+        .size()
+        .rename("tf")
+        .reset_index()
+    )
+    return out[["doc_id", "term", "tf", "doc_len"]]
+
+
+def term_counts_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """``mapInPandas`` kernel: (doc_id, content[, lang]) -> (doc_id[, lang], term, tf, doc_len)."""
+    for pdf in batches:
+        out = term_counts_frame(pdf["doc_id"], pdf["content"])
+        if "lang" in pdf.columns:
+            out = out.merge(pdf[["doc_id", "lang"]], on="doc_id", how="left")
+        yield out
+
+
+TERM_COUNTS_SCHEMA = "doc_id long, term string, tf long, doc_len long"
+TERM_COUNTS_LANG_SCHEMA = "doc_id long, term string, tf long, doc_len long, lang string"
+
+
+# ---------------------------------------------------------------------------
+# 3. Plain-Python (numpy-oracle side)
+# ---------------------------------------------------------------------------
+
+def tokenize_py(text: str) -> list[str]:
+    text = _PY_CAMEL_RUN.sub(r"\1 \2", text or "")
+    text = _PY_LOWER_UPPER.sub(r"\1 \2", text)
+    return [t for t in _PY_NON_ALNUM.split(text.lower()) if t]
+
+
+# ---------------------------------------------------------------------------
+# 4. DuckDB SQL fragment (driver oracle)
+# ---------------------------------------------------------------------------
+
+def tokenize_duckdb_sql(expr: str) -> str:
+    r"""DuckDB expression producing the identical ``list<varchar>`` of terms."""
+    return (
+        "list_filter(regexp_split_to_array(lower("
+        f"regexp_replace(regexp_replace({expr}, '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),"
+        " '([a-z0-9])([A-Z])', '\\1 \\2', 'g')), '[^a-z0-9]+'), t -> t <> '')"
+    )

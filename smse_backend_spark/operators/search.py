@@ -1,0 +1,133 @@
+"""BM25 top-k retrieval — scan mode (index-free) plus the oracle-SQL builder.
+
+Scan mode is the M0 semantics anchor: tokenize -> per-(doc,term) tf ->
+df/avgdl stats -> BM25 column algebra -> distributed top-k
+(``TakeOrderedAndProject``). It replaces the reference's per-query pgvector
+full scan (``smse_backend/services/search.py:97-110`` — which has no ANN
+index: exact scan + ORDER BY + LIMIT per query); the segment index in
+``smse_backend_spark.index`` is the scale path, and MUST stay rank-identical
+to this scorer (regression-tested).
+
+The ``lang`` filter mirrors the reference's modality predicate
+(``services/search.py:106``): it restricts the candidate corpus, and corpus
+statistics (N, avgdl, df) are computed over the restricted set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smse_backend_spark import DEFAULT_TOP_K
+from smse_backend_spark.functions.bm25 import (
+    bm25_term_score_col,
+    bm25_term_score_sql,
+    idf_col,
+    idf_sql,
+)
+from smse_backend_spark.functions.tokenizer import (
+    doc_len_col,
+    tokenize_col,
+    tokenize_duckdb_sql,
+    tokenize_py,
+)
+
+
+def query_terms(query_text: str) -> list[str]:
+    """Unique query terms, sorted — BM25 uses set semantics over the query."""
+    return sorted(set(tokenize_py(query_text)))
+
+
+def bm25_topk_scan(
+    corpus: DataFrame,
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+) -> DataFrame:
+    """Exact BM25 top-k over a corpus DataFrame with a ``content`` column.
+
+    Returns (doc_id, score) — score rounded to 6 dp for cross-engine hash
+    stability; ORDER is (score desc, doc_id asc) and the plan's top is
+    ``TakeOrderedAndProject`` (no global sort materialization).
+    """
+    terms = query_terms(query_text)
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    if not terms:
+        return corpus.select(
+            F.col("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+
+    docs = corpus.select("doc_id", doc_len_col("content").alias("doc_len"),
+                         tokenize_col("content").alias("toks"))
+    n_docs, avgdl = docs.agg(
+        F.count(F.lit(1)).cast("double"), F.avg("doc_len")
+    ).first()
+    if not n_docs:
+        return corpus.select(F.col("doc_id"), F.lit(0.0).alias("score")).limit(0)
+
+    tf = (
+        docs.select("doc_id", "doc_len", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "doc_len", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df per query term over the candidate corpus; tiny (<= |q| rows) -> broadcast
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .withColumn("idf", idf_col(F.col("df"), n_docs))
+        .withColumn(
+            "contrib",
+            bm25_term_score_col(F.col("tf"), F.col("idf"), F.col("doc_len"), float(avgdl)),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_scan_oracle_sql(
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB SQL computing the identical result (same tokenizer, same math)."""
+    terms = query_terms(query_text)
+    if not terms:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ({in_list})
+  GROUP BY doc_id, doc_len, term
+),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -1,0 +1,70 @@
+"""Rank-identity golden tests: Spark scan-mode BM25 vs numpy oracle vs DuckDB.
+
+This is the correctness gate the reference lacks (its suite mocks similarity
+with random vectors and never asserts ranking — /root/reference/tests/
+conftest.py:7-23). Exact doc_ids, scores to 1e-6.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from smse_backend_spark.corpus import load_corpus, verify_sha256_invariant
+from smse_backend_spark.operators.search import bm25_scan_oracle_sql, bm25_topk_scan
+from smse_backend_spark.oracle.bm25_numpy import bm25_topk_py
+
+QUERIES = [
+    ("hash join merge scan", None),
+    ("window", None),
+    ("the fast small slow", None),
+    ("batch stream spark", "en"),
+    ("nonexistentterm", None),
+    ("", None),
+    ("join join join", None),  # dup terms -> set semantics
+    ("camelCaseQuery spark", None),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_smoke):
+    c = load_corpus(spark, sf_smoke).cache()
+    c.count()
+    return c
+
+
+@pytest.fixture(scope="module")
+def pydocs(corpus):
+    return [(r["doc_id"], r["content"], r["lang"]) for r in corpus.collect()]
+
+
+@pytest.mark.parametrize("query,lang", QUERIES)
+def test_rank_identity_vs_numpy(corpus, pydocs, query, lang):
+    docs = [(d, c) for d, c, lg in pydocs if lang is None or lg == lang]
+    want = bm25_topk_py(docs, query, k=10)
+    got = [(r["doc_id"], r["score"]) for r in bm25_topk_scan(corpus, query, 10, lang).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-6)
+
+
+@pytest.mark.parametrize("query,lang", QUERIES)
+def test_rank_identity_vs_duckdb(corpus, sf_smoke, query, lang):
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{sf_smoke}/documents.parquet'"
+    )
+    want = con.execute(bm25_scan_oracle_sql(query, 10, lang)).fetchall()
+    got = [(r["doc_id"], r["score"]) for r in bm25_topk_scan(corpus, query, 10, lang).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-6)
+
+
+def test_sha256_invariant(corpus):
+    assert verify_sha256_invariant(corpus) == 0
+
+
+def test_topk_is_take_ordered(corpus):
+    plan = bm25_topk_scan(corpus, "hash join")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,65 @@
+"""All four tokenizer implementations must agree (they feed engine, index,
+numpy oracle, and DuckDB oracle respectively)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from smse_backend_spark.functions.tokenizer import (
+    term_counts_frame,
+    tokenize_col,
+    tokenize_duckdb_sql,
+    tokenize_py,
+    tokenize_series,
+)
+
+CASES = [
+    "fooBar baz_qux",
+    "XMLHttpRequest parseHTML2Text",
+    "def foo(self): return self.x + 1  # comment",
+    "",
+    "   ",
+    "UPPER lower 123abc abc123 a1B2c3",
+    "snake_case_name camelCaseName PascalCaseName SCREAMING_SNAKE",
+    "tab\tnewline\nmixed-punct.,;:!?()[]{}<>",
+    "unicode é ü ß — stripped to ascii runs",
+    "a",
+]
+
+
+@pytest.mark.parametrize("text", CASES)
+def test_py_vs_pandas(text):
+    assert tokenize_series(pd.Series([text]))[0] == tokenize_py(text)
+
+
+def test_py_vs_spark_column(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CASES)], "id long, content string")
+    got = {r["id"]: r["toks"] for r in df.select("id", tokenize_col("content").alias("toks")).collect()}
+    for i, t in enumerate(CASES):
+        assert got[i] == tokenize_py(t), f"case {i}: {t!r}"
+
+
+def test_py_vs_duckdb():
+    con = duckdb.connect()
+    for t in CASES:
+        con.execute("create or replace table x as select ? as content", [t])
+        got = con.execute(f"select {tokenize_duckdb_sql('content')} from x").fetchone()[0]
+        assert list(got or []) == tokenize_py(t), repr(t)
+
+
+def test_term_counts_frame_matches_counter():
+    from collections import Counter
+
+    texts = ["fooBar foo_bar fooBar", "", "def def def return"]
+    out = term_counts_frame(pd.Series([0, 1, 2]), pd.Series(texts))
+    for doc_id, text in enumerate(texts):
+        want = Counter(tokenize_py(text))
+        got = dict(
+            zip(out[out.doc_id == doc_id]["term"], out[out.doc_id == doc_id]["tf"])
+        )
+        assert got == dict(want)
+        if want:
+            assert (out[out.doc_id == doc_id]["doc_len"] == len(tokenize_py(text))).all()
