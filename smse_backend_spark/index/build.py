@@ -1,0 +1,244 @@
+"""SPIMI-style segment-partitioned inverted-index build.
+
+Layout (all partitioned Parquet; an Iceberg-like manifest/lineage layer in
+``lineage.py`` stands in for Iceberg snapshots, whose runtime jar is not in
+this image):
+
+    <index>/postings/batch=<B>/lang=<L>/term_bucket=<T>/part-*.parquet
+    <index>/docstats/batch=<B>/part-*.parquet      (doc_id, lang, doc_len)
+    <index>/dictionary/part-*.parquet              (lang, term, df, cf)
+    <index>/lineage/batch_<B>.json                 (per-partition lineage)
+    <index>/meta.json                              (corpus stats + config)
+
+Scale design (the reason this is NOT a term-partitioned index):
+
+- **segment** = ``doc_id // segment_size`` — a doc-id range. Posting lists
+  are built per ``(lang, term_bucket, segment)`` group, so a group is
+  bounded by the segment size *no matter how hot a term is*: the hottest
+  term ('def', 'import', 'the') is spread across all segments. Skew is
+  handled structurally, not by rescue salting — the segment IS an
+  order-preserving salt, so no second merge shuffle is ever needed
+  (global per-term doc order == segment order, since segments are doc-id
+  ranges).
+- The whole build is ONE wide shuffle: tokenize+tf happens inside the
+  document row (vectorized ``mapInPandas``, so the raw token stream is
+  never shuffled — only distinct ``(doc, term)`` pairs), then a single
+  ``groupBy(lang, term_bucket, segment).applyInPandas`` builds compressed
+  block-max blocks.
+- ``lang`` and ``term_bucket`` are partition *directories*: a query prunes
+  to ``|query terms|`` buckets (and one lang, if filtered) without touching
+  other files; ``batch`` is the resume/checkpoint unit (reference analog:
+  the Celery ``tasks`` status table, smse_backend/models/task.py:6-34 /
+  routes/task.py:37-50, re-expressed as data-plane lineage).
+- Block upper bounds are stored as ``(block_max_tf, block_min_dl)`` —
+  global-stat-free, so incremental batches never invalidate old blocks
+  (BM25's tf-saturation term is monotone: max tf + min dl bounds every
+  member's contribution for any idf/avgdl plugged in at query time).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smse_backend_spark.functions.tokenizer import (
+    TERM_COUNTS_LANG_SCHEMA,
+    doc_len_col,
+    term_counts_map_in_pandas,
+)
+from smse_backend_spark.index import lineage as lin
+from smse_backend_spark.index.codec import delta_encode, encode_blocks
+
+BLOCKS_SCHEMA = (
+    "lang string, term_bucket int, segment long, term string, block_no int, "
+    "n int, first_doc long, last_doc long, block_max_tf int, block_min_dl int, "
+    "block_sum_tf long, gaps binary, tfs binary, dls binary"
+)
+
+_EMPTY_BLOCKS = {
+    "lang": pd.Series(dtype="object"), "term_bucket": pd.Series(dtype="int32"),
+    "segment": pd.Series(dtype="int64"), "term": pd.Series(dtype="object"),
+    "block_no": pd.Series(dtype="int32"), "n": pd.Series(dtype="int32"),
+    "first_doc": pd.Series(dtype="int64"), "last_doc": pd.Series(dtype="int64"),
+    "block_max_tf": pd.Series(dtype="int32"), "block_min_dl": pd.Series(dtype="int32"),
+    "block_sum_tf": pd.Series(dtype="int64"),
+    "gaps": pd.Series(dtype="object"), "tfs": pd.Series(dtype="object"),
+    "dls": pd.Series(dtype="object"),
+}
+
+
+def make_block_builder(block_size: int):
+    """applyInPandas kernel for one (lang, term_bucket, segment) group."""
+
+    def build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(_EMPTY_BLOCKS)
+        pdf = pdf.sort_values(["term", "doc_id"], kind="stable", ignore_index=True)
+        doc = pdf["doc_id"].to_numpy(np.int64)
+        tf = pdf["tf"].to_numpy(np.int64)
+        dl = pdf["doc_len"].to_numpy(np.int64)
+        codes, _ = pd.factorize(pdf["term"], sort=False)  # appearance order == sorted
+
+        term_change = np.empty(codes.size, dtype=bool)
+        term_change[0] = True
+        term_change[1:] = codes[1:] != codes[:-1]
+        tstarts = np.flatnonzero(term_change)
+        occ = np.arange(codes.size, dtype=np.int64)
+        occ -= np.repeat(occ[tstarts], np.diff(np.append(tstarts, codes.size)))
+        block_no = occ // block_size
+
+        boundary = term_change.copy()
+        boundary[1:] |= block_no[1:] != block_no[:-1]
+        bstarts = np.flatnonzero(boundary)
+        counts = np.diff(np.append(bstarts, codes.size))
+        bends = bstarts + counts - 1
+
+        gaps = delta_encode(doc, bstarts)
+        out = pd.DataFrame(
+            {
+                "lang": pdf["lang"].to_numpy()[bstarts],
+                "term_bucket": pdf["term_bucket"].to_numpy(np.int32)[bstarts],
+                "segment": pdf["segment"].to_numpy(np.int64)[bstarts],
+                "term": pdf["term"].to_numpy()[bstarts],
+                "block_no": block_no[bstarts].astype(np.int32),
+                "n": counts.astype(np.int32),
+                "first_doc": doc[bstarts],
+                "last_doc": doc[bends],
+                "block_max_tf": np.maximum.reduceat(tf, bstarts).astype(np.int32),
+                "block_min_dl": np.minimum.reduceat(dl, bstarts).astype(np.int32),
+                "block_sum_tf": np.add.reduceat(tf, bstarts).astype(np.int64),
+                "gaps": encode_blocks(gaps.astype(np.uint64), counts),
+                "tfs": encode_blocks(tf.astype(np.uint64), counts),
+                "dls": encode_blocks(dl.astype(np.uint64), counts),
+            }
+        )
+        return out
+
+    return build_blocks
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    segment_size: int = 2048,
+    n_buckets: int = 8,
+    block_size: int = 128,
+    n_batches: int = 4,
+    stop_after_batches: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> dict:
+    """Build (or resume) the index from a corpus (doc_id, lang, content).
+
+    Batches partition the doc-id space; each batch commits postings +
+    docstats + a lineage row atomically-enough (data first, lineage JSON
+    last). A rerun skips committed batches — the resumability contract.
+    Returns the meta dict written by :func:`finalize`.
+    """
+    from smse_backend_spark.session import ensure_pyfiles
+
+    ensure_pyfiles(spark)
+    max_doc = corpus.agg(F.max("doc_id")).first()[0]
+    if max_doc is None:
+        raise ValueError("empty corpus")
+    n_segments = max_doc // segment_size + 1
+    segs_per_batch = max(1, math.ceil(n_segments / n_batches))
+
+    done = lin.committed_batches(out_dir)
+    built = 0
+    for b in range(n_batches):
+        seg_lo, seg_hi = b * segs_per_batch, min((b + 1) * segs_per_batch, n_segments)
+        if seg_lo >= n_segments:
+            break
+        if b in done:
+            continue
+        if stop_after_batches is not None and built >= stop_after_batches:
+            return {"stopped_after": built}
+        _build_batch(
+            spark, corpus, out_dir, b, seg_lo, seg_hi, segment_size,
+            n_buckets, block_size, shuffle_partitions,
+        )
+        built += 1
+    return finalize(
+        spark, out_dir,
+        {"segment_size": segment_size, "n_buckets": n_buckets,
+         "block_size": block_size, "n_batches": n_batches},
+    )
+
+
+def _build_batch(
+    spark, corpus, out_dir, batch_id, seg_lo, seg_hi, segment_size,
+    n_buckets, block_size, shuffle_partitions,
+) -> None:
+    lo_doc, hi_doc = seg_lo * segment_size, seg_hi * segment_size
+    part = corpus.filter((F.col("doc_id") >= lo_doc) & (F.col("doc_id") < hi_doc))
+
+    docstats = part.select("doc_id", "lang", doc_len_col("content").alias("doc_len"))
+    docstats.write.mode("overwrite").parquet(f"{out_dir}/docstats/batch={batch_id}")
+
+    tc = (
+        part.select("doc_id", "content", "lang")
+        .mapInPandas(term_counts_map_in_pandas, TERM_COUNTS_LANG_SCHEMA)
+        .withColumn("segment", (F.col("doc_id") / segment_size).cast("long"))
+        .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    )
+    blocks = tc.groupBy("lang", "term_bucket", "segment").applyInPandas(
+        make_block_builder(block_size), BLOCKS_SCHEMA
+    )
+    (
+        blocks.repartition("lang", "term_bucket")
+        .sortWithinPartitions("term", "segment", "block_no")
+        .write.mode("overwrite")
+        .partitionBy("lang", "term_bucket")
+        .parquet(f"{out_dir}/postings/batch={batch_id}")
+    )
+
+    st = spark.read.parquet(f"{out_dir}/docstats/batch={batch_id}").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("sum_dl")
+    ).first()
+    bl = spark.read.parquet(f"{out_dir}/postings/batch={batch_id}").agg(
+        F.count(F.lit(1)).alias("n_blocks"), F.sum("n").alias("n_postings")
+    ).first()
+    lin.commit_batch(
+        out_dir, batch_id,
+        seg_lo=seg_lo, seg_hi=seg_hi, doc_lo=lo_doc, doc_hi=hi_doc,
+        n_docs=int(st["n_docs"] or 0), sum_dl=int(st["sum_dl"] or 0),
+        n_blocks=int(bl["n_blocks"] or 0), n_postings=int(bl["n_postings"] or 0),
+        bytes=lin.dir_bytes(f"{out_dir}/postings/batch={batch_id}"),
+    )
+
+
+def finalize(spark: SparkSession, out_dir: str, config: dict) -> dict:
+    """Derive dictionary + corpus stats from committed batches; write meta."""
+    postings = spark.read.parquet(f"{out_dir}/postings")
+    (
+        postings.groupBy("lang", "term")
+        .agg(F.sum("n").alias("df"), F.sum("block_sum_tf").alias("cf"))
+        # few files locally; at scale the bucket count keeps dictionary
+        # lookups pruned by parquet row-group stats on the sorted term col
+        .repartition(int(config.get("n_buckets", 8)), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/dictionary")
+    )
+    docstats = spark.read.parquet(f"{out_dir}/docstats")
+    per_lang = {
+        r["lang"]: {"n_docs": int(r["n_docs"]), "sum_dl": int(r["sum_dl"] or 0)}
+        for r in docstats.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
+        .collect()
+    }
+    meta = {
+        "config": config,
+        "n_docs": sum(v["n_docs"] for v in per_lang.values()),
+        "sum_dl": sum(v["sum_dl"] for v in per_lang.values()),
+        "per_lang": per_lang,
+        "batches": sorted(lin.committed_batches(out_dir)),
+    }
+    lin.write_meta(out_dir, meta)
+    return meta

@@ -45,8 +45,8 @@ def bm25_topk_py(
             if tf:
                 s += w * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
         if s > 0.0:
-            scores[doc_id] = s
-    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-    if round_to is not None:
-        ranked = [(d, round(s, round_to)) for d, s in ranked]
-    return ranked
+            # round BEFORE ranking: the engine orders by the rounded score
+            # (rounded for cross-engine hash stability), so ties at the
+            # rounding granularity must resolve by doc_id here too.
+            scores[doc_id] = round(s, round_to) if round_to is not None else s
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]

@@ -8,8 +8,34 @@ config here is chosen to behave identically on a 1000-executor cluster
 from __future__ import annotations
 
 import os
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+_PYFILES_SENT: set[int] = set()
+
+
+def ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship this package to Python workers (the ``--py-files`` contract).
+
+    Module-level pandas-UDF kernels are pickled by reference, so executors
+    must be able to import ``smse_backend_spark``. Under ``spark-submit
+    --py-files smse_backend_spark.zip`` this is automatic; when embedded
+    (driver harness, notebooks) we zip the package once per session and
+    ``addPyFile`` it. Idempotent and cheap (~100 KB zip).
+    """
+    key = id(spark.sparkContext)
+    if key in _PYFILES_SENT:
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(os.environ.get("TMPDIR", "/tmp")) / f"smse_backend_spark_{os.getpid()}.zip"
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                zf.write(p, arcname=str(Path(pkg_dir.name) / p.relative_to(pkg_dir)))
+    spark.sparkContext.addPyFile(str(zip_path))
+    _PYFILES_SENT.add(key)
 
 
 def get_spark(

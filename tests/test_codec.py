@@ -1,0 +1,77 @@
+"""Property tests for the delta+varint posting-block codec (FIXTURES.md §6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from smse_backend_spark.index.codec import (
+    decode_blocks,
+    delta_decode,
+    delta_encode,
+    encode_blocks,
+    varint_decode,
+    varint_encode,
+    varint_nbytes,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    a = np.array(vals, dtype=np.uint64)
+    assert varint_decode(varint_encode(a)).tolist() == vals
+
+
+def test_varint_known_lengths():
+    a = np.array([0, 1, 127, 128, 2**14 - 1, 2**14, 2**21, 2**63 - 1], dtype=np.uint64)
+    assert varint_nbytes(a).tolist() == [1, 1, 1, 2, 2, 3, 4, 9]
+    assert varint_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+
+
+@pytest.mark.parametrize("sizes", [[0], [1], [5, 0, 3], [0, 0], [128, 128, 7], [1000]])
+def test_encode_blocks_roundtrip(sizes):
+    rng = np.random.default_rng(42)
+    vals = rng.integers(0, 2**21, size=sum(sizes)).astype(np.uint64)
+    blobs = encode_blocks(vals, np.array(sizes))
+    assert len(blobs) == len(sizes)
+    got, counts = decode_blocks(blobs)
+    assert counts.tolist() == sizes
+    assert got.tolist() == vals.tolist()
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 2**40), min_size=1, max_size=50).map(sorted),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_delta_roundtrip(groups):
+    flat = np.array([x for g in groups for x in g], dtype=np.int64)
+    counts = np.array([len(g) for g in groups], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+    firsts = flat[starts]
+    gaps = delta_encode(flat, starts)
+    assert (gaps[starts] == 0).all()
+    back = delta_decode(gaps, firsts, counts)
+    assert back.tolist() == flat.tolist()
+
+
+def test_full_posting_pipeline_roundtrip():
+    """sorted doc ids -> gaps -> varint -> blocks -> decode -> identical ids."""
+    rng = np.random.default_rng(7)
+    doc_ids = np.unique(rng.integers(0, 10**9, size=100_000)).astype(np.int64)
+    block = 128
+    n_blocks = (doc_ids.size + block - 1) // block
+    counts = np.full(n_blocks, block, dtype=np.int64)
+    counts[-1] = doc_ids.size - block * (n_blocks - 1)
+    starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+    gaps = delta_encode(doc_ids, starts)
+    blobs = encode_blocks(gaps.astype(np.uint64), counts)
+    got_gaps, got_counts = decode_blocks(blobs)
+    back = delta_decode(got_gaps.astype(np.int64), doc_ids[starts], got_counts)
+    assert back.tolist() == doc_ids.tolist()

@@ -1,0 +1,113 @@
+"""Index build + query: rank-identity vs scan mode, pruned == exhaustive,
+and crash-resume (FIXTURES.md §6 lineage fixture)."""
+
+from __future__ import annotations
+
+import pytest
+
+from smse_backend_spark.corpus import load_corpus
+from smse_backend_spark.index import lineage as lin
+from smse_backend_spark.index.build import build_index
+from smse_backend_spark.index.query import InvertedIndex
+from smse_backend_spark.operators.search import bm25_topk_scan
+
+QUERIES = [
+    ("hash join merge scan", None),
+    ("window", None),
+    ("the fast small slow", None),
+    ("batch stream spark window", "en"),
+    ("nonexistentterm", None),
+    ("the row data column", None),  # all-hot terms
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_smoke):
+    c = load_corpus(spark, sf_smoke).cache()
+    c.count()
+    return c
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    meta = build_index(
+        spark, corpus, out, segment_size=64, n_buckets=4, block_size=16, n_batches=3
+    )
+    assert meta["n_docs"] == 500
+    return InvertedIndex(spark, out)
+
+
+@pytest.mark.parametrize("query,lang", QUERIES)
+@pytest.mark.parametrize("mode", ["exhaustive", "pruned"])
+def test_index_rank_identity_vs_scan(corpus, index, query, lang, mode):
+    want = [(r["doc_id"], r["score"]) for r in bm25_topk_scan(corpus, query, 10, lang).collect()]
+    got = [(r["doc_id"], r["score"]) for r in index.bm25_topk(query, 10, lang, mode=mode).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want], f"{mode} docs diverge"
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-6)
+
+
+def test_dictionary_df_matches_scan(spark, corpus, index):
+    """df from the index dictionary == countDistinct over the token stream."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.functions.tokenizer import tokenize_col
+
+    want = {
+        r["term"]: r["df"]
+        for r in corpus.select(
+            "doc_id", F.explode(F.array_distinct(tokenize_col("content"))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    got = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(f"{index.path}/dictionary")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_resume_skips_committed_and_matches_cold(spark, corpus, tmp_path):
+    cold_dir, crash_dir = str(tmp_path / "cold"), str(tmp_path / "crash")
+    build_index(spark, corpus, cold_dir, segment_size=64, n_buckets=4, block_size=16, n_batches=4)
+
+    # crash after 2 of 4 batches
+    r = build_index(
+        spark, corpus, crash_dir, segment_size=64, n_buckets=4, block_size=16,
+        n_batches=4, stop_after_batches=2,
+    )
+    assert r == {"stopped_after": 2}
+    committed = lin.committed_batches(crash_dir)
+    assert len(committed) == 2
+
+    # record lineage mtimes to prove committed batches are not rebuilt
+    import os
+    before = {
+        b: os.path.getmtime(f"{crash_dir}/lineage/batch_{b}.json") for b in committed
+    }
+    build_index(spark, corpus, crash_dir, segment_size=64, n_buckets=4, block_size=16, n_batches=4)
+    for b, t in before.items():
+        assert os.path.getmtime(f"{crash_dir}/lineage/batch_{b}.json") == t
+
+    # resumed index answers identically to the cold one
+    cold, warm = InvertedIndex(spark, cold_dir), InvertedIndex(spark, crash_dir)
+    assert cold.meta["n_docs"] == warm.meta["n_docs"] == 500
+    for q, lang in QUERIES[:3]:
+        a = [(r["doc_id"], r["score"]) for r in cold.bm25_topk(q, 10, lang).collect()]
+        b_ = [(r["doc_id"], r["score"]) for r in warm.bm25_topk(q, 10, lang).collect()]
+        assert a == b_
+
+
+def test_lineage_rows_have_metrics(index):
+    rows = lin.read_lineage(index.path)
+    assert len(rows) == 3
+    for r in rows:
+        assert r["status"] == "COMMITTED"
+        assert r["n_docs"] > 0 and r["bytes"] > 0 and r["n_postings"] > 0
+        assert r["doc_hi"] > r["doc_lo"]
