@@ -57,22 +57,137 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
+    from smse_backend_spark.functions import text_quality as Q
+    from smse_backend_spark.operators import dedup as D
+    from smse_backend_spark.operators import history as H
+    from smse_backend_spark.operators import relational as R
+    from smse_backend_spark.operators import similarity as S
+    from smse_backend_spark.operators import simhash as SH
+
+    def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from smse_backend_spark.operators.ann import brute_force_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+        qs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+        return brute_force_topk(emb, qs, 10).withColumn(
+            "rank", F.col("rank").cast("long")
+        )
+
+    def _emb(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(S.load_embeddings(spark, sf_dir))
+
+        return run
+
     return {
+        # BM25 search core (scan + indexed paths)
         "bm25_topk": _bm25(FLAGSHIP_QUERY),
         "bm25_topk_lang": _bm25("batch stream spark window", lang="en"),
         "bm25_topk_hot": _bm25("the row data", k=20),
         "bm25_indexed": _bm25_indexed(FLAGSHIP_QUERY),
         "bm25_indexed_exhaustive": _bm25_indexed("the fast small slow", mode="exhaustive"),
         "bm25_indexed_lang": _bm25_indexed("batch stream spark window", lang="en"),
+        # reference vector-search semantics
+        "cosine_topk": _emb(lambda e: S.cosine_topk(e, 0, 10)),
+        "cosine_topk_modality": _emb(lambda e: S.cosine_topk(e, 7, 5, "text")),
+        "cosine_topk_user": _emb(lambda e: S.cosine_topk(e, 11, 10, None, 2)),
+        "multimodal_search": _emb(lambda e: S.multimodal_search(e, 0, "text")),
+        "multimodal_search_audio": _emb(lambda e: S.multimodal_search(e, 5, "audio")),
+        "fusion_multipart": _emb(lambda e: S.fuse_multipart(e, [0, 1, 2])),
+        # history / persistence readback
+        "history_page": lambda spark, sf: H.history_page(
+            spark.read.parquet(f"{sf}/events.parquet"), 7, 10, 5
+        ),
+        "history_counts": lambda spark, sf: H.history_counts(
+            spark.read.parquet(f"{sf}/events.parquet"), 60
+        ),
+        # training-data pipeline: dedup + text analysis
+        "dedup_exact": lambda spark, sf: D.dedup_exact(_docs(spark, sf)),
+        "exact_dup_groups": lambda spark, sf: D.exact_dup_groups(_docs(spark, sf)),
+        "ngram_jaccard": lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf), 3, 0.5),
+        "minhash_lsh": lambda spark, sf: D.minhash_lsh_pairs(_docs(spark, sf), 16, 4),
+        "embedding_near_dup": lambda spark, sf: D.embedding_near_dup(
+            spark.read.parquet(f"{sf}/embeddings.parquet"), 0.3
+        ),
+        "token_stats": lambda spark, sf: Q.token_stats(_docs(spark, sf)),
+        "quality_scores": lambda spark, sf: Q.quality_scores(_docs(spark, sf), 0.2),
+        "lang_id": lambda spark, sf: Q.lang_id(_docs(spark, sf)),
+        "doc_fingerprint": lambda spark, sf: Q.doc_fingerprint(_docs(spark, sf)),
+        # rows-only checks (no SQL-expressible oracle): simhash banding, LSH ANN
+        "simhash_neardup": lambda spark, sf: SH.simhash_neardup_pairs(
+            _docs(spark, sf), max_hamming=10
+        ),
+        "ann_brute_force": _ann_brute,
+        # generic relational coverage
+        "pricing_summary": R.pricing_summary,
+        "top_revenue_nations": R.top_revenue_nations,
+        "anti_join_customers": R.customers_without_big_orders,
+        "window_latest_orders": R.latest_orders_per_customer,
+        "hourly_event_rollup": R.hourly_event_rollup,
+        "event_props_extract": R.event_props_extract,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from smse_backend_spark.functions import text_quality as Q
+    from smse_backend_spark.operators import dedup as D
+    from smse_backend_spark.operators import history as H
+    from smse_backend_spark.operators import relational as R
+    from smse_backend_spark.operators import similarity as S
+
+    ann_sql = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
+z AS (
+  SELECT q.qid, e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q
+),
+s AS (
+  SELECT qid, vec_id, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score
+  FROM z GROUP BY qid, vec_id
+),
+r AS (
+  SELECT qid AS query_id, vec_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
+"""
+
     return {
+        "dedup_exact": D.dedup_exact_sql(),
+        "exact_dup_groups": D.exact_dup_groups_sql(),
+        "ngram_jaccard": D.ngram_jaccard_pairs_sql(3, 0.5),
+        "minhash_lsh": D.minhash_lsh_pairs_sql(16, 4),
+        "embedding_near_dup": D.embedding_near_dup_sql(0.3),
+        "token_stats": Q.token_stats_sql(),
+        "quality_scores": Q.quality_scores_sql(0.2),
+        "lang_id": Q.lang_id_sql(),
+        "doc_fingerprint": Q.doc_fingerprint_sql(),
+        "ann_brute_force": ann_sql,
         "bm25_topk": bm25_scan_oracle_sql(FLAGSHIP_QUERY),
         "bm25_topk_lang": bm25_scan_oracle_sql("batch stream spark window", lang="en"),
         "bm25_topk_hot": bm25_scan_oracle_sql("the row data", k=20),
         "bm25_indexed": bm25_scan_oracle_sql(FLAGSHIP_QUERY),
         "bm25_indexed_exhaustive": bm25_scan_oracle_sql("the fast small slow"),
         "bm25_indexed_lang": bm25_scan_oracle_sql("batch stream spark window", lang="en"),
+        "cosine_topk": S.cosine_topk_sql(0, 10),
+        "cosine_topk_modality": S.cosine_topk_sql(7, 5, "text"),
+        "cosine_topk_user": S.cosine_topk_sql(11, 10, None, 2),
+        "multimodal_search": S.multimodal_search_sql(0, "text"),
+        "multimodal_search_audio": S.multimodal_search_sql(5, "audio"),
+        "fusion_multipart": S.fuse_multipart_sql([0, 1, 2]),
+        "history_page": H.history_page_sql(7, 10, 5),
+        "history_counts": H.history_counts_sql(60),
+        "pricing_summary": R.pricing_summary_sql(),
+        "top_revenue_nations": R.top_revenue_nations_sql(),
+        "anti_join_customers": R.customers_without_big_orders_sql(),
+        "window_latest_orders": R.latest_orders_per_customer_sql(),
+        "hourly_event_rollup": R.hourly_event_rollup_sql(),
+        "event_props_extract": R.event_props_extract_sql(),
     }

@@ -104,6 +104,45 @@ def term_counts_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Da
         yield out
 
 
+def term_counts_with_docs_map_in_pandas(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Like :func:`term_counts_map_in_pandas` plus one sentinel row per doc
+    (``term=''``, ``tf=0``) carrying the doc's length/lang.
+
+    The sentinel rows let the index build derive docstats (incl. zero-token
+    docs) from the SAME staged tokenize output — the corpus is scanned and
+    tokenized exactly once per batch. '' can never collide with a real term
+    (the tokenizer drops empty tokens).
+    """
+    for pdf in batches:
+        toks = tokenize_series(pdf["content"])
+        dl = toks.str.len().astype("int64")
+        lang = pdf["lang"].to_numpy() if "lang" in pdf.columns else ""
+        docs = pd.DataFrame(
+            {"doc_id": pdf["doc_id"].to_numpy(), "term": "", "tf": 0,
+             "doc_len": dl.to_numpy(), "lang": lang}
+        )
+        frame = pd.DataFrame(
+            {"doc_id": pdf["doc_id"].values, "term": toks.values,
+             "doc_len": dl.values,
+             "lang": pdf["lang"].values if "lang" in pdf.columns else ""}
+        ).explode("term", ignore_index=True).dropna(subset=["term"])
+        if frame.empty:
+            yield docs
+            continue
+        out = (
+            frame.groupby(["doc_id", "term", "doc_len", "lang"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        yield pd.concat(
+            [docs, out[["doc_id", "term", "tf", "doc_len", "lang"]]],
+            ignore_index=True,
+        )
+
+
 TERM_COUNTS_SCHEMA = "doc_id long, term string, tf long, doc_len long"
 TERM_COUNTS_LANG_SCHEMA = "doc_id long, term string, tf long, doc_len long, lang string"
 

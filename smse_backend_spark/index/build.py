@@ -48,11 +48,25 @@ from pyspark.sql import functions as F
 
 from smse_backend_spark.functions.tokenizer import (
     TERM_COUNTS_LANG_SCHEMA,
-    doc_len_col,
-    term_counts_map_in_pandas,
+    term_counts_with_docs_map_in_pandas,
 )
 from smse_backend_spark.index import lineage as lin
 from smse_backend_spark.index.codec import delta_encode, encode_blocks
+
+def term_bucket_col(term, n_buckets: int):
+    """Bucket id from sha2(term) — replicable driver-side (term_bucket_py),
+    so the query planner computes bucket IN-lists without a Spark job."""
+    return F.pmod(
+        F.conv(F.substring(F.sha2(term, 256), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    import hashlib
+
+    return int(hashlib.sha256(term.encode()).hexdigest()[:8], 16) % n_buckets
+
 
 BLOCKS_SCHEMA = (
     "lang string, term_bucket int, segment long, term string, block_no int, "
@@ -131,7 +145,8 @@ def build_index(
     block_size: int = 128,
     n_batches: int = 4,
     stop_after_batches: int | None = None,
-    shuffle_partitions: int | None = None,
+    input_partitions: int | None = None,
+    known_max_doc: int | None = None,
 ) -> dict:
     """Build (or resume) the index from a corpus (doc_id, lang, content).
 
@@ -143,7 +158,11 @@ def build_index(
     from smse_backend_spark.session import ensure_pyfiles
 
     ensure_pyfiles(spark)
-    max_doc = corpus.agg(F.max("doc_id")).first()[0]
+    max_doc = (
+        known_max_doc
+        if known_max_doc is not None
+        else corpus.agg(F.max("doc_id")).first()[0]
+    )
     if max_doc is None:
         raise ValueError("empty corpus")
     n_segments = max_doc // segment_size + 1
@@ -161,7 +180,7 @@ def build_index(
             return {"stopped_after": built}
         _build_batch(
             spark, corpus, out_dir, b, seg_lo, seg_hi, segment_size,
-            n_buckets, block_size, shuffle_partitions,
+            n_buckets, block_size, input_partitions,
         )
         built += 1
     return finalize(
@@ -173,22 +192,51 @@ def build_index(
 
 def _build_batch(
     spark, corpus, out_dir, batch_id, seg_lo, seg_hi, segment_size,
-    n_buckets, block_size, shuffle_partitions,
+    n_buckets, block_size, input_partitions,
 ) -> None:
     lo_doc, hi_doc = seg_lo * segment_size, seg_hi * segment_size
     part = corpus.filter((F.col("doc_id") >= lo_doc) & (F.col("doc_id") < hi_doc))
+    if input_partitions:
+        # a real corpus arrives in thousands of files and scans wide; the
+        # local stand-in is one tiny parquet file (1 partition), which would
+        # serialize the tokenize stage — spread it explicitly
+        part = part.repartition(input_partitions, "doc_id")
 
-    docstats = part.select("doc_id", "lang", doc_len_col("content").alias("doc_len"))
+    from pyspark.sql import Observation
+    from pyspark.storagelevel import StorageLevel
+
+    # SPIMI stage 1: ONE pass over the corpus — tokenize + per-doc tf +
+    # per-doc sentinel rows, persisted as in-memory runs (spill-to-disk).
+    # Everything downstream (docstats, posting blocks) reads the cached
+    # runs; the corpus content is never scanned or tokenized twice. A
+    # parquet staging write was measured strictly worse here: N concurrent
+    # columnar writers contend on the shuffle disk and anti-scale.
+    st_all = (
+        part.select("doc_id", "content", "lang")
+        .mapInPandas(term_counts_with_docs_map_in_pandas, TERM_COUNTS_LANG_SCHEMA)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # stats piggyback on the write jobs (no extra scan): Observation attaches
+    # accumulator-style aggregates to the action that materializes the frame
+    obs_docs = Observation(f"docstats_{batch_id}")
+    docstats = (
+        st_all.filter(F.col("term") == "")
+        .select("doc_id", "lang", "doc_len")
+        .observe(obs_docs, F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
+    )
     docstats.write.mode("overwrite").parquet(f"{out_dir}/docstats/batch={batch_id}")
 
     tc = (
-        part.select("doc_id", "content", "lang")
-        .mapInPandas(term_counts_map_in_pandas, TERM_COUNTS_LANG_SCHEMA)
+        st_all.filter(F.col("term") != "")
         .withColumn("segment", (F.col("doc_id") / segment_size).cast("long"))
-        .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
     )
+    obs_blocks = Observation(f"blocks_{batch_id}")
     blocks = tc.groupBy("lang", "term_bucket", "segment").applyInPandas(
         make_block_builder(block_size), BLOCKS_SCHEMA
+    ).observe(
+        obs_blocks, F.count(F.lit(1)).alias("n_blocks"), F.sum("n").alias("n_postings")
     )
     (
         blocks.repartition("lang", "term_bucket")
@@ -198,12 +246,8 @@ def _build_batch(
         .parquet(f"{out_dir}/postings/batch={batch_id}")
     )
 
-    st = spark.read.parquet(f"{out_dir}/docstats/batch={batch_id}").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("sum_dl")
-    ).first()
-    bl = spark.read.parquet(f"{out_dir}/postings/batch={batch_id}").agg(
-        F.count(F.lit(1)).alias("n_blocks"), F.sum("n").alias("n_postings")
-    ).first()
+    st, bl = obs_docs.get, obs_blocks.get
+    st_all.unpersist()
     lin.commit_batch(
         out_dir, batch_id,
         seg_lo=seg_lo, seg_hi=seg_hi, doc_lo=lo_doc, doc_hi=hi_doc,
@@ -215,7 +259,10 @@ def _build_batch(
 
 def finalize(spark: SparkSession, out_dir: str, config: dict) -> dict:
     """Derive dictionary + corpus stats from committed batches; write meta."""
+    from pyspark.sql import Observation
+
     postings = spark.read.parquet(f"{out_dir}/postings")
+    obs_dict = Observation("dictionary")
     (
         postings.groupBy("lang", "term")
         .agg(F.sum("n").alias("df"), F.sum("block_sum_tf").alias("cf"))
@@ -223,9 +270,11 @@ def finalize(spark: SparkSession, out_dir: str, config: dict) -> dict:
         # lookups pruned by parquet row-group stats on the sorted term col
         .repartition(int(config.get("n_buckets", 8)), "term")
         .sortWithinPartitions("term")
+        .observe(obs_dict, F.count(F.lit(1)).alias("n_terms"))
         .write.mode("overwrite")
         .parquet(f"{out_dir}/dictionary")
     )
+    n_terms = int(obs_dict.get["n_terms"])
     docstats = spark.read.parquet(f"{out_dir}/docstats")
     per_lang = {
         r["lang"]: {"n_docs": int(r["n_docs"]), "sum_dl": int(r["sum_dl"] or 0)}
@@ -233,8 +282,11 @@ def finalize(spark: SparkSession, out_dir: str, config: dict) -> dict:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
         .collect()
     }
+    lineage_rows = lin.read_lineage(out_dir)
     meta = {
         "config": config,
+        "n_terms": n_terms,
+        "n_postings": sum(r.get("n_postings", 0) for r in lineage_rows),
         "n_docs": sum(v["n_docs"] for v in per_lang.values()),
         "sum_dl": sum(v["sum_dl"] for v in per_lang.values()),
         "per_lang": per_lang,

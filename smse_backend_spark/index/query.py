@@ -67,6 +67,63 @@ def _decode_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _make_batch_scorer(
+    term_ix: dict[str, int], w_mat: np.ndarray, qids: np.ndarray, avgdl: float, k: int
+):
+    """Per-partition batch kernel: decode posting blocks AND score all
+    queries in one pass (no decoded-row materialization between stages).
+
+    Input rows are compressed blocks, partitioned by ``segment`` upstream —
+    segments are disjoint doc-id ranges, so a doc's entire profile lands in
+    exactly one partition and the shuffle moves only compressed bytes.
+    Emits each query's local top-(k+pad) rows (score desc, doc_id asc).
+    """
+    from smse_backend_spark import B, K1
+
+    pad = 32  # guard for rounding-induced rank flips near the k boundary
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in _decode_map(batches) if not p.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        tf = pdf["tf"].to_numpy(np.float64)
+        dl = pdf["dl"].to_numpy(np.float64)
+        tfn = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        t_idx = pdf["term"].map(term_ix).to_numpy(np.int64)
+        # dense (postings x queries) contributions, grouped by doc: one
+        # C-path groupby-sum instead of scalar scatter-adds
+        contrib = pd.DataFrame(tfn[:, None] * w_mat[t_idx])
+        contrib["__doc"] = pdf["doc_id"].to_numpy()
+        scores = contrib.groupby("__doc", sort=False).sum()
+        doc_ids = scores.index.to_numpy(np.int64)
+        mat = scores.to_numpy()
+
+        out_frames = []
+        kk = min(k + pad, mat.shape[0])
+        for j in range(mat.shape[1]):
+            col = mat[:, j]
+            nz = np.flatnonzero(col > 0.0)
+            if nz.size == 0:
+                continue
+            take = nz
+            if nz.size > kk:
+                part_idx = np.argpartition(-col[nz], kk - 1)[:kk]
+                take = nz[part_idx]
+            sc = np.round(col[take], 6)
+            order = np.lexsort((doc_ids[take], -sc))[:kk]
+            out_frames.append(
+                pd.DataFrame(
+                    {"query_id": qids[j], "doc_id": doc_ids[take][order],
+                     "score": sc[order]}
+                )
+            )
+        if out_frames:
+            yield pd.concat(out_frames, ignore_index=True)
+
+    return kernel
+
+
 def _tf_norm(tf_col, dl_col, avgdl: float):
     d = tf_col.cast("double")
     return d * (K1 + 1.0) / (d + K1 * (1.0 - B + B * dl_col.cast("double") / avgdl))
@@ -75,6 +132,11 @@ def _tf_norm(tf_col, dl_col, avgdl: float):
 class InvertedIndex:
     """Reader handle over an index directory produced by ``build_index``."""
 
+    # vocabularies up to this size are collected to the driver once and kept
+    # as a plain dict — removes one Spark job per query. Bigger vocabularies
+    # (the 10^12-file regime) fall back to pruned parquet lookups.
+    DICT_CACHE_MAX_TERMS = 500_000
+
     def __init__(self, spark: SparkSession, path: str):
         from smse_backend_spark.session import ensure_pyfiles
 
@@ -82,6 +144,7 @@ class InvertedIndex:
         self.spark = spark
         self.path = path
         self.meta = lin.read_meta(path)
+        self._dict_cache: dict[tuple[str, str], int] | None = None
 
     # -- stats ------------------------------------------------------------
 
@@ -93,33 +156,49 @@ class InvertedIndex:
             n, sdl = st["n_docs"], st["sum_dl"]
         return float(n), (sdl / n if n else 0.0)
 
-    def term_idf(self, terms: list[str], lang: str | None = None) -> dict[str, float]:
-        """idf per term from the dictionary (tiny pruned read + collect)."""
-        n, _ = self.corpus_stats(lang)
+    def term_df(self, terms: list[str], lang: str | None = None) -> dict[str, int]:
+        if self.meta.get("n_terms", 1 << 62) <= self.DICT_CACHE_MAX_TERMS:
+            if self._dict_cache is None:
+                self._dict_cache = {
+                    (r["lang"], r["term"]): r["df"]
+                    for r in self.spark.read.parquet(f"{self.path}/dictionary").collect()
+                }
+            if lang is None:
+                out: dict[str, int] = {}
+                for (_lg, t), df in self._dict_cache.items():
+                    if t in terms:
+                        out[t] = out.get(t, 0) + df
+                return out
+            return {
+                t: self._dict_cache[(lang, t)]
+                for t in terms
+                if (lang, t) in self._dict_cache
+            }
         d = self.spark.read.parquet(f"{self.path}/dictionary").filter(
             F.col("term").isin(terms)
         )
         if lang is not None:
             d = d.filter(F.col("lang") == lang)
-        rows = d.groupBy("term").agg(F.sum("df").alias("df")).collect()
         return {
-            r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
-            for r in rows
+            r["term"]: r["df"]
+            for r in d.groupBy("term").agg(F.sum("df").alias("df")).collect()
+        }
+
+    def term_idf(self, terms: list[str], lang: str | None = None) -> dict[str, float]:
+        """idf per term from the dictionary (driver cache or pruned read)."""
+        n, _ = self.corpus_stats(lang)
+        return {
+            t: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for t, df in self.term_df(terms, lang).items()
         }
 
     # -- scans ------------------------------------------------------------
 
     def _blocks(self, terms: list[str], lang: str | None) -> DataFrame:
+        from smse_backend_spark.index.build import term_bucket_py
+
         nb = self.meta["config"]["n_buckets"]
-        # driver-side xxhash64 of the query terms would need the JVM seed;
-        # instead push a bucket IN-list computed by one tiny local job
-        buckets = [
-            r[0]
-            for r in self.spark.createDataFrame([(t,) for t in terms], "term string")
-            .select(F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int"))
-            .distinct()
-            .collect()
-        ]
+        buckets = sorted({term_bucket_py(t, nb) for t in terms})
         df = self.spark.read.parquet(f"{self.path}/postings").filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )
@@ -134,8 +213,16 @@ class InvertedIndex:
         idf_df = F.broadcast(
             self.spark.createDataFrame(list(idf.items()), "term string, idf double")
         )
-        decoded = blocks.select("term", "first_doc", "gaps", "tfs", "dls").mapInPandas(
-            _decode_map, DECODED_SCHEMA
+        # widen the decode: compressed blocks are tiny on disk, 50-100x
+        # bigger decoded — spread them before the ArrowEvalPython stage
+        nparts = int(
+            min(1024, max(self.spark.sparkContext.defaultParallelism,
+                          self.meta.get("n_postings", 0) // 400_000 + 1))
+        )
+        decoded = (
+            blocks.select("term", "first_doc", "gaps", "tfs", "dls")
+            .repartition(nparts)
+            .mapInPandas(_decode_map, DECODED_SCHEMA)
         )
         return (
             decoded.join(idf_df, "term")
@@ -164,6 +251,73 @@ class InvertedIndex:
             return self._finish(scored, k)
         return self._pruned_topk(blocks, idf, avgdl, k)
 
+    def bm25_topk_batch(
+        self,
+        queries: dict[int, str],
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Score a whole query batch in ONE DataFrame job.
+
+        Returns (query_id, rank, doc_id, score); per-query rank semantics
+        identical to :meth:`bm25_topk` (round 6dp, score desc, doc_id asc).
+
+        Scale shape: every matched posting is shuffled exactly ONCE (by
+        doc_id) no matter how many queries are in the batch — scoring is a
+        docs x queries matrix product inside a per-partition numpy kernel
+        against a broadcast (term x query) weight matrix, and only each
+        partition's local top-k per query survives to the final global
+        rank. The naive alternative (join postings x query-terms, groupBy
+        (query, doc)) shuffles |queries| x |postings| rows — two orders of
+        magnitude more at realistic batch sizes.
+        """
+        from pyspark.sql import Window
+
+        n, avgdl = self.corpus_stats(lang)
+        per_q = {qid: query_terms(q) for qid, q in queries.items()}
+        all_terms = sorted({t for ts in per_q.values() for t in ts})
+        idf = self.term_idf(all_terms, lang) if all_terms and n else {}
+        matched = sorted(idf)
+        if not matched:
+            return self.spark.createDataFrame(
+                [], "query_id long, rank int, doc_id long, score double"
+            )
+        term_ix = {t: i for i, t in enumerate(matched)}
+        qids = sorted(per_q)
+        # memory bound inside the kernel is (partition postings) x (queries);
+        # chunk the query dimension and size partitions off index stats
+        chunks = [qids[i : i + 64] for i in range(0, len(qids), 64)]
+        total_postings = max(self.meta.get("n_postings", 0), 1)
+        nparts = int(
+            min(4096, max(self.spark.sparkContext.defaultParallelism,
+                          total_postings // 200_000 + 1))
+        )
+        # shuffle COMPRESSED blocks by segment: segments are disjoint doc-id
+        # ranges, so this is a doc-partitioning that moves ~1% of the bytes
+        # a post-decode doc_id repartition would
+        repart = self._blocks(matched, lang).select(
+            "segment", "term", "first_doc", "gaps", "tfs", "dls"
+        ).repartition(nparts, "segment")
+
+        out = None
+        for chunk in chunks:
+            w_mat = np.zeros((len(matched), len(chunk)), dtype=np.float64)
+            for j, qid in enumerate(chunk):
+                for t in per_q[qid]:
+                    if t in idf:
+                        w_mat[term_ix[t], j] = idf[t]
+            kernel = _make_batch_scorer(term_ix, w_mat, np.array(chunk), avgdl, k)
+            local_topk = repart.mapInPandas(
+                kernel, "query_id long, doc_id long, score double"
+            )
+            out = local_topk if out is None else out.unionByName(local_topk)
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
     def _finish(self, scored: DataFrame, k: int) -> DataFrame:
         return (
             scored.select("doc_id", F.round("score", 6).alias("score"))
@@ -177,8 +331,12 @@ class InvertedIndex:
         idf_df = F.broadcast(
             self.spark.createDataFrame(list(idf.items()), "term string, idf double")
         )
-        # metadata-only pass: per-segment upper bound (no blob columns read)
-        seg_ub = (
+        # metadata-only pass: per-segment upper bound. Only the small stat
+        # columns are read (Parquet column pruning skips the blobs). The
+        # per-segment bound table is one row per segment — collected to the
+        # driver (segments = docs/segment_size; even 10^12 docs / 10^6-doc
+        # segments is 10^6 rows, driver-safe).
+        seg_rows = (
             blocks.select("term", "segment", "block_max_tf", "block_min_dl")
             .join(idf_df, "term")
             .withColumn(
@@ -188,21 +346,21 @@ class InvertedIndex:
             .agg(F.max("ub").alias("tub"))
             .groupBy("segment")
             .agg(F.sum("tub").alias("seg_ub"))
+        ).collect()
+        if not seg_rows:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        seg_rows.sort(key=lambda r: -r["seg_ub"])
+        n_seed = max(2, k // 4)
+        seed = [r["segment"] for r in seg_rows[:n_seed]]
+        seed_scores = self._score(
+            blocks.filter(F.col("segment").isin(seed)), idf, avgdl
         ).cache()
-        try:
-            n_seed = max(2, k // 4)
-            seed = [r["segment"] for r in seg_ub.orderBy(F.desc("seg_ub")).limit(n_seed).collect()]
-            seed_scores = self._score(
-                blocks.filter(F.col("segment").isin(seed)), idf, avgdl
-            ).cache()
-            top = seed_scores.orderBy(F.desc("score")).limit(k).collect()
-            theta = top[-1]["score"] - 1e-9 if len(top) >= k else float("-inf")
-            rest_segments = seg_ub.filter(
-                (F.col("seg_ub") >= theta) & ~F.col("segment").isin(seed)
-            ).select("segment")
-            rest = self._score(
-                blocks.join(F.broadcast(rest_segments), "segment"), idf, avgdl
-            )
-            return self._finish(seed_scores.unionByName(rest), k)
-        finally:
-            seg_ub.unpersist()
+        top = seed_scores.orderBy(F.desc("score")).limit(k).collect()
+        theta = top[-1]["score"] - 1e-9 if len(top) >= k else float("-inf")
+        rest = [r["segment"] for r in seg_rows[n_seed:] if r["seg_ub"] >= theta]
+        if not rest:
+            return self._finish(seed_scores, k)
+        rest_scores = self._score(
+            blocks.filter(F.col("segment").isin(rest)), idf, avgdl
+        )
+        return self._finish(seed_scores.unionByName(rest_scores), k)

@@ -1,0 +1,297 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), n-gram Jaccard (shingle self-join), MinHash+LSH
+(banded signatures), SimHash (hamming banding), and embedding-cosine
+near-dup. Everything except SimHash is pure Column algebra with an exactly
+matching DuckDB oracle; SimHash uses a numpy kernel (verified against an
+in-repo python oracle in tests).
+
+Hash discipline: every hash in these operators derives from
+``sha256(value)`` reduced to int — identically computable in Spark
+(``conv(substring(sha2(x,256),1,15),16,10)``), DuckDB
+(``('0x' || x[1:15])::BIGINT`` over ``sha256``), and numpy/python
+(``int(hashlib.sha256(x).hexdigest()[:15], 16)``) — so engine and oracle
+agree bit-for-bit. No engine-private hash (xxhash64/murmur) crosses an
+oracle boundary.
+
+Scale notes: the shingle self-join explodes *distinct* shingles only and
+aggregates pair-counts map-side; MinHash/LSH replaces the quadratic join
+with band-bucket equijoins (the standard 10^12-row path); candidate pair
+verification stays on the candidates, never the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from smse_backend_spark.functions.tokenizer import tokenize_col, tokenize_duckdb_sql
+
+# (a, b) parameters of the affine MinHash family over the Mersenne prime
+# 2^31-1; generated once, deterministic, shared by engine and oracle.
+MINHASH_P = 2_147_483_647
+
+
+def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.sha256(f"mh_a_{i}".encode()).hexdigest()[:12], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.sha256(f"mh_b_{i}".encode()).hexdigest()[:12], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(docs: DataFrame, min_count: int = 2) -> DataFrame:
+    """Groups of byte-identical documents: (content_sha256, n_dups, canonical
+    = min doc_id). The sha256 column doubles as the reference-corpus
+    invariant."""
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("content_sha256"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("n_dups") >= min_count)
+    )
+
+
+def exact_dup_groups_sql(min_count: int = 2) -> str:
+    return f"""
+SELECT sha256(text) AS content_sha256, count(*) AS n_dups,
+       min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1 HAVING count(*) >= {min_count}
+"""
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Survivor view: keep the min doc_id per identical-content group."""
+    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    return (
+        docs.withColumn("canonical", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("canonical"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical
+  FROM documents
+) WHERE doc_id = canonical
+"""
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles + Jaccard
+# ---------------------------------------------------------------------------
+
+def shingles_col(text_col, n: int = 3):
+    """Distinct word n-gram shingles as array<string> (empty if < n tokens)."""
+    toks = tokenize_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _shingles_duckdb(n: int = 3) -> str:
+    """DuckDB expression over alias ``t`` (a token list column)."""
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len(t) - {n - 2}), i -> {parts})) "
+        "ELSE [] END"
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard >= threshold (doc_a < doc_b).
+
+    Candidate generation is an equi-join on shared shingles (never a cross
+    product); intersection counts aggregate map-side. At 10^12 rows the
+    same plan holds, with hot shingles handled by AQE skew-join or a
+    df-based stopword-shingle cut (drop shingles appearing in > X docs —
+    they only create candidates that exact/MinHash would catch anyway).
+    """
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.8) -> str:
+    toks = tokenize_duckdb_sql("text")
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest({_shingles_duckdb(n)}) AS shingle FROM tok
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _sha_int_col(c):
+    return F.conv(F.substring(F.sha2(c, 256), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signature_col(text_col, num_hashes: int = 16, n: int = 3):
+    """array<long> MinHash signature over n-gram shingles (empty-set docs
+    get p as the identity minimum — matches the oracle)."""
+    hv = F.transform(shingles_col(text_col, n), lambda s: _sha_int_col(s) % MINHASH_P)
+    sig = []
+    for a, b in _minhash_params(num_hashes):
+        sig.append(
+            F.coalesce(
+                F.array_min(
+                    F.transform(hv, lambda v: (F.lit(a) * v + F.lit(b)) % F.lit(MINHASH_P))
+                ),
+                F.lit(MINHASH_P),
+            )
+        )
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH (doc_a < doc_b,
+    deduped across bands). Quadratic-free: one explode to (band, band_sig)
+    keys, self-equijoin on the bucket."""
+    r = num_hashes // bands
+    sig = docs.select("doc_id", minhash_signature_col(F.col("text"), num_hashes, n).alias("sig"))
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.concat_ws("_", *[F.element_at("sig", i * r + j + 1).cast("string")
+                                       for j in range(r)]).alias("key"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs_sql(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    r = num_hashes // bands
+    toks = tokenize_duckdb_sql("text")
+    params = _minhash_params(num_hashes)
+    sig_elems = ", ".join(
+        f"coalesce(list_min(list_transform(hv, v -> ({a} * v + {b}) % {MINHASH_P})), {MINHASH_P})"
+        for a, b in params
+    )
+    band_rows = ", ".join(
+        "(" + str(i) + ", " + " || '_' || ".join(
+            f"sig[{i * r + j + 1}]::VARCHAR" for j in range(r)
+        ) + ")"
+        for i in range(bands)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS t FROM documents),
+shg AS (SELECT doc_id, {_shingles_duckdb(n)} AS sh FROM tok),
+hv AS (
+  SELECT doc_id,
+         list_transform(sh, s -> ('0x' || substring(sha256(s), 1, 15))::BIGINT % {MINHASH_P}) AS hv
+  FROM shg
+),
+sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM hv),
+banded AS (
+  SELECT doc_id, b.* FROM sig, (VALUES {band_rows}) b(band, key)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """All pairs with cosine >= threshold (vec_a < vec_b) — exact baseline.
+
+    Brute force is the *correctness* path (mirrors the reference's exact
+    pgvector scan); the LSH-bucketed ANN in ``similarity_ann.py`` is the
+    scale path.
+    """
+    from smse_backend_spark.functions.vectors import cosine_col
+
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("ea"), F.col("eb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def embedding_near_dup_sql(threshold: float = 0.3) -> str:
+    return f"""
+WITH z AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+s AS (
+  SELECT vec_a, vec_b,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
+  FROM z GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= {threshold}
+"""

@@ -1,0 +1,94 @@
+"""Query/result persistence + history readback (SURVEY §2 S3/S9/S10/T4/A1, §3.3).
+
+The reference persists one ``Query`` + ``Embedding`` row per search
+(routes/search.py:148-162) and one ``SearchRecord`` per hit (:176-187 — a
+Python loop of ORM inserts), then reads history back with
+``ORDER BY timestamp DESC LIMIT/OFFSET`` (:252-258) plus a separate
+``count()`` (:261), and hydrates hits with N point lookups (:191-203).
+
+Here: results are a DataFrame appended in one write (the N-insert loop
+becomes a single columnar append), the N+1 hydration loop becomes one join,
+and pagination gets a total order (timestamp desc, id asc) — the reference
+relies on storage order for ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def persist_search(
+    results: DataFrame,
+    queries_path: str,
+    records_path: str,
+    query_id: int,
+    query_text: str,
+    user_id: int,
+    retrieved_at: str,
+) -> None:
+    """Append one query row + per-hit records (S9/S10 as table appends).
+
+    ``retrieved_at`` is an explicit ISO timestamp: determinism in data paths
+    is an engine invariant (no wall-clock inside jobs) — the caller stamps.
+    """
+    spark = results.sparkSession
+    ts = F.to_timestamp(F.lit(retrieved_at))
+    spark.createDataFrame(
+        [(query_id, query_text, user_id)], "query_id long, text string, user_id long"
+    ).withColumn("timestamp", ts).write.mode("append").parquet(queries_path)
+    (
+        results.select(
+            F.lit(query_id).alias("query_id"),
+            F.col("doc_id").alias("content_id"),
+            F.col("score").alias("similarity_score"),
+        )
+        .withColumn("retrieved_at", ts)
+        .write.mode("append")
+        .parquet(records_path)
+    )
+
+
+def history_page(
+    events: DataFrame, user_id: int, limit: int = 10, offset: int = 0
+) -> DataFrame:
+    """GET /api/search history: filter user -> newest first -> page (S3/T4).
+
+    Total order (ts desc, event_id asc) makes OFFSET deterministic across
+    engines — the reference's bare ``ORDER BY timestamp DESC`` is not.
+    """
+    return (
+        events.filter(F.col("user_id") == user_id)
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .offset(offset)
+        .limit(limit)
+    )
+
+
+def history_page_sql(user_id: int, limit: int = 10, offset: int = 0) -> str:
+    return (
+        f"SELECT * FROM events WHERE user_id = {user_id} "
+        f"ORDER BY ts DESC, event_id ASC LIMIT {limit} OFFSET {offset}"
+    )
+
+
+def history_counts(events: DataFrame, min_events: int = 50) -> DataFrame:
+    """Pagination totals (A1): events per user, heavier users only."""
+    return (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= min_events)
+    )
+
+
+def history_counts_sql(min_events: int = 50) -> str:
+    return (
+        "SELECT user_id, count(*) AS n_events FROM events "
+        f"GROUP BY user_id HAVING count(*) >= {min_events}"
+    )
+
+
+def hydrate_results(records: DataFrame, contents: DataFrame) -> DataFrame:
+    """J2: the reference's per-hit point-lookup loop (routes/search.py:191-203)
+    as ONE left join — broadcast the small side when it fits."""
+    return records.join(contents, "content_id", "left")

@@ -1,0 +1,182 @@
+"""Generic relational operator coverage over the driver's star schema.
+
+The reference's relational surface is thin (one equi-join, filter_by scans,
+order/limit/offset — SURVEY §2.2-2.6); these operators exercise the same
+primitives at analytical scale (multi-join, grouped aggregation, windows,
+anti-join, date bucketing, JSON extraction) so a reference user's query
+patterns all have a home. Every function returns a DataFrame and has a
+``*_sql`` DuckDB oracle twin.
+
+Plan hygiene: filters sit on base tables (pushdown), the small sides of
+joins are broadcast, top-k is orderBy+limit (TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- TPC-H Q1-style pricing summary (A-aggregate coverage) -----------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str, cutoff: str = "1998-09-02") -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def pricing_summary_sql(cutoff: str = "1998-09-02") -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- 3-way join + grouped top-k (J1 at scale) -------------------------------
+
+def top_revenue_nations(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """orders x lineitem x customer x nation: revenue per nation, top-k.
+
+    The two small dims broadcast; the fact-fact join shuffles on o_orderkey.
+    """
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, n = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+        .limit(k)
+    )
+
+
+def top_revenue_nations_sql(k: int = 10) -> str:
+    return f"""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC LIMIT {k}
+"""
+
+
+# --- anti join (uniqueness checks in bulk, SURVEY §2.3) ---------------------
+
+def customers_without_big_orders(
+    spark: SparkSession, sf_dir: str, min_price: float = 300000.0
+) -> DataFrame:
+    """NOT EXISTS in bulk — the reference's per-row uniqueness checks
+    (routes/auth.py:29-33) as one left_anti join with the filter pushed
+    into the build side."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > min_price)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+def customers_without_big_orders_sql(min_price: float = 300000.0) -> str:
+    return f"""
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > {min_price}
+)
+"""
+
+
+# --- window / rank (§2.8) ----------------------------------------------------
+
+def latest_orders_per_customer(spark: SparkSession, sf_dir: str, per: int = 3) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= per)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "rn")
+    )
+
+
+def latest_orders_per_customer_sql(per: int = 3) -> str:
+    return f"""
+SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= {per}
+"""
+
+
+# --- event-time bucketing + JSON (streaming analog in batch; F13) -----------
+
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window agg over events — the batch twin of the
+    structured-streaming rollup in ``streaming/events.py``."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+def hourly_event_rollup_sql() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def event_props_extract(spark: SparkSession, sf_dir: str, min_k: int = 95) -> DataFrame:
+    """JSON property extraction (users.preferences analog, F13)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .filter(F.col("k") >= min_k)
+    )
+
+
+def event_props_extract_sql(min_k: int = 95) -> str:
+    return f"""
+SELECT event_id, json_extract(props, '$.k')::INT AS k
+FROM events WHERE json_extract(props, '$.k')::INT >= {min_k}
+"""

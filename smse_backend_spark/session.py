@@ -61,8 +61,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # local corpora are GBs, not TBs: default 128m file bins would fold
+        # the whole scan into a handful of partitions and serialize every
+        # downstream UDF stage; 8m keeps scans as wide as the core count
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SMSE_MAX_PARTITION_BYTES", "8m"))
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # single-node sandbox: shuffle/spill on tmpfs — one virtio disk would
+        # serialize all N task threads' shuffle IO (a real cluster spreads
+        # shuffle across per-node disks); overridable via SPARK_LOCAL_DIRS
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+        # local mode: the driver heap IS the executor memory for all task
+        # threads — size it to the host, not the JVM default (1g would
+        # spill every wide stage at 32 threads)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,94 @@
+"""Structured-Streaming re-expression of the reference's async dataflow.
+
+The reference runs ingest through a Celery queue (schedule task -> worker
+embeds -> status row updated; smse_backend/services/embedding.py:6-19,
+tasks.py:262-355). The streaming twin treats arriving corpus files as an
+unbounded source and maintains the same derived state incrementally:
+
+- ``incremental_ingest``: file-arrival stream -> tokenize/stats -> appended
+  docstats (Trigger.AvailableNow semantics == "drain the queue then stop",
+  exactly the Celery eager-mode contract used in the reference's tests,
+  config/test.py:27-31).
+- ``windowed_event_rollup``: watermarked tumbling-window aggregation over
+  the events table (late data dropped past the watermark) — the streaming
+  twin of ``operators/relational.hourly_event_rollup`` (its batch oracle).
+
+Local testing uses the parquet source + ``processAllAvailable`` (a bounded
+drain), so the same code is cluster-ready for kafka/files at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smse_backend_spark.functions.tokenizer import doc_len_col
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def windowed_event_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    out_path: str,
+    checkpoint: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """Tumbling-window event rollup with late-data watermarking, drained to
+    parquet via AvailableNow (batch-equivalent, restart-safe checkpoint)."""
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    out_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming ingest: new corpus files -> per-doc stats appended.
+
+    The checkpoint directory carries exactly the reference's task-status
+    semantics: a file already processed is never re-embedded (Celery task
+    dedup), and a crash resumes from the last committed offset.
+    """
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(source_dir)
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+        doc_len_col("text").alias("doc_len"),
+    )
+    q = (
+        stats.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

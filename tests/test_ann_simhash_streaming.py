@@ -1,0 +1,136 @@
+"""ANN (brute force + LSH recall), SimHash vs python oracle, streaming."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from smse_backend_spark.operators.ann import brute_force_topk, lsh_topk
+from smse_backend_spark.operators.simhash import (
+    simhash_neardup_pairs,
+    simhash_py,
+    simhash_signatures,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke):
+    e = spark.read.parquet(f"{sf_smoke}/embeddings.parquet").cache()
+    e.count()
+    return e
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    rows = emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    return {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+
+def test_brute_force_matches_numpy(emb, queries):
+    all_rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in all_rows])
+    mat = np.array([r["embedding"] for r in all_rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    got = brute_force_topk(emb, queries, k=10).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    for qid, qv in queries.items():
+        qn = np.array(qv) / np.linalg.norm(qv)
+        sims = np.round(mat_n @ qn, 6)
+        order = np.lexsort((ids, -sims))[:10]
+        want = [(int(ids[i]), float(sims[i])) for i in order]
+        assert by_q[qid] == want
+
+
+def test_lsh_recall_at_10(emb, queries):
+    """Uniform random vectors are the worst case for hyperplane LSH (top
+    hits sit at cosine ~0.3, barely off-orthogonal); 4 planes x 16 tables
+    still must recover most of the exact top-10. Clustered real-world
+    embedding distributions do far better at the same cost."""
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = lsh_topk(emb, queries, k=10, n_planes=4, n_tables=16).collect()
+    e = {(r["query_id"], r["vec_id"]) for r in exact}
+    a = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"LSH recall@10 too low: {recall}"
+
+
+def test_lsh_scores_are_exact_on_candidates(emb, queries):
+    """LSH may miss candidates but must never mis-score one."""
+    exact = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in brute_force_topk(emb, queries, k=500).collect()
+    }
+    for r in lsh_topk(emb, queries, k=10, n_planes=6, n_tables=8).collect():
+        assert exact[(r["query_id"], r["vec_id"])] == pytest.approx(r["score"], abs=1e-9)
+
+
+def test_simhash_matches_python_oracle(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(50)
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    for doc_id, text in rows.items():
+        want = simhash_py(text)
+        assert got[doc_id] & 0xFFFFFFFFFFFFFFFF == want, f"doc {doc_id}"
+
+
+def test_simhash_neardup_exact_on_bands(spark):
+    """Identical docs -> hamming 0; banding must surface them."""
+    rows = [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+            (3, "completely different words entirely unrelated content here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_neardup_pairs(docs, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_streaming_rollup_matches_batch(spark, sf_smoke, tmp_path):
+    """Structured-streaming windowed rollup == the batch operator."""
+    from smse_backend_spark.operators.relational import hourly_event_rollup
+    from smse_backend_spark.streaming.events import windowed_event_rollup
+
+    import shutil
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{sf_smoke}/events.parquet", src / "part-0.parquet")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    windowed_event_rollup(spark, str(src), out, ckpt)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    # append mode only emits windows the watermark has closed: windows whose
+    # end > max(ts) - 2h stay in state at AvailableNow drain — exclude them
+    # from the batch side (this IS the late-data semantics under test)
+    max_ts = spark.read.parquet(f"{sf_smoke}/events.parquet").agg(
+        F.max(F.col("ts").cast("timestamp"))
+    ).first()[0]
+    want_df = (
+        hourly_event_rollup(spark, sf_smoke)
+        .withColumn("hour", F.col("hour").cast("timestamp"))
+        .filter(
+            F.col("hour") + F.expr("INTERVAL 1 HOUR")
+            <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+        )
+    )
+    want = sorted(map(tuple, want_df.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_streaming_ingest_checkpoint_resume(spark, sf_smoke, tmp_path):
+    """Second AvailableNow drain over the same source adds nothing (task dedup)."""
+    from smse_backend_spark.streaming.events import incremental_ingest
+
+    import shutil
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    shutil.copy(f"{sf_smoke}/documents.parquet", src / "part-0.parquet")
+    out, ckpt = str(tmp_path / "docs_out"), str(tmp_path / "docs_ckpt")
+    incremental_ingest(spark, str(src), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    incremental_ingest(spark, str(src), out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 == 500

@@ -1,0 +1,135 @@
+"""Dedup + text-quality operators vs DuckDB oracles (sf0.001 for the
+quadratic ones, sf0.01 for map-pass ones)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from smse_backend_spark.functions import text_quality as Q
+from smse_backend_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs_small(spark, sf_smoke):
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet").cache()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_correct):
+    d = spark.read.parquet(f"{sf_correct}/documents.parquet").cache()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def con_small(sf_smoke):
+    c = duckdb.connect()
+    c.execute(f"create view documents as select * from '{sf_smoke}/documents.parquet'")
+    c.execute(f"create view embeddings as select * from '{sf_smoke}/embeddings.parquet'")
+    return c
+
+
+@pytest.fixture(scope="module")
+def con(sf_correct):
+    c = duckdb.connect()
+    c.execute(f"create view documents as select * from '{sf_correct}/documents.parquet'")
+    c.execute(f"create view embeddings as select * from '{sf_correct}/embeddings.parquet'")
+    return c
+
+
+def _cmp(sdf, con_, sql, allow_empty=False):
+    got = sorted(map(tuple, sdf.collect()))
+    want = sorted(map(tuple, con_.execute(sql).fetchall()))
+    assert got == want
+    if not allow_empty:
+        assert len(got) > 0
+
+
+def test_sha_int_parity(spark):
+    """Spark conv(sha2) == DuckDB hex-cast == python int(hexdigest)."""
+    import hashlib
+
+    want = int(hashlib.sha256(b"abc").hexdigest()[:15], 16)
+    got = spark.range(1).select(
+        F.conv(F.substring(F.sha2(F.lit("abc"), 256), 1, 15), 16, 10).cast("long")
+    ).first()[0]
+    assert got == want == 839782156265856254
+
+
+def test_exact_dup_groups(docs, con):
+    _cmp(D.exact_dup_groups(docs), con, D.exact_dup_groups_sql(), allow_empty=True)
+
+
+def test_dedup_exact(docs, con):
+    _cmp(D.dedup_exact(docs), con, D.dedup_exact_sql())
+
+
+def test_shingles_match_duckdb(docs_small, con_small):
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in docs_small.select("doc_id", D.shingles_col(F.col("text"), 3).alias("sh")).collect()
+    }
+    from smse_backend_spark.functions.tokenizer import tokenize_duckdb_sql
+
+    want = {
+        r[0]: sorted(r[1])
+        for r in con_small.execute(
+            f"SELECT doc_id, {D._shingles_duckdb(3)} FROM "
+            f"(SELECT doc_id, {tokenize_duckdb_sql('text')} AS t FROM documents)"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_ngram_jaccard_pairs(docs_small, con_small):
+    _cmp(
+        D.ngram_jaccard_pairs(docs_small, 3, 0.35),
+        con_small,
+        D.ngram_jaccard_pairs_sql(3, 0.35),
+    )
+
+
+def test_minhash_lsh_pairs(docs_small, con_small):
+    _cmp(
+        D.minhash_lsh_pairs(docs_small, 16, 4),
+        con_small,
+        D.minhash_lsh_pairs_sql(16, 4),
+        allow_empty=True,
+    )
+
+
+def test_minhash_lsh_recall_vs_jaccard(docs_small):
+    """LSH candidates must contain every truly-similar pair (high-j recall)."""
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs_small, 3, 0.9).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(docs_small, 16, 8).collect()
+    }
+    assert true_pairs <= cand
+
+
+def test_embedding_near_dup(spark, sf_smoke, con_small):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    _cmp(D.embedding_near_dup(emb, 0.3), con_small, D.embedding_near_dup_sql(0.3))
+
+
+def test_token_stats(docs, con):
+    _cmp(Q.token_stats(docs), con, Q.token_stats_sql())
+
+
+def test_quality_scores(docs, con):
+    _cmp(Q.quality_scores(docs, 0.2), con, Q.quality_scores_sql(0.2))
+
+
+def test_lang_id(docs, con):
+    _cmp(Q.lang_id(docs), con, Q.lang_id_sql())
+
+
+def test_doc_fingerprint(docs, con):
+    _cmp(Q.doc_fingerprint(docs), con, Q.doc_fingerprint_sql())

@@ -48,6 +48,17 @@ def test_index_rank_identity_vs_scan(corpus, index, query, lang, mode):
         assert gs == pytest.approx(ws, abs=1e-6)
 
 
+def test_batch_matches_single_query_mode(corpus, index):
+    batch = {i: q for i, (q, lang) in enumerate(QUERIES) if lang is None}
+    got = index.bm25_topk_batch(batch, k=10).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in batch.items():
+        want = [(r["doc_id"], r["score"]) for r in index.bm25_topk(q, 10).collect()]
+        assert by_q.get(qid, []) == want, f"batch diverges for query {q!r}"
+
+
 def test_dictionary_df_matches_scan(spark, corpus, index):
     """df from the index dictionary == countDistinct over the token stream."""
     from pyspark.sql import functions as F

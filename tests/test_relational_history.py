@@ -1,0 +1,88 @@
+"""History + relational operators vs DuckDB oracles at sf0.01."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from smse_backend_spark.operators import history as H
+from smse_backend_spark.operators import relational as R
+
+
+@pytest.fixture(scope="module")
+def con(sf_correct):
+    c = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "nation", "events"]:
+        c.execute(f"create view {t} as select * from '{sf_correct}/{t}.parquet'")
+    return c
+
+
+def _cmp(sdf, con, sql):
+    got = sorted(map(tuple, sdf.collect()))
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_pricing_summary(spark, sf_correct, con):
+    _cmp(R.pricing_summary(spark, sf_correct), con, R.pricing_summary_sql())
+
+
+def test_top_revenue_nations(spark, sf_correct, con):
+    _cmp(R.top_revenue_nations(spark, sf_correct), con, R.top_revenue_nations_sql())
+
+
+def test_customers_without_big_orders(spark, sf_correct, con):
+    _cmp(R.customers_without_big_orders(spark, sf_correct), con,
+         R.customers_without_big_orders_sql())
+
+
+def test_latest_orders_per_customer(spark, sf_correct, con):
+    _cmp(R.latest_orders_per_customer(spark, sf_correct), con, R.latest_orders_per_customer_sql())
+
+
+def test_hourly_event_rollup(spark, sf_correct, con):
+    _cmp(R.hourly_event_rollup(spark, sf_correct), con, R.hourly_event_rollup_sql())
+
+
+def test_event_props_extract(spark, sf_correct, con):
+    _cmp(R.event_props_extract(spark, sf_correct), con, R.event_props_extract_sql())
+
+
+def test_history_page_and_counts(spark, sf_correct, con):
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    _cmp(H.history_page(events, user_id=7, limit=10, offset=5), con,
+         H.history_page_sql(7, 10, 5))
+    _cmp(H.history_counts(events, min_events=60), con, H.history_counts_sql(60))
+
+
+def test_persist_and_readback_roundtrip(spark, sf_correct, tmp_path):
+    """S9/S10 + J2: persist a search, read history back, hydrate hits."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.operators.search import bm25_topk_scan
+
+    corpus = load_corpus(spark, sf_correct)
+    results = bm25_topk_scan(corpus, "hash join", 5)
+    qp, rp = str(tmp_path / "queries"), str(tmp_path / "records")
+    H.persist_search(results, qp, rp, query_id=1, query_text="hash join",
+                     user_id=42, retrieved_at="2026-01-01 00:00:00")
+    H.persist_search(results, qp, rp, query_id=2, query_text="hash join",
+                     user_id=42, retrieved_at="2026-01-02 00:00:00")
+
+    queries = spark.read.parquet(qp)
+    records = spark.read.parquet(rp)
+    assert queries.count() == 2 and records.count() == 10
+
+    # history: newest first
+    page = H.history_page(
+        queries.withColumnRenamed("timestamp", "ts").withColumnRenamed("query_id", "event_id"),
+        user_id=42, limit=1,
+    ).collect()
+    assert page[0]["event_id"] == 2
+
+    # hydration join restores content columns for each hit
+    contents = corpus.select(F.col("doc_id").alias("content_id"), "path", "repo")
+    hydrated = H.hydrate_results(records.filter(F.col("query_id") == 1), contents)
+    rows = hydrated.collect()
+    assert len(rows) == 5 and all(r["path"] is not None for r in rows)
