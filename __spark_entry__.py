@@ -20,6 +20,17 @@ from smse_backend_spark.operators.search import bm25_scan_oracle_sql, bm25_topk_
 FLAGSHIP_QUERY = "hash join merge scan"
 
 _INDEX_CACHE: dict[str, str] = {}
+_STREAM_CACHE: dict[str, str] = {}
+
+
+def _streamed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smse_backend_spark.streaming.events import streamed_rollup_df
+
+    if sf_dir not in _STREAM_CACHE:
+        import tempfile
+
+        _STREAM_CACHE[sf_dir] = tempfile.mkdtemp(prefix="smse_stream_")
+    return streamed_rollup_df(spark, sf_dir, _STREAM_CACHE[sf_dir])
 
 
 def _indexed(spark: SparkSession, sf_dir: str):
@@ -63,9 +74,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from smse_backend_spark.operators import relational as R
     from smse_backend_spark.operators import similarity as S
     from smse_backend_spark.operators import simhash as SH
+    from smse_backend_spark.sources import multimodal as M
 
     def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _query_vecs(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+        return {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
 
     def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -73,11 +92,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from smse_backend_spark.operators.ann import brute_force_topk
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        rows = emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
-        qs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
-        return brute_force_topk(emb, qs, 10).withColumn(
+        return brute_force_topk(emb, _query_vecs(spark, sf_dir), 10).withColumn(
             "rank", F.col("rank").cast("long")
         )
+
+    def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from smse_backend_spark.operators.ann import lsh_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return lsh_topk(emb, _query_vecs(spark, sf_dir), 10, n_planes=4, n_tables=16)
 
     def _emb(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,6 +147,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), max_hamming=10
         ),
         "ann_brute_force": _ann_brute,
+        "ann_lsh": _ann_lsh,
+        # streaming twin of hourly_event_rollup (append-mode watermark oracle)
+        "streamed_event_rollup": _streamed_rollup,
+        # multimodal plumbing over the synthetic media table
+        "media_ingest_meta": lambda spark, sf: M.synth_media(_docs(spark, sf)).drop(
+            "content"
+        ),
+        "media_frame_plan": lambda spark, sf: M.frame_sample_plan(
+            M.synth_media(_docs(spark, sf))
+        ),
+        "media_image_features": lambda spark, sf: M.extract_image_features(
+            M.synth_media(_docs(spark, sf))
+        ),
         # generic relational coverage
         "pricing_summary": R.pricing_summary,
         "top_revenue_nations": R.top_revenue_nations,
@@ -140,6 +176,8 @@ def oracle_sql() -> dict[str, str]:
     from smse_backend_spark.operators import history as H
     from smse_backend_spark.operators import relational as R
     from smse_backend_spark.operators import similarity as S
+    from smse_backend_spark.sources import multimodal as M
+    from smse_backend_spark.streaming.events import streamed_rollup_sql
 
     ann_sql = """
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -190,4 +228,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "window_latest_orders": R.latest_orders_per_customer_sql(),
         "hourly_event_rollup": R.hourly_event_rollup_sql(),
         "event_props_extract": R.event_props_extract_sql(),
+        "streamed_event_rollup": streamed_rollup_sql(),
+        "media_ingest_meta": M.synth_media_meta_sql(),
+        "media_frame_plan": M.frame_sample_sql(),
     }

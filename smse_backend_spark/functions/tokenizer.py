@@ -28,10 +28,26 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Java and Python regex dialects agree on these patterns.
+# The reference algorithm (readable form; also the DuckDB oracle, whose RE2
+# engine lacks lookahead): split CamelCase runs, split lower->Upper,
+# lowercase, split on non-alnum.
 _RE_CAMEL_RUN = "([A-Z]+)([A-Z][a-z])"
 _RE_LOWER_UPPER = "([a-z0-9])([A-Z])"
 _RE_NON_ALNUM = "[^a-z0-9]+"
+
+# Single-pass equivalent used on the hot paths (Java + Python regex): extract
+# tokens directly from the ORIGINAL text instead of rewriting it three times
+# (two boundary-space insertions + a full lowercase are ~4 extra copies of
+# every document — measurable memory-bandwidth cost at 16-32 concurrent
+# tokenizer workers). The reference splits an alnum run ONLY before an
+# uppercase letter (after lower/digit, or inside a caps-run when the next
+# pair is cap+lower) — so tokens are: a caps run whose end is not a
+# cap-before-lower, plus any lower/digit tail (XML of XMLHttp; HTML2 and
+# even AB2c stay whole); one cap + lower/digit tail (Http, Bar); or a
+# lower/digit run (foo2, 123). Equality with the reference algorithm is
+# asserted by the lockstep + property tests.
+_RE_TOKEN = "[A-Z]+(?![a-z])[a-z0-9]*|[A-Z][a-z0-9]*|[a-z0-9]+"
+_PY_TOKEN = re.compile(_RE_TOKEN)
 
 _PY_CAMEL_RUN = re.compile(_RE_CAMEL_RUN)
 _PY_LOWER_UPPER = re.compile(_RE_LOWER_UPPER)
@@ -43,17 +59,18 @@ _PY_NON_ALNUM = re.compile(_RE_NON_ALNUM)
 # ---------------------------------------------------------------------------
 
 def tokenize_col(content: Column | str) -> Column:
-    """``array<string>`` of terms; entirely JVM-side (regexp_replace/split/filter)."""
+    """``array<string>`` of terms; entirely JVM-side (regexp_extract_all)."""
     c = F.col(content) if isinstance(content, str) else content
-    c = F.regexp_replace(c, _RE_CAMEL_RUN, r"$1 $2")
-    c = F.regexp_replace(c, _RE_LOWER_UPPER, r"$1 $2")
-    arr = F.split(F.lower(c), _RE_NON_ALNUM)
-    return F.filter(arr, lambda t: t != F.lit(""))
+    return F.transform(
+        F.regexp_extract_all(c, F.lit(_RE_TOKEN), F.lit(0)), F.lower
+    )
 
 
 def doc_len_col(content: Column | str) -> Column:
-    """Token count (BM25 ``dl``) as a pure Column expression."""
-    return F.size(tokenize_col(content))
+    """Token count (BM25 ``dl``) as a pure Column expression (no lowering —
+    the count is case-independent)."""
+    c = F.col(content) if isinstance(content, str) else content
+    return F.size(F.regexp_extract_all(c, F.lit(_RE_TOKEN), F.lit(0)))
 
 
 # ---------------------------------------------------------------------------
@@ -61,12 +78,9 @@ def doc_len_col(content: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 def tokenize_series(s: pd.Series) -> pd.Series:
-    """Series[str] -> Series[list[str]] — all pandas str ops, no per-row Python."""
-    s = s.fillna("")
-    s = s.str.replace(_PY_CAMEL_RUN, r"\1 \2", regex=True)
-    s = s.str.replace(_PY_LOWER_UPPER, r"\1 \2", regex=True)
-    s = s.str.lower()
-    return s.str.findall("[a-z0-9]+")
+    """Series[str] -> Series[list[str]] (lowered terms)."""
+    toks = s.fillna("").str.findall(_PY_TOKEN)
+    return toks.apply(lambda ts: [t.lower() for t in ts])
 
 
 def term_counts_frame(doc_ids: pd.Series, contents: pd.Series) -> pd.DataFrame:
@@ -76,7 +90,7 @@ def term_counts_frame(doc_ids: pd.Series, contents: pd.Series) -> pd.DataFrame:
     (while the whole document is still in one Arrow batch) means the index
     build never shuffles the raw token stream, only (doc, term) pairs.
     """
-    toks = tokenize_series(contents)
+    toks = contents.fillna("").str.findall(_PY_TOKEN)
     dl = toks.str.len().astype("int64")
     frame = pd.DataFrame({"doc_id": doc_ids.values, "term": toks.values, "doc_len": dl.values})
     frame = frame.explode("term", ignore_index=True)
@@ -86,6 +100,8 @@ def term_counts_frame(doc_ids: pd.Series, contents: pd.Series) -> pd.DataFrame:
             {"doc_id": pd.Series(dtype="int64"), "term": pd.Series(dtype="object"),
              "tf": pd.Series(dtype="int64"), "doc_len": pd.Series(dtype="int64")}
         )
+    # lowering AFTER the explode keeps it one vectorized pass over tokens
+    frame["term"] = frame["term"].str.lower()
     out = (
         frame.groupby(["doc_id", "term", "doc_len"], sort=False)
         .size()
@@ -116,7 +132,7 @@ def term_counts_with_docs_map_in_pandas(
     (the tokenizer drops empty tokens).
     """
     for pdf in batches:
-        toks = tokenize_series(pdf["content"])
+        toks = pdf["content"].fillna("").str.findall(_PY_TOKEN)
         dl = toks.str.len().astype("int64")
         lang = pdf["lang"].to_numpy() if "lang" in pdf.columns else ""
         docs = pd.DataFrame(
@@ -131,6 +147,7 @@ def term_counts_with_docs_map_in_pandas(
         if frame.empty:
             yield docs
             continue
+        frame["term"] = frame["term"].str.lower()
         out = (
             frame.groupby(["doc_id", "term", "doc_len", "lang"], sort=False)
             .size()
@@ -152,6 +169,12 @@ TERM_COUNTS_LANG_SCHEMA = "doc_id long, term string, tf long, doc_len long, lang
 # ---------------------------------------------------------------------------
 
 def tokenize_py(text: str) -> list[str]:
+    return [t.lower() for t in _PY_TOKEN.findall(text or "")]
+
+
+def tokenize_py_reference(text: str) -> list[str]:
+    """The replace-based reference algorithm, kept verbatim as the property-
+    test witness that ``_RE_TOKEN`` extraction is semantically identical."""
     text = _PY_CAMEL_RUN.sub(r"\1 \2", text or "")
     text = _PY_LOWER_UPPER.sub(r"\1 \2", text)
     return [t for t in _PY_NON_ALNUM.split(text.lower()) if t]

@@ -24,7 +24,9 @@ Scale design (the reason this is NOT a term-partitioned index):
   document row (vectorized ``mapInPandas``, so the raw token stream is
   never shuffled — only distinct ``(doc, term)`` pairs), then a single
   ``groupBy(lang, term_bucket, segment).applyInPandas`` builds compressed
-  block-max blocks.
+  block-max blocks. Docstats come from an independent pure-Column scan
+  (JVM codegen, lockstep-equal tokenizer) — two stateless scans beat one
+  persisted scan, whose MemoryStore writes serialize under 32 threads.
 - ``lang`` and ``term_bucket`` are partition *directories*: a query prunes
   to ``|query terms|`` buckets (and one lang, if filtered) without touching
   other files; ``batch`` is the resume/checkpoint unit (reference analog:
@@ -48,7 +50,7 @@ from pyspark.sql import functions as F
 
 from smse_backend_spark.functions.tokenizer import (
     TERM_COUNTS_LANG_SCHEMA,
-    term_counts_with_docs_map_in_pandas,
+    term_counts_map_in_pandas,
 )
 from smse_backend_spark.index import lineage as lin
 from smse_backend_spark.index.codec import delta_encode, encode_blocks
@@ -196,39 +198,41 @@ def _build_batch(
 ) -> None:
     lo_doc, hi_doc = seg_lo * segment_size, seg_hi * segment_size
     part = corpus.filter((F.col("doc_id") >= lo_doc) & (F.col("doc_id") < hi_doc))
-    if input_partitions:
-        # a real corpus arrives in thousands of files and scans wide; the
-        # local stand-in is one tiny parquet file (1 partition), which would
-        # serialize the tokenize stage — spread it explicitly
-        part = part.repartition(input_partitions, "doc_id")
+    # A real corpus arrives as thousands of files and scans wide; the local
+    # stand-in is a handful of parquet files whose scan granularity leaves
+    # one fat wave of tasks. Spread explicitly: fine-grained tasks are what
+    # let N executor slots load-balance (measured: 22 fat tokenize tasks
+    # anti-scale 8->32 cores; 4x-parallelism tasks restore the speedup).
+    nparts = input_partitions or min(
+        512, 4 * spark.sparkContext.defaultParallelism
+    )
+    part = part.repartition(nparts, "doc_id")
 
     from pyspark.sql import Observation
-    from pyspark.storagelevel import StorageLevel
 
-    # SPIMI stage 1: ONE pass over the corpus — tokenize + per-doc tf +
-    # per-doc sentinel rows, persisted as in-memory runs (spill-to-disk).
-    # Everything downstream (docstats, posting blocks) reads the cached
-    # runs; the corpus content is never scanned or tokenized twice. A
-    # parquet staging write was measured strictly worse here: N concurrent
-    # columnar writers contend on the shuffle disk and anti-scale.
-    st_all = (
-        part.select("doc_id", "content", "lang")
-        .mapInPandas(term_counts_with_docs_map_in_pandas, TERM_COUNTS_LANG_SCHEMA)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # docstats pass: pure Column tokenizer (whole-stage codegen, zero
+    # Python). Kept separate from the posting pass instead of persisting a
+    # shared tokenize output: a MEMORY_AND_DISK persist of the term stream
+    # was measured to ANTI-scale (MemoryStore/unroll lock contention at 32
+    # writer threads: 33s @ 8 cores -> 47-66s @ 32), while two independent
+    # stateless scans both scale freely. The JVM and pandas tokenizers are
+    # lockstep-tested equal (functions/tokenizer.py).
+    from smse_backend_spark.functions.tokenizer import doc_len_col
 
-    # stats piggyback on the write jobs (no extra scan): Observation attaches
-    # accumulator-style aggregates to the action that materializes the frame
     obs_docs = Observation(f"docstats_{batch_id}")
     docstats = (
-        st_all.filter(F.col("term") == "")
-        .select("doc_id", "lang", "doc_len")
+        part.select(
+            "doc_id", "lang", doc_len_col(F.col("content")).alias("doc_len")
+        )
         .observe(obs_docs, F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
     )
     docstats.write.mode("overwrite").parquet(f"{out_dir}/docstats/batch={batch_id}")
 
+    # posting pass: Arrow-vectorized tokenize+tf (the token stream never
+    # shuffles — only distinct (doc, term) pairs leave the Python worker)
     tc = (
-        st_all.filter(F.col("term") != "")
+        part.select("doc_id", "content", "lang")
+        .mapInPandas(term_counts_map_in_pandas, TERM_COUNTS_LANG_SCHEMA)
         .withColumn("segment", (F.col("doc_id") / segment_size).cast("long"))
         .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
     )
@@ -247,7 +251,6 @@ def _build_batch(
     )
 
     st, bl = obs_docs.get, obs_blocks.get
-    st_all.unpersist()
     lin.commit_batch(
         out_dir, batch_id,
         seg_lo=seg_lo, seg_hi=seg_hi, doc_lo=lo_doc, doc_hi=hi_doc,

@@ -63,6 +63,74 @@ def ingest_binary_dir(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+_SYNTH_EXTS = [".jpg", ".png", ".txt", ".wav", ".gif", ".xyz"]
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents corpus: the
+    text bytes stand in for the blob (no external data), a rotating
+    extension exercises the whole modality map incl. the unknown (.xyz)
+    quarantine path. Same shape ``ingest_binary_dir`` produces from a real
+    ``binaryFile`` scan."""
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in _SYNTH_EXTS]),
+        (F.col("doc_id") % len(_SYNTH_EXTS) + 1).cast("int"),
+    )
+    path = F.concat(F.lit("mem://"), F.col("source"), F.lit("/doc_"),
+                    F.col("doc_id"), ext)
+    content = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id"),
+        path.alias("path"),
+        modality_col(path).alias("modality"),
+        content.alias("content"),
+        F.octet_length(content).cast("long").alias("length"),
+        F.sha2(content, 256).alias("sha256"),
+    )
+
+
+def synth_media_meta_sql() -> str:
+    """DuckDB oracle for ``synth_media`` minus the blob column."""
+    exts = ", ".join(f"'{e}'" for e in _SYNTH_EXTS)
+    cases = " ".join(
+        f"WHEN '{e}' THEN '{m}'" for e, m in EXT_MODALITY.items()
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         'mem://' || source || '/doc_' || doc_id ||
+           ([{exts}])[(doc_id % {len(_SYNTH_EXTS)})::INT + 1] AS path,
+         ([{exts}])[(doc_id % {len(_SYNTH_EXTS)})::INT + 1] AS ext,
+         octet_length(encode(text))::BIGINT AS length,
+         sha256(text) AS sha256
+  FROM documents
+)
+SELECT doc_id, path,
+       CASE ext {cases} ELSE NULL END AS modality,
+       length, sha256
+FROM m
+"""
+
+
+def frame_sample_sql(every_n: int = 10) -> str:
+    """DuckDB oracle for ``frame_sample_plan`` over ``synth_media``."""
+    exts = ", ".join(f"'{e}'" for e in _SYNTH_EXTS)
+    text_exts = ", ".join(
+        f"'{e}'" for e, m in EXT_MODALITY.items() if m == "text"
+    )
+    return f"""
+WITH m AS (
+  SELECT 'mem://' || source || '/doc_' || doc_id ||
+           ([{exts}])[(doc_id % {len(_SYNTH_EXTS)})::INT + 1] AS path,
+         ([{exts}])[(doc_id % {len(_SYNTH_EXTS)})::INT + 1] AS ext,
+         octet_length(encode(text)) AS length
+  FROM documents
+)
+SELECT path, unnest(range(0, (length // 1024)::INT + 1, {every_n}))::INT AS frame_no
+FROM m WHERE ext NOT IN ({text_exts})
+"""
+
+
 def _decode_image(buf: bytes) -> np.ndarray:
     """STUB — deterministic fake decoder.
 

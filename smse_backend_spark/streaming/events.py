@@ -64,6 +64,49 @@ def windowed_event_rollup(
     q.awaitTermination()
 
 
+def streamed_rollup_df(spark: SparkSession, sf_dir: str, out_root: str) -> DataFrame:
+    """Driver-contract wrapper: run :func:`windowed_event_rollup` over the
+    sf_dir events table (idempotent — the checkpoint makes a rerun a no-op)
+    and return the materialized result with deterministic types/rounding.
+
+    Append-mode semantics under AvailableNow: only windows the final
+    watermark (max(ts) - 2h) has closed are emitted — the SQL oracle
+    (:func:`streamed_rollup_sql`) encodes exactly that boundary.
+    """
+    import os
+    import shutil
+
+    src = os.path.join(out_root, "src")
+    out = os.path.join(out_root, "out")
+    ckpt = os.path.join(out_root, "ckpt")
+    if not os.path.exists(src):
+        os.makedirs(src)
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "part-0.parquet"))
+    windowed_event_rollup(spark, src, out, ckpt)
+    return (
+        spark.read.parquet(out)
+        .select(
+            F.col("hour").cast("timestamp_ntz").alias("hour"),
+            "event_type",
+            "n",
+            F.round("total_value", 6).alias("total_value"),
+        )
+    )
+
+
+def streamed_rollup_sql(window_hours: int = 1, watermark_hours: int = 2) -> str:
+    return f"""
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n, round(sum(value), 6) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT hour, event_type, n, total_value FROM agg
+WHERE hour + INTERVAL {window_hours} HOUR
+      <= (SELECT max(ts) - INTERVAL {watermark_hours} HOUR FROM events)
+"""
+
+
 def incremental_ingest(
     spark: SparkSession,
     source_dir: str,

@@ -1,0 +1,56 @@
+"""End-to-end driver-contract regression: every ``queries()`` entry runs at
+smoke scale and, where an ``oracle_sql()`` twin exists, matches DuckDB
+row-for-row (the same compare the round driver performs at sf0.01).
+
+This is the golden-output layer the reference lacks entirely (its suite
+never asserts search results beyond HTTP 200 — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+from pathlib import Path
+
+import duckdb
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+_spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", Path(__file__).resolve().parent.parent / "__spark_entry__.py"
+)
+ENTRY = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(ENTRY)
+
+QUERIES = ENTRY.queries()
+ORACLES = ENTRY.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_smoke):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from '{sf_smoke}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def test_entry_smoke(spark):
+    df = ENTRY.entry(spark)
+    assert df.count() > 0 and "score" in df.columns
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_contract(name, spark, sf_smoke, ddb):
+    got_df = QUERIES[name](spark, sf_smoke)
+    got = sorted(map(tuple, got_df.collect()))
+    if name not in ORACLES:
+        assert isinstance(got, list)  # rows-only contract: runs and collects
+        return
+    want = sorted(map(tuple, ddb.execute(ORACLES[name]).fetchall()))
+    assert got == want, f"{name}: {got[:3]} != {want[:3]}"

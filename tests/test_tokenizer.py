@@ -63,3 +63,22 @@ def test_term_counts_frame_matches_counter():
         assert got == dict(want)
         if want:
             assert (out[out.doc_id == doc_id]["doc_len"] == len(tokenize_py(text))).all()
+
+
+def test_extraction_equals_reference_algorithm_hypothesis():
+    """Property: single-pass token extraction == replace-based reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from smse_backend_spark.functions.tokenizer import tokenize_py_reference
+
+    alphabet = st.sampled_from(
+        list("abcXYZ019_ ./(){}\t\n-") + ["é", "ß"]
+    )
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.lists(alphabet, max_size=40).map("".join))
+    def check(text):
+        assert tokenize_py(text) == tokenize_py_reference(text), repr(text)
+
+    check()
