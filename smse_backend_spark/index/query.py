@@ -233,18 +233,44 @@ class InvertedIndex:
 
     # -- public API --------------------------------------------------------
 
+    # below this many matched postings the two-phase block-max prune is a
+    # net loss: its extra driver round-trips (metadata collect + seed score)
+    # cost more than decoding everything in ONE single-pass job (the kernel
+    # decodes >2M postings/sec/core). Above it — hot terms at billion-doc
+    # scale — skipping cold segments dominates. Both paths are exact.
+    PRUNE_MIN_POSTINGS = 20_000_000
+
     def bm25_topk(
         self,
         query_text: str,
         k: int = DEFAULT_TOP_K,
         lang: str | None = None,
-        mode: str = "pruned",
+        mode: str = "auto",
     ) -> DataFrame:
         terms = query_terms(query_text)
         n, avgdl = self.corpus_stats(lang)
-        idf = self.term_idf(terms, lang) if terms and n else {}
+        dfs = self.term_df(terms, lang) if terms and n else {}
+        idf = {
+            t: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for t, df in dfs.items()
+        }
         if not idf:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
+        if mode == "auto":
+            mode = (
+                "single_pass"
+                if sum(dfs.values()) < self.PRUNE_MIN_POSTINGS
+                else "pruned"
+            )
+        if mode == "single_pass":
+            return (
+                self._batch_kernel_topk(
+                    {0: query_text}, idf, avgdl, k, lang,
+                    est_postings=sum(dfs.values()),
+                )
+                .select("doc_id", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+            )
         blocks = self._blocks(sorted(idf), lang)
         if mode == "exhaustive":
             scored = self._score(blocks, idf, avgdl)
@@ -274,20 +300,39 @@ class InvertedIndex:
         from pyspark.sql import Window
 
         n, avgdl = self.corpus_stats(lang)
-        per_q = {qid: query_terms(q) for qid, q in queries.items()}
-        all_terms = sorted({t for ts in per_q.values() for t in ts})
+        all_terms = sorted({t for q in queries.values() for t in query_terms(q)})
         idf = self.term_idf(all_terms, lang) if all_terms and n else {}
-        matched = sorted(idf)
-        if not matched:
+        if not idf:
             return self.spark.createDataFrame(
                 [], "query_id long, rank int, doc_id long, score double"
             )
+        return self._batch_kernel_topk(queries, idf, avgdl, k, lang)
+
+    def _batch_kernel_topk(
+        self,
+        queries: dict[int, str],
+        idf: dict[str, float],
+        avgdl: float,
+        k: int,
+        lang: str | None,
+        est_postings: int | None = None,
+    ) -> DataFrame:
+        """Single-pass exact scoring: one job, one compressed-block shuffle."""
+        from pyspark.sql import Window
+
+        per_q = {qid: query_terms(q) for qid, q in queries.items()}
+        matched = sorted(idf)
         term_ix = {t: i for i, t in enumerate(matched)}
         qids = sorted(per_q)
         # memory bound inside the kernel is (partition postings) x (queries);
         # chunk the query dimension and size partitions off index stats
         chunks = [qids[i : i + 64] for i in range(0, len(qids), 64)]
-        total_postings = max(self.meta.get("n_postings", 0), 1)
+        total_postings = max(
+            est_postings
+            if est_postings is not None
+            else self.meta.get("n_postings", 0),
+            1,
+        )
         nparts = int(
             min(4096, max(self.spark.sparkContext.defaultParallelism,
                           total_postings // 200_000 + 1))
