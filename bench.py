@@ -137,8 +137,10 @@ def probe(cores: int, corpus_path: str, n_docs: int, reps: int) -> dict:
             for j in range(8)
             for i, (_, q, _lg) in enumerate(BENCH_QUERIES)
         }
+        # query reps are an order of magnitude cheaper than build reps —
+        # take extra samples so one throttle window can't own the min
         t_queries, n_hits = [], 0
-        for _ in range(reps):
+        for _ in range(reps + 2):
             t_q0 = time.monotonic()
             n_hits = idx.bm25_topk_batch(big_batch, 10).count()
             t_queries.append(time.monotonic() - t_q0)
@@ -202,10 +204,12 @@ def main() -> None:
     }
 
     if os.environ.get("SMSE_BENCH_SCALING", "1") != "0":
-        # the hi-level runs are short, so a throttle window distorts them
-        # proportionally more — give them one extra rep before the min
+        # throttle windows distort any single run; both levels get an extra
+        # rep before the min (three reps catch a clean window far more
+        # reliably than two — observed lo-level min swing 118 -> 136 s with
+        # only two)
         s_hi = run_probe(CORES_HI, REPS + 1)
-        s_lo = run_probe(CORES_LO, REPS)
+        s_lo = run_probe(CORES_LO, REPS + 1)
         if s_lo and s_hi:
             ratio = CORES_HI / CORES_LO
             t_lo = s_lo["t_index"] + s_lo["t_query"]

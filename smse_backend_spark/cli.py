@@ -1,0 +1,130 @@
+"""spark-submit entry point for the index build / query / verify jobs.
+
+Cluster usage (the ``--py-files`` deployment contract from the target spec —
+the package has no native deps, so one zip is the whole deployment):
+
+    python -m smse_backend_spark.zipdist dist/   # writes smse_backend_spark.zip
+    spark-submit --py-files dist/smse_backend_spark.zip \
+        dist/cli.py build --corpus s3a://bucket/corpus --out s3a://bucket/index \
+        --n-buckets 1024 --segment-size 1000000 --n-batches 64
+    spark-submit --py-files dist/smse_backend_spark.zip \
+        dist/cli.py query --index s3a://bucket/index --text "hash join" --k 10
+
+Local smoke (same code path, local master):
+
+    python -m smse_backend_spark.cli build --corpus /root/testdata/sf0.001 \
+        --out /tmp/idx --master "local[4]"
+
+The build is resumable: rerunning the same command skips batches whose
+lineage rows are already committed (reference analog: the Celery task-status
+table, smse_backend/models/task.py:6-34, re-expressed as data-plane lineage).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(f"smse-{args.cmd}")
+    if getattr(args, "master", None):
+        # local/dev runs; under spark-submit the cluster manager provides it
+        from smse_backend_spark.session import get_spark
+
+        return get_spark(f"smse-{args.cmd}", master=args.master)
+    spark = b.getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def cmd_build(args) -> None:
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.index.build import build_index
+
+    spark = _spark(args)
+    corpus = (
+        load_corpus(spark, args.corpus)
+        if not args.raw
+        else spark.read.parquet(args.corpus)
+    )
+    meta = build_index(
+        spark, corpus, args.out,
+        segment_size=args.segment_size, n_buckets=args.n_buckets,
+        block_size=args.block_size, n_batches=args.n_batches,
+    )
+    print(json.dumps(meta))
+
+
+def cmd_query(args) -> None:
+    from smse_backend_spark.index.query import InvertedIndex
+
+    spark = _spark(args)
+    idx = InvertedIndex(spark, args.index)
+    rows = idx.bm25_topk(args.text, args.k, args.lang, mode=args.mode).collect()
+    print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
+
+
+def cmd_verify(args) -> None:
+    """Rank-identity check of the built index vs the full-scan reference
+    pipeline on the same corpus — the per-deploy smoke the reference lacks."""
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.index.query import InvertedIndex
+    from smse_backend_spark.operators.search import bm25_topk_scan
+
+    spark = _spark(args)
+    idx = InvertedIndex(spark, args.index)
+    corpus = load_corpus(spark, args.corpus)
+    ok = True
+    for q in args.text:
+        got = [(r["doc_id"], r["score"]) for r in idx.bm25_topk(q, args.k).collect()]
+        want = [(r["doc_id"], r["score"]) for r in bm25_topk_scan(corpus, q, args.k).collect()]
+        match = got == want
+        ok &= match
+        print(json.dumps({"query": q, "rank_identical": match}))
+    sys.exit(0 if ok else 1)
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="smse_backend_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build or resume the inverted index")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--raw", action="store_true",
+                   help="corpus is already (doc_id, lang, content) parquet")
+    b.add_argument("--segment-size", type=int, default=2048)
+    b.add_argument("--n-buckets", type=int, default=16)
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--n-batches", type=int, default=4)
+    b.add_argument("--master")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k against a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--text", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--lang")
+    q.add_argument("--mode", default="auto",
+                   choices=["auto", "single_pass", "pruned", "exhaustive"])
+    q.add_argument("--master")
+    q.set_defaults(fn=cmd_query)
+
+    v = sub.add_parser("verify", help="rank-identity vs full-scan reference")
+    v.add_argument("--index", required=True)
+    v.add_argument("--corpus", required=True)
+    v.add_argument("--text", nargs="+", required=True)
+    v.add_argument("--k", type=int, default=10)
+    v.add_argument("--master")
+    v.set_defaults(fn=cmd_verify)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""spark-submit CLI surface: build -> query -> verify, and the zip dist."""
+
+from __future__ import annotations
+
+import json
+import zipfile
+
+import pytest
+
+from smse_backend_spark import cli, zipdist
+
+
+def test_cli_build_query_verify(tmp_path, spark, sf_smoke, capsys):
+    out = str(tmp_path / "idx")
+    cli.main([
+        "build", "--corpus", sf_smoke, "--out", out,
+        "--segment-size", "256", "--n-buckets", "8", "--n-batches", "2",
+        "--master", "local[4]",
+    ])
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["n_docs"] == 500 and meta["batches"] == [0, 1]
+
+    cli.main(["query", "--index", out, "--text", "hash join merge scan",
+              "--master", "local[4]"])
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(hits) == 10
+    scores = [h["score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+
+    with pytest.raises(SystemExit) as e:
+        cli.main(["verify", "--index", out, "--corpus", sf_smoke,
+                  "--text", "hash join merge scan", "the row data",
+                  "--master", "local[4]"])
+    assert e.value.code == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert all(json.loads(ln)["rank_identical"] for ln in lines[-2:])
+
+
+def test_zipdist(tmp_path):
+    z, d = zipdist.build(str(tmp_path / "dist"))
+    names = zipfile.ZipFile(z).namelist()
+    assert "smse_backend_spark/cli.py" in names
+    assert "smse_backend_spark/index/build.py" in names
+    assert d.endswith("cli.py")
