@@ -73,7 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from smse_backend_spark.operators import history as H
     from smse_backend_spark.operators import relational as R
     from smse_backend_spark.operators import similarity as S
+    from smse_backend_spark.functions import normalize as N
     from smse_backend_spark.operators import simhash as SH
+    from smse_backend_spark.operators import storage as ST
     from smse_backend_spark.sources import multimodal as M
 
     def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,6 +162,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": lambda spark, sf: M.extract_image_features(
             M.synth_media(_docs(spark, sf))
         ),
+        # blob-store metadata ops + score normalization (reference parity)
+        "blob_listing": lambda spark, sf: ST.blob_listing(spark, sf),
+        "dir_size_rollup": ST.dir_size_rollup,
+        "temp_file_gc": lambda spark, sf: ST.temp_file_gc(spark, sf, 24),
+        "filename_display": ST.filename_display,
+        "normalized_scores": lambda spark, sf: N.normalized_events(spark, sf, 5),
         # generic relational coverage
         "pricing_summary": R.pricing_summary,
         "top_revenue_nations": R.top_revenue_nations,
@@ -175,7 +183,9 @@ def oracle_sql() -> dict[str, str]:
     from smse_backend_spark.operators import dedup as D
     from smse_backend_spark.operators import history as H
     from smse_backend_spark.operators import relational as R
+    from smse_backend_spark.functions import normalize as N
     from smse_backend_spark.operators import similarity as S
+    from smse_backend_spark.operators import storage as ST
     from smse_backend_spark.sources import multimodal as M
     from smse_backend_spark.streaming.events import streamed_rollup_sql
 
@@ -231,4 +241,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "streamed_event_rollup": streamed_rollup_sql(),
         "media_ingest_meta": M.synth_media_meta_sql(),
         "media_frame_plan": M.frame_sample_sql(),
+        "blob_listing": ST.blob_listing_sql(),
+        "dir_size_rollup": ST.dir_size_rollup_sql(),
+        "temp_file_gc": ST.temp_file_gc_sql(24),
+        "filename_display": ST.filename_display_sql(),
+        "normalized_scores": N.normalized_events_sql(5),
     }
