@@ -119,6 +119,10 @@ def filename_display(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         stored.alias("stored_name"),
         F.regexp_replace(stored, "^[^_]*_", "").alias("display_name"),
+        # regex-validation predicate (F7 analog of the reference's email
+        # regex check, models/user.py:24-29): stored names must carry the
+        # 8-hex-digit content prefix
+        stored.rlike("^[0-9a-f]{8}_").alias("valid"),
     )
 
 
@@ -131,6 +135,7 @@ WITH files AS (
   FROM documents
 )
 SELECT doc_id, stored_name,
-       regexp_replace(stored_name, '^[^_]*_', '') AS display_name
+       regexp_replace(stored_name, '^[^_]*_', '') AS display_name,
+       regexp_matches(stored_name, '^[0-9a-f]{{8}}_') AS valid
 FROM files
 """
