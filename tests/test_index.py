@@ -122,3 +122,22 @@ def test_lineage_rows_have_metrics(index):
         assert r["status"] == "COMMITTED"
         assert r["n_docs"] > 0 and r["bytes"] > 0 and r["n_postings"] > 0
         assert r["doc_hi"] > r["doc_lo"]
+
+
+def test_batch_multi_chunk_matches_single(index):
+    """>64 queries exercises the query-dimension chunking (64 per kernel):
+    results must be identical to the single-chunk/per-query paths."""
+    base = ["hash join merge scan", "the row data", "vector",
+            "fast slow small merge sort", "spark window dup"]
+    batch = {i: base[i % len(base)] for i in range(70)}
+    got = index.bm25_topk_batch(batch, k=5).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    singles = {
+        q: [(r["doc_id"], r["score"]) for r in index.bm25_topk(q, 5).collect()]
+        for q in base
+    }
+    assert set(by_q) == set(batch)
+    for qid, q in batch.items():
+        assert by_q[qid] == singles[q], f"chunked batch diverges for {q!r} (qid {qid})"
