@@ -266,7 +266,7 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
     """All pairs with cosine >= threshold (vec_a < vec_b) — exact baseline.
 
     Brute force is the *correctness* path (mirrors the reference's exact
-    pgvector scan); the LSH-bucketed ANN in ``similarity_ann.py`` is the
+    pgvector scan); the LSH-bucketed ANN in ``operators/ann.py`` is the
     scale path.
     """
     from smse_backend_spark.functions.vectors import cosine_col
