@@ -149,6 +149,7 @@ def build_index(
     stop_after_batches: int | None = None,
     input_partitions: int | None = None,
     known_max_doc: int | None = None,
+    snapshot_id: str | None = None,
 ) -> dict:
     """Build (or resume) the index from a corpus (doc_id, lang, content).
 
@@ -170,6 +171,22 @@ def build_index(
     n_segments = max_doc // segment_size + 1
     segs_per_batch = max(1, math.ceil(n_segments / n_batches))
 
+    # corpus snapshot identity (the Iceberg-snapshot-id stand-in): a batch
+    # committed under one snapshot must never be silently reused for
+    # another corpus — resume is only valid against the same input. On an
+    # Iceberg deployment pass the table's snapshot id explicitly; the
+    # fallback fingerprints the input file listing (None for derived/cached
+    # inputs, which then opt out of the cross-snapshot guard).
+    snapshot = snapshot_id or corpus_snapshot(corpus)
+    for row in lin.read_lineage(out_dir):
+        prev = row.get("corpus_snapshot")
+        if prev is not None and prev != snapshot:
+            raise ValueError(
+                f"index at {out_dir} was built from corpus snapshot {prev}; "
+                f"current corpus is {snapshot} — refusing to resume across "
+                "snapshots (use a fresh out_dir or rebuild)"
+            )
+
     done = lin.committed_batches(out_dir)
     built = 0
     for b in range(n_batches):
@@ -182,19 +199,32 @@ def build_index(
             return {"stopped_after": built}
         _build_batch(
             spark, corpus, out_dir, b, seg_lo, seg_hi, segment_size,
-            n_buckets, block_size, input_partitions,
+            n_buckets, block_size, input_partitions, snapshot,
         )
         built += 1
     return finalize(
         spark, out_dir,
         {"segment_size": segment_size, "n_buckets": n_buckets,
-         "block_size": block_size, "n_batches": n_batches},
+         "block_size": block_size, "n_batches": n_batches,
+         "corpus_snapshot": snapshot},
     )
+
+
+def corpus_snapshot(corpus: DataFrame) -> str | None:
+    """Deterministic fingerprint of the corpus input files (sorted path
+    list). Plays the role of the Iceberg snapshot id for the resume
+    contract; None for purely in-memory/derived inputs (no file lineage)."""
+    import hashlib
+
+    files = sorted(corpus.inputFiles())
+    if not files:
+        return None
+    return hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
 
 
 def _build_batch(
     spark, corpus, out_dir, batch_id, seg_lo, seg_hi, segment_size,
-    n_buckets, block_size, input_partitions,
+    n_buckets, block_size, input_partitions, snapshot=None,
 ) -> None:
     lo_doc, hi_doc = seg_lo * segment_size, seg_hi * segment_size
     part = corpus.filter((F.col("doc_id") >= lo_doc) & (F.col("doc_id") < hi_doc))
@@ -253,6 +283,7 @@ def _build_batch(
     st, bl = obs_docs.get, obs_blocks.get
     lin.commit_batch(
         out_dir, batch_id,
+        corpus_snapshot=snapshot,
         seg_lo=seg_lo, seg_hi=seg_hi, doc_lo=lo_doc, doc_hi=hi_doc,
         n_docs=int(st["n_docs"] or 0), sum_dl=int(st["sum_dl"] or 0),
         n_blocks=int(bl["n_blocks"] or 0), n_postings=int(bl["n_postings"] or 0),

@@ -141,3 +141,31 @@ def test_batch_multi_chunk_matches_single(index):
     assert set(by_q) == set(batch)
     for qid, q in batch.items():
         assert by_q[qid] == singles[q], f"chunked batch diverges for {q!r} (qid {qid})"
+
+
+def test_resume_refuses_different_corpus_snapshot(spark, sf_smoke, corpus, tmp_path):
+    """A batch committed under one corpus snapshot must not be reused for
+    another input (the Iceberg-snapshot resume contract). Covers both the
+    file-listing fingerprint fallback and an explicit snapshot id."""
+    out = str(tmp_path / "snap_idx")
+    # distinct file-backed corpora (a DF whose plan matches the session's
+    # cached corpus resolves to InMemoryRelation and loses file lineage —
+    # on Iceberg the caller passes snapshot_id explicitly instead)
+    a_dir, other_dir = tmp_path / "corpus_a", tmp_path / "other_corpus"
+    corpus.write.parquet(str(a_dir))
+    corpus.limit(100).write.parquet(str(other_dir))
+    fresh = spark.read.parquet(str(a_dir))
+    build_index(spark, fresh, out, segment_size=256, n_buckets=8,
+                block_size=64, n_batches=2, stop_after_batches=1)
+
+    other = spark.read.parquet(str(other_dir))
+    with pytest.raises(ValueError, match="snapshot"):
+        build_index(spark, other, out, segment_size=256, n_buckets=8,
+                    block_size=64, n_batches=2)
+    with pytest.raises(ValueError, match="snapshot"):
+        build_index(spark, fresh, out, segment_size=256, n_buckets=8,
+                    block_size=64, n_batches=2, snapshot_id="iceberg-snap-42")
+    # same snapshot -> resume completes the remaining batch
+    meta = build_index(spark, fresh, out, segment_size=256, n_buckets=8,
+                       block_size=64, n_batches=2)
+    assert meta["batches"] == [0, 1]
