@@ -33,6 +33,19 @@ def _streamed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streamed_rollup_df(spark, sf_dir, _STREAM_CACHE[sf_dir])
 
 
+_SESSION_CACHE: dict[str, str] = {}
+
+
+def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smse_backend_spark.streaming.sessions import sessionized_events_df
+
+    if sf_dir not in _SESSION_CACHE:
+        import tempfile
+
+        _SESSION_CACHE[sf_dir] = tempfile.mkdtemp(prefix="smse_sess_")
+    return sessionized_events_df(spark, sf_dir, _SESSION_CACHE[sf_dir])
+
+
 def _indexed(spark: SparkSession, sf_dir: str):
     """Build (once per process) and open the inverted index for sf_dir."""
     from smse_backend_spark.index.build import build_index
@@ -152,6 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _ann_lsh,
         # streaming twin of hourly_event_rollup (append-mode watermark oracle)
         "streamed_event_rollup": _streamed_rollup,
+        # custom stateful streaming: applyInPandasWithState sessionization
+        "sessionized_events": _sessionized,
         # multimodal plumbing over the synthetic media table
         "media_ingest_meta": lambda spark, sf: M.synth_media(_docs(spark, sf)).drop(
             "content"
@@ -188,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
     from smse_backend_spark.operators import storage as ST
     from smse_backend_spark.sources import multimodal as M
     from smse_backend_spark.streaming.events import streamed_rollup_sql
+    from smse_backend_spark.streaming.sessions import sessionized_events_sql
 
     ann_sql = """
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -239,6 +255,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "hourly_event_rollup": R.hourly_event_rollup_sql(),
         "event_props_extract": R.event_props_extract_sql(),
         "streamed_event_rollup": streamed_rollup_sql(),
+        "sessionized_events": sessionized_events_sql(),
         "media_ingest_meta": M.synth_media_meta_sql(),
         "media_frame_plan": M.frame_sample_sql(),
         "blob_listing": ST.blob_listing_sql(),

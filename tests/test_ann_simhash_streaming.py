@@ -134,3 +134,63 @@ def test_streaming_ingest_checkpoint_resume(spark, sf_smoke, tmp_path):
     incremental_ingest(spark, str(src), out, ckpt)
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 == 500
+
+
+def test_sessionize_matches_batch_oracle(spark, sf_smoke, tmp_path):
+    """applyInPandasWithState gap sessions == lag-based batch sessionization
+    (DuckDB), including the last-session watermark-timeout boundary."""
+    import duckdb
+
+    from smse_backend_spark.streaming.sessions import (
+        sessionized_events_df,
+        sessionized_events_sql,
+    )
+
+    got = sorted(map(tuple, sessionized_events_df(
+        spark, sf_smoke, str(tmp_path / "sess")
+    ).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from '{sf_smoke}/events.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(sessionized_events_sql()).fetchall()))
+    assert len(got) > 0 and got == want
+
+
+def test_sessionize_handles_multi_session_batches(spark, tmp_path):
+    """One key with 3 gap-separated bursts in a single micro-batch: the two
+    closed-by-data sessions emit; the open one is held back (watermark never
+    passes it)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.streaming.sessions import sessionize
+
+    rows = [
+        # burst 1: 2 events, burst 2: 1 event, burst 3 (open): 2 events
+        (1, "2024-01-01 00:00:00", 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:10:00", 7, "view", 2.0, "{}"),
+        (3, "2024-01-01 02:00:00", 7, "view", 4.0, "{}"),
+        (4, "2024-01-01 05:00:00", 7, "view", 8.0, "{}"),
+        (5, "2024-01-01 05:20:00", 7, "view", 16.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    src = tmp_path / "src"
+    src.mkdir()
+    df.coalesce(1).write.parquet(str(src / "p"))
+    for f in (src / "p").glob("*.parquet"):
+        shutil.move(str(f), src / "part-0.parquet")
+    shutil.rmtree(src / "p")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sessionize(spark, str(src), out, ckpt, gap_minutes=30, watermark="2 hours")
+    got = sorted(
+        map(tuple, spark.read.parquet(out).select(
+            "user_id", "n_events", "total_value").collect())
+    )
+    # burst 3 stays open: final watermark = 05:20 - 2h < 05:20 + 30m
+    assert got == [(7, 1, 4.0), (7, 2, 3.0)]
