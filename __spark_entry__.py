@@ -34,6 +34,19 @@ def _streamed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SESSION_CACHE: dict[str, str] = {}
+_ROUNDTRIP_CACHE: dict[str, str] = {}
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smse_backend_spark.operators.history import search_persist_roundtrip
+
+    if sf_dir not in _ROUNDTRIP_CACHE:
+        import tempfile
+
+        _ROUNDTRIP_CACHE[sf_dir] = tempfile.mkdtemp(prefix="smse_rt_")
+    return search_persist_roundtrip(
+        spark, sf_dir, _ROUNDTRIP_CACHE[sf_dir], FLAGSHIP_QUERY
+    )
 
 
 def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,10 +125,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
         from smse_backend_spark.operators.ann import lsh_topk
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return lsh_topk(emb, _query_vecs(spark, sf_dir), 10, n_planes=4, n_tables=16)
+        return lsh_topk(
+            emb, _query_vecs(spark, sf_dir), 10, n_planes=8, n_tables=4
+        ).withColumn("rank", F.col("rank").cast("long"))
 
     def _emb(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,8 +154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_user": _emb(lambda e: S.cosine_topk(e, 11, 10, None, 2)),
         "multimodal_search": _emb(lambda e: S.multimodal_search(e, 0, "text")),
         "multimodal_search_audio": _emb(lambda e: S.multimodal_search(e, 5, "audio")),
-        "fusion_multipart": _emb(lambda e: S.fuse_multipart(e, [0, 1, 2])),
+        "fusion_multipart": _emb(lambda e: S.fuse_multipart_rows(e, [0, 1, 2])),
         # history / persistence readback
+        "search_persist_roundtrip": _roundtrip,
+        "prefs_merge": R.user_prefs_merge,
         "history_page": lambda spark, sf: H.history_page(
             spark.read.parquet(f"{sf}/events.parquet"), 7, 10, 5
         ),
@@ -148,16 +167,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: dedup + text analysis
         "dedup_exact": lambda spark, sf: D.dedup_exact(_docs(spark, sf)),
         "exact_dup_groups": lambda spark, sf: D.exact_dup_groups(_docs(spark, sf)),
-        "ngram_jaccard": lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf), 3, 0.5),
+        "ngram_jaccard": lambda spark, sf: D.ngram_jaccard_pairs(
+            _docs(spark, sf), 3, 0.5, max_df=100
+        ),
         "minhash_lsh": lambda spark, sf: D.minhash_lsh_pairs(_docs(spark, sf), 16, 4),
         "embedding_near_dup": lambda spark, sf: D.embedding_near_dup(
+            spark.read.parquet(f"{sf}/embeddings.parquet"), 0.3
+        ),
+        "embedding_near_dup_lsh": lambda spark, sf: D.embedding_near_dup_lsh(
             spark.read.parquet(f"{sf}/embeddings.parquet"), 0.3
         ),
         "token_stats": lambda spark, sf: Q.token_stats(_docs(spark, sf)),
         "quality_scores": lambda spark, sf: Q.quality_scores(_docs(spark, sf), 0.2),
         "lang_id": lambda spark, sf: Q.lang_id(_docs(spark, sf)),
         "doc_fingerprint": lambda spark, sf: Q.doc_fingerprint(_docs(spark, sf)),
-        # rows-only checks (no SQL-expressible oracle): simhash banding, LSH ANN
+        # simhash banding (exact at the contracted radius) + LSH ANN
         "simhash_neardup": lambda spark, sf: SH.simhash_neardup_pairs(
             _docs(spark, sf), max_hamming=10
         ),
@@ -174,7 +198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_plan": lambda spark, sf: M.frame_sample_plan(
             M.synth_media(_docs(spark, sf))
         ),
-        "media_image_features": lambda spark, sf: M.extract_image_features(
+        "media_image_features": lambda spark, sf: M.extract_image_features_rows(
+            M.synth_media(_docs(spark, sf))
+        ),
+        "media_thumbnail_plan": lambda spark, sf: M.media_thumbnail_plan(
             M.synth_media(_docs(spark, sf))
         ),
         # blob-store metadata ops + score normalization (reference parity)
@@ -223,12 +250,18 @@ r AS (
 SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
 """
 
+    from smse_backend_spark.operators import simhash as SH
+    from smse_backend_spark.operators.ann import lsh_topk_sql
+
     return {
         "dedup_exact": D.dedup_exact_sql(),
         "exact_dup_groups": D.exact_dup_groups_sql(),
-        "ngram_jaccard": D.ngram_jaccard_pairs_sql(3, 0.5),
+        "ngram_jaccard": D.ngram_jaccard_pairs_sql(3, 0.5, max_df=100),
         "minhash_lsh": D.minhash_lsh_pairs_sql(16, 4),
         "embedding_near_dup": D.embedding_near_dup_sql(0.3),
+        "embedding_near_dup_lsh": D.embedding_near_dup_lsh_sql(0.3, dim=64),
+        "simhash_neardup": SH.simhash_neardup_sql(10),
+        "ann_lsh": lsh_topk_sql([0, 1, 2], dim=64, k=10, n_planes=8, n_tables=4),
         "token_stats": Q.token_stats_sql(),
         "quality_scores": Q.quality_scores_sql(0.2),
         "lang_id": Q.lang_id_sql(),
@@ -245,7 +278,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "cosine_topk_user": S.cosine_topk_sql(11, 10, None, 2),
         "multimodal_search": S.multimodal_search_sql(0, "text"),
         "multimodal_search_audio": S.multimodal_search_sql(5, "audio"),
-        "fusion_multipart": S.fuse_multipart_sql([0, 1, 2]),
+        "fusion_multipart": S.fuse_multipart_rows_sql([0, 1, 2]),
+        "search_persist_roundtrip": H.search_persist_roundtrip_sql(FLAGSHIP_QUERY),
+        "prefs_merge": R.user_prefs_merge_sql(),
         "history_page": H.history_page_sql(7, 10, 5),
         "history_counts": H.history_counts_sql(60),
         "pricing_summary": R.pricing_summary_sql(),
@@ -258,6 +293,8 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "sessionized_events": sessionized_events_sql(),
         "media_ingest_meta": M.synth_media_meta_sql(),
         "media_frame_plan": M.frame_sample_sql(),
+        "media_image_features": M.image_features_rows_sql(),
+        "media_thumbnail_plan": M.media_thumbnail_plan_sql(),
         "blob_listing": ST.blob_listing_sql(),
         "dir_size_rollup": ST.dir_size_rollup_sql(),
         "temp_file_gc": ST.temp_file_gc_sql(24),

@@ -87,23 +87,39 @@ def brute_force_topk(
     )
 
 
-def _planes(dim: int, n_planes: int, table: int) -> np.ndarray:
-    rng = np.random.default_rng(42 + table)
-    return rng.standard_normal((dim, n_planes))
+def rademacher_planes(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
+    """(n_tables, dim, n_planes) array of deterministic +/-1 hyperplane
+    entries — sign-random projections (Charikar's SimHash family works with
+    Rademacher entries). Derived from sha256 like every other hash in this
+    engine, so the DuckDB oracle can inline the identical planes as
+    literals and replay the bucketing exactly."""
+    import hashlib
+
+    out = np.empty((n_tables, dim, n_planes), dtype=np.float64)
+    for t in range(n_tables):
+        for j in range(n_planes):
+            for d in range(dim):
+                h = hashlib.sha256(f"annlsh_{t}_{j}_{d}".encode()).digest()[0]
+                out[t, d, j] = 1.0 if h % 2 == 0 else -1.0
+    return out
 
 
-def lsh_bucket_col(planes: np.ndarray):
-    """Sign-bit bucket id for one hyperplane table, as a pandas UDF (the
-    matmul is worth Arrow; a 16-term Column fold is not)."""
+def lsh_buckets_col(planes: np.ndarray):
+    """array<long> of per-table bucket ids, ALL tables in one Arrow pass
+    (one matmul against the stacked plane matrix — not one scan per table).
+    """
+    n_tables, dim, n_planes = planes.shape
+    stacked = planes.transpose(1, 0, 2).reshape(dim, n_tables * n_planes)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
 
-    @F.pandas_udf("long")
-    def bucket(emb: pd.Series) -> pd.Series:
+    @F.pandas_udf("array<long>")
+    def buckets(emb: pd.Series) -> pd.Series:
         m = np.vstack(emb.to_numpy()).astype(np.float64)
-        bits = (m @ planes) > 0
-        weights = (1 << np.arange(planes.shape[1], dtype=np.int64))
-        return pd.Series(bits @ weights)
+        bits = (m @ stacked) > 0
+        b = bits.reshape(len(m), n_tables, n_planes) @ weights
+        return pd.Series(list(b))
 
-    return bucket
+    return buckets
 
 
 def lsh_topk(
@@ -114,42 +130,138 @@ def lsh_topk(
     n_tables: int = 4,
 ) -> DataFrame:
     """ANN top-k: candidates = rows sharing any table's bucket with the
-    query, exact cosine re-rank on candidates only."""
-    from pyspark.sql import Window
+    query, exact cosine re-rank on candidates only.
 
-    from smse_backend_spark.functions.vectors import cosine_col
+    ONE corpus scan total: the kernel computes all tables' buckets with a
+    single stacked matmul, matches them against the broadcast-as-closure
+    query buckets, and scores the hits in place — no per-table scan loop,
+    no candidate join, per-partition top-k before the global rank.
+    """
+    from pyspark.sql import Window
 
     spark = emb.sparkSession
     ensure_pyfiles(spark)
     dim = len(next(iter(queries.values())))
+    planes = rademacher_planes(dim, n_planes, n_tables)
+    stacked = planes.transpose(1, 0, 2).reshape(dim, n_tables * n_planes)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
 
-    cand = None
-    for t in range(n_tables):
-        planes = _planes(dim, n_planes, t)
-        weights = 1 << np.arange(n_planes, dtype=np.int64)
-        qrows = [
-            (int(qid), int((((np.array(v) @ planes) > 0) @ weights)))
-            for qid, v in queries.items()
-        ]
-        qb = F.broadcast(
-            spark.createDataFrame(qrows, "query_id long, bucket long")
-        )
-        tagged = emb.withColumn("bucket", lsh_bucket_col(planes)(F.col("embedding")))
-        c = tagged.join(qb, "bucket").select("query_id", "vec_id", "embedding")
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates(["query_id", "vec_id"])
+    q_ids = np.array(sorted(queries), dtype=np.int64)
+    q_mat = np.array([queries[int(q)] for q in q_ids], dtype=np.float64)
+    q_bits = (q_mat @ stacked) > 0
+    q_buckets = q_bits.reshape(len(q_ids), n_tables, n_planes) @ weights  # (Q, T)
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
 
-    qv = F.broadcast(
-        spark.createDataFrame(
-            [(int(q), [float(x) for x in v]) for q, v in queries.items()],
-            "query_id long, qvec array<double>",
-        )
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: list[pd.DataFrame] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (m @ stacked) > 0
+            buckets = bits.reshape(len(m), n_tables, n_planes) @ weights  # (R, T)
+            match = (buckets[:, None, :] == q_buckets[None, :, :]).any(axis=2)
+            rows, qs = np.nonzero(match)
+            if not len(rows):
+                continue
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = np.einsum("ij,ij->i", mn[rows], qn[qs])
+            vec_ids = pdf["vec_id"].to_numpy(np.int64)
+            best.append(
+                pd.DataFrame(
+                    {"query_id": q_ids[qs], "vec_id": vec_ids[rows],
+                     "score": np.round(sims, 6)}
+                )
+            )
+        if best:
+            out = pd.concat(best, ignore_index=True)
+            out = out.sort_values(
+                ["query_id", "score", "vec_id"], ascending=[True, False, True],
+                kind="stable", ignore_index=True,
+            )
+            yield out.groupby("query_id", sort=False).head(k)
+
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "query_id long, vec_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
-        cand.join(qv, "query_id")
-        .withColumn("score", F.round(cosine_col(F.col("embedding"), F.col("qvec")), 6))
-        .withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "score")
     )
+
+
+def planes_values_sql(planes: np.ndarray) -> str:
+    """The plane entries as a DuckDB VALUES list ``(t, j, d, s)`` with
+    1-based ``d`` (DuckDB list subscripts)."""
+    n_tables, dim, n_planes = planes.shape
+    rows = ", ".join(
+        f"({t}, {j}, {d + 1}, {int(planes[t, d, j])})"
+        for t in range(n_tables)
+        for j in range(n_planes)
+        for d in range(dim)
+    )
+    return f"(VALUES {rows}) p(t, j, d, s)"
+
+
+def lsh_buckets_sql(planes: np.ndarray, source: str = "embeddings") -> str:
+    """CTE body computing (vec_id, t, bucket) for every row of ``source``
+    with the inlined deterministic planes — the oracle twin of
+    :func:`lsh_buckets_col`."""
+    dim = planes.shape[1]
+    return f"""
+eb AS (
+  SELECT vec_id, di.i AS d, embedding[di.i]::DOUBLE AS x
+  FROM {source}, range(1, {dim + 1}) di(i)
+),
+dots AS (
+  SELECT e.vec_id, p.t, p.j, sum(e.x * p.s) AS dot
+  FROM eb e JOIN {planes_values_sql(planes)} ON p.d = e.d
+  GROUP BY e.vec_id, p.t, p.j
+),
+buckets AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+  FROM dots GROUP BY vec_id, t
+)"""
+
+
+def lsh_topk_sql(
+    query_vec_ids: list[int],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> str:
+    """Exact DuckDB oracle for :func:`lsh_topk` when the query vectors are
+    themselves rows of ``embeddings`` (the contract's case): identical
+    deterministic buckets -> identical candidates -> exact re-rank."""
+    planes = rademacher_planes(dim, n_planes, n_tables)
+    ids = ", ".join(map(str, query_vec_ids))
+    return f"""
+WITH {lsh_buckets_sql(planes)[1:]},
+qb AS (SELECT vec_id AS query_id, t, bucket FROM buckets WHERE vec_id IN ({ids})),
+cand AS (
+  SELECT DISTINCT qb.query_id, b.vec_id
+  FROM buckets b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+),
+z AS (
+  SELECT c.query_id, c.vec_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(q.embedding)::DOUBLE AS y
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.query_id
+),
+s AS (
+  SELECT query_id, vec_id,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score
+  FROM z GROUP BY query_id, vec_id
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id, score FROM r WHERE rank <= {k}
+"""

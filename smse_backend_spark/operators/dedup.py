@@ -67,10 +67,19 @@ FROM documents GROUP BY 1 HAVING count(*) >= {min_count}
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
-    """Survivor view: keep the min doc_id per identical-content group."""
-    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    """Survivor view: keep the min doc_id per identical-content group.
+
+    The hash is projected BEFORE the window shuffle and ``text`` is dropped,
+    so the exchange carries ~100 B/row (hash + keys), not the documents
+    themselves — at 100 TB that is the difference between shuffling ~100 GB
+    and shuffling the corpus.
+    """
+    hashed = docs.select(
+        "doc_id", "lang", "source", F.sha2(F.col("text"), 256).alias("h")
+    )
+    w = Window.partitionBy("h")
     return (
-        docs.withColumn("canonical", F.min("doc_id").over(w))
+        hashed.withColumn("canonical", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("canonical"))
         .select("doc_id", "lang", "source")
     )
@@ -115,19 +124,32 @@ def _shingles_duckdb(n: int = 3) -> str:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.8
+    docs: DataFrame, n: int = 3, threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard >= threshold (doc_a < doc_b).
 
     Candidate generation is an equi-join on shared shingles (never a cross
-    product); intersection counts aggregate map-side. At 10^12 rows the
-    same plan holds, with hot shingles handled by AQE skew-join or a
-    df-based stopword-shingle cut (drop shingles appearing in > X docs —
-    they only create candidates that exact/MinHash would catch anyway).
+    product); intersection counts aggregate map-side.
+
+    ``max_df`` is the hot-shingle cut that makes the plan survive 10^12
+    rows: a boilerplate shingle shared by 10^6 docs alone creates 10^12
+    candidate rows, so shingles with document frequency > max_df are
+    dropped from BOTH the candidate join and the per-doc set sizes —
+    Jaccard is then computed consistently over the filtered shingle sets
+    (stopword-filtered Jaccard). The oracle applies the identical cut.
     """
     sh = docs.select(
         "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle")
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -149,13 +171,22 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.8) -> str:
+def ngram_jaccard_pairs_sql(
+    n: int = 3, threshold: float = 0.8, max_df: int | None = None
+) -> str:
     toks = tokenize_duckdb_sql("text")
+    df_cut = (
+        f"sh AS (SELECT doc_id, shingle FROM sh0 WHERE shingle IN "
+        f"(SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {max_df})),"
+        if max_df is not None
+        else "sh AS (SELECT * FROM sh0),"
+    )
     return f"""
 WITH tok AS (SELECT doc_id, {toks} AS t FROM documents),
-sh AS (
+sh0 AS (
   SELECT doc_id, unnest({_shingles_duckdb(n)}) AS shingle FROM tok
 ),
+{df_cut}
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -279,6 +310,79 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame, threshold: float = 0.3,
+    n_planes: int = 8, n_tables: int = 4,
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidates = pairs sharing a
+    sign-random-projection bucket in ANY of ``n_tables`` tables, exact
+    cosine only on candidates — a banded equijoin like MinHash LSH, never
+    the O(n^2) cross product of :func:`embedding_near_dup`.
+
+    Deterministic sha-derived planes (``operators/ann.rademacher_planes``)
+    make the candidate set — and hence the result — exactly replayable by
+    the DuckDB oracle. Recall is probabilistic in ``threshold`` (standard
+    LSH); the exact baseline stays beside it as the recall anchor.
+    """
+    from smse_backend_spark.functions.vectors import cosine_col
+    from smse_backend_spark.operators.ann import lsh_buckets_col, rademacher_planes
+    from smse_backend_spark.session import ensure_pyfiles
+
+    ensure_pyfiles(emb.sparkSession)
+    dim = len(emb.select("embedding").first()[0])
+    planes = rademacher_planes(dim, n_planes, n_tables)
+    buckets = emb.select(
+        "vec_id",
+        F.posexplode(lsh_buckets_col(planes)(F.col("embedding"))).alias("t", "bucket"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.t") == F.col("b.t"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        pairs.join(ea, "vec_a").join(eb, "vec_b")
+        .withColumn("cosine", F.round(cosine_col(F.col("ea"), F.col("eb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def embedding_near_dup_lsh_sql(
+    threshold: float = 0.3, dim: int = 64,
+    n_planes: int = 8, n_tables: int = 4,
+) -> str:
+    from smse_backend_spark.operators.ann import lsh_buckets_sql, rademacher_planes
+
+    planes = rademacher_planes(dim, n_planes, n_tables)
+    return f"""
+WITH {lsh_buckets_sql(planes).lstrip()},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+z AS (
+  SELECT p.vec_a, p.vec_b,
+         unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.vec_a
+  JOIN embeddings eb ON eb.vec_id = p.vec_b
+),
+s AS (
+  SELECT vec_a, vec_b,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
+  FROM z GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= {threshold}
+"""
 
 
 def embedding_near_dup_sql(threshold: float = 0.3) -> str:

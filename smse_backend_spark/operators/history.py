@@ -92,3 +92,59 @@ def hydrate_results(records: DataFrame, contents: DataFrame) -> DataFrame:
     """J2: the reference's per-hit point-lookup loop (routes/search.py:191-203)
     as ONE left join — broadcast the small side when it fits."""
     return records.join(contents, "content_id", "left")
+
+
+def search_persist_roundtrip(
+    spark,
+    sf_dir: str,
+    out_root: str,
+    query_text: str,
+    k: int = 10,
+    query_id: int = 1,
+    user_id: int = 7,
+    retrieved_at: str = "2024-06-01 12:00:00",
+) -> DataFrame:
+    """The reference's full search lifecycle as ONE oracle-checked flow:
+    search (routes/search.py:148-174) -> persist query + per-hit records
+    (:176-187) -> read history detail back and hydrate each hit
+    (:286-312). Idempotent: the persist step runs once per ``out_root``.
+    """
+    import os
+
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.operators.search import bm25_topk_scan
+
+    qdir = os.path.join(out_root, "queries")
+    rdir = os.path.join(out_root, "records")
+    if not os.path.exists(rdir):
+        results = bm25_topk_scan(load_corpus(spark, sf_dir), query_text, k)
+        persist_search(results, qdir, rdir, query_id, query_text, user_id, retrieved_at)
+    records = spark.read.parquet(rdir)
+    contents = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("content_id"), "lang", "source"
+    )
+    return hydrate_results(records, contents).select(
+        "query_id",
+        "content_id",
+        "similarity_score",
+        F.col("retrieved_at").cast("timestamp_ntz").alias("retrieved_at"),
+        "lang",
+        "source",
+    )
+
+
+def search_persist_roundtrip_sql(
+    query_text: str,
+    k: int = 10,
+    query_id: int = 1,
+    retrieved_at: str = "2024-06-01 12:00:00",
+) -> str:
+    from smse_backend_spark.operators.search import bm25_scan_oracle_sql
+
+    base = bm25_scan_oracle_sql(query_text, k)
+    return f"""
+WITH base AS ({base})
+SELECT {query_id} AS query_id, b.doc_id AS content_id, b.score AS similarity_score,
+       TIMESTAMP '{retrieved_at}' AS retrieved_at, d.lang, d.source
+FROM base b JOIN documents d ON d.doc_id = b.doc_id
+"""

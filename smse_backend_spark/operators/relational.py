@@ -180,3 +180,76 @@ def event_props_extract_sql(min_k: int = 95) -> str:
 SELECT event_id, json_extract(props, '$.k')::INT AS k
 FROM events WHERE json_extract(props, '$.k')::INT >= {min_k}
 """
+
+
+def user_prefs_merge(
+    spark: SparkSession, sf_dir: str, clear_type: str = "signup"
+) -> DataFrame:
+    """JSON preferences read/merge/clear (F13) — the dataflow of the
+    reference's /user/preferences routes (smse_backend/routes/user.py:92-139):
+    PUT merges keys into the stored JSON (last writer wins per key, i.e. an
+    iterated ``map_concat``), DELETE clears the map.
+
+    Events model the update stream: each event merges ``{event_type:
+    props.k}``; an event of ``clear_type`` clears the user's map. The final
+    state — latest value per key among events after the user's last clear —
+    is computed as set algebra (one anti-ordered filter + one window), not
+    a per-user fold, so it scales as two shuffles on (user_id[, key]).
+    Output: one (user_id, pref_key, pref_value) row per surviving key.
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    wc = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    clears = (
+        e.filter(F.col("event_type") == clear_type)
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid"))
+    )
+    upd = (
+        e.filter(F.col("event_type") != clear_type)
+        .join(clears, "user_id", "left")
+        .filter(
+            F.col("cts").isNull()
+            | (F.col("ts") > F.col("cts"))
+            | ((F.col("ts") == F.col("cts")) & (F.col("event_id") > F.col("cid")))
+        )
+    )
+    wk = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        upd.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("pref_key"),
+            F.get_json_object("props", "$.k").cast("int").alias("pref_value"),
+        )
+    )
+
+
+def user_prefs_merge_sql(clear_type: str = "signup") -> str:
+    return f"""
+WITH clears AS (
+  SELECT user_id, ts AS cts, event_id AS cid FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_type = '{clear_type}'
+  ) WHERE rn = 1
+),
+upd AS (
+  SELECT e.user_id, e.event_type, e.props, e.ts, e.event_id
+  FROM events e LEFT JOIN clears c USING (user_id)
+  WHERE e.event_type <> '{clear_type}'
+    AND (c.user_id IS NULL OR e.ts > c.cts OR (e.ts = c.cts AND e.event_id > c.cid))
+),
+latest AS (
+  SELECT user_id, event_type AS pref_key,
+         json_extract(props, '$.k')::INT AS pref_value,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM upd
+)
+SELECT user_id, pref_key, pref_value FROM latest WHERE rn = 1
+"""

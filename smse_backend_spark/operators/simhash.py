@@ -23,8 +23,19 @@ from smse_backend_spark.functions.tokenizer import tokenize_py, tokenize_series
 from smse_backend_spark.session import ensure_pyfiles
 
 N_BITS = 64
-N_BANDS = 4
-BAND_BITS = N_BITS // N_BANDS
+
+
+def band_plan(n_bands: int) -> list[tuple[int, int]]:
+    """Split 64 bits into ``n_bands`` contiguous bands: (shift, bits) per
+    band; the first ``64 % n_bands`` bands get the extra bit. Pigeonhole:
+    any pair with hamming < n_bands shares at least one identical band."""
+    base, rem = N_BITS // n_bands, N_BITS % n_bands
+    plan, shift = [], 0
+    for i in range(n_bands):
+        bits = base + (1 if i < rem else 0)
+        plan.append((shift, bits))
+        shift += bits
+    return plan
 
 
 def _term_hash64(term: str) -> int:
@@ -74,12 +85,20 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", udf(F.col("text")).alias("simhash"))
 
 
-def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_neardup_pairs(
+    docs: DataFrame, max_hamming: int = 3, n_bands: int | None = None
+) -> DataFrame:
     """Pairs with hamming(sig_a, sig_b) <= max_hamming (doc_a < doc_b).
 
-    Banding is exact for max_hamming < N_BANDS (pigeonhole); the final
-    hamming filter runs only on band-collision candidates.
+    ``n_bands`` defaults to ``max_hamming + 1`` so the banding is EXACT at
+    the requested radius (pigeonhole: <= max_hamming differing bits across
+    n_bands > max_hamming bands leaves one band identical); the final
+    hamming filter runs only on band-collision candidates. Higher radii
+    mean fewer bits per band and so more candidates — the standard
+    recall/cost dial of simhash banding.
     """
+    if n_bands is None:
+        n_bands = min(max_hamming + 1, N_BITS)
     sig = simhash_signatures(docs).cache()
     banded = sig.select(
         "doc_id", "simhash",
@@ -87,11 +106,11 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftright("simhash", b * BAND_BITS).bitwiseAND(
-                        F.lit((1 << BAND_BITS) - 1)
+                    F.shiftright("simhash", shift).bitwiseAND(
+                        F.lit((1 << bits) - 1)
                     ).alias("key"),
                 )
-                for b in range(N_BANDS)
+                for b, (shift, bits) in enumerate(band_plan(n_bands))
             ])
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
@@ -104,8 +123,56 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"),
         )
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
     return pairs
+
+
+def simhash_neardup_sql(max_hamming: int = 3) -> str:
+    """Exact DuckDB oracle: recompute the 64-bit tf-weighted signatures in
+    SQL (same tokenizer, same sha256-derived term hashes, same sign rule)
+    and take ALL pairs with hamming <= max_hamming — no banding, so it also
+    witnesses the banded path's full recall at the requested radius.
+
+    Token-less documents get signature 0 (matching the numpy kernel's
+    zero accumulator).
+    """
+    from smse_backend_spark.functions.tokenizer import tokenize_duckdb_sql
+
+    toks = tokenize_duckdb_sql("text")
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS t FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+  GROUP BY doc_id, term
+),
+th AS (
+  SELECT doc_id, tf, ('0x' || substring(sha256(term), 1, 16))::UBIGINT AS h
+  FROM tf
+),
+acc AS (
+  SELECT doc_id, r.b,
+         sum(CASE WHEN ((h >> r.b) & 1::UBIGINT) = 1 THEN tf ELSE -tf END) AS acc
+  FROM th, range(0, 64) r(b)
+  GROUP BY doc_id, r.b
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)::UBIGINT AS sig
+  FROM acc GROUP BY doc_id
+),
+sig0 AS (
+  SELECT d.doc_id, coalesce(s.sig, 0::UBIGINT) AS sig
+  FROM documents d LEFT JOIN sig s USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig))::INT AS hamming
+FROM sig0 a JOIN sig0 b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""

@@ -156,6 +156,32 @@ def fuse_multipart(emb: DataFrame, vec_ids: list[int]) -> DataFrame:
     return fused.crossJoin(F.broadcast(primary))
 
 
+def fuse_multipart_rows(emb: DataFrame, vec_ids: list[int]) -> DataFrame:
+    """:func:`fuse_multipart` flattened for the driver's scalar canonicalizer:
+    one row per vector position — (pos, value, primary_modality).
+
+    Same math (mean per position rounded 6dp, mode/first-seen modality);
+    only the output shape differs (the harness cannot sort array cells).
+    """
+    parts = emb.filter(F.col("vec_id").isin(vec_ids))
+    pos = parts.select(
+        "vec_id", "modality", F.posexplode("embedding").alias("pos", "v")
+    )
+    fused = pos.groupBy("pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("value")
+    )
+    primary = (
+        parts.groupBy("modality")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("vec_id").alias("first_seen"))
+        .orderBy(F.desc("cnt"), F.asc("first_seen"))
+        .limit(1)
+        .select(F.col("modality").alias("primary_modality"))
+    )
+    return fused.crossJoin(F.broadcast(primary)).select(
+        F.col("pos").cast("int").alias("pos"), "value", "primary_modality"
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle builders (same derivations, same math, same rounding)
 # ---------------------------------------------------------------------------
@@ -235,4 +261,32 @@ primary_m AS (
   ORDER BY cnt DESC, first_seen ASC LIMIT 1
 )
 SELECT fused, primary_modality FROM fused, primary_m
+"""
+
+
+def fuse_multipart_rows_sql(vec_ids: list[int]) -> str:
+    """Oracle twin of :func:`fuse_multipart_rows` (pos is 0-based like
+    Spark's posexplode; DuckDB subscripts are 1-based)."""
+    ids = ", ".join(map(str, vec_ids))
+    return f"""
+WITH e AS ({EMB_DERIVED_SQL}),
+parts AS (SELECT * FROM e WHERE vec_id IN ({ids})),
+pos AS (
+  SELECT vec_id, modality,
+         unnest(embedding)::DOUBLE AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM parts
+),
+fused AS (
+  SELECT (pos - 1)::INT AS pos, round(avg(v), 6) AS value FROM pos GROUP BY pos
+),
+primary_m AS (
+  SELECT modality AS primary_modality
+  FROM (
+    SELECT modality, count(*) AS cnt, min(vec_id) AS first_seen
+    FROM parts GROUP BY modality
+  )
+  ORDER BY cnt DESC, first_seen ASC LIMIT 1
+)
+SELECT pos, value, primary_modality FROM fused, primary_m
 """

@@ -158,12 +158,15 @@ def image_features_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         mean = flat.mean(axis=1)
         std = flat.std(axis=1)
         normed = (flat - mean[:, None]) / np.where(std > 0, std, 1.0)[:, None]
+        # deterministic half-up rounding (floor(x*1e6+0.5)/1e6): the DuckDB
+        # oracle computes the identical formula, so the 6dp values are
+        # bit-for-bit equal across engines (np.round's banker's mode is not)
         yield pd.DataFrame(
             {
                 "path": pdf["path"],
                 "height": imgs.shape[1],
                 "width": imgs.shape[2],
-                "features": list(np.round(normed, 6)),
+                "features": list(np.floor(normed * 1e6 + 0.5) / 1e6),
             }
         )
 
@@ -179,6 +182,175 @@ def extract_image_features(media: DataFrame) -> DataFrame:
         .select("path", "content")
         .mapInPandas(image_features_kernel, IMAGE_FEATURES_SCHEMA)
     )
+
+
+def extract_image_features_rows(media: DataFrame) -> DataFrame:
+    """:func:`extract_image_features` flattened to scalar rows for the
+    driver compare: (path, height, width, pos, value) — the harness
+    canonicalizer cannot sort array cells."""
+    feats = extract_image_features(media)
+    return feats.select(
+        "path", "height", "width", F.posexplode("features").alias("pos", "value")
+    ).select("path", "height", "width", F.col("pos").cast("int").alias("pos"), "value")
+
+
+_IMAGE_SYNTH_EXTS = [e for e in _SYNTH_EXTS if EXT_MODALITY.get(e) == "image"]
+
+
+def image_features_rows_sql() -> str:
+    """DuckDB oracle for ``extract_image_features_rows`` over ``synth_media``.
+
+    Replays the stub decoder exactly: the fake 8x8 image's 64 bytes are the
+    sha256 digest of the blob repeated twice, read here from the hex string
+    two nibbles at a time. mean/std/normalize/round all use formulas whose
+    double arithmetic is bit-identical to the numpy kernel (integer inputs,
+    exact sums, correctly-rounded division/sqrt, explicit floor(x*1e6+0.5)).
+    """
+    exts = ", ".join(f"'{e}'" for e in _SYNTH_EXTS)
+    img_exts = ", ".join(f"'{e}'" for e in _IMAGE_SYNTH_EXTS)
+    return f"""
+WITH m AS (
+  SELECT 'mem://' || source || '/doc_' || doc_id ||
+           ([{exts}])[(doc_id % {len(_SYNTH_EXTS)})::INT + 1] AS path,
+         ([{exts}])[(doc_id % {len(_SYNTH_EXTS)})::INT + 1] AS ext,
+         sha256(text) AS hx
+  FROM documents
+),
+b AS (
+  SELECT path, r.i,
+         ((strpos('0123456789abcdef', substr(hx, ((r.i % 32) * 2) + 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(hx, ((r.i % 32) * 2) + 2, 1)) - 1))::DOUBLE AS v
+  FROM m, range(0, 64) r(i)
+  WHERE ext IN ({img_exts})
+),
+mu AS (SELECT path, avg(v) AS mean FROM b GROUP BY path),
+sd AS (
+  SELECT path, any_value(mean) AS mean,
+         sqrt(avg((v - mean) * (v - mean))) AS std
+  FROM (SELECT b.path, b.v, mu.mean FROM b JOIN mu USING (path))
+  GROUP BY path
+)
+SELECT b.path, 8::INT AS height, 8::INT AS width, b.i::INT AS pos,
+       floor(((b.v - sd.mean) / (CASE WHEN sd.std > 0 THEN sd.std ELSE 1 END))
+             * 1000000.0 + 0.5) / 1000000.0 AS value
+FROM b JOIN sd USING (path)
+"""
+
+
+# ---------------------------------------------------------------------------
+# thumbnail derivation (S13): reference crop/resize geometry on the stub
+# ---------------------------------------------------------------------------
+
+# DEFAULT_THUMBNAIL_SIZE / quality of the reference's PIL worker
+# (smse_backend/services/thumbnail.py:30-35, :135 ImageOps.fit LANCZOS)
+THUMB_W, THUMB_H = 320, 180
+_THUMB_RATIO = THUMB_W / THUMB_H
+
+
+def fit_crop_box(
+    in_w: float, in_h: float, out_w: int = THUMB_W, out_h: int = THUMB_H,
+    centering: tuple[float, float] = (0.5, 0.5),
+) -> tuple[float, float, float, float]:
+    """PIL ``ImageOps.fit`` crop-box arithmetic, replicated exactly
+    (thumbnail.py:135 calls it with centering (0.5, 0.5), bleed 0): crop the
+    source to the output aspect ratio (centered), then resize to size.
+
+    Returns the float crop box (left, top, right, bottom) that PIL would
+    pass to ``Image.resize(size, box=...)``.
+    """
+    live_ratio = in_w / in_h
+    output_ratio = out_w / out_h
+    if live_ratio >= output_ratio:
+        crop_w, crop_h = output_ratio * in_h, in_h
+    else:
+        crop_w, crop_h = in_w, in_w / output_ratio
+    left = (in_w - crop_w) * centering[0]
+    top = (in_h - crop_h) * centering[1]
+    return (left, top, left + crop_w, top + crop_h)
+
+
+def fit_resize_nearest(
+    img: np.ndarray, out_w: int = THUMB_W, out_h: int = THUMB_H
+) -> np.ndarray:
+    """Aspect-preserving center-crop + resize on a decoded array.
+
+    The crop geometry is PIL's (:func:`fit_crop_box`, reference-faithful);
+    the resample is nearest-at-pixel-center standing in for LANCZOS — the
+    codec-quality part of the stub, clearly substituted (PIL absent here).
+    """
+    in_h, in_w = img.shape[:2]
+    left, top, right, bottom = fit_crop_box(in_w, in_h, out_w, out_h)
+    xs = left + (np.arange(out_w) + 0.5) * (right - left) / out_w
+    ys = top + (np.arange(out_h) + 0.5) * (bottom - top) / out_h
+    xi = np.clip(np.floor(xs).astype(np.int64), 0, in_w - 1)
+    yi = np.clip(np.floor(ys).astype(np.int64), 0, in_h - 1)
+    return img[np.ix_(yi, xi)]
+
+
+def media_thumbnail_plan(media: DataFrame) -> DataFrame:
+    """Per-image thumbnail derivation plan: synthetic source dims (the stub
+    decoder has no real header to read) + the exact PIL crop box + output
+    size. Pure Column algebra — drives :func:`fit_resize_nearest` kernels
+    without touching the blobs; mirrors thumbnail.py:120-150.
+    """
+    in_w = (F.lit(64) + F.col("length") % 193).cast("int")
+    in_h = (F.lit(64) + F.col("length") % 121).cast("int")
+    ratio = in_w / in_h
+    crop_w = F.when(ratio >= F.lit(_THUMB_RATIO), F.lit(_THUMB_RATIO) * in_h).otherwise(
+        in_w.cast("double")
+    )
+    crop_h = F.when(ratio >= F.lit(_THUMB_RATIO), in_h.cast("double")).otherwise(
+        in_w / F.lit(_THUMB_RATIO)
+    )
+    left = (in_w - crop_w) * 0.5
+    top = (in_h - crop_h) * 0.5
+    return media.filter(F.col("modality") == "image").select(
+        "path",
+        in_w.alias("in_w"),
+        in_h.alias("in_h"),
+        left.alias("crop_left"),
+        top.alias("crop_top"),
+        (left + crop_w).alias("crop_right"),
+        (top + crop_h).alias("crop_bottom"),
+        F.lit(THUMB_W).alias("out_w"),
+        F.lit(THUMB_H).alias("out_h"),
+    )
+
+
+def media_thumbnail_plan_sql() -> str:
+    """DuckDB oracle for :func:`media_thumbnail_plan` over ``synth_media``
+    (raw doubles, no rounding: every op is correctly-rounded IEEE on integer
+    inputs, so both engines produce bit-identical values)."""
+    exts = ", ".join(f"'{e}'" for e in _SYNTH_EXTS)
+    img_exts = ", ".join(f"'{e}'" for e in _IMAGE_SYNTH_EXTS)
+    # explicit ::DOUBLE — DuckDB parses a bare decimal literal as DECIMAL(18)
+    r = f"({_THUMB_RATIO!r}::DOUBLE)"
+    return f"""
+WITH m AS (
+  SELECT 'mem://' || source || '/doc_' || doc_id ||
+           ([{exts}])[(doc_id % {len(_SYNTH_EXTS)})::INT + 1] AS path,
+         ([{exts}])[(doc_id % {len(_SYNTH_EXTS)})::INT + 1] AS ext,
+         octet_length(encode(text))::BIGINT AS length
+  FROM documents
+),
+d AS (
+  SELECT path, (64 + length % 193)::INT AS in_w, (64 + length % 121)::INT AS in_h
+  FROM m WHERE ext IN ({img_exts})
+),
+c AS (
+  SELECT path, in_w, in_h,
+         CASE WHEN in_w / in_h >= {r} THEN {r} * in_h ELSE in_w::DOUBLE END AS crop_w,
+         CASE WHEN in_w / in_h >= {r} THEN in_h::DOUBLE ELSE in_w / {r} END AS crop_h
+  FROM d
+)
+SELECT path, in_w, in_h,
+       (in_w - crop_w) * 0.5 AS crop_left,
+       (in_h - crop_h) * 0.5 AS crop_top,
+       (in_w - crop_w) * 0.5 + crop_w AS crop_right,
+       (in_h - crop_h) * 0.5 + crop_h AS crop_bottom,
+       {THUMB_W} AS out_w, {THUMB_H} AS out_h
+FROM c
+"""
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
