@@ -49,6 +49,17 @@ _RE_NON_ALNUM = "[^a-z0-9]+"
 _RE_TOKEN = "[A-Z]+(?![a-z])[a-z0-9]*|[A-Z][a-z0-9]*|[a-z0-9]+"
 _PY_TOKEN = re.compile(_RE_TOKEN)
 
+# Pre-fold (step 0 of the spec, applied by ALL implementations): the only
+# two codepoints whose str.lower() CONTAINS ASCII letters — U+0130 (İ,
+# lowers to 'i' + combining dot) and U+212A (Kelvin K, lowers to 'k') —
+# fold to their ASCII look-alikes. Without this, lowercase-then-split
+# (reference form) emits ASCII tokens from them while ASCII-class
+# extraction (hot path) cannot see them; folding makes the two forms
+# equivalent on ALL input, not just ASCII (property-tested incl. these
+# codepoints).
+_FOLD_FROM, _FOLD_TO = "\u0130\u212a", "IK"
+_FOLD_TRANS = str.maketrans(_FOLD_FROM, _FOLD_TO)
+
 _PY_CAMEL_RUN = re.compile(_RE_CAMEL_RUN)
 _PY_LOWER_UPPER = re.compile(_RE_LOWER_UPPER)
 _PY_NON_ALNUM = re.compile(_RE_NON_ALNUM)
@@ -61,6 +72,7 @@ _PY_NON_ALNUM = re.compile(_RE_NON_ALNUM)
 def tokenize_col(content: Column | str) -> Column:
     """``array<string>`` of terms; entirely JVM-side (regexp_extract_all)."""
     c = F.col(content) if isinstance(content, str) else content
+    c = F.translate(c, _FOLD_FROM, _FOLD_TO)
     return F.transform(
         F.regexp_extract_all(c, F.lit(_RE_TOKEN), F.lit(0)), F.lower
     )
@@ -70,6 +82,7 @@ def doc_len_col(content: Column | str) -> Column:
     """Token count (BM25 ``dl``) as a pure Column expression (no lowering —
     the count is case-independent)."""
     c = F.col(content) if isinstance(content, str) else content
+    c = F.translate(c, _FOLD_FROM, _FOLD_TO)
     return F.size(F.regexp_extract_all(c, F.lit(_RE_TOKEN), F.lit(0)))
 
 
@@ -79,7 +92,7 @@ def doc_len_col(content: Column | str) -> Column:
 
 def tokenize_series(s: pd.Series) -> pd.Series:
     """Series[str] -> Series[list[str]] (lowered terms)."""
-    toks = s.fillna("").str.findall(_PY_TOKEN)
+    toks = s.fillna("").str.translate(_FOLD_TRANS).str.findall(_PY_TOKEN)
     return toks.apply(lambda ts: [t.lower() for t in ts])
 
 
@@ -90,7 +103,7 @@ def term_counts_frame(doc_ids: pd.Series, contents: pd.Series) -> pd.DataFrame:
     (while the whole document is still in one Arrow batch) means the index
     build never shuffles the raw token stream, only (doc, term) pairs.
     """
-    toks = contents.fillna("").str.findall(_PY_TOKEN)
+    toks = contents.fillna("").str.translate(_FOLD_TRANS).str.findall(_PY_TOKEN)
     dl = toks.str.len().astype("int64")
     frame = pd.DataFrame({"doc_id": doc_ids.values, "term": toks.values, "doc_len": dl.values})
     frame = frame.explode("term", ignore_index=True)
@@ -132,7 +145,7 @@ def term_counts_with_docs_map_in_pandas(
     (the tokenizer drops empty tokens).
     """
     for pdf in batches:
-        toks = pdf["content"].fillna("").str.findall(_PY_TOKEN)
+        toks = pdf["content"].fillna("").str.translate(_FOLD_TRANS).str.findall(_PY_TOKEN)
         dl = toks.str.len().astype("int64")
         lang = pdf["lang"].to_numpy() if "lang" in pdf.columns else ""
         docs = pd.DataFrame(
@@ -169,13 +182,16 @@ TERM_COUNTS_LANG_SCHEMA = "doc_id long, term string, tf long, doc_len long, lang
 # ---------------------------------------------------------------------------
 
 def tokenize_py(text: str) -> list[str]:
-    return [t.lower() for t in _PY_TOKEN.findall(text or "")]
+    return [
+        t.lower() for t in _PY_TOKEN.findall((text or "").translate(_FOLD_TRANS))
+    ]
 
 
 def tokenize_py_reference(text: str) -> list[str]:
-    """The replace-based reference algorithm, kept verbatim as the property-
-    test witness that ``_RE_TOKEN`` extraction is semantically identical."""
-    text = _PY_CAMEL_RUN.sub(r"\1 \2", text or "")
+    """The replace-based reference algorithm (with the same step-0 fold),
+    kept as the property-test witness that ``_RE_TOKEN`` extraction is
+    semantically identical."""
+    text = _PY_CAMEL_RUN.sub(r"\1 \2", (text or "").translate(_FOLD_TRANS))
     text = _PY_LOWER_UPPER.sub(r"\1 \2", text)
     return [t for t in _PY_NON_ALNUM.split(text.lower()) if t]
 
@@ -186,8 +202,9 @@ def tokenize_py_reference(text: str) -> list[str]:
 
 def tokenize_duckdb_sql(expr: str) -> str:
     r"""DuckDB expression producing the identical ``list<varchar>`` of terms."""
+    folded = f"replace(replace({expr}, '\u0130', 'I'), '\u212a', 'K')"
     return (
         "list_filter(regexp_split_to_array(lower("
-        f"regexp_replace(regexp_replace({expr}, '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),"
+        f"regexp_replace(regexp_replace({folded}, '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),"
         " '([a-z0-9])([A-Z])', '\\1 \\2', 'g')), '[^a-z0-9]+'), t -> t <> '')"
     )

@@ -178,9 +178,12 @@ def build_index(
     # fallback fingerprints the input file listing (None for derived/cached
     # inputs, which then opt out of the cross-snapshot guard).
     snapshot = snapshot_id or corpus_snapshot(corpus)
+    # lineage-less inputs (corpus_snapshot None: derived/cached plans) opt
+    # OUT of the cross-snapshot guard, as documented above — only two
+    # known, differing snapshots are a refusal
     for row in lin.read_lineage(out_dir):
         prev = row.get("corpus_snapshot")
-        if prev is not None and prev != snapshot:
+        if snapshot is not None and prev is not None and prev != snapshot:
             raise ValueError(
                 f"index at {out_dir} was built from corpus snapshot {prev}; "
                 f"current corpus is {snapshot} — refusing to resume across "

@@ -106,11 +106,18 @@ def _make_batch_scorer(
             nz = np.flatnonzero(col > 0.0)
             if nz.size == 0:
                 continue
-            take = nz
+            # deterministic candidate cut: partition on ROUNDED scores and
+            # keep every row tying the kk-th rounded score, so the kept set
+            # is exactly the (score desc, doc_id asc) prefix — tie-heavy
+            # partitions (replica corpora) stay rank-identical to the
+            # scan/pruned paths instead of keeping an arbitrary tie subset
+            sc_nz = np.round(col[nz], 6)
+            take, sc = nz, sc_nz
             if nz.size > kk:
-                part_idx = np.argpartition(-col[nz], kk - 1)[:kk]
-                take = nz[part_idx]
-            sc = np.round(col[take], 6)
+                part = np.argpartition(-sc_nz, kk - 1)
+                thresh = sc_nz[part[kk - 1]]
+                keep = np.flatnonzero(sc_nz >= thresh)
+                take, sc = nz[keep], sc_nz[keep]
             order = np.lexsort((doc_ids[take], -sc))[:kk]
             out_frames.append(
                 pd.DataFrame(

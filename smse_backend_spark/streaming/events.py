@@ -95,9 +95,18 @@ def streamed_rollup_df(spark: SparkSession, sf_dir: str, out_root: str) -> DataF
 
 
 def streamed_rollup_sql(window_hours: int = 1, watermark_hours: int = 2) -> str:
+    # bucketing derives from window_hours (epoch-aligned tumbling windows,
+    # matching F.window's origin); the 1h case keeps the simpler date_trunc
+    # (identical result for tz-less timestamps)
+    w = window_hours * 3600
+    bucket = (
+        "date_trunc('hour', ts)"
+        if window_hours == 1
+        else f"to_timestamp((floor(epoch(ts) / {w}) * {w})::BIGINT)::TIMESTAMP"
+    )
     return f"""
 WITH agg AS (
-  SELECT date_trunc('hour', ts) AS hour, event_type,
+  SELECT {bucket} AS hour, event_type,
          count(*) AS n, round(sum(value), 6) AS total_value
   FROM events GROUP BY 1, 2
 )

@@ -64,42 +64,47 @@ def _make_session_fn(gap_seconds: int):
         us = ev["ts"].astype("int64") // 1000  # ns -> us (exact)
         val = ev["value"].astype("float64")
 
-        if state.exists:
-            first_us, last_us, n, total = state.get
-        else:
-            first_us = last_us = None
-
-        # split into sessions: boundary where gap to previous event > gap_us
+        # 1. split the batch standalone (no state seeding): consecutive
+        #    groups are > gap apart by construction
         prev = us.shift(1)
-        if last_us is not None:
-            prev.iloc[0] = last_us
         boundary = (us - prev) > gap_us
-        if last_us is None:
-            boundary.iloc[0] = True
-        sess_id = boundary.cumsum()  # 0 => continues the open state session
-
+        boundary.iloc[0] = True
+        sess_id = boundary.cumsum()
         agg = (
             pd.DataFrame({"s": sess_id, "us": us, "v": val})
             .groupby("s", sort=True)
             .agg(first=("us", "min"), last=("us", "max"),
                  n=("us", "size"), total=("v", "sum"))
         )
-        sessions: list[tuple[int, int, int, float]] = []
-        if last_us is not None and 0 not in agg.index:
-            # the batch's first event already starts a new session — the
-            # open state session was closed by data, emit it below
-            sessions.append((first_us, last_us, n, total))
-        for s, row in agg.iterrows():
-            if s == 0 and last_us is not None:
-                sessions.append(
-                    (first_us, int(row["last"]), n + int(row["n"]),
-                     total + float(row["total"]))
-                )
-            else:
-                sessions.append(
-                    (int(row["first"]), int(row["last"]), int(row["n"]),
-                     float(row["total"]))
-                )
+        groups = [
+            (int(r["first"]), int(r["last"]), int(r["n"]), float(r["total"]))
+            for _, r in agg.iterrows()
+        ]
+
+        # 2. fold the open state session in as an interval: any group within
+        #    gap of (or overlapping) the state span [first_us, last_us]
+        #    merges into it with min/max bounds — events may legally arrive
+        #    BEFORE the state's last event (out-of-order across micro-
+        #    batches, inside the watermark) and must neither re-open a
+        #    boundary nor shrink session_end. Chains are covered: a group
+        #    not merging against the ORIGINAL span is > gap from every
+        #    merged group too (standalone groups are > gap apart).
+        if state.exists:
+            first_us, last_us, n, total = state.get
+            merged = (first_us, last_us, n, total)
+            rest: list[tuple[int, int, int, float]] = []
+            for g in groups:
+                if g[0] <= last_us + gap_us and g[1] >= first_us - gap_us:
+                    merged = (
+                        min(merged[0], g[0]), max(merged[1], g[1]),
+                        merged[2] + g[2], merged[3] + g[3],
+                    )
+                else:
+                    rest.append(g)
+            sessions = sorted(rest + [merged])
+        else:
+            sessions = groups
+
         # all but the newest session were closed by a later event -> emit now
         closed, open_ = sessions[:-1], sessions[-1]
         state.update(open_)

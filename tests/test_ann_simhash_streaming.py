@@ -194,3 +194,46 @@ def test_sessionize_handles_multi_session_batches(spark, tmp_path):
     )
     # burst 3 stays open: final watermark = 05:20 - 2h < 05:20 + 30m
     assert got == [(7, 1, 4.0), (7, 2, 3.0)]
+
+
+def test_sessionize_out_of_order_across_batches(spark, tmp_path):
+    """An event arriving in a LATER micro-batch with ts < the open state's
+    last event (legal inside the watermark) must merge into the open
+    session without shrinking session_end or re-splitting it."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.streaming.sessions import sessionize
+
+    def write(rows, name):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        df.coalesce(1).write.parquet(str(tmp_path / "stage"))
+        part = next((tmp_path / "stage").glob("*.parquet"))
+        shutil.move(str(part), src / name)
+        shutil.rmtree(tmp_path / "stage")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # batch 1: open session [00:00, 00:10]
+    write([(1, "2024-01-01 00:00:00", 7, "view", 1.0, "{}"),
+           (2, "2024-01-01 00:10:00", 7, "view", 2.0, "{}")], "part-0.parquet")
+    sessionize(spark, str(src), out, ckpt, gap_minutes=30, watermark="2 hours")
+    # batch 2: one OUT-OF-ORDER event inside the open span (00:05) and one
+    # event 50 min after its end (01:00) that closes it by data
+    write([(3, "2024-01-01 00:05:00", 7, "view", 4.0, "{}"),
+           (4, "2024-01-01 01:00:00", 7, "view", 8.0, "{}")], "part-1.parquet")
+    sessionize(spark, str(src), out, ckpt, gap_minutes=30, watermark="2 hours")
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert len(got) == 1
+    user_id, start, end, n, total = got[0]
+    # the closed session keeps end 00:10 (NOT shrunk to 00:05) and absorbs
+    # the late event: 3 events, total 7.0
+    assert (user_id, str(start), str(end), n, total) == (
+        7, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 3, 7.0
+    )

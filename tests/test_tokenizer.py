@@ -73,7 +73,10 @@ def test_extraction_equals_reference_algorithm_hypothesis():
     from smse_backend_spark.functions.tokenizer import tokenize_py_reference
 
     alphabet = st.sampled_from(
-        list("abcXYZ019_ ./(){}\t\n-") + ["é", "ß"]
+        # U+0130 (dotted capital I) and U+212A (Kelvin sign) are the two
+        # codepoints whose lowercase contains ASCII letters - folded by the
+        # tokenizer spec, and exactly the class e-acute/eszett cannot detect
+        list("abcXYZ019_ ./(){}\t\n-") + ["é", "ß", "\u0130", "\u212a"]
     )
 
     @settings(max_examples=500, deadline=None)
