@@ -38,6 +38,51 @@ def ensure_pyfiles(spark: SparkSession) -> None:
     _PYFILES_SENT.add(key)
 
 
+def object_store_conf(
+    endpoint: str | None = None,
+    path_style_access: bool = True,
+) -> dict[str, str]:
+    """Spark conf for running the engine against an ``s3a://`` object store
+    (SURVEY S5 — the reference's S3 backend,
+    smse_backend/services/file_storage.py:220-431, becomes pure config here:
+    every reader/writer in this package goes through ``spark.read``/
+    ``writeStream`` and hence Hadoop FileSystem URI resolution, so only the
+    filesystem needs configuring, never the operators).
+
+    Pass the result as ``get_spark(extra_conf=object_store_conf(...))``.
+    Deploy-time requirement (not bundled in this sandbox, hence not
+    integration-tested here): the hadoop-aws + bundle jars, e.g.
+    ``spark-submit --packages org.apache.hadoop:hadoop-aws:<hadoop ver>``.
+
+    - Committer: the S3A "magic" committer — object stores have no atomic
+      rename, so the default FileOutputCommitter's rename-based commit is
+      both O(data) and unsafe; magic commits via multipart-upload
+      completion.
+    - Credentials: left to the default S3A provider chain (env vars,
+      instance profile) — no secrets in code or conf files.
+    - ``endpoint`` + path-style access support MinIO-style local stubs.
+    """
+    conf = {
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+        "spark.sql.sources.commitProtocolClass":
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+        "spark.sql.parquet.output.committer.class":
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+        # many small objects (postings segments, media blobs): widen the
+        # connection pool and keep uploads buffered in memory
+        "spark.hadoop.fs.s3a.connection.maximum": "96",
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+        "spark.hadoop.fs.s3a.directory.marker.retention": "keep",
+    }
+    if endpoint is not None:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+        conf["spark.hadoop.fs.s3a.path.style.access"] = (
+            "true" if path_style_access else "false"
+        )
+    return conf
+
+
 def get_spark(
     app_name: str = "smse_backend_spark",
     master: str | None = None,

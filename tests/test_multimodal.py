@@ -24,6 +24,34 @@ def media_dir(tmp_path_factory):
     return str(d)
 
 
+def test_ingest_scheme_agnostic_uri(spark, media_dir):
+    """S5/S6 backend dispatch: the same ingest runs against an explicit
+    filesystem URI (file://) as against a bare path — all IO resolves
+    through Hadoop FileSystem, so an s3a:// bucket is the same code path
+    with ``session.object_store_conf`` + the hadoop-aws jars."""
+    plain = sorted(
+        (r["path"].rsplit("/", 1)[-1], r["sha256"], r["length"])
+        for r in ingest_binary_dir(spark, media_dir).collect()
+    )
+    uri = sorted(
+        (r["path"].rsplit("/", 1)[-1], r["sha256"], r["length"])
+        for r in ingest_binary_dir(spark, f"file://{media_dir}").collect()
+    )
+    assert plain == uri and len(plain) == 5
+
+
+def test_object_store_conf_shape():
+    from smse_backend_spark.session import object_store_conf
+
+    conf = object_store_conf("http://localhost:9000")
+    assert conf["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://localhost:9000"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    # no credential material may ever appear in conf
+    assert not any("secret" in k or "access.key" in k for k in conf)
+    assert "spark.hadoop.fs.s3a.endpoint" not in object_store_conf()
+
+
 def test_ingest_modality_and_sha(spark, media_dir):
     m = ingest_binary_dir(spark, media_dir)
     rows = {r["path"].rsplit("/", 1)[-1]: r for r in m.collect()}
