@@ -35,6 +35,17 @@ def _streamed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_CACHE: dict[str, str] = {}
 _ROUNDTRIP_CACHE: dict[str, str] = {}
+_SDEDUP_CACHE: dict[str, str] = {}
+
+
+def _streamed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smse_backend_spark.streaming.events import streamed_dedup_df
+
+    if sf_dir not in _SDEDUP_CACHE:
+        import tempfile
+
+        _SDEDUP_CACHE[sf_dir] = tempfile.mkdtemp(prefix="smse_sdedup_")
+    return streamed_dedup_df(spark, sf_dir, _SDEDUP_CACHE[sf_dir])
 
 
 def _roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,6 +145,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, _query_vecs(spark, sf_dir), 10, n_planes=8, n_tables=4
         ).withColumn("rank", F.col("rank").cast("long"))
 
+    def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from smse_backend_spark.operators.ann import ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ivf_topk(
+            emb, _query_vecs(spark, sf_dir), 10, n_centroids=16, n_probe=4
+        ).withColumn("rank", F.col("rank").cast("long"))
+
     def _emb(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             return fn(S.load_embeddings(spark, sf_dir))
@@ -187,8 +208,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_brute_force": _ann_brute,
         "ann_lsh": _ann_lsh,
+        "ann_ivf": _ann_ivf,
         # streaming twin of hourly_event_rollup (append-mode watermark oracle)
         "streamed_event_rollup": _streamed_rollup,
+        # streaming exact dedup (dropDuplicates state on content hash)
+        "streamed_dedup": _streamed_dedup,
         # custom stateful streaming: applyInPandasWithState sessionization
         "sessionized_events": _sessionized,
         # multimodal plumbing over the synthetic media table
@@ -229,7 +253,10 @@ def oracle_sql() -> dict[str, str]:
     from smse_backend_spark.operators import similarity as S
     from smse_backend_spark.operators import storage as ST
     from smse_backend_spark.sources import multimodal as M
-    from smse_backend_spark.streaming.events import streamed_rollup_sql
+    from smse_backend_spark.streaming.events import (
+        streamed_dedup_sql,
+        streamed_rollup_sql,
+    )
     from smse_backend_spark.streaming.sessions import sessionized_events_sql
 
     ann_sql = """
@@ -251,7 +278,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
 """
 
     from smse_backend_spark.operators import simhash as SH
-    from smse_backend_spark.operators.ann import lsh_topk_sql
+    from smse_backend_spark.operators.ann import ivf_topk_sql, lsh_topk_sql
 
     return {
         "dedup_exact": D.dedup_exact_sql(),
@@ -262,6 +289,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "embedding_near_dup_lsh": D.embedding_near_dup_lsh_sql(0.3, dim=64),
         "simhash_neardup": SH.simhash_neardup_sql(10),
         "ann_lsh": lsh_topk_sql([0, 1, 2], dim=64, k=10, n_planes=8, n_tables=4),
+        "ann_ivf": ivf_topk_sql([0, 1, 2], k=10, n_centroids=16, n_probe=4),
         "token_stats": Q.token_stats_sql(),
         "quality_scores": Q.quality_scores_sql(0.2),
         "lang_id": Q.lang_id_sql(),
@@ -290,6 +318,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "hourly_event_rollup": R.hourly_event_rollup_sql(),
         "event_props_extract": R.event_props_extract_sql(),
         "streamed_event_rollup": streamed_rollup_sql(),
+        "streamed_dedup": streamed_dedup_sql(),
         "sessionized_events": sessionized_events_sql(),
         "media_ingest_meta": M.synth_media_meta_sql(),
         "media_frame_plan": M.frame_sample_sql(),

@@ -204,11 +204,13 @@ def main() -> None:
     }
 
     if os.environ.get("SMSE_BENCH_SCALING", "1") != "0":
-        # throttle windows distort any single run; both levels get an extra
-        # rep before the min (three reps catch a clean window far more
-        # reliably than two — observed lo-level min swing 118 -> 136 s with
-        # only two)
-        s_hi = run_probe(CORES_HI, REPS + 1)
+        # throttle windows distort any single run; extra reps before the min
+        # catch a clean window far more reliably. The HI level is the more
+        # throttle-sensitive one (wider = more likely clamped; observed
+        # 8-core min swing 39.6 -> 45.3 s across full runs, enough to move
+        # efficiency 0.86 -> 0.75 with nothing changed), so it gets one more
+        # rep than LO (each hi rep is also ~3x cheaper than a lo rep).
+        s_hi = run_probe(CORES_HI, REPS + 2)
         s_lo = run_probe(CORES_LO, REPS + 1)
         if s_lo and s_hi:
             ratio = CORES_HI / CORES_LO

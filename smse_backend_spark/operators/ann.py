@@ -192,6 +192,152 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to their nearest centroid
+    (inverted lists); a query probes only its ``n_probe`` nearest lists and
+    exact-re-ranks the candidates. The classic recall/cost dial next to the
+    LSH path: at 10^12 rows a query touches n_probe/n_centroids of the
+    corpus instead of all of it, and the assignment is a bounded-size
+    broadcast (centroids) against a single corpus scan.
+
+    Centroids here are the deterministic stand-in ``vec_id < n_centroids``
+    rows (a real deployment k-means-trains them first — training changes
+    WHICH rows are centroids, not this dataflow), which keeps the whole
+    operator exactly replayable by the DuckDB oracle. Assignment and probe
+    selection round cosines to 6 dp and tie-break on centroid id, so both
+    engines pick identical lists.
+    """
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    ensure_pyfiles(spark)
+    cent_rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < n_centroids).collect()
+    )
+    c_ids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    c_mat = np.array([v for _, v in cent_rows], dtype=np.float64)
+    cn = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+
+    q_ids = np.array(sorted(queries), dtype=np.int64)
+    q_mat = np.array([queries[int(q)] for q in q_ids], dtype=np.float64)
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # per query: the n_probe nearest centroids (rounded score desc, id asc)
+    q_sims = np.round(qn @ cn.T, 6)  # (Q, C)
+    probe_sets = []
+    for j in range(len(q_ids)):
+        order = np.lexsort((c_ids, -q_sims[j]))[:n_probe]
+        probe_sets.append(set(c_ids[order].tolist()))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: list[pd.DataFrame] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            a_sims = np.round(mn @ cn.T, 6)  # (R, C)
+            # nearest centroid, ties -> smallest centroid id (c_ids sorted
+            # asc, argmax returns the first maximum)
+            assigned = c_ids[np.argmax(a_sims, axis=1)]
+            vec_ids = pdf["vec_id"].to_numpy(np.int64)
+            sims = np.round(mn @ qn.T, 6)  # (R, Q)
+            for j in range(len(q_ids)):
+                mask = np.isin(assigned, list(probe_sets[j]))
+                if not mask.any():
+                    continue
+                best.append(
+                    pd.DataFrame(
+                        {"query_id": q_ids[j], "vec_id": vec_ids[mask],
+                         "score": sims[mask, j]}
+                    )
+                )
+        if best:
+            out = pd.concat(best, ignore_index=True)
+            out = out.sort_values(
+                ["query_id", "score", "vec_id"], ascending=[True, False, True],
+                kind="stable", ignore_index=True,
+            )
+            yield out.groupby("query_id", sort=False).head(k)
+
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "query_id long, vec_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "score")
+    )
+
+
+def ivf_topk_sql(
+    query_vec_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """Exact DuckDB oracle for :func:`ivf_topk` (queries are rows of
+    ``embeddings``; centroids are the deterministic ``vec_id < n_centroids``
+    rows, so the full assignment/probe/re-rank is SQL-replayable)."""
+    ids = ", ".join(map(str, query_vec_ids))
+    return f"""
+WITH cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < {n_centroids}),
+pz AS (
+  SELECT e.vec_id, c.c_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(c.cv)::DOUBLE AS y
+  FROM embeddings e, cent c
+),
+ps AS (
+  SELECT vec_id, c_id,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS sim
+  FROM pz GROUP BY vec_id, c_id
+),
+assigned AS (
+  SELECT vec_id, c_id FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+    FROM ps
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, c_id FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+    FROM ps WHERE vec_id IN ({ids})
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.c_id = p.c_id
+),
+z AS (
+  SELECT c.query_id, c.vec_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(q.embedding)::DOUBLE AS y
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.query_id
+),
+s AS (
+  SELECT query_id, vec_id,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score
+  FROM z GROUP BY query_id, vec_id
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id, score FROM r WHERE rank <= {k}
+"""
+
+
 def planes_values_sql(planes: np.ndarray) -> str:
     """The plane entries as a DuckDB VALUES list ``(t, j, d, s)`` with
     1-based ``d`` (DuckDB list subscripts)."""

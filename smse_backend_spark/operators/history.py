@@ -88,9 +88,25 @@ def history_counts_sql(min_events: int = 50) -> str:
     )
 
 
-def hydrate_results(records: DataFrame, contents: DataFrame) -> DataFrame:
+def hydrate_results(
+    records: DataFrame, contents: DataFrame, pushdown_limit: int | None = 10_000
+) -> DataFrame:
     """J2: the reference's per-hit point-lookup loop (routes/search.py:191-203)
-    as ONE left join — broadcast the small side when it fits."""
+    as ONE left join.
+
+    When the hit list is bounded (it is: k results per query), the distinct
+    content_ids are pushed into the contents scan as an ``isin`` filter —
+    the plan becomes a pruned point-lookup (``PushedFilters: [In(...)]``)
+    against the 100 TB contents table plus a broadcast join, not a full
+    corpus scan. ``pushdown_limit`` caps the driver-side id collect; above
+    it (or with ``None``) the plain shuffle join runs instead.
+    """
+    if pushdown_limit is not None:
+        ids = records.select("content_id").distinct().limit(pushdown_limit + 1).collect()
+        if len(ids) <= pushdown_limit:
+            contents = contents.filter(
+                F.col("content_id").isin([r[0] for r in ids])
+            )
     return records.join(contents, "content_id", "left")
 
 

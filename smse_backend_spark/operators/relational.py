@@ -193,34 +193,30 @@ def user_prefs_merge(
     Events model the update stream: each event merges ``{event_type:
     props.k}``; an event of ``clear_type`` clears the user's map. The final
     state — latest value per key among events after the user's last clear —
-    is computed as set algebra (one anti-ordered filter + one window), not
-    a per-user fold, so it scales as two shuffles on (user_id[, key]).
+    is ONE scan + two windows: a running clears-seen count over the
+    (user, key-desc) window marks survivors ("no clear after me"), then a
+    per-(user, key) rank picks the latest. No self-join, no second pass
+    over the event log — at 100 TB of events the log is read once.
     Output: one (user_id, pref_key, pref_value) row per surviving key.
     """
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
-    wc = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    clears = (
-        e.filter(F.col("event_type") == clear_type)
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid"))
-    )
-    upd = (
-        e.filter(F.col("event_type") != clear_type)
-        .join(clears, "user_id", "left")
-        .filter(
-            F.col("cts").isNull()
-            | (F.col("ts") > F.col("cts"))
-            | ((F.col("ts") == F.col("cts")) & (F.col("event_id") > F.col("cid")))
-        )
+    w_desc = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    clears_after = F.count(
+        F.when(F.col("event_type") == clear_type, F.lit(1))
+    ).over(w_desc)
+    survivors = (
+        e.withColumn("clears_after", clears_after)
+        .filter((F.col("event_type") != clear_type) & (F.col("clears_after") == 0))
     )
     wk = Window.partitionBy("user_id", "event_type").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
     return (
-        upd.withColumn("rn", F.row_number().over(wk))
+        survivors.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") == 1)
         .select(
             "user_id",

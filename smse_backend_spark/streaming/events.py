@@ -116,6 +116,58 @@ WHERE hour + INTERVAL {window_hours} HOUR
 """
 
 
+def streamed_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    out_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming exact dedup: the arriving document stream deduplicated on
+    content hash with ``dropDuplicates`` state — the incremental twin of
+    ``operators/dedup.dedup_exact``. Emits one row per DISTINCT content
+    hash (first arrival wins; only the hash is emitted so the result is
+    order-independent and oracle-comparable).
+
+    State is one ~64 B row per distinct hash. At 100 TB pair this with
+    ``withWatermark`` on an ingest-time column (dropDuplicates then ages
+    state out past the watermark) — unbounded here because the local drain
+    is finite.
+    """
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(source_dir)
+    hashes = docs.select(
+        F.sha2(F.col("text"), 256).alias("content_sha256")
+    ).dropDuplicates(["content_sha256"])
+    q = (
+        hashes.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streamed_dedup_df(spark: SparkSession, sf_dir: str, out_root: str) -> DataFrame:
+    """Driver-contract wrapper (idempotent via checkpoint)."""
+    import os
+    import shutil
+
+    src = os.path.join(out_root, "src")
+    out = os.path.join(out_root, "out")
+    ckpt = os.path.join(out_root, "ckpt")
+    if not os.path.exists(src):
+        os.makedirs(src)
+        shutil.copy(os.path.join(sf_dir, "documents.parquet"),
+                    os.path.join(src, "part-0.parquet"))
+    streamed_dedup(spark, src, out, ckpt)
+    return spark.read.parquet(out)
+
+
+def streamed_dedup_sql() -> str:
+    return "SELECT DISTINCT sha256(text) AS content_sha256 FROM documents"
+
+
 def incremental_ingest(
     spark: SparkSession,
     source_dir: str,

@@ -160,6 +160,30 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark, sf_smoke):
     assert len(lsh) > 0
 
 
+def test_ann_ivf_recall_and_single_scan(spark, sf_smoke):
+    """IVF probes n_probe/n_centroids of the corpus yet keeps useful
+    recall@10 vs brute force; the candidate pass is ONE corpus scan."""
+    from smse_backend_spark.operators.ann import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    q = {r.vec_id: list(map(float, r.embedding))
+         for r in emb.filter(F.col("vec_id") < 3).collect()}
+    exact = brute_force_topk(emb, q, 10).collect()
+    approx = ivf_topk(emb, q, 10, n_centroids=16, n_probe=4)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    got = approx.collect()
+    for qid in q:
+        e = {r.vec_id for r in exact if r.query_id == qid}
+        a = {r.vec_id for r in got if r.query_id == qid}
+        assert len(a & e) / len(e) >= 0.3, (qid, a, e)
+    # every IVF hit carries its exact cosine (scores subset of brute force)
+    escore = {(r.query_id, r.vec_id): r.score for r in exact}
+    for r in got:
+        if (r.query_id, r.vec_id) in escore:
+            assert r.score == escore[(r.query_id, r.vec_id)]
+
+
 def test_ann_lsh_single_scan_plan(spark, sf_smoke):
     """The LSH top-k plan reads the corpus ONCE (no per-table scan loop)."""
     from smse_backend_spark.operators.ann import lsh_topk
