@@ -191,7 +191,9 @@ def main() -> None:
         sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
         return None
 
-    hi = run_probe(CPUS, 2)
+    # 3 headline reps: a single throttle window (observed clamping one
+    # 32-core build from ~32 s to ~108 s) must not own the recorded number
+    hi = run_probe(CPUS, 3)
     result = {
         "metric": "bm25_index_plus_query_sec",
         "value": round(hi["t_index"] + hi["t_query"], 3),

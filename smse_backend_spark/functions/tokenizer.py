@@ -59,6 +59,19 @@ _PY_TOKEN = re.compile(_RE_TOKEN)
 # codepoints).
 _FOLD_FROM, _FOLD_TO = "\u0130\u212a", "IK"
 _FOLD_TRANS = str.maketrans(_FOLD_FROM, _FOLD_TO)
+_PY_FOLD_NEEDED = re.compile("[\u0130\u212a]")
+
+
+def _fold_series(s: pd.Series) -> pd.Series:
+    """Apply the step-0 fold to a string Series with a cheap fast path:
+    per-character dict translate is ~5-10x slower than a char-class regex
+    scan, and real corpora virtually never contain the two codepoints \u2014
+    so scan first and translate only the rows that need it."""
+    mask = s.str.contains(_PY_FOLD_NEEDED, na=False)
+    if mask.any():
+        s = s.copy()
+        s[mask] = s[mask].str.translate(_FOLD_TRANS)
+    return s
 
 _PY_CAMEL_RUN = re.compile(_RE_CAMEL_RUN)
 _PY_LOWER_UPPER = re.compile(_RE_LOWER_UPPER)
@@ -92,7 +105,7 @@ def doc_len_col(content: Column | str) -> Column:
 
 def tokenize_series(s: pd.Series) -> pd.Series:
     """Series[str] -> Series[list[str]] (lowered terms)."""
-    toks = s.fillna("").str.translate(_FOLD_TRANS).str.findall(_PY_TOKEN)
+    toks = _fold_series(s.fillna("")).str.findall(_PY_TOKEN)
     return toks.apply(lambda ts: [t.lower() for t in ts])
 
 
@@ -103,7 +116,7 @@ def term_counts_frame(doc_ids: pd.Series, contents: pd.Series) -> pd.DataFrame:
     (while the whole document is still in one Arrow batch) means the index
     build never shuffles the raw token stream, only (doc, term) pairs.
     """
-    toks = contents.fillna("").str.translate(_FOLD_TRANS).str.findall(_PY_TOKEN)
+    toks = _fold_series(contents.fillna("")).str.findall(_PY_TOKEN)
     dl = toks.str.len().astype("int64")
     frame = pd.DataFrame({"doc_id": doc_ids.values, "term": toks.values, "doc_len": dl.values})
     frame = frame.explode("term", ignore_index=True)
@@ -145,7 +158,7 @@ def term_counts_with_docs_map_in_pandas(
     (the tokenizer drops empty tokens).
     """
     for pdf in batches:
-        toks = pdf["content"].fillna("").str.translate(_FOLD_TRANS).str.findall(_PY_TOKEN)
+        toks = _fold_series(pdf["content"].fillna("")).str.findall(_PY_TOKEN)
         dl = toks.str.len().astype("int64")
         lang = pdf["lang"].to_numpy() if "lang" in pdf.columns else ""
         docs = pd.DataFrame(
