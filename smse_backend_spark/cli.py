@@ -88,6 +88,38 @@ def cmd_verify(args) -> None:
     sys.exit(0 if ok else 1)
 
 
+def cmd_dedup(args) -> None:
+    """Training-data dedup as a spark-submit job over a documents parquet
+    (columns ``doc_id, text[, lang, source]``): writes the survivor view or
+    candidate-pair table to ``--out`` and prints a one-line JSON summary."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.operators import dedup as D
+    from smse_backend_spark.operators.simhash import simhash_neardup_pairs
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    if args.mode == "exact":
+        cols = [c for c in ("doc_id", "lang", "source") if c in docs.columns]
+        for missing in {"lang", "source"} - set(docs.columns):
+            docs = docs.withColumn(missing, F.lit(None).cast("string"))
+        out = D.dedup_exact(docs)
+        if cols != ["doc_id", "lang", "source"]:
+            out = out.select(*cols)
+    elif args.mode == "groups":
+        out = D.exact_dup_groups(docs)
+    elif args.mode == "minhash":
+        out = D.minhash_lsh_pairs(docs, args.num_hashes, args.bands)
+    elif args.mode == "jaccard":
+        out = D.ngram_jaccard_pairs(docs, args.ngram, args.threshold,
+                                    max_df=args.max_df)
+    else:  # simhash
+        out = simhash_neardup_pairs(docs, max_hamming=args.max_hamming)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"mode": args.mode, "rows": n, "out": args.out}))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="smse_backend_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -121,6 +153,20 @@ def main(argv: list[str] | None = None) -> None:
     v.add_argument("--k", type=int, default=10)
     v.add_argument("--master")
     v.set_defaults(fn=cmd_verify)
+
+    d = sub.add_parser("dedup", help="exact/near-dup over a documents parquet")
+    d.add_argument("--docs", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--mode", default="exact",
+                   choices=["exact", "groups", "minhash", "jaccard", "simhash"])
+    d.add_argument("--num-hashes", type=int, default=16)
+    d.add_argument("--bands", type=int, default=4)
+    d.add_argument("--ngram", type=int, default=3)
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument("--max-df", type=int, default=None)
+    d.add_argument("--max-hamming", type=int, default=3)
+    d.add_argument("--master")
+    d.set_defaults(fn=cmd_dedup)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -96,6 +96,13 @@ def simhash_neardup_pairs(
     hamming filter runs only on band-collision candidates. Higher radii
     mean fewer bits per band and so more candidates — the standard
     recall/cost dial of simhash banding.
+
+    Scale note: with 64-bit signatures, radius r buckets on ~64/(r+1)-bit
+    keys; beyond r~7 (8-bit bands) the buckets get dense enough that
+    within-bucket pairing dominates — at 10^12 docs run high radii over a
+    WIDER signature (the same kernel with N_BITS=128 keeps >=11-bit bands
+    at r=10) or accept probabilistic recall with fewer, wider bands. The
+    64-bit/exact-radius default matches the contract's corpus scale.
     """
     if n_bands is None:
         n_bands = min(max_hamming + 1, N_BITS)

@@ -36,6 +36,25 @@ def test_cli_build_query_verify(tmp_path, spark, sf_smoke, capsys):
     assert all(json.loads(ln)["rank_identical"] for ln in lines[-2:])
 
 
+def test_cli_dedup(tmp_path, spark, sf_smoke, capsys):
+    import duckdb
+
+    out = str(tmp_path / "dd")
+    cli.main(["dedup", "--docs", f"{sf_smoke}/documents.parquet",
+              "--out", out, "--mode", "exact", "--master", "local[4]"])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = duckdb.sql(
+        f"SELECT count(DISTINCT sha256(text)) FROM '{sf_smoke}/documents.parquet'"
+    ).fetchone()[0]
+    assert summary["rows"] == want
+
+    out2 = str(tmp_path / "mh")
+    cli.main(["dedup", "--docs", f"{sf_smoke}/documents.parquet",
+              "--out", out2, "--mode", "minhash", "--master", "local[4]"])
+    summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary2["mode"] == "minhash" and summary2["rows"] >= 0
+
+
 def test_zipdist(tmp_path):
     z, d = zipdist.build(str(tmp_path / "dist"))
     names = zipfile.ZipFile(z).namelist()
