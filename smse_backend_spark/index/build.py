@@ -294,6 +294,57 @@ def _build_batch(
     )
 
 
+def extend_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    out_dir: str,
+    input_partitions: int | None = None,
+    snapshot_id: str | None = None,
+) -> dict:
+    """Append a corpus increment (e.g. the delta of a new Iceberg snapshot)
+    to an existing index as ONE additional committed batch — no rebuild.
+
+    The increment's doc_ids must lie strictly above every indexed segment
+    (append-only corpora — Iceberg appends — satisfy this; the existing
+    snapshot guard already refuses silent cross-snapshot resumes, and each
+    batch's lineage row records WHICH snapshot it came from, so the index's
+    history is the snapshot chain). Global BM25 statistics stay exact:
+    :func:`finalize` re-derives the dictionary and corpus stats from ALL
+    committed batches, and the query path already unions batch partitions.
+
+    Retry-safe like the base build: batch data lands in fresh
+    ``batch={id}`` dirs with overwrite semantics and the lineage row is
+    the commit point. Open ``InvertedIndex`` handles cache dictionary and
+    meta — create a new handle after extending.
+    """
+    rows = lin.read_lineage(out_dir)
+    if not rows:
+        raise ValueError(f"no committed batches at {out_dir} to extend")
+    cfg = lin.read_meta(out_dir)["config"]
+    seg_size = int(cfg["segment_size"])
+    next_batch = max(r["batch_id"] for r in rows) + 1
+    seg_base = max(r["seg_hi"] for r in rows)
+    lo, hi = new_docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        raise ValueError("empty corpus increment")
+    if lo < seg_base * seg_size:
+        raise ValueError(
+            f"increment doc_ids start at {lo}, below the indexed frontier "
+            f"{seg_base * seg_size} — extension is append-only (rebuild, or "
+            "remap increment ids above the frontier)"
+        )
+    seg_hi = hi // seg_size + 1
+    snapshot = snapshot_id or corpus_snapshot(new_docs)
+    _build_batch(
+        spark, new_docs, out_dir, next_batch, seg_base, seg_hi, seg_size,
+        int(cfg["n_buckets"]), int(cfg["block_size"]), input_partitions,
+        snapshot,
+    )
+    return finalize(
+        spark, out_dir, {**cfg, "n_batches": next_batch + 1},
+    )
+
+
 def finalize(spark: SparkSession, out_dir: str, config: dict) -> dict:
     """Derive dictionary + corpus stats from committed batches; write meta."""
     from pyspark.sql import Observation

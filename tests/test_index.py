@@ -169,3 +169,47 @@ def test_resume_refuses_different_corpus_snapshot(spark, sf_smoke, corpus, tmp_p
     meta = build_index(spark, fresh, out, segment_size=256, n_buckets=8,
                        block_size=64, n_batches=2)
     assert meta["batches"] == [0, 1]
+
+
+def test_extend_index_appends_new_snapshot(spark, corpus, tmp_path):
+    """Build on the first half of the corpus, extend with the second half:
+    queries against the extended index are rank- AND score-identical to a
+    full-corpus scan (global BM25 stats re-derived over all batches), and
+    the new batch's lineage row carries its own snapshot."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index.build import extend_index
+
+    out = str(tmp_path / "idx")
+    # split on a segment boundary (segment_size 64): the extension
+    # contract requires increment ids above the indexed segment frontier
+    first = corpus.filter(F.col("doc_id") < 256)
+    second = corpus.filter(F.col("doc_id") >= 256)
+    build_index(spark, first, out, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=2)
+    meta = extend_index(spark, second, out, snapshot_id="snap-2")
+    assert meta["n_docs"] == 500
+
+    idx = InvertedIndex(spark, out)
+    for q, lang in QUERIES[:4]:
+        got = [(r["doc_id"], r["score"]) for r in idx.bm25_topk(q, 10, lang).collect()]
+        want = [(r["doc_id"], r["score"])
+                for r in bm25_topk_scan(corpus, q, 10, lang).collect()]
+        assert got == want, (q, got[:3], want[:3])
+
+    rows = lin.read_lineage(out)
+    snaps = {r["batch_id"]: r.get("corpus_snapshot") for r in rows}
+    assert snaps[max(snaps)] == "snap-2"
+    assert len(snaps) == 3  # 2 base batches + 1 extension
+
+
+def test_extend_index_refuses_overlapping_ids(spark, corpus, tmp_path):
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index.build import extend_index
+
+    out = str(tmp_path / "idx")
+    build_index(spark, corpus.filter(F.col("doc_id") < 250), out,
+                segment_size=64, n_buckets=4, block_size=16, n_batches=1)
+    with pytest.raises(ValueError, match="append-only"):
+        extend_index(spark, corpus.filter(F.col("doc_id") < 100), out)
