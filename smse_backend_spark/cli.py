@@ -88,6 +88,16 @@ def cmd_verify(args) -> None:
     sys.exit(0 if ok else 1)
 
 
+def cmd_compact(args) -> None:
+    """Rewrite an index's accumulated batches (base build + incremental
+    extensions) into one batch at a fresh dir — swap pointers afterwards."""
+    from smse_backend_spark.index.build import compact_index
+
+    spark = _spark(args)
+    meta = compact_index(spark, args.index, args.out)
+    print(json.dumps(meta))
+
+
 def cmd_dedup(args) -> None:
     """Training-data dedup as a spark-submit job over a documents parquet
     (columns ``doc_id, text[, lang, source]``): writes the survivor view or
@@ -153,6 +163,12 @@ def main(argv: list[str] | None = None) -> None:
     v.add_argument("--k", type=int, default=10)
     v.add_argument("--master")
     v.set_defaults(fn=cmd_verify)
+
+    c = sub.add_parser("compact", help="rewrite all index batches into one")
+    c.add_argument("--index", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--master")
+    c.set_defaults(fn=cmd_compact)
 
     d = sub.add_parser("dedup", help="exact/near-dup over a documents parquet")
     d.add_argument("--docs", required=True)

@@ -345,6 +345,76 @@ def extend_index(
     )
 
 
+def compact_index(spark: SparkSession, src_dir: str, dst_dir: str) -> dict:
+    """Rewrite all committed batches into ONE batch at ``dst_dir`` — the
+    Iceberg ``rewrite_data_files`` analog for this index layout.
+
+    A long-lived index accumulates batches through :func:`extend_index`
+    (one per corpus snapshot); every batch multiplies the file count and
+    the per-query partition listing. Compaction is a pure data-file
+    rewrite: compressed posting blocks are copied as-is (no re-tokenize,
+    no re-decode — blocks are keyed by disjoint ``segment`` ranges across
+    batches, so the union IS the merged index) into a single
+    ``batch=0`` tree, globally clustered by ``(term, segment, block_no)``
+    within each ``(lang, term_bucket)`` partition so parquet row-group
+    stats prune term lookups tighter than the per-batch files did.
+    Queries against the compacted index are bit-identical: same blocks,
+    same dictionary, same corpus stats (re-derived by :func:`finalize`).
+
+    Writes to a fresh ``dst_dir`` (refuses a dir with committed batches)
+    rather than in place, so readers of ``src_dir`` are never exposed to
+    a half-compacted tree — swap directories (or table pointers) after it
+    returns, exactly like an Iceberg snapshot swap. The single lineage
+    row keeps the provenance chain in ``compacted_from``.
+    """
+    rows = lin.read_lineage(src_dir)
+    if not rows:
+        raise ValueError(f"no committed batches at {src_dir} to compact")
+    if src_dir.rstrip("/") == dst_dir.rstrip("/"):
+        raise ValueError("in-place compaction unsupported — give a fresh dst_dir")
+    if lin.committed_batches(dst_dir):
+        raise ValueError(f"dst {dst_dir} already has committed batches")
+    cfg = lin.read_meta(src_dir)["config"]
+
+    postings = spark.read.parquet(f"{src_dir}/postings")
+    data_cols = [c for c in postings.columns if c != "batch"]
+    (
+        postings.select(*data_cols)
+        .repartition("lang", "term_bucket")
+        .sortWithinPartitions("term", "segment", "block_no")
+        .write.mode("overwrite")
+        .partitionBy("lang", "term_bucket")
+        .parquet(f"{dst_dir}/postings/batch=0")
+    )
+    docstats = spark.read.parquet(f"{src_dir}/docstats")
+    docstats.drop("batch").write.mode("overwrite").parquet(
+        f"{dst_dir}/docstats/batch=0"
+    )
+
+    snaps = {r.get("corpus_snapshot") for r in rows}
+    snapshot = snaps.pop() if len(snaps) == 1 else None
+    lin.commit_batch(
+        dst_dir, 0,
+        corpus_snapshot=snapshot,
+        compacted_from=[
+            {"batch_id": r["batch_id"], "corpus_snapshot": r.get("corpus_snapshot")}
+            for r in rows
+        ],
+        seg_lo=min(r["seg_lo"] for r in rows),
+        seg_hi=max(r["seg_hi"] for r in rows),
+        doc_lo=min(r["doc_lo"] for r in rows),
+        doc_hi=max(r["doc_hi"] for r in rows),
+        n_docs=sum(r.get("n_docs", 0) for r in rows),
+        sum_dl=sum(r.get("sum_dl", 0) for r in rows),
+        n_blocks=sum(r.get("n_blocks", 0) for r in rows),
+        n_postings=sum(r.get("n_postings", 0) for r in rows),
+        bytes=lin.dir_bytes(f"{dst_dir}/postings/batch=0"),
+    )
+    return finalize(
+        spark, dst_dir, {**cfg, "n_batches": 1, "corpus_snapshot": snapshot},
+    )
+
+
 def finalize(spark: SparkSession, out_dir: str, config: dict) -> dict:
     """Derive dictionary + corpus stats from committed batches; write meta."""
     from pyspark.sql import Observation

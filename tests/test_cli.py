@@ -35,6 +35,17 @@ def test_cli_build_query_verify(tmp_path, spark, sf_smoke, capsys):
     lines = capsys.readouterr().out.strip().splitlines()
     assert all(json.loads(ln)["rank_identical"] for ln in lines[-2:])
 
+    compacted = str(tmp_path / "idx2")
+    cli.main(["compact", "--index", out, "--out", compacted,
+              "--master", "local[4]"])
+    cmeta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cmeta["batches"] == [0] and cmeta["n_docs"] == meta["n_docs"]
+
+    cli.main(["query", "--index", compacted, "--text", "hash join merge scan",
+              "--master", "local[4]"])
+    hits2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits2 == hits
+
 
 def test_cli_dedup(tmp_path, spark, sf_smoke, capsys):
     import duckdb

@@ -213,3 +213,56 @@ def test_extend_index_refuses_overlapping_ids(spark, corpus, tmp_path):
                 segment_size=64, n_buckets=4, block_size=16, n_batches=1)
     with pytest.raises(ValueError, match="append-only"):
         extend_index(spark, corpus.filter(F.col("doc_id") < 100), out)
+
+
+def test_compact_index_single_batch_identical_queries(spark, corpus, tmp_path):
+    """Base build (2 batches) + one extension, compacted to a fresh dir:
+    one batch, one lineage row carrying the provenance chain, identical
+    corpus stats, and rank+score-identical queries vs the full scan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index.build import compact_index, extend_index
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    build_index(spark, corpus.filter(F.col("doc_id") < 256), src,
+                segment_size=64, n_buckets=4, block_size=16, n_batches=2)
+    src_meta = extend_index(spark, corpus.filter(F.col("doc_id") >= 256), src,
+                            snapshot_id="snap-2")
+    meta = compact_index(spark, src, dst)
+
+    assert meta["batches"] == [0]
+    for key in ("n_docs", "sum_dl", "n_terms", "n_postings", "per_lang"):
+        assert meta[key] == src_meta[key], key
+    rows = lin.read_lineage(dst)
+    assert len(rows) == 1
+    assert [e["batch_id"] for e in rows[0]["compacted_from"]] == [0, 1, 2]
+    assert rows[0]["n_postings"] == meta["n_postings"]
+    assert sorted(os.listdir(f"{dst}/postings")) == ["batch=0"]
+
+    idx = InvertedIndex(spark, dst)
+    for q, lang in QUERIES[:4]:
+        got = [(r["doc_id"], r["score"]) for r in idx.bm25_topk(q, 10, lang).collect()]
+        want = [(r["doc_id"], r["score"])
+                for r in bm25_topk_scan(corpus, q, 10, lang).collect()]
+        assert got == want, (q, got[:3], want[:3])
+
+
+def test_compact_index_refusals(spark, corpus, tmp_path):
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index.build import compact_index
+
+    src = str(tmp_path / "src")
+    build_index(spark, corpus.filter(F.col("doc_id") < 128), src,
+                segment_size=64, n_buckets=4, block_size=16, n_batches=1)
+    with pytest.raises(ValueError, match="in-place"):
+        compact_index(spark, src, src + "/")
+    dst = str(tmp_path / "dst")
+    compact_index(spark, src, dst)
+    with pytest.raises(ValueError, match="committed batches"):
+        compact_index(spark, src, dst)
+    with pytest.raises(ValueError, match="no committed batches"):
+        compact_index(spark, str(tmp_path / "empty"), str(tmp_path / "x"))
