@@ -29,7 +29,34 @@ BATCH_QUERIES: dict[int, str] = {
 }
 
 _INDEX_CACHE: dict[str, str] = {}
+_DELETED_CACHE: dict[str, tuple[str, str]] = {}
 _STREAM_CACHE: dict[str, str] = {}
+
+# deterministic tombstone set for the delete contract entries
+DELETE_PRED = "doc_id % 7 = 0"
+
+
+def _deleted_indexes(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(soft, hard): a fresh index with every 7th doc tombstoned (soft),
+    then compacted so the deletes are applied physically (hard)."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index.build import build_index, compact_index
+    from smse_backend_spark.index.deletes import delete_docs
+
+    if sf_dir not in _DELETED_CACHE:
+        import tempfile
+
+        soft = tempfile.mkdtemp(prefix="smse_idx_soft_")
+        hard = tempfile.mkdtemp(prefix="smse_idx_hard_")
+        corpus = load_corpus(spark, sf_dir)
+        build_index(spark, corpus, soft,
+                    segment_size=256, n_buckets=8, block_size=64, n_batches=2)
+        delete_docs(spark, soft,
+                    corpus.filter(F.expr(DELETE_PRED)).select("doc_id"))
+        compact_index(spark, soft, hard)
+        _DELETED_CACHE[sf_dir] = (soft, hard)
+    return _DELETED_CACHE[sf_dir]
 
 
 def _streamed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,6 +143,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
+    def _bm25_deleted(which: int, mode: str):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from smse_backend_spark.index.query import InvertedIndex
+
+            path = _deleted_indexes(spark, sf_dir)[which]
+            return InvertedIndex(spark, path).bm25_topk(
+                FLAGSHIP_QUERY, 10, mode=mode
+            )
+
+        return run
+
     from smse_backend_spark.functions import text_quality as Q
     from smse_backend_spark.operators import dedup as D
     from smse_backend_spark.operators import history as H
@@ -183,6 +221,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .withColumn("rank", F.col("rank").cast("long")),
         "bm25_indexed_exhaustive": _bm25_indexed("the fast small slow", mode="exhaustive"),
         "bm25_indexed_lang": _bm25_indexed("batch stream spark window", lang="en"),
+        # deletion lifecycle: tombstones (soft — full-corpus stats, Lucene
+        # semantics) and compaction (hard — stats re-derived, ref
+        # content.py:232-255 delete-from-search)
+        "bm25_indexed_soft_delete": _bm25_deleted(0, "single_pass"),
+        "bm25_indexed_compacted_delete": _bm25_deleted(1, "pruned"),
         # reference vector-search semantics
         "cosine_topk": _emb(lambda e: S.cosine_topk(e, 0, 10)),
         "cosine_topk_modality": _emb(lambda e: S.cosine_topk(e, 7, 5, "text")),
@@ -321,6 +364,15 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         ),
         "bm25_indexed_exhaustive": bm25_scan_oracle_sql("the fast small slow"),
         "bm25_indexed_lang": bm25_scan_oracle_sql("batch stream spark window", lang="en"),
+        # soft delete: stats over the FULL corpus, deleted docs excluded
+        # from results only; hard delete: stats recomputed over survivors
+        "bm25_indexed_soft_delete": bm25_scan_oracle_sql(
+            FLAGSHIP_QUERY, exclude_where=f"NOT (tf.{DELETE_PRED})"
+        ),
+        "bm25_indexed_compacted_delete": bm25_scan_oracle_sql(
+            FLAGSHIP_QUERY,
+            table=f"(SELECT * FROM documents WHERE NOT ({DELETE_PRED}))",
+        ),
         "cosine_topk": S.cosine_topk_sql(0, 10),
         "cosine_topk_modality": S.cosine_topk_sql(7, 5, "text"),
         "cosine_topk_user": S.cosine_topk_sql(11, 10, None, 2),

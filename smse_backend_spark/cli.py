@@ -98,6 +98,20 @@ def cmd_compact(args) -> None:
     print(json.dumps(meta))
 
 
+def cmd_delete(args) -> None:
+    """Tombstone docs out of an index (soft delete — queries stop returning
+    them immediately; `compact` applies the deletes physically)."""
+    from smse_backend_spark.index.deletes import delete_docs
+
+    spark = _spark(args)
+    ids = (
+        spark.read.parquet(args.ids_parquet).select("doc_id")
+        if args.ids_parquet
+        else [int(x) for x in args.ids.split(",")]
+    )
+    print(json.dumps(delete_docs(spark, args.index, ids)))
+
+
 def cmd_dedup(args) -> None:
     """Training-data dedup as a spark-submit job over a documents parquet
     (columns ``doc_id, text[, lang, source]``): writes the survivor view or
@@ -163,6 +177,13 @@ def main(argv: list[str] | None = None) -> None:
     v.add_argument("--k", type=int, default=10)
     v.add_argument("--master")
     v.set_defaults(fn=cmd_verify)
+
+    x = sub.add_parser("delete", help="tombstone doc_ids out of an index")
+    x.add_argument("--index", required=True)
+    x.add_argument("--ids", help="comma-separated doc_ids")
+    x.add_argument("--ids-parquet", help="parquet with a doc_id column")
+    x.add_argument("--master")
+    x.set_defaults(fn=cmd_delete)
 
     c = sub.add_parser("compact", help="rewrite all index batches into one")
     c.add_argument("--index", required=True)

@@ -361,12 +361,21 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str) -> dict:
     Queries against the compacted index are bit-identical: same blocks,
     same dictionary, same corpus stats (re-derived by :func:`finalize`).
 
+    If the source index carries tombstones (``deletes.delete_docs``),
+    compaction applies them PHYSICALLY — Lucene's merge semantics: the
+    deleted docs' postings and docstats rows are dropped (one decode →
+    left-anti join → re-block pass) and :func:`finalize` then re-derives
+    exact global stats, so post-compaction scores reflect the smaller
+    corpus and the compacted index carries no tombstones.
+
     Writes to a fresh ``dst_dir`` (refuses a dir with committed batches)
     rather than in place, so readers of ``src_dir`` are never exposed to
     a half-compacted tree — swap directories (or table pointers) after it
     returns, exactly like an Iceberg snapshot swap. The single lineage
     row keeps the provenance chain in ``compacted_from``.
     """
+    from smse_backend_spark.index import deletes
+
     rows = lin.read_lineage(src_dir)
     if not rows:
         raise ValueError(f"no committed batches at {src_dir} to compact")
@@ -375,21 +384,83 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str) -> dict:
     if lin.committed_batches(dst_dir):
         raise ValueError(f"dst {dst_dir} already has committed batches")
     cfg = lin.read_meta(src_dir)["config"]
+    tomb = deletes.read_tombstones(spark, src_dir)
+    if tomb is not None and deletes.tombstone_count(src_dir) <= 10_000_000:
+        tomb = F.broadcast(tomb)
+
+    from pyspark.sql import Observation
 
     postings = spark.read.parquet(f"{src_dir}/postings")
-    data_cols = [c for c in postings.columns if c != "batch"]
-    (
-        postings.select(*data_cols)
-        .repartition("lang", "term_bucket")
-        .sortWithinPartitions("term", "segment", "block_no")
-        .write.mode("overwrite")
-        .partitionBy("lang", "term_bucket")
-        .parquet(f"{dst_dir}/postings/batch=0")
-    )
     docstats = spark.read.parquet(f"{src_dir}/docstats")
-    docstats.drop("batch").write.mode("overwrite").parquet(
-        f"{dst_dir}/docstats/batch=0"
-    )
+    counters: dict
+    if tomb is None:
+        # pure data-file rewrite: blocks copied verbatim, counters summed
+        # from the source lineage
+        data_cols = [c for c in postings.columns if c != "batch"]
+        (
+            postings.select(*data_cols)
+            .repartition("lang", "term_bucket")
+            .sortWithinPartitions("term", "segment", "block_no")
+            .write.mode("overwrite")
+            .partitionBy("lang", "term_bucket")
+            .parquet(f"{dst_dir}/postings/batch=0")
+        )
+        docstats.drop("batch").write.mode("overwrite").parquet(
+            f"{dst_dir}/docstats/batch=0"
+        )
+        counters = {
+            "n_docs": sum(r.get("n_docs", 0) for r in rows),
+            "sum_dl": sum(r.get("sum_dl", 0) for r in rows),
+            "n_blocks": sum(r.get("n_blocks", 0) for r in rows),
+            "n_postings": sum(r.get("n_postings", 0) for r in rows),
+        }
+    else:
+        # tombstones present: decode -> drop deleted docs -> re-block.
+        # Blocks must be rebuilt (a block's first_doc/gaps/stats change
+        # when members vanish), but the pass reuses the build kernels and
+        # stays one wide shuffle, same as an index batch.
+        seg_size = int(cfg["segment_size"])
+        n_buckets = int(cfg["n_buckets"])
+        nparts = min(512, 4 * spark.sparkContext.defaultParallelism)
+        decoded = (
+            postings.select("lang", "term", "first_doc", "gaps", "tfs", "dls")
+            .repartition(nparts)
+            .mapInPandas(
+                _decode_postings_with_lang,
+                "lang string, term string, doc_id long, tf long, doc_len long",
+            )
+            .join(tomb, "doc_id", "left_anti")
+            .withColumn("segment", (F.col("doc_id") / seg_size).cast("long"))
+            .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+        )
+        obs_blocks = Observation("compact_blocks")
+        (
+            decoded.groupBy("lang", "term_bucket", "segment")
+            .applyInPandas(make_block_builder(int(cfg["block_size"])), BLOCKS_SCHEMA)
+            .observe(obs_blocks, F.count(F.lit(1)).alias("n_blocks"),
+                     F.sum("n").alias("n_postings"))
+            .repartition("lang", "term_bucket")
+            .sortWithinPartitions("term", "segment", "block_no")
+            .write.mode("overwrite")
+            .partitionBy("lang", "term_bucket")
+            .parquet(f"{dst_dir}/postings/batch=0")
+        )
+        obs_docs = Observation("compact_docs")
+        (
+            docstats.drop("batch")
+            .join(tomb, "doc_id", "left_anti")
+            .observe(obs_docs, F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("doc_len").alias("sum_dl"))
+            .write.mode("overwrite")
+            .parquet(f"{dst_dir}/docstats/batch=0")
+        )
+        st, bl = obs_docs.get, obs_blocks.get
+        counters = {
+            "n_docs": int(st["n_docs"] or 0), "sum_dl": int(st["sum_dl"] or 0),
+            "n_blocks": int(bl["n_blocks"] or 0),
+            "n_postings": int(bl["n_postings"] or 0),
+            "tombstones_applied": deletes.tombstone_count(src_dir),
+        }
 
     snaps = {r.get("corpus_snapshot") for r in rows}
     snapshot = snaps.pop() if len(snaps) == 1 else None
@@ -404,15 +475,39 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str) -> dict:
         seg_hi=max(r["seg_hi"] for r in rows),
         doc_lo=min(r["doc_lo"] for r in rows),
         doc_hi=max(r["doc_hi"] for r in rows),
-        n_docs=sum(r.get("n_docs", 0) for r in rows),
-        sum_dl=sum(r.get("sum_dl", 0) for r in rows),
-        n_blocks=sum(r.get("n_blocks", 0) for r in rows),
-        n_postings=sum(r.get("n_postings", 0) for r in rows),
         bytes=lin.dir_bytes(f"{dst_dir}/postings/batch=0"),
+        **counters,
     )
     return finalize(
         spark, dst_dir, {**cfg, "n_batches": 1, "corpus_snapshot": snapshot},
     )
+
+
+def _decode_postings_with_lang(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Decode compressed blocks back to posting rows, keeping ``lang``
+    (the query-side decoder drops it; compaction regroups by it)."""
+    from smse_backend_spark.index.codec import decode_blocks, delta_decode
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        gaps, counts = decode_blocks(list(pdf["gaps"]))
+        tfs, _ = decode_blocks(list(pdf["tfs"]))
+        dls, _ = decode_blocks(list(pdf["dls"]))
+        doc_ids = delta_decode(
+            gaps.astype(np.int64), pdf["first_doc"].to_numpy(np.int64), counts
+        )
+        yield pd.DataFrame(
+            {
+                "lang": np.repeat(pdf["lang"].to_numpy(), counts),
+                "term": np.repeat(pdf["term"].to_numpy(), counts),
+                "doc_id": doc_ids,
+                "tf": tfs.astype(np.int64),
+                "doc_len": dls.astype(np.int64),
+            }
+        )
 
 
 def finalize(spark: SparkSession, out_dir: str, config: dict) -> dict:

@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 from smse_backend_spark import B, DEFAULT_TOP_K, K1
 from smse_backend_spark.index import lineage as lin
 from smse_backend_spark.index.codec import decode_blocks, delta_decode
+from smse_backend_spark.index.deletes import live_mask
 from smse_backend_spark.operators.search import query_terms
 
 RESULT_SCHEMA = T.StructType(
@@ -68,7 +69,8 @@ def _decode_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def _make_batch_scorer(
-    term_ix: dict[str, int], w_mat: np.ndarray, qids: np.ndarray, avgdl: float, k: int
+    term_ix: dict[str, int], w_mat: np.ndarray, qids: np.ndarray, avgdl: float,
+    k: int, tomb_b=None,
 ):
     """Per-partition batch kernel: decode posting blocks AND score all
     queries in one pass (no decoded-row materialization between stages).
@@ -87,6 +89,12 @@ def _make_batch_scorer(
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        if tomb_b is not None:
+            # soft-delete filter: drop tombstoned docs before scoring (a
+            # post-top-k filter would let deleted docs displace survivors)
+            pdf = pdf[live_mask(tomb_b.value, pdf["doc_id"].to_numpy(np.int64))]
+            if pdf.empty:
+                return
         tf = pdf["tf"].to_numpy(np.float64)
         dl = pdf["dl"].to_numpy(np.float64)
         tfn = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
@@ -144,6 +152,13 @@ class InvertedIndex:
     # (the 10^12-file regime) fall back to pruned parquet lookups.
     DICT_CACHE_MAX_TERMS = 500_000
 
+    # tombstone sets up to this size ship to the scoring kernels as ONE
+    # sorted int64 array (80 MB at the cap) — a searchsorted filter with
+    # zero extra shuffle. Bigger sets use a distributed left-anti join on
+    # the decode paths; the in-kernel batch path then refuses and the fix
+    # is compact_index (Lucene semantics: that much deletion is merge time).
+    TOMB_ARRAY_CAP = 10_000_000
+
     def __init__(self, spark: SparkSession, path: str):
         from smse_backend_spark.session import ensure_pyfiles
 
@@ -152,6 +167,37 @@ class InvertedIndex:
         self.path = path
         self.meta = lin.read_meta(path)
         self._dict_cache: dict[tuple[str, str], int] | None = None
+        self._tomb_loaded = False
+        self._tomb_bcast = None  # sc.broadcast of the sorted id array
+        self._tomb_df: DataFrame | None = None  # join fallback (big sets)
+
+    # -- soft deletes ------------------------------------------------------
+
+    def _load_tombs(self) -> None:
+        if self._tomb_loaded:
+            return
+        from smse_backend_spark.index import deletes
+
+        arr = deletes.tombstone_array(self.spark, self.path, self.TOMB_ARRAY_CAP)
+        if arr is not None:
+            self._tomb_bcast = self.spark.sparkContext.broadcast(arr)
+        else:
+            self._tomb_df = deletes.read_tombstones(self.spark, self.path)
+        self._tomb_loaded = True
+
+    def _live(self, decoded: DataFrame) -> DataFrame:
+        """Drop tombstoned docs from a decoded (doc_id, ...) frame."""
+        self._load_tombs()
+        if self._tomb_bcast is not None:
+            tdf = F.broadcast(
+                self.spark.createDataFrame(
+                    pd.DataFrame({"doc_id": self._tomb_bcast.value})
+                )
+            )
+            return decoded.join(tdf, "doc_id", "left_anti")
+        if self._tomb_df is not None:
+            return decoded.join(self._tomb_df, "doc_id", "left_anti")
+        return decoded
 
     # -- stats ------------------------------------------------------------
 
@@ -226,7 +272,7 @@ class InvertedIndex:
             min(1024, max(self.spark.sparkContext.defaultParallelism,
                           self.meta.get("n_postings", 0) // 400_000 + 1))
         )
-        decoded = (
+        decoded = self._live(
             blocks.select("term", "first_doc", "gaps", "tfs", "dls")
             .repartition(nparts)
             .mapInPandas(_decode_map, DECODED_SCHEMA)
@@ -269,6 +315,12 @@ class InvertedIndex:
                 if sum(dfs.values()) < self.PRUNE_MIN_POSTINGS
                 else "pruned"
             )
+        if mode == "single_pass":
+            self._load_tombs()
+            if self._tomb_df is not None:
+                # tombstone set too big for the in-kernel array filter —
+                # the join-based decode path stays exact at any delete size
+                mode = "exhaustive"
         if mode == "single_pass":
             return (
                 self._batch_kernel_topk(
@@ -327,6 +379,13 @@ class InvertedIndex:
         """Single-pass exact scoring: one job, one compressed-block shuffle."""
         from pyspark.sql import Window
 
+        self._load_tombs()
+        if self._tomb_df is not None:
+            raise ValueError(
+                "tombstone set exceeds TOMB_ARRAY_CAP for the in-kernel "
+                "batch path — run compact_index to apply deletes physically, "
+                "or query per-query with mode='exhaustive'"
+            )
         per_q = {qid: query_terms(q) for qid, q in queries.items()}
         matched = sorted(idf)
         term_ix = {t: i for i, t in enumerate(matched)}
@@ -358,7 +417,10 @@ class InvertedIndex:
                 for t in per_q[qid]:
                     if t in idf:
                         w_mat[term_ix[t], j] = idf[t]
-            kernel = _make_batch_scorer(term_ix, w_mat, np.array(chunk), avgdl, k)
+            kernel = _make_batch_scorer(
+                term_ix, w_mat, np.array(chunk), avgdl, k,
+                tomb_b=self._tomb_bcast,
+            )
             local_topk = repart.mapInPandas(
                 kernel, "query_id long, doc_id long, score double"
             )
@@ -383,7 +445,9 @@ class InvertedIndex:
         idf_df = F.broadcast(
             self.spark.createDataFrame(list(idf.items()), "term string, idf double")
         )
-        # metadata-only pass: per-segment upper bound. Only the small stat
+        # metadata-only pass: per-segment upper bound. Tombstoned docs still
+        # count into the bound (a bound over a superset stays sound; the
+        # live filter happens inside _score before any top-k). Only the small stat
         # columns are read (Parquet column pruning skips the blobs). The
         # per-segment bound table is one row per segment — collected to the
         # driver (segments = docs/segment_size; even 10^12 docs / 10^6-doc

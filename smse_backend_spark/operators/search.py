@@ -93,8 +93,15 @@ def bm25_scan_oracle_sql(
     lang: str | None = None,
     table: str = "documents",
     content_col: str = "text",
+    exclude_where: str | None = None,
 ) -> str:
-    """DuckDB SQL computing the identical result (same tokenizer, same math)."""
+    """DuckDB SQL computing the identical result (same tokenizer, same math).
+
+    ``exclude_where``: doc predicate applied AFTER stats/df are computed —
+    the soft-delete twin (tombstoned docs keep counting into global BM25
+    stats, Lucene-style, but cannot appear in results). For a physically
+    deleted corpus pass a filtered subquery as ``table`` instead, which
+    recomputes stats over the survivors."""
     terms = query_terms(query_text)
     if not terms:
         return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
@@ -127,6 +134,7 @@ dfq AS (
 )
 SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score
 FROM tf JOIN dfq USING (term) CROSS JOIN stats
+{f"WHERE {exclude_where}" if exclude_where else ""}
 GROUP BY tf.doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}

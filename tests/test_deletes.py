@@ -1,0 +1,136 @@
+"""Tombstone soft-deletes + physical apply at compaction.
+
+Reference semantics: DELETE /contents/<id> must make the doc vanish from
+search (smse_backend/routes/content.py:232-255). Soft-delete keeps global
+BM25 stats (Lucene's between-merges semantics) so survivor scores are
+unchanged; compaction applies deletes physically and re-derives stats.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smse_backend_spark.corpus import load_corpus
+from smse_backend_spark.index import deletes
+from smse_backend_spark.index.build import build_index, compact_index
+from smse_backend_spark.index.query import InvertedIndex
+from smse_backend_spark.operators.search import bm25_topk_scan
+
+QUERIES = [
+    ("hash join merge scan", None),
+    ("window", None),
+    ("batch stream spark window", "en"),
+    ("the row data column", None),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_smoke):
+    c = load_corpus(spark, sf_smoke).cache()
+    c.count()
+    return c
+
+
+@pytest.fixture(scope="module")
+def soft_deleted(spark, corpus, tmp_path_factory):
+    """Index over the full corpus with every 7th doc tombstoned."""
+    out = str(tmp_path_factory.mktemp("idx_del"))
+    build_index(spark, corpus, out, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=3)
+    deletes.delete_docs(
+        spark, out, corpus.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    )
+    return out
+
+
+def _expected_soft(corpus, q, lang, k=10):
+    """Survivor top-k under FULL-corpus stats: scan-score everything,
+    drop tombstoned docs, cut to k — scores must be unchanged."""
+    rows = bm25_topk_scan(corpus, q, 100000, lang).collect()
+    keep = [(r["doc_id"], r["score"]) for r in rows if r["doc_id"] % 7 != 0]
+    return keep[:k]
+
+
+def test_soft_delete_all_modes_exact(spark, corpus, soft_deleted):
+    idx = InvertedIndex(spark, soft_deleted)
+    for q, lang in QUERIES:
+        want = _expected_soft(corpus, q, lang)
+        for mode in ("exhaustive", "single_pass", "pruned"):
+            got = [(r["doc_id"], r["score"])
+                   for r in idx.bm25_topk(q, 10, lang, mode=mode).collect()]
+            assert got == want, (q, mode, got[:3], want[:3])
+
+
+def test_soft_delete_batch_kernel(spark, corpus, soft_deleted):
+    idx = InvertedIndex(spark, soft_deleted)
+    res = idx.bm25_topk_batch({i: q for i, (q, _l) in enumerate(QUERIES)}, 10)
+    by_q = {}
+    for r in res.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for i, (q, _l) in enumerate(QUERIES):
+        got = [(d, s) for _rk, d, s in sorted(by_q.get(i, []))]
+        assert got == _expected_soft(corpus, q, None), q
+
+
+def test_deleted_top_doc_vanishes(spark, corpus, tmp_path):
+    out = str(tmp_path / "idx")
+    build_index(spark, corpus, out, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=2)
+    q = "hash join merge scan"
+    before = [r["doc_id"] for r in
+              InvertedIndex(spark, out).bm25_topk(q, 10).collect()]
+    deletes.delete_docs(spark, out, [before[0]])
+    after = InvertedIndex(spark, out).bm25_topk(q, 10).collect()
+    assert before[0] not in {r["doc_id"] for r in after}
+    assert after[0]["doc_id"] == before[1]
+
+
+def test_delete_commits_accumulate_distinct(spark, corpus, tmp_path):
+    out = str(tmp_path / "idx")
+    build_index(spark, corpus.filter(F.col("doc_id") < 64), out,
+                segment_size=64, n_buckets=4, block_size=16, n_batches=1)
+    deletes.delete_docs(spark, out, [1, 2, 3])
+    deletes.delete_docs(spark, out, [3, 4])  # overlap across commits
+    assert deletes.committed_deletes(out) == [0, 1]
+    assert deletes.tombstone_count(out) == 5  # per-commit sums (upper bound)
+    got = sorted(r["doc_id"] for r in deletes.read_tombstones(spark, out).collect())
+    assert got == [1, 2, 3, 4]
+    arr = deletes.tombstone_array(spark, out, cap=10)
+    assert list(arr) == [1, 2, 3, 4]
+    assert deletes.tombstone_array(spark, out, cap=3) is None  # over cap
+
+
+def test_big_tombstone_set_falls_back_to_join(spark, corpus, soft_deleted,
+                                              monkeypatch):
+    monkeypatch.setattr(InvertedIndex, "TOMB_ARRAY_CAP", 0)
+    idx = InvertedIndex(spark, soft_deleted)
+    q, lang = QUERIES[0]
+    want = _expected_soft(corpus, q, lang)
+    # single_pass silently reroutes to the join-based exhaustive path
+    got = [(r["doc_id"], r["score"])
+           for r in idx.bm25_topk(q, 10, lang, mode="single_pass").collect()]
+    assert got == want
+    with pytest.raises(ValueError, match="compact_index"):
+        idx.bm25_topk_batch({0: q}, 10)
+
+
+def test_compact_applies_tombstones(spark, corpus, soft_deleted, tmp_path):
+    dst = str(tmp_path / "compacted")
+    meta = compact_index(spark, soft_deleted, dst)
+    survivors = corpus.filter(F.col("doc_id") % 7 != 0).cache()
+    n_live = survivors.count()
+    assert meta["n_docs"] == n_live
+    assert deletes.committed_deletes(dst) == []  # compacted index is clean
+    from smse_backend_spark.index import lineage as lin
+
+    assert lin.read_lineage(dst)[0]["tombstones_applied"] > 0
+    # post-compaction stats are EXACT for the smaller corpus: queries are
+    # rank- and score-identical to a scan over the filtered corpus
+    idx = InvertedIndex(spark, dst)
+    for q, lang in QUERIES:
+        got = [(r["doc_id"], r["score"]) for r in idx.bm25_topk(q, 10, lang).collect()]
+        want = [(r["doc_id"], r["score"])
+                for r in bm25_topk_scan(survivors, q, 10, lang).collect()]
+        assert got == want, (q, got[:3], want[:3])
+    survivors.unpersist()
