@@ -30,7 +30,34 @@ BATCH_QUERIES: dict[int, str] = {
 
 _INDEX_CACHE: dict[str, str] = {}
 _DELETED_CACHE: dict[str, tuple[str, str]] = {}
+_STREAMIDX_CACHE: dict[str, str] = {}
 _STREAM_CACHE: dict[str, str] = {}
+
+
+def _streamed_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index maintained by the streaming drain: documents arrive in two
+    waves; each AvailableNow drain commits one index batch (build, then
+    extend). Queries must be rank-identical to a one-shot build."""
+    import os
+
+    from smse_backend_spark.streaming.indexing import streaming_index_maintenance
+
+    if sf_dir not in _STREAMIDX_CACHE:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="smse_streamidx_")
+        src, idx, ckpt = (os.path.join(root, d) for d in ("src", "idx", "ckpt"))
+        os.makedirs(src)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+        # wave split on a segment boundary (segment_size 256)
+        for i, wave in enumerate((docs[docs.doc_id < 256], docs[docs.doc_id >= 256])):
+            wave.to_parquet(os.path.join(src, f"wave{i}.parquet"), index=False)
+            streaming_index_maintenance(
+                spark, src, idx, ckpt,
+                segment_size=256, n_buckets=8, block_size=64,
+            )
+        _STREAMIDX_CACHE[sf_dir] = idx
+    return _STREAMIDX_CACHE[sf_dir]
 
 # deterministic tombstone set for the delete contract entries
 DELETE_PRED = "doc_id % 7 = 0"
@@ -154,6 +181,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
+    def _bm25_streamed(query: str):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from smse_backend_spark.index.query import InvertedIndex
+
+            path = _streamed_index(spark, sf_dir)
+            return InvertedIndex(spark, path).bm25_topk(query, 10)
+
+        return run
+
     from smse_backend_spark.functions import text_quality as Q
     from smse_backend_spark.operators import dedup as D
     from smse_backend_spark.operators import history as H
@@ -226,6 +262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # content.py:232-255 delete-from-search)
         "bm25_indexed_soft_delete": _bm25_deleted(0, "single_pass"),
         "bm25_indexed_compacted_delete": _bm25_deleted(1, "pruned"),
+        # streaming index maintenance: two arrival waves, one committed
+        # index batch per drain — rank-identical to a one-shot build
+        "bm25_streamed_index": _bm25_streamed("fast slow small merge sort"),
         # reference vector-search semantics
         "cosine_topk": _emb(lambda e: S.cosine_topk(e, 0, 10)),
         "cosine_topk_modality": _emb(lambda e: S.cosine_topk(e, 7, 5, "text")),
@@ -373,6 +412,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             FLAGSHIP_QUERY,
             table=f"(SELECT * FROM documents WHERE NOT ({DELETE_PRED}))",
         ),
+        "bm25_streamed_index": bm25_scan_oracle_sql("fast slow small merge sort"),
         "cosine_topk": S.cosine_topk_sql(0, 10),
         "cosine_topk_modality": S.cosine_topk_sql(7, 5, "text"),
         "cosine_topk_user": S.cosine_topk_sql(11, 10, None, 2),
