@@ -181,6 +181,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
+    def _bm25_as_of(query: str, as_of: int):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from smse_backend_spark.index.query import InvertedIndex
+
+            _indexed(spark, sf_dir)  # ensure built (2 batches: 0-255, 256+)
+            return InvertedIndex(
+                spark, _INDEX_CACHE[sf_dir], as_of_batch=as_of
+            ).bm25_topk(query, 10)
+
+        return run
+
     def _bm25_streamed(query: str):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             from smse_backend_spark.index.query import InvertedIndex
@@ -265,6 +276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming index maintenance: two arrival waves, one committed
         # index batch per drain — rank-identical to a one-shot build
         "bm25_streamed_index": _bm25_streamed("fast slow small merge sort"),
+        # time travel: query the index as of batch 0 (docs 0-255) —
+        # historical stats from lineage, df from pruned block metadata
+        "bm25_indexed_as_of": _bm25_as_of(FLAGSHIP_QUERY, 0),
         # reference vector-search semantics
         "cosine_topk": _emb(lambda e: S.cosine_topk(e, 0, 10)),
         "cosine_topk_modality": _emb(lambda e: S.cosine_topk(e, 7, 5, "text")),
@@ -413,6 +427,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             table=f"(SELECT * FROM documents WHERE NOT ({DELETE_PRED}))",
         ),
         "bm25_streamed_index": bm25_scan_oracle_sql("fast slow small merge sort"),
+        "bm25_indexed_as_of": bm25_scan_oracle_sql(
+            FLAGSHIP_QUERY,
+            table="(SELECT * FROM documents WHERE doc_id < 256)",
+        ),
         "cosine_topk": S.cosine_topk_sql(0, 10),
         "cosine_topk_modality": S.cosine_topk_sql(7, 5, "text"),
         "cosine_topk_user": S.cosine_topk_sql(11, 10, None, 2),

@@ -283,12 +283,23 @@ def _build_batch(
         .parquet(f"{out_dir}/postings/batch={batch_id}")
     )
 
+    # per-lang breakdown into the lineage row: what time-travel reads
+    # (as_of_batch corpus stats = sum over lineage rows, no docstats scan).
+    # One tiny 2-column agg over the just-written batch docstats.
+    per_lang = {
+        r["lang"]: {"n_docs": int(r["n"]), "sum_dl": int(r["s"] or 0)}
+        for r in spark.read.parquet(f"{out_dir}/docstats/batch={batch_id}")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s"))
+        .collect()
+    }
     st, bl = obs_docs.get, obs_blocks.get
     lin.commit_batch(
         out_dir, batch_id,
         corpus_snapshot=snapshot,
         seg_lo=seg_lo, seg_hi=seg_hi, doc_lo=lo_doc, doc_hi=hi_doc,
         n_docs=int(st["n_docs"] or 0), sum_dl=int(st["sum_dl"] or 0),
+        per_lang=per_lang,
         n_blocks=int(bl["n_blocks"] or 0), n_postings=int(bl["n_postings"] or 0),
         bytes=lin.dir_bytes(f"{out_dir}/postings/batch={batch_id}"),
     )
@@ -408,9 +419,16 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str) -> dict:
         docstats.drop("batch").write.mode("overwrite").parquet(
             f"{dst_dir}/docstats/batch=0"
         )
+        merged_pl: dict = {}
+        for r in rows:
+            for lg, st_ in (r.get("per_lang") or {}).items():
+                acc = merged_pl.setdefault(lg, {"n_docs": 0, "sum_dl": 0})
+                acc["n_docs"] += st_["n_docs"]
+                acc["sum_dl"] += st_["sum_dl"]
         counters = {
             "n_docs": sum(r.get("n_docs", 0) for r in rows),
             "sum_dl": sum(r.get("sum_dl", 0) for r in rows),
+            "per_lang": merged_pl,
             "n_blocks": sum(r.get("n_blocks", 0) for r in rows),
             "n_postings": sum(r.get("n_postings", 0) for r in rows),
         }
@@ -455,8 +473,16 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str) -> dict:
             .parquet(f"{dst_dir}/docstats/batch=0")
         )
         st, bl = obs_docs.get, obs_blocks.get
+        live_pl = {
+            r["lang"]: {"n_docs": int(r["n"]), "sum_dl": int(r["s"] or 0)}
+            for r in spark.read.parquet(f"{dst_dir}/docstats/batch=0")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s"))
+            .collect()
+        }
         counters = {
             "n_docs": int(st["n_docs"] or 0), "sum_dl": int(st["sum_dl"] or 0),
+            "per_lang": live_pl,
             "n_blocks": int(bl["n_blocks"] or 0),
             "n_postings": int(bl["n_postings"] or 0),
             "tombstones_applied": deletes.tombstone_count(src_dir),

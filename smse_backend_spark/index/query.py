@@ -159,13 +159,38 @@ class InvertedIndex:
     # is compact_index (Lucene semantics: that much deletion is merge time).
     TOMB_ARRAY_CAP = 10_000_000
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, as_of_batch: int | None = None
+    ):
+        """``as_of_batch``: time travel — query the index as it was after
+        batch N committed (the Iceberg snapshot-read analog). Postings are
+        partition-pruned to ``batch <= N``; corpus stats come from the
+        lineage rows of those batches (recorded at commit time); term df
+        is summed from the pruned blocks' metadata (the dictionary is
+        as-of-latest, so it is not consulted). Exact for the historical
+        corpus — batches are doc-id ranges, so batch N's commit point IS a
+        consistent corpus snapshot."""
         from smse_backend_spark.session import ensure_pyfiles
 
         ensure_pyfiles(spark)
         self.spark = spark
         self.path = path
         self.meta = lin.read_meta(path)
+        self.as_of = as_of_batch
+        if as_of_batch is not None:
+            rows = [r for r in lin.read_lineage(path)
+                    if r["batch_id"] <= as_of_batch]
+            if not rows or rows[-1]["batch_id"] != as_of_batch:
+                raise ValueError(
+                    f"as_of_batch={as_of_batch} is not a committed batch of "
+                    f"{path} (have {sorted(r['batch_id'] for r in rows)})"
+                )
+            if any("per_lang" not in r for r in rows):
+                raise ValueError(
+                    "index predates per-lang lineage stats — rebuild (or "
+                    "extend) to enable time travel"
+                )
+            self._as_of_rows = rows
         self._dict_cache: dict[tuple[str, str], int] | None = None
         self._tomb_loaded = False
         self._tomb_bcast = None  # sc.broadcast of the sorted id array
@@ -202,6 +227,16 @@ class InvertedIndex:
     # -- stats ------------------------------------------------------------
 
     def corpus_stats(self, lang: str | None = None) -> tuple[float, float]:
+        if self.as_of is not None:
+            if lang is None:
+                n = sum(r["n_docs"] for r in self._as_of_rows)
+                sdl = sum(r["sum_dl"] for r in self._as_of_rows)
+            else:
+                pls = [r["per_lang"].get(lang, {"n_docs": 0, "sum_dl": 0})
+                       for r in self._as_of_rows]
+                n = sum(p["n_docs"] for p in pls)
+                sdl = sum(p["sum_dl"] for p in pls)
+            return float(n), (sdl / n if n else 0.0)
         if lang is None:
             n, sdl = self.meta["n_docs"], self.meta["sum_dl"]
         else:
@@ -210,6 +245,15 @@ class InvertedIndex:
         return float(n), (sdl / n if n else 0.0)
 
     def term_df(self, terms: list[str], lang: str | None = None) -> dict[str, int]:
+        if self.as_of is not None:
+            # historical df from the pruned blocks' metadata columns (one
+            # posting per (doc, term) => df = sum of block counts); the
+            # same partition-pruned files the query decodes anyway
+            return {
+                r["term"]: int(r["df"])
+                for r in self._blocks(terms, lang)
+                .groupBy("term").agg(F.sum("n").alias("df")).collect()
+            }
         if self.meta.get("n_terms", 1 << 62) <= self.DICT_CACHE_MAX_TERMS:
             if self._dict_cache is None:
                 self._dict_cache = {
@@ -255,6 +299,9 @@ class InvertedIndex:
         df = self.spark.read.parquet(f"{self.path}/postings").filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )
+        if self.as_of is not None:
+            # time travel: partition-pruned to the historical batches
+            df = df.filter(F.col("batch") <= self.as_of)
         if lang is not None:
             df = df.filter(F.col("lang") == lang)
         return df

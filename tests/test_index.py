@@ -266,3 +266,23 @@ def test_compact_index_refusals(spark, corpus, tmp_path):
         compact_index(spark, src, dst)
     with pytest.raises(ValueError, match="no committed batches"):
         compact_index(spark, str(tmp_path / "empty"), str(tmp_path / "x"))
+
+
+def test_time_travel_as_of_batch(spark, corpus, index):
+    """as_of_batch=N must be rank- AND score-identical to a scan over the
+    corpus as it stood when batch N committed (batches are doc-id ranges:
+    3 batches over 8 segments of 64 -> frontiers 192 / 384 / 500)."""
+    from pyspark.sql import functions as F
+
+    for as_of, hi in [(0, 192), (1, 384), (2, 500)]:
+        idx = InvertedIndex(spark, index.path, as_of_batch=as_of)
+        hist = corpus.filter(F.col("doc_id") < hi)
+        for q, lang in QUERIES[:4]:
+            got = [(r["doc_id"], r["score"])
+                   for r in idx.bm25_topk(q, 10, lang).collect()]
+            want = [(r["doc_id"], r["score"])
+                    for r in bm25_topk_scan(hist, q, 10, lang).collect()]
+            assert got == want, (as_of, q, got[:3], want[:3])
+
+    with pytest.raises(ValueError, match="not a committed batch"):
+        InvertedIndex(spark, index.path, as_of_batch=9)
