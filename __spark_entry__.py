@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from smse_backend_spark.functions import text_quality as Q
     from smse_backend_spark.operators import dedup as D
     from smse_backend_spark.operators import history as H
+    from smse_backend_spark.operators import hybrid as HY
     from smse_backend_spark.operators import relational as R
     from smse_backend_spark.operators import similarity as S
     from smse_backend_spark.functions import normalize as N
@@ -279,6 +280,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time travel: query the index as of batch 0 (docs 0-255) —
         # historical stats from lineage, df from pruned block metadata
         "bm25_indexed_as_of": _bm25_as_of(FLAGSHIP_QUERY, 0),
+        # hybrid retrieval: BM25 + cosine fused by reciprocal-rank fusion
+        "hybrid_rrf": lambda spark, sf: HY.rrf_hybrid_topk(
+            load_corpus(spark, sf), S.load_embeddings(spark, sf),
+            FLAGSHIP_QUERY, 0, 10,
+        ),
         # reference vector-search semantics
         "cosine_topk": _emb(lambda e: S.cosine_topk(e, 0, 10)),
         "cosine_topk_modality": _emb(lambda e: S.cosine_topk(e, 7, 5, "text")),
@@ -358,6 +364,7 @@ def oracle_sql() -> dict[str, str]:
     from smse_backend_spark.functions import text_quality as Q
     from smse_backend_spark.operators import dedup as D
     from smse_backend_spark.operators import history as H
+    from smse_backend_spark.operators import hybrid as HY
     from smse_backend_spark.operators import relational as R
     from smse_backend_spark.functions import normalize as N
     from smse_backend_spark.operators import similarity as S
@@ -431,6 +438,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             FLAGSHIP_QUERY,
             table="(SELECT * FROM documents WHERE doc_id < 256)",
         ),
+        "hybrid_rrf": HY.rrf_hybrid_sql(FLAGSHIP_QUERY, 0, 10),
         "cosine_topk": S.cosine_topk_sql(0, 10),
         "cosine_topk_modality": S.cosine_topk_sql(7, 5, "text"),
         "cosine_topk_user": S.cosine_topk_sql(11, 10, None, 2),

@@ -1,0 +1,99 @@
+"""Hybrid retrieval: BM25 (lexical) + embedding cosine (semantic), fused
+with Reciprocal Rank Fusion.
+
+The reference exposes the two retrieval modes as separate surfaces — text
+goes through the search route's pgvector scan, and this engine adds the
+indexed BM25 path; a retrieval/RAG pipeline over the same corpus wants
+both signals for one query. RRF (Cormack/Clarke/Buettcher, SIGIR 2009) is
+the standard score-free fusion: ``rrf(d) = sum_l 1/(K + rank_l(d))`` —
+immune to the incomparable score scales of BM25 vs cosine, deterministic,
+and exactly SQL-replicable (ranks are total-ordered by
+``(score desc, doc_id asc)`` on 6dp-rounded scores in both engines).
+
+Scale shape: the heavy work stays in the underlying operators (indexed or
+scan BM25, broadcast-query cosine scan); fusion itself sees only two
+top-``k_each`` lists — a bounded full-outer join, trivially
+single-partition (the ``Window.orderBy`` without partition is over
+``k_each`` rows, not the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smse_backend_spark.operators.search import bm25_scan_oracle_sql, bm25_topk_scan
+from smse_backend_spark.operators.similarity import cosine_topk, cosine_topk_sql
+
+
+def _rrf_contrib(rrf_k: int):
+    return (F.lit(1.0) / (F.lit(rrf_k) + F.col("rn"))).alias("c")
+
+
+def rrf_hybrid_topk(
+    corpus: DataFrame,
+    emb: DataFrame,
+    query_text: str,
+    query_vec_id: int,
+    k: int = 10,
+    k_each: int = 50,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Top-k docs by RRF over (BM25 top-k_each) + (cosine top-k_each),
+    joining the embedding's ``vec_id`` to ``doc_id``."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm = (
+        bm25_topk_scan(corpus, query_text, k_each)
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", _rrf_contrib(rrf_k).alias("c_bm25"))
+    )
+    cs = (
+        cosine_topk(emb, query_vec_id, k_each)
+        .select(F.col("vec_id").alias("doc_id"), "score")
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", _rrf_contrib(rrf_k).alias("c_cos"))
+    )
+    return (
+        bm.join(cs, "doc_id", "full_outer")
+        .na.fill(0.0, ["c_bm25", "c_cos"])
+        .select(
+            "doc_id",
+            F.round(F.col("c_bm25") + F.col("c_cos"), 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def rrf_hybrid_sql(
+    query_text: str,
+    query_vec_id: int,
+    k: int = 10,
+    k_each: int = 50,
+    rrf_k: int = 60,
+) -> str:
+    """DuckDB twin: identical ranks (6dp-rounded scores, same tie order),
+    identical double arithmetic (1.0::DOUBLE / (K + rank))."""
+    bm25 = bm25_scan_oracle_sql(query_text, k_each)
+    cos = cosine_topk_sql(query_vec_id, k_each)
+    return f"""
+WITH bm AS (SELECT * FROM ({bm25})),
+cs AS (SELECT vec_id AS doc_id, score FROM ({cos})),
+br AS (
+  SELECT doc_id, 1.0::DOUBLE / ({rrf_k} + row_number()
+         OVER (ORDER BY score DESC, doc_id ASC)) AS c
+  FROM bm
+),
+cr AS (
+  SELECT doc_id, 1.0::DOUBLE / ({rrf_k} + row_number()
+         OVER (ORDER BY score DESC, doc_id ASC)) AS c
+  FROM cs
+)
+SELECT COALESCE(br.doc_id, cr.doc_id) AS doc_id,
+       round(COALESCE(br.c, 0) + COALESCE(cr.c, 0), 6) AS rrf_score
+FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {k}
+"""

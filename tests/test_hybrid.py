@@ -1,0 +1,45 @@
+"""Hybrid BM25+cosine RRF fusion vs the DuckDB oracle, plus RRF sanity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from smse_backend_spark.corpus import load_corpus
+from smse_backend_spark.operators.hybrid import rrf_hybrid_sql, rrf_hybrid_topk
+from smse_backend_spark.operators.similarity import load_embeddings
+
+
+@pytest.fixture(scope="module")
+def con(sf_smoke):
+    c = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_smoke}/{t}.parquet'")
+    return c
+
+
+@pytest.mark.parametrize("q,qid,k", [
+    ("hash join merge scan", 0, 10),
+    ("the row data", 7, 15),
+    ("window", 11, 10),
+])
+def test_rrf_hybrid_vs_duckdb(spark, sf_smoke, con, q, qid, k):
+    corpus = load_corpus(spark, sf_smoke)
+    emb = load_embeddings(spark, sf_smoke)
+    got = [(r["doc_id"], r["rrf_score"])
+           for r in rrf_hybrid_topk(corpus, emb, q, qid, k).collect()]
+    want = con.execute(rrf_hybrid_sql(q, qid, k)).fetchall()
+    assert got == [tuple(r) for r in want], (got[:3], want[:3])
+
+
+def test_rrf_doc_in_both_lists_outranks_solo(spark, sf_smoke):
+    """A doc present in BOTH top lists accumulates two reciprocal terms:
+    the fused top-1 must score >= the best single-list contribution."""
+    corpus = load_corpus(spark, sf_smoke)
+    emb = load_embeddings(spark, sf_smoke)
+    rows = rrf_hybrid_topk(corpus, emb, "hash join merge scan", 0, 10).collect()
+    assert rows, "hybrid returned nothing"
+    assert rows[0]["rrf_score"] >= round(1.0 / 61, 6)
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
