@@ -124,6 +124,31 @@ def tombstone_array(
     return np.unique(pdf["doc_id"].to_numpy(np.int64))
 
 
+def replace_docs(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    old_doc_ids,
+    snapshot_id: str | None = None,
+) -> dict:
+    """Update = delete + append, the LSM/Lucene way (posting lists are
+    immutable): tombstone the superseded versions and index the new ones
+    as a fresh batch. ``new_docs`` rows are ``(doc_id, lang, content)``
+    with doc_ids ABOVE the indexed frontier (a re-crawled file gets a new
+    doc_id; the old id is tombstoned — the reference's update flow is
+    likewise delete-then-reinsert, content row + embedding row replaced).
+
+    Order matters for crash-safety: the tombstone commits FIRST, so a
+    crash between the two steps leaves a valid index that simply misses
+    the new versions (rerun to finish); the reverse order could surface
+    both versions of a doc.
+    """
+    from smse_backend_spark.index.build import extend_index
+
+    delete_docs(spark, index_dir, old_doc_ids)
+    return extend_index(spark, new_docs, index_dir, snapshot_id=snapshot_id)
+
+
 def live_mask(tomb: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
     """Boolean mask of doc_ids NOT in the sorted tombstone array."""
     if tomb.size == 0:

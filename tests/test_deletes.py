@@ -134,3 +134,29 @@ def test_compact_applies_tombstones(spark, corpus, soft_deleted, tmp_path):
                 for r in bm25_topk_scan(survivors, q, 10, lang).collect()]
         assert got == want, (q, got[:3], want[:3])
     survivors.unpersist()
+
+
+def test_replace_docs_update_flow(spark, corpus, tmp_path):
+    """Re-crawled file: old doc_id tombstoned, new version indexed above
+    the frontier — queries see exactly one (the new) version."""
+    out = str(tmp_path / "idx")
+    build_index(spark, corpus, out, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=2)
+    q = "hash join merge scan"
+    top = InvertedIndex(spark, out).bm25_topk(q, 5).collect()
+    old_id = top[0]["doc_id"]
+    old_row = corpus.filter(F.col("doc_id") == old_id).first()
+
+    new_id = 1000  # above the indexed frontier (8 segments x 64 = 512)
+    new_docs = spark.createDataFrame(
+        [(new_id, old_row["lang"], old_row["content"] + " freshly recrawled")],
+        "doc_id long, lang string, content string",
+    )
+    meta = deletes.replace_docs(spark, out, new_docs, [old_id],
+                                snapshot_id="recrawl-1")
+    assert meta["n_docs"] == 501  # soft-deleted old still counts until merge
+
+    got = InvertedIndex(spark, out).bm25_topk(q, 10).collect()
+    ids = {r["doc_id"] for r in got}
+    assert old_id not in ids
+    assert new_id in ids  # near-identical content must re-rank into top-10
