@@ -160,3 +160,12 @@ def test_replace_docs_update_flow(spark, corpus, tmp_path):
     ids = {r["doc_id"] for r in got}
     assert old_id not in ids
     assert new_id in ids  # near-identical content must re-rank into top-10
+
+
+def test_tombstone_filter_plan_is_broadcast_anti_join(spark, soft_deleted):
+    """PLANS.md §7 claim: with a small tombstone set, the exhaustive decode
+    path filters via a broadcast left-anti hash join (no shuffled join)."""
+    idx = InvertedIndex(spark, soft_deleted)
+    df = idx.bm25_topk("hash join merge scan", 10, mode="exhaustive")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
