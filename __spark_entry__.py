@@ -30,6 +30,7 @@ BATCH_QUERIES: dict[int, str] = {
 
 _INDEX_CACHE: dict[str, str] = {}
 _DELETED_CACHE: dict[str, tuple[str, str]] = {}
+_ASOF_CACHE: dict[str, str] = {}
 _STREAMIDX_CACHE: dict[str, str] = {}
 _STREAM_CACHE: dict[str, str] = {}
 
@@ -183,11 +184,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _bm25_as_of(query: str, as_of: int):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from pyspark.sql import functions as FF
+
+            from smse_backend_spark.index.build import build_index
             from smse_backend_spark.index.query import InvertedIndex
 
-            _indexed(spark, sf_dir)  # ensure built (2 batches: 0-255, 256+)
+            # dedicated deterministic index so batch 0 covers docs 0-255 at
+            # ANY sf (corpus capped at 768 docs, 3 single-segment batches) —
+            # the static oracle's doc_id < 256 boundary must not depend on
+            # the scale factor's batch split
+            if sf_dir not in _ASOF_CACHE:
+                import tempfile
+
+                out = tempfile.mkdtemp(prefix="smse_idx_asof_")
+                build_index(
+                    spark,
+                    load_corpus(spark, sf_dir).filter(FF.col("doc_id") < 768),
+                    out, segment_size=256, n_buckets=8, block_size=64,
+                    n_batches=3,
+                )
+                _ASOF_CACHE[sf_dir] = out
             return InvertedIndex(
-                spark, _INDEX_CACHE[sf_dir], as_of_batch=as_of
+                spark, _ASOF_CACHE[sf_dir], as_of_batch=as_of
             ).bm25_topk(query, 10)
 
         return run
