@@ -326,6 +326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), 3, 0.5, max_df=100
         ),
         "minhash_lsh": lambda spark, sf: D.minhash_lsh_pairs(_docs(spark, sf), 16, 4),
+        # pairs -> connected components -> canonical doc per cluster
+        "dup_clusters": lambda spark, sf: D.dup_clusters(_docs(spark, sf), 16, 4),
         "embedding_near_dup": lambda spark, sf: D.embedding_near_dup(
             spark.read.parquet(f"{sf}/embeddings.parquet"), 0.3
         ),
@@ -420,6 +422,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "exact_dup_groups": D.exact_dup_groups_sql(),
         "ngram_jaccard": D.ngram_jaccard_pairs_sql(3, 0.5, max_df=100),
         "minhash_lsh": D.minhash_lsh_pairs_sql(16, 4),
+        "dup_clusters": D.dup_clusters_sql(16, 4),
         "embedding_near_dup": D.embedding_near_dup_sql(0.3),
         "embedding_near_dup_lsh": D.embedding_near_dup_lsh_sql(0.3, dim=64),
         "simhash_neardup": SH.simhash_neardup_sql(10),

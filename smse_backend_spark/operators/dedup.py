@@ -399,3 +399,101 @@ s AS (
 )
 SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering: pairs -> connected components -> canonical doc
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over undirected dup pairs by min-label
+    propagation (the Pregel-style CC): every vertex starts labeled with
+    itself; each round takes the min of its own and its neighbors'
+    labels; fixpoint = each vertex labeled with its component's smallest
+    doc_id. Deterministic.
+
+    Scale shape: one equijoin + one groupBy-min per round, converging in
+    O(component diameter) rounds — near-dup graphs from banded LSH are
+    clique-ish, so 2-4 rounds in practice. Each round's labels are
+    ``localCheckpoint``-ed to truncate the iterative lineage (swap for
+    ``checkpoint`` on a cluster with an HDFS/S3 checkpoint dir); the
+    fixpoint test is a driver count of changed labels.
+
+    Returns (doc_id, cluster_id) for every vertex that appears in a pair.
+    """
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.select(F.col("doc_id").alias("dst"), "cluster_id"), "dst"
+        ).select(F.col("src").alias("doc_id"), "cluster_id")
+        new = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(
+                labels.withColumnRenamed("cluster_id", "old"), "doc_id"
+            )
+            .filter(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters(
+    docs: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """Canonical-doc assignment: MinHash-LSH candidate pairs -> connected
+    components -> every doc labeled with its cluster's smallest doc_id
+    (singletons label themselves). The end state of the dedup pipeline:
+    ``filter(doc_id == cluster_id)`` is the survivor view, and
+    ``cluster_id`` is the provenance key for dropped near-dups."""
+    comp = connected_components(minhash_lsh_pairs(docs, num_hashes, bands, n))
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+def dup_clusters_sql(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    """DuckDB twin: exact components via a recursive reachability CTE over
+    the same pair SQL (tractable at oracle scale; the Spark side is the
+    distributed algorithm)."""
+    pairs = minhash_lsh_pairs_sql(num_hashes, bands, n)
+    return f"""
+WITH RECURSIVE pr AS (SELECT * FROM ({pairs})),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pr
+  UNION
+  SELECT doc_b, doc_a FROM pr
+),
+reach(v, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.v
+),
+comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+SELECT d.doc_id AS doc_id,
+       COALESCE(c.cluster_id, d.doc_id)::BIGINT AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+"""

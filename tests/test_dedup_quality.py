@@ -133,3 +133,35 @@ def test_lang_id(docs, con):
 
 def test_doc_fingerprint(docs, con):
     _cmp(Q.doc_fingerprint(docs), con, Q.doc_fingerprint_sql())
+
+
+def test_connected_components_min_label(spark):
+    from smse_backend_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 3)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_vs_duckdb(spark, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.dedup import dup_clusters, dup_clusters_sql
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    got = sorted((r["doc_id"], r["cluster_id"])
+                 for r in dup_clusters(docs, 16, 4).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(dup_clusters_sql(16, 4)).fetchall()))
+    assert got == want
+    # the survivor view is closed under representatives: every cluster_id
+    # is itself a surviving doc_id
+    reps = {c for _d, c in got}
+    survivors = {d for d, c in got if d == c}
+    assert reps <= survivors
