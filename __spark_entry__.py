@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from smse_backend_spark.corpus import load_corpus
-from smse_backend_spark.operators.search import bm25_scan_oracle_sql, bm25_topk_scan
+from smse_backend_spark.operators.search import (
+    bm25_prefix_oracle_sql,
+    bm25_scan_oracle_sql,
+    bm25_topk_scan,
+)
 
 FLAGSHIP_QUERY = "hash join merge scan"
 
@@ -298,6 +302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time travel: query the index as of batch 0 (docs 0-255) —
         # historical stats from lineage, df from pruned block metadata
         "bm25_indexed_as_of": _bm25_as_of(FLAGSHIP_QUERY, 0),
+        # prefix (wildcard) search: dictionary expansion, OR-scored
+        "bm25_prefix": lambda spark, sf: _indexed(spark, sf)
+        .bm25_topk_prefix("wi", 10, max_expansions=16),
         # hybrid retrieval: BM25 + cosine fused by reciprocal-rank fusion
         "hybrid_rrf": lambda spark, sf: HY.rrf_hybrid_topk(
             load_corpus(spark, sf), S.load_embeddings(spark, sf),
@@ -459,6 +466,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             FLAGSHIP_QUERY,
             table="(SELECT * FROM documents WHERE doc_id < 256)",
         ),
+        "bm25_prefix": bm25_prefix_oracle_sql("wi", 10, max_expansions=16),
         "hybrid_rrf": HY.rrf_hybrid_sql(FLAGSHIP_QUERY, 0, 10),
         "cosine_topk": S.cosine_topk_sql(0, 10),
         "cosine_topk_modality": S.cosine_topk_sql(7, 5, "text"),

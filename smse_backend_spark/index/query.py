@@ -244,6 +244,13 @@ class InvertedIndex:
             n, sdl = st["n_docs"], st["sum_dl"]
         return float(n), (sdl / n if n else 0.0)
 
+    def _ensure_dict_cache(self) -> None:
+        if self._dict_cache is None:
+            self._dict_cache = {
+                (r["lang"], r["term"]): r["df"]
+                for r in self.spark.read.parquet(f"{self.path}/dictionary").collect()
+            }
+
     def term_df(self, terms: list[str], lang: str | None = None) -> dict[str, int]:
         if self.as_of is not None:
             # historical df from the pruned blocks' metadata columns (one
@@ -255,11 +262,7 @@ class InvertedIndex:
                 .groupBy("term").agg(F.sum("n").alias("df")).collect()
             }
         if self.meta.get("n_terms", 1 << 62) <= self.DICT_CACHE_MAX_TERMS:
-            if self._dict_cache is None:
-                self._dict_cache = {
-                    (r["lang"], r["term"]): r["df"]
-                    for r in self.spark.read.parquet(f"{self.path}/dictionary").collect()
-                }
+            self._ensure_dict_cache()
             if lang is None:
                 out: dict[str, int] = {}
                 for (_lg, t), df in self._dict_cache.items():
@@ -347,7 +350,65 @@ class InvertedIndex:
         lang: str | None = None,
         mode: str = "auto",
     ) -> DataFrame:
-        terms = query_terms(query_text)
+        return self._topk_for_terms(query_terms(query_text), k, lang, mode)
+
+    def expand_prefix(
+        self, prefix: str, lang: str | None = None, max_expansions: int = 64
+    ) -> list[str]:
+        """Dictionary terms starting with ``prefix``, ranked (df desc,
+        term asc) and capped — Lucene's multi-term expansion discipline.
+        Served from the driver dictionary cache when the vocabulary fits;
+        otherwise a dictionary scan of the two metadata columns (the same
+        term-dictionary walk Lucene pays for a wildcard; posting blobs
+        are never touched)."""
+        if self.as_of is not None:
+            raise ValueError(
+                "prefix expansion uses the as-of-latest dictionary — "
+                "time-travel prefix queries are not supported"
+            )
+        if self.meta.get("n_terms", 1 << 62) <= self.DICT_CACHE_MAX_TERMS:
+            self._ensure_dict_cache()
+            agg: dict[str, int] = {}
+            for (lg, t), df in self._dict_cache.items():
+                if (lang is None or lg == lang) and t.startswith(prefix):
+                    agg[t] = agg.get(t, 0) + df
+            ranked = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+            return [t for t, _df in ranked[:max_expansions]]
+        d = self.spark.read.parquet(f"{self.path}/dictionary").filter(
+            F.col("term").startswith(prefix)
+        )
+        if lang is not None:
+            d = d.filter(F.col("lang") == lang)
+        rows = (
+            d.groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def bm25_topk_prefix(
+        self,
+        prefix: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+        max_expansions: int = 64,
+        mode: str = "auto",
+    ) -> DataFrame:
+        """Prefix (wildcard) search: ``prefix*`` expands against the
+        dictionary and scores as the OR of the expanded terms, each with
+        its own idf — the code-search symbol-prefix / autocomplete shape."""
+        return self._topk_for_terms(
+            self.expand_prefix(prefix, lang, max_expansions), k, lang, mode
+        )
+
+    def _topk_for_terms(
+        self,
+        terms: list[str],
+        k: int,
+        lang: str | None,
+        mode: str,
+    ) -> DataFrame:
         n, avgdl = self.corpus_stats(lang)
         dfs = self.term_df(terms, lang) if terms and n else {}
         idf = {
@@ -369,9 +430,11 @@ class InvertedIndex:
                 # the join-based decode path stays exact at any delete size
                 mode = "exhaustive"
         if mode == "single_pass":
+            # terms are pure [a-z0-9]+ tokens, so the joined string
+            # round-trips exactly through the kernel's query_terms()
             return (
                 self._batch_kernel_topk(
-                    {0: query_text}, idf, avgdl, k, lang,
+                    {0: " ".join(sorted(idf))}, idf, avgdl, k, lang,
                     est_postings=sum(dfs.values()),
                 )
                 .select("doc_id", "score")

@@ -286,3 +286,23 @@ def test_time_travel_as_of_batch(spark, corpus, index):
 
     with pytest.raises(ValueError, match="not a committed batch"):
         InvertedIndex(spark, index.path, as_of_batch=9)
+
+
+def test_prefix_search_vs_oracle(spark, index, sf_smoke):
+    """bm25_topk_prefix == DuckDB oracle (expansion ranked df desc/term asc,
+    capped, then OR-scored with per-term idf)."""
+    import duckdb
+
+    from smse_backend_spark.operators.search import bm25_prefix_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    for prefix, lang, mx in [("wi", None, 64), ("s", "en", 64),
+                             ("ha", None, 3), ("zzzqq", None, 64)]:
+        got = [(r["doc_id"], r["score"])
+               for r in index.bm25_topk_prefix(prefix, 10, lang, mx).collect()]
+        want = [tuple(r) for r in
+                con.execute(bm25_prefix_oracle_sql(prefix, 10, lang, mx)).fetchall()]
+        assert got == want, (prefix, lang, mx, got[:3], want[:3])
