@@ -16,6 +16,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from smse_backend_spark.corpus import load_corpus
 from smse_backend_spark.operators.search import (
+    bm25_phrase_oracle_sql,
     bm25_prefix_oracle_sql,
     bm25_scan_oracle_sql,
     bm25_topk_scan,
@@ -66,6 +67,25 @@ def _streamed_index(spark: SparkSession, sf_dir: str) -> str:
 
 # deterministic tombstone set for the delete contract entries
 DELETE_PRED = "doc_id % 7 = 0"
+
+
+_POS_INDEX_CACHE: dict[str, str] = {}
+
+
+def _pos_indexed(spark: SparkSession, sf_dir: str):
+    """Positional index (phrase search) — built once per process."""
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+
+    if sf_dir not in _POS_INDEX_CACHE:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="smse_index_pos_")
+        build_index(spark, load_corpus(spark, sf_dir), out,
+                    segment_size=256, n_buckets=8, block_size=64,
+                    n_batches=2, with_positions=True)
+        _POS_INDEX_CACHE[sf_dir] = out
+    return InvertedIndex(spark, _POS_INDEX_CACHE[sf_dir])
 
 
 def _deleted_indexes(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -305,6 +325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix (wildcard) search: dictionary expansion, OR-scored
         "bm25_prefix": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_prefix("wi", 10, max_expansions=16),
+        # exact phrase search over the positional index
+        "bm25_phrase": lambda spark, sf: _pos_indexed(spark, sf)
+        .phrase_topk("table scan", 10),
         # hybrid retrieval: BM25 + cosine fused by reciprocal-rank fusion
         "hybrid_rrf": lambda spark, sf: HY.rrf_hybrid_topk(
             load_corpus(spark, sf), S.load_embeddings(spark, sf),
@@ -467,6 +490,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             table="(SELECT * FROM documents WHERE doc_id < 256)",
         ),
         "bm25_prefix": bm25_prefix_oracle_sql("wi", 10, max_expansions=16),
+        "bm25_phrase": bm25_phrase_oracle_sql("table scan", 10),
         "hybrid_rrf": HY.rrf_hybrid_sql(FLAGSHIP_QUERY, 0, 10),
         "cosine_topk": S.cosine_topk_sql(0, 10),
         "cosine_topk_modality": S.cosine_topk_sql(7, 5, "text"),

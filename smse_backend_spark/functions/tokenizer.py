@@ -188,6 +188,47 @@ def term_counts_with_docs_map_in_pandas(
 
 TERM_COUNTS_SCHEMA = "doc_id long, term string, tf long, doc_len long"
 TERM_COUNTS_LANG_SCHEMA = "doc_id long, term string, tf long, doc_len long, lang string"
+TERM_POSITIONS_LANG_SCHEMA = (
+    "doc_id long, term string, tf long, doc_len long, lang string, "
+    "positions array<long>"
+)
+
+
+def term_positions_map_in_pandas(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """``mapInPandas`` kernel for POSITIONAL index builds:
+    (doc_id, content, lang) -> (doc_id, term, tf, doc_len, lang,
+    positions) where ``positions`` is the ascending 0-based token offsets
+    of the term in the doc (len == tf). Same tokenizer truth as
+    :func:`term_counts_frame`; the extra cost (a cumcount + list agg) is
+    why positions are an opt-in build flag."""
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "term": pd.Series(dtype="object"),
+         "tf": pd.Series(dtype="int64"), "doc_len": pd.Series(dtype="int64"),
+         "lang": pd.Series(dtype="object"),
+         "positions": pd.Series(dtype="object")}
+    )
+    for pdf in batches:
+        toks = _fold_series(pdf["content"].fillna("")).str.findall(_PY_TOKEN)
+        dl = toks.str.len().astype("int64")
+        frame = pd.DataFrame(
+            {"doc_id": pdf["doc_id"].values, "term": toks.values,
+             "doc_len": dl.values,
+             "lang": pdf["lang"].values if "lang" in pdf.columns else ""}
+        ).explode("term", ignore_index=True)
+        frame["pos"] = frame.groupby("doc_id").cumcount()
+        frame = frame.dropna(subset=["term"])
+        if frame.empty:
+            yield empty
+            continue
+        frame["term"] = frame["term"].str.lower()
+        out = (
+            frame.groupby(["doc_id", "term", "doc_len", "lang"], sort=False)
+            .agg(tf=("pos", "size"), positions=("pos", list))
+            .reset_index()
+        )
+        yield out[["doc_id", "term", "tf", "doc_len", "lang", "positions"]]
 
 
 # ---------------------------------------------------------------------------

@@ -75,6 +75,10 @@ BLOCKS_SCHEMA = (
     "n int, first_doc long, last_doc long, block_max_tf int, block_min_dl int, "
     "block_sum_tf long, gaps binary, tfs binary, dls binary"
 )
+# positional variant: poss = per-block concatenation of each posting's
+# delta-encoded token positions (first raw, then gaps; posting boundaries
+# recovered from the decoded tf sequence)
+BLOCKS_SCHEMA_POS = BLOCKS_SCHEMA + ", poss binary"
 
 _EMPTY_BLOCKS = {
     "lang": pd.Series(dtype="object"), "term_bucket": pd.Series(dtype="int32"),
@@ -88,12 +92,15 @@ _EMPTY_BLOCKS = {
 }
 
 
-def make_block_builder(block_size: int):
+def make_block_builder(block_size: int, with_positions: bool = False):
     """applyInPandas kernel for one (lang, term_bucket, segment) group."""
 
     def build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
-            return pd.DataFrame(_EMPTY_BLOCKS)
+            out = dict(_EMPTY_BLOCKS)
+            if with_positions:
+                out["poss"] = pd.Series(dtype="object")
+            return pd.DataFrame(out)
         pdf = pdf.sort_values(["term", "doc_id"], kind="stable", ignore_index=True)
         doc = pdf["doc_id"].to_numpy(np.int64)
         tf = pdf["tf"].to_numpy(np.int64)
@@ -133,6 +140,26 @@ def make_block_builder(block_size: int):
                 "dls": encode_blocks(dl.astype(np.uint64), counts),
             }
         )
+        if with_positions:
+            flat = (
+                np.concatenate(
+                    [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
+                )
+                if len(pdf)
+                else np.empty(0, dtype=np.int64)
+            )
+            # delta within each posting, first position kept raw
+            post_starts = np.concatenate(
+                ([0], np.cumsum(tf[:-1]))
+            ).astype(np.int64)
+            d = flat.copy()
+            if d.size:
+                d[1:] -= flat[:-1]
+                d[post_starts] = flat[post_starts]
+            # positions per block = that block's sum of tfs
+            out["poss"] = encode_blocks(
+                d.astype(np.uint64), np.add.reduceat(tf, bstarts)
+            )
         return out
 
     return build_blocks
@@ -150,8 +177,15 @@ def build_index(
     input_partitions: int | None = None,
     known_max_doc: int | None = None,
     snapshot_id: str | None = None,
+    with_positions: bool = False,
 ) -> dict:
     """Build (or resume) the index from a corpus (doc_id, lang, content).
+
+    ``with_positions=True`` additionally stores each posting's token
+    positions (delta+varint, a ``poss`` blob per block) — required for
+    :meth:`InvertedIndex.phrase_topk`, skipped by default because
+    positions roughly double posting bytes and add a list-agg to the
+    tokenize kernel.
 
     Batches partition the doc-id space; each batch commits postings +
     docstats + a lineage row atomically-enough (data first, lineage JSON
@@ -203,13 +237,14 @@ def build_index(
         _build_batch(
             spark, corpus, out_dir, b, seg_lo, seg_hi, segment_size,
             n_buckets, block_size, input_partitions, snapshot,
+            with_positions,
         )
         built += 1
     return finalize(
         spark, out_dir,
         {"segment_size": segment_size, "n_buckets": n_buckets,
          "block_size": block_size, "n_batches": n_batches,
-         "corpus_snapshot": snapshot},
+         "corpus_snapshot": snapshot, "with_positions": with_positions},
     )
 
 
@@ -228,6 +263,7 @@ def corpus_snapshot(corpus: DataFrame) -> str | None:
 def _build_batch(
     spark, corpus, out_dir, batch_id, seg_lo, seg_hi, segment_size,
     n_buckets, block_size, input_partitions, snapshot=None,
+    with_positions=False,
 ) -> None:
     lo_doc, hi_doc = seg_lo * segment_size, seg_hi * segment_size
     part = corpus.filter((F.col("doc_id") >= lo_doc) & (F.col("doc_id") < hi_doc))
@@ -262,16 +298,28 @@ def _build_batch(
     docstats.write.mode("overwrite").parquet(f"{out_dir}/docstats/batch={batch_id}")
 
     # posting pass: Arrow-vectorized tokenize+tf (the token stream never
-    # shuffles — only distinct (doc, term) pairs leave the Python worker)
+    # shuffles — only distinct (doc, term) pairs leave the Python worker;
+    # positional builds additionally carry each posting's offset list)
+    if with_positions:
+        from smse_backend_spark.functions.tokenizer import (
+            TERM_POSITIONS_LANG_SCHEMA,
+            term_positions_map_in_pandas,
+        )
+
+        kernel, schema = term_positions_map_in_pandas, TERM_POSITIONS_LANG_SCHEMA
+        out_schema = BLOCKS_SCHEMA_POS
+    else:
+        kernel, schema = term_counts_map_in_pandas, TERM_COUNTS_LANG_SCHEMA
+        out_schema = BLOCKS_SCHEMA
     tc = (
         part.select("doc_id", "content", "lang")
-        .mapInPandas(term_counts_map_in_pandas, TERM_COUNTS_LANG_SCHEMA)
+        .mapInPandas(kernel, schema)
         .withColumn("segment", (F.col("doc_id") / segment_size).cast("long"))
         .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
     )
     obs_blocks = Observation(f"blocks_{batch_id}")
     blocks = tc.groupBy("lang", "term_bucket", "segment").applyInPandas(
-        make_block_builder(block_size), BLOCKS_SCHEMA
+        make_block_builder(block_size, with_positions), out_schema
     ).observe(
         obs_blocks, F.count(F.lit(1)).alias("n_blocks"), F.sum("n").alias("n_postings")
     )
@@ -349,7 +397,7 @@ def extend_index(
     _build_batch(
         spark, new_docs, out_dir, next_batch, seg_base, seg_hi, seg_size,
         int(cfg["n_buckets"]), int(cfg["block_size"]), input_partitions,
-        snapshot,
+        snapshot, bool(cfg.get("with_positions", False)),
     )
     return finalize(
         spark, out_dir, {**cfg, "n_batches": next_batch + 1},
@@ -432,6 +480,13 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str) -> dict:
             "n_blocks": sum(r.get("n_blocks", 0) for r in rows),
             "n_postings": sum(r.get("n_postings", 0) for r in rows),
         }
+    elif cfg.get("with_positions"):
+        # the re-block pass below decodes only (doc, tf, dl); rebuilding
+        # poss blobs needs a positions-aware decode — not implemented
+        raise NotImplementedError(
+            "physical delete compaction on a positional index is not "
+            "supported — compact before deletes, or rebuild"
+        )
     else:
         # tombstones present: decode -> drop deleted docs -> re-block.
         # Blocks must be rebuilt (a block's first_doc/gaps/stats change

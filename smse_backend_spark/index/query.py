@@ -139,6 +139,93 @@ def _make_batch_scorer(
     return kernel
 
 
+def _make_phrase_matcher(terms: list[str], tomb_b=None):
+    """mapInPandas kernel: positional blocks (one partition holds every
+    phrase term's postings for its segments) -> (doc_id, phrase_tf, dl)
+    for docs where the terms occur at consecutive token offsets.
+
+    Adjacency check is numpy: start with the first term's positions per
+    doc, then for each later term keep only positions p with p+i present
+    in that term's (sorted) position set — ``np.isin`` per candidate doc.
+    Duplicate phrase terms reuse the same posting list at both offsets.
+    """
+    uniq = sorted(set(terms))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            gaps, counts = decode_blocks(list(pdf["gaps"]))
+            tfs, _ = decode_blocks(list(pdf["tfs"]))
+            dls, _ = decode_blocks(list(pdf["dls"]))
+            pos_flat, _ = decode_blocks(list(pdf["poss"]))
+            doc_ids = delta_decode(
+                gaps.astype(np.int64), pdf["first_doc"].to_numpy(np.int64), counts
+            )
+            tfs = tfs.astype(np.int64)
+            # positions: delta per posting with raw first -> absolute via
+            # cumsum minus the cumsum offset at each posting start
+            d = pos_flat.astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(tfs[:-1])))
+            cum = np.cumsum(d)
+            firsts = d[starts]
+            abs_pos = cum - np.repeat(cum[starts] - firsts, tfs)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "term": np.repeat(pdf["term"].to_numpy(), counts),
+                        "doc_id": doc_ids,
+                        "dl": dls.astype(np.int64),
+                        "pos_start": starts,
+                        "tf": tfs,
+                    }
+                ).assign(
+                    positions=[
+                        abs_pos[s : s + t] for s, t in zip(starts, tfs)
+                    ]
+                )
+            )
+        if not frames:
+            return
+        all_rows = pd.concat(frames, ignore_index=True)
+        if tomb_b is not None:
+            all_rows = all_rows[
+                live_mask(tomb_b.value, all_rows["doc_id"].to_numpy(np.int64))
+            ]
+            if all_rows.empty:
+                return
+        # per (doc, term) -> positions array; docs must carry ALL terms
+        grouped: dict[tuple[int, str], np.ndarray] = {}
+        dl_of: dict[int, int] = {}
+        for r in all_rows.itertuples(index=False):
+            grouped[(r.doc_id, r.term)] = r.positions
+            dl_of[r.doc_id] = r.dl
+        per_term_docs = [
+            {d for (d, t) in grouped if t == u} for u in uniq
+        ]
+        cand_docs = set.intersection(*per_term_docs) if per_term_docs else set()
+        out_d, out_ptf, out_dl = [], [], []
+        for doc in cand_docs:
+            cand = grouped[(doc, terms[0])]
+            for i, t in enumerate(terms[1:], start=1):
+                cand = cand[np.isin(cand + i, grouped[(doc, t)])]
+                if cand.size == 0:
+                    break
+            if cand.size:
+                out_d.append(doc)
+                out_ptf.append(int(cand.size))
+                out_dl.append(dl_of[doc])
+        if out_d:
+            yield pd.DataFrame(
+                {"doc_id": np.array(out_d, dtype=np.int64),
+                 "ptf": np.array(out_ptf, dtype=np.int64),
+                 "dl": np.array(out_dl, dtype=np.int64)}
+            )
+
+    return kernel
+
+
 def _tf_norm(tf_col, dl_col, avgdl: float):
     d = tf_col.cast("double")
     return d * (K1 + 1.0) / (d + K1 * (1.0 - B + B * dl_col.cast("double") / avgdl))
@@ -400,6 +487,67 @@ class InvertedIndex:
         its own idf — the code-search symbol-prefix / autocomplete shape."""
         return self._topk_for_terms(
             self.expand_prefix(prefix, lang, max_expansions), k, lang, mode
+        )
+
+    def phrase_topk(
+        self, phrase_text: str, k: int = DEFAULT_TOP_K, lang: str | None = None
+    ) -> DataFrame:
+        """Exact phrase search over a positional index: docs containing the
+        phrase's tokens at consecutive offsets, BM25-scored on the PHRASE
+        frequency (phrase df drives the idf). Requires
+        ``build_index(with_positions=True)``.
+
+        Plan shape: the same partition-pruned block scan as a term query
+        (plus the ``poss`` blobs), shuffled once by segment so a doc's
+        postings for every phrase term co-locate; adjacency is verified in
+        a vectorized kernel via sorted-array membership; only (doc_id,
+        phrase_tf, dl) matches leave the kernel.
+        """
+        from smse_backend_spark.functions.tokenizer import tokenize_py
+
+        if not self.meta["config"].get("with_positions"):
+            raise ValueError(
+                "phrase_topk requires an index built with with_positions=True"
+            )
+        terms = tokenize_py(phrase_text)  # ordered, duplicates preserved
+        if not terms:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        n, avgdl = self.corpus_stats(lang)
+        if not n:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        dfs = self.term_df(sorted(set(terms)), lang)
+        if any(t not in dfs for t in terms):
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        nparts = int(
+            min(1024, max(self.spark.sparkContext.defaultParallelism,
+                          sum(dfs.values()) // 200_000 + 1))
+        )
+        blocks = self._blocks(sorted(set(terms)), lang).select(
+            "segment", "term", "first_doc", "gaps", "tfs", "dls", "poss"
+        ).repartition(nparts, "segment")
+        self._load_tombs()
+        matches = blocks.mapInPandas(
+            _make_phrase_matcher(terms, self._tomb_bcast),
+            "doc_id long, ptf long, dl long",
+        )
+        if self._tomb_df is not None:
+            matches = matches.join(self._tomb_df, "doc_id", "left_anti")
+        # cache: the match set feeds both the phrase-df count and the
+        # scored top-k (it is tiny — only docs containing the full phrase)
+        matches = matches.cache()
+        df_p = matches.count()
+        if df_p == 0:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        idf = math.log(1.0 + (n - df_p + 0.5) / (df_p + 0.5))
+        return (
+            matches.select(
+                "doc_id",
+                F.round(
+                    F.lit(idf) * _tf_norm(F.col("ptf"), F.col("dl"), avgdl), 6
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
         )
 
     def _topk_for_terms(

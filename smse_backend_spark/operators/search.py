@@ -141,6 +141,58 @@ LIMIT {k}
 """
 
 
+def bm25_phrase_oracle_sql(
+    phrase_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.phrase_topk``: phrase tf counted by
+    scanning each doc's token list for consecutive matches; phrase df
+    (docs with >=1 occurrence) drives a single idf."""
+    from smse_backend_spark.functions.tokenizer import tokenize_py
+
+    terms = tokenize_py(phrase_text)
+    if not terms:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    L = len(terms)
+    cond = " AND ".join(
+        f"toks[i + {j}] = '" + t.replace("'", "''") + "'"
+        for j, t in enumerate(terms)
+    )
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "h.ptf", idf_sql("dfp.df", "stats.n"), "h.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+pm AS (
+  SELECT doc_id, doc_len,
+         CASE WHEN doc_len < {L} THEN 0 ELSE
+           len(list_filter(generate_series(1, len(toks) - {L - 1}),
+                           i -> {cond}))
+         END::BIGINT AS ptf
+  FROM dl
+),
+h AS (SELECT doc_id, doc_len, ptf FROM pm WHERE ptf > 0),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM h)
+SELECT h.doc_id AS doc_id, round({score}, 6) AS score
+FROM h CROSS JOIN dfp CROSS JOIN stats
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_prefix_oracle_sql(
     prefix: str,
     k: int = DEFAULT_TOP_K,

@@ -306,3 +306,49 @@ def test_prefix_search_vs_oracle(spark, index, sf_smoke):
         want = [tuple(r) for r in
                 con.execute(bm25_prefix_oracle_sql(prefix, 10, lang, mx)).fetchall()]
         assert got == want, (prefix, lang, mx, got[:3], want[:3])
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_pos"))
+    build_index(spark, corpus, out, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=2, with_positions=True)
+    return InvertedIndex(spark, out)
+
+
+def test_phrase_search_vs_oracle(spark, pos_index, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.search import bm25_phrase_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    nonzero = 0
+    for phrase, lang in [("table scan", None), ("batch batch", None),
+                         ("spark window window", None), ("merge sort", "en"),
+                         ("zzqq nohit", None)]:
+        got = [(r["doc_id"], r["score"])
+               for r in pos_index.phrase_topk(phrase, 10, lang).collect()]
+        want = [tuple(r) for r in
+                con.execute(bm25_phrase_oracle_sql(phrase, 10, lang)).fetchall()]
+        assert got == want, (phrase, lang, got[:3], want[:3])
+        nonzero += bool(got)
+    assert nonzero >= 3  # the corpus really contains these phrases
+
+
+def test_positional_index_term_queries_unchanged(spark, corpus, pos_index):
+    """The poss column is additive: ordinary BM25 over a positional index
+    is rank- and score-identical to the scan."""
+    for q, lang in QUERIES[:3]:
+        got = [(r["doc_id"], r["score"])
+               for r in pos_index.bm25_topk(q, 10, lang).collect()]
+        want = [(r["doc_id"], r["score"])
+                for r in bm25_topk_scan(corpus, q, 10, lang).collect()]
+        assert got == want, (q, got[:3], want[:3])
+
+
+def test_phrase_requires_positional_index(spark, index):
+    with pytest.raises(ValueError, match="with_positions"):
+        index.phrase_topk("table scan")
