@@ -55,6 +55,7 @@ def cmd_build(args) -> None:
         spark, corpus, args.out,
         segment_size=args.segment_size, n_buckets=args.n_buckets,
         block_size=args.block_size, n_batches=args.n_batches,
+        with_positions=args.with_positions,
     )
     print(json.dumps(meta))
 
@@ -64,7 +65,14 @@ def cmd_query(args) -> None:
 
     spark = _spark(args)
     idx = InvertedIndex(spark, args.index)
-    rows = idx.bm25_topk(args.text, args.k, args.lang, mode=args.mode).collect()
+    if args.phrase:
+        out = idx.phrase_topk(args.text, args.k, args.lang)
+    elif args.prefix:
+        out = idx.bm25_topk_prefix(args.text, args.k, args.lang,
+                                   args.max_expansions, mode=args.mode)
+    else:
+        out = idx.bm25_topk(args.text, args.k, args.lang, mode=args.mode)
+    rows = out.collect()
     print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
 
 
@@ -157,6 +165,8 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--n-buckets", type=int, default=16)
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--n-batches", type=int, default=4)
+    b.add_argument("--with-positions", action="store_true",
+                   help="store token positions (enables phrase queries)")
     b.add_argument("--master")
     b.set_defaults(fn=cmd_build)
 
@@ -167,6 +177,11 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--lang")
     q.add_argument("--mode", default="auto",
                    choices=["auto", "single_pass", "pruned", "exhaustive"])
+    q.add_argument("--phrase", action="store_true",
+                   help="exact phrase (needs --with-positions index)")
+    q.add_argument("--prefix", action="store_true",
+                   help="treat --text as a term prefix (wildcard search)")
+    q.add_argument("--max-expansions", type=int, default=64)
     q.add_argument("--master")
     q.set_defaults(fn=cmd_query)
 

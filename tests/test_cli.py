@@ -72,3 +72,24 @@ def test_zipdist(tmp_path):
     assert "smse_backend_spark/cli.py" in names
     assert "smse_backend_spark/index/build.py" in names
     assert d.endswith("cli.py")
+
+
+def test_cli_positional_build_phrase_prefix_query(tmp_path, spark, sf_smoke, capsys):
+    out = str(tmp_path / "pidx")
+    cli.main([
+        "build", "--corpus", sf_smoke, "--out", out, "--with-positions",
+        "--segment-size", "256", "--n-buckets", "8", "--n-batches", "1",
+        "--master", "local[4]",
+    ])
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["config"]["with_positions"] is True
+
+    cli.main(["query", "--index", out, "--text", "table scan", "--phrase",
+              "--master", "local[4]"])
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits and all("score" in h for h in hits)
+
+    cli.main(["query", "--index", out, "--text", "wi", "--prefix",
+              "--master", "local[4]"])
+    hits2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits2
