@@ -73,7 +73,12 @@ def quality_scores(docs: DataFrame, min_score: float = 0.0) -> DataFrame:
         F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double") / n_tok,
     ).otherwise(0.0)
     stop_score = F.lit(1.0) - F.least(stop_ratio * 2, F.lit(1.0))
-    score = F.round(length_score * diversity * (F.lit(0.5) + stop_score / 2), 6)
+    raw = length_score * diversity * (F.lit(0.5) + stop_score / 2)
+    # explicit floor(x*1e6+0.5)/1e6 instead of round(): Spark's round()
+    # HALF_UPs the shortest decimal print of the double while DuckDB
+    # rounds the binary value — at an exact .xxxxxx5 boundary they differ
+    # by 1 ulp. This form is identical double math in both engines.
+    score = F.floor(raw * 1e6 + F.lit(0.5)) / 1e6
     return docs.select("doc_id", score.alias("quality")).filter(F.col("quality") >= min_score)
 
 
@@ -90,9 +95,9 @@ m AS (
   FROM tok
 )
 SELECT doc_id,
-       round(length_score * diversity * (0.5 + (1.0 - least(stop_ratio * 2, 1.0)) / 2), 6) AS quality
+       floor(length_score * diversity * (0.5 + (1.0 - least(stop_ratio * 2, 1.0)) / 2) * 1000000 + 0.5) / 1000000 AS quality
 FROM m
-WHERE round(length_score * diversity * (0.5 + (1.0 - least(stop_ratio * 2, 1.0)) / 2), 6) >= {min_score}
+WHERE floor(length_score * diversity * (0.5 + (1.0 - least(stop_ratio * 2, 1.0)) / 2) * 1000000 + 0.5) / 1000000 >= {min_score}
 """
 
 
