@@ -328,6 +328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact phrase search over the positional index
         "bm25_phrase": lambda spark, sf: _pos_indexed(spark, sf)
         .phrase_topk("table scan", 10),
+        # MUST_NOT filter: excluded docs dropped, global stats unchanged
+        "bm25_must_not": lambda spark, sf: _indexed(spark, sf)
+        .bm25_topk_filtered(FLAGSHIP_QUERY, must_not=["window"]),
         # hybrid retrieval: BM25 + cosine fused by reciprocal-rank fusion
         "hybrid_rrf": lambda spark, sf: HY.rrf_hybrid_topk(
             load_corpus(spark, sf), S.load_embeddings(spark, sf),
@@ -491,6 +494,11 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         ),
         "bm25_prefix": bm25_prefix_oracle_sql("wi", 10, max_expansions=16),
         "bm25_phrase": bm25_phrase_oracle_sql("table scan", 10),
+        "bm25_must_not": bm25_scan_oracle_sql(
+            FLAGSHIP_QUERY,
+            exclude_where="tf.doc_id NOT IN "
+            "(SELECT DISTINCT doc_id FROM tok WHERE term = 'window')",
+        ),
         "hybrid_rrf": HY.rrf_hybrid_sql(FLAGSHIP_QUERY, 0, 10),
         "cosine_topk": S.cosine_topk_sql(0, 10),
         "cosine_topk_modality": S.cosine_topk_sql(7, 5, "text"),

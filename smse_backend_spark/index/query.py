@@ -489,6 +489,42 @@ class InvertedIndex:
             self.expand_prefix(prefix, lang, max_expansions), k, lang, mode
         )
 
+    def bm25_topk_filtered(
+        self,
+        query_text: str,
+        must_not: list[str] | tuple[str, ...] = (),
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """BM25 with MUST_NOT terms: docs containing ANY excluded term are
+        dropped from the result; idf / corpus stats stay GLOBAL (Lucene's
+        filter semantics — a query-time filter never changes scoring).
+
+        Plan: normal exhaustive scoring, plus one decode of the excluded
+        terms' (partition-pruned) postings reduced to a distinct doc set,
+        anti-joined BEFORE the top-k cut."""
+        terms = query_terms(query_text)
+        ex_terms = sorted({t for raw in must_not for t in query_terms(raw)})
+        n, avgdl = self.corpus_stats(lang)
+        dfs = self.term_df(terms, lang) if terms and n else {}
+        idf = {
+            t: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for t, df in dfs.items()
+        }
+        if not idf:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        scored = self._score(self._blocks(sorted(idf), lang), idf, avgdl)
+        if ex_terms:
+            excl = (
+                self._blocks(ex_terms, lang)
+                .select("term", "first_doc", "gaps", "tfs", "dls")
+                .mapInPandas(_decode_map, DECODED_SCHEMA)
+                .select("doc_id")
+                .distinct()
+            )
+            scored = scored.join(excl, "doc_id", "left_anti")
+        return self._finish(scored, k)
+
     def phrase_topk(
         self, phrase_text: str, k: int = DEFAULT_TOP_K, lang: str | None = None
     ) -> DataFrame:

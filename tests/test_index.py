@@ -352,3 +352,31 @@ def test_positional_index_term_queries_unchanged(spark, corpus, pos_index):
 def test_phrase_requires_positional_index(spark, index):
     with pytest.raises(ValueError, match="with_positions"):
         index.phrase_topk("table scan")
+
+
+def test_must_not_filter_vs_oracle(spark, index, sf_smoke):
+    """MUST_NOT drops docs containing the excluded term; survivor scores
+    are unchanged (global stats — Lucene filter semantics)."""
+    import duckdb
+
+    from smse_backend_spark.operators.search import bm25_scan_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    q = "hash join merge scan"
+    got = [(r["doc_id"], r["score"])
+           for r in index.bm25_topk_filtered(q, must_not=["window"]).collect()]
+    sql = bm25_scan_oracle_sql(
+        q, exclude_where="tf.doc_id NOT IN "
+        "(SELECT DISTINCT doc_id FROM tok WHERE term = 'window')")
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want, (got[:3], want[:3])
+    # survivors keep their unfiltered scores
+    plain = {r["doc_id"]: r["score"] for r in index.bm25_topk(q, 500).collect()}
+    assert all(plain[d] == s for d, s in got)
+    # and the empty-exclusion case degenerates to the plain query
+    got0 = [(r["doc_id"], r["score"])
+            for r in index.bm25_topk_filtered(q).collect()]
+    assert got0 == list(plain.items())[:10]
