@@ -106,6 +106,21 @@ def cmd_compact(args) -> None:
     print(json.dumps(meta))
 
 
+def cmd_stats(args) -> None:
+    """Index introspection from metadata only (no Spark session): config,
+    corpus stats, per-batch lineage, tombstone commits."""
+    from smse_backend_spark.index import deletes
+    from smse_backend_spark.index import lineage as lin
+
+    meta = lin.read_meta(args.index)
+    print(json.dumps({
+        "meta": meta,
+        "batches": lin.read_lineage(args.index),
+        "tombstone_commits": deletes.committed_deletes(args.index),
+        "tombstones": deletes.tombstone_count(args.index),
+    }))
+
+
 def cmd_delete(args) -> None:
     """Tombstone docs out of an index (soft delete — queries stop returning
     them immediately; `compact` applies the deletes physically)."""
@@ -192,6 +207,10 @@ def main(argv: list[str] | None = None) -> None:
     v.add_argument("--k", type=int, default=10)
     v.add_argument("--master")
     v.set_defaults(fn=cmd_verify)
+
+    s = sub.add_parser("stats", help="print index metadata/lineage JSON")
+    s.add_argument("--index", required=True)
+    s.set_defaults(fn=cmd_stats)
 
     x = sub.add_parser("delete", help="tombstone doc_ids out of an index")
     x.add_argument("--index", required=True)

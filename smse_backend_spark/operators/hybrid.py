@@ -2,9 +2,11 @@
 with Reciprocal Rank Fusion.
 
 The reference exposes the two retrieval modes as separate surfaces — text
-goes through the search route's pgvector scan, and this engine adds the
-indexed BM25 path; a retrieval/RAG pipeline over the same corpus wants
-both signals for one query. RRF (Cormack/Clarke/Buettcher, SIGIR 2009) is
+goes through the search route's pgvector scan
+(smse_backend/services/search.py:97-110, invoked from
+routes/search.py:164-205), and this engine adds the indexed BM25 path; a
+retrieval/RAG pipeline over the same corpus wants both signals for one
+query. RRF (Cormack/Clarke/Buettcher, SIGIR 2009) is
 the standard score-free fusion: ``rrf(d) = sum_l 1/(K + rank_l(d))`` —
 immune to the incomparable score scales of BM25 vs cosine, deterministic,
 and exactly SQL-replicable (ranks are total-ordered by

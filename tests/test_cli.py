@@ -93,3 +93,15 @@ def test_cli_positional_build_phrase_prefix_query(tmp_path, spark, sf_smoke, cap
               "--master", "local[4]"])
     hits2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert hits2
+
+
+def test_cli_stats(tmp_path, spark, sf_smoke, capsys):
+    out = str(tmp_path / "idx")
+    cli.main(["build", "--corpus", sf_smoke, "--out", out,
+              "--segment-size", "256", "--n-batches", "2",
+              "--master", "local[4]"])
+    capsys.readouterr()
+    cli.main(["stats", "--index", out])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["meta"]["n_docs"] == 500
+    assert len(st["batches"]) == 2 and st["tombstones"] == 0
