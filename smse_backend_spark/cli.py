@@ -106,6 +106,16 @@ def cmd_compact(args) -> None:
     print(json.dumps(meta))
 
 
+def cmd_check(args) -> None:
+    """Integrity audit: recount data files vs lineage/meta counters."""
+    from smse_backend_spark.index.build import check_index
+
+    spark = _spark(args)
+    result = check_index(spark, args.index)
+    print(json.dumps(result))
+    sys.exit(0 if result["ok"] else 1)
+
+
 def cmd_stats(args) -> None:
     """Index introspection from metadata only (no Spark session): config,
     corpus stats, per-batch lineage, tombstone commits."""
@@ -211,6 +221,11 @@ def main(argv: list[str] | None = None) -> None:
     s = sub.add_parser("stats", help="print index metadata/lineage JSON")
     s.add_argument("--index", required=True)
     s.set_defaults(fn=cmd_stats)
+
+    ck = sub.add_parser("check", help="audit data files vs lineage counters")
+    ck.add_argument("--index", required=True)
+    ck.add_argument("--master")
+    ck.set_defaults(fn=cmd_check)
 
     x = sub.add_parser("delete", help="tombstone doc_ids out of an index")
     x.add_argument("--index", required=True)

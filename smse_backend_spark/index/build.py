@@ -628,3 +628,80 @@ def finalize(spark: SparkSession, out_dir: str, config: dict) -> dict:
     }
     lin.write_meta(out_dir, meta)
     return meta
+
+
+def check_index(spark: SparkSession, index_dir: str) -> dict:
+    """Integrity audit: recount blocks/postings/docs from the data files
+    and compare against the committed lineage counters and meta totals —
+    the serving-side guard that a partially written, hand-mutated, or
+    bit-rotted index is caught before queries silently under-return.
+    Metadata columns only (posting blobs are never read), so the audit
+    costs a column-pruned scan even at full scale.
+
+    Returns ``{"ok": bool, "problems": [...], "batches": n}``.
+    """
+    problems: list[str] = []
+    rows = lin.read_lineage(index_dir)
+    if not rows:
+        return {"ok": False, "problems": ["no committed batches"], "batches": 0}
+    meta = lin.read_meta(index_dir)
+
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    per_batch = {
+        int(r["batch"]): r
+        for r in postings.groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+            F.min("first_doc").alias("lo"),
+            F.max("last_doc").alias("hi"),
+        )
+        .collect()
+    }
+    docstats = spark.read.parquet(f"{index_dir}/docstats")
+    ds_batch = {
+        int(r["batch"]): r
+        for r in docstats.groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
+        .collect()
+    }
+    for row in rows:
+        b = row["batch_id"]
+        pb, db = per_batch.get(b), ds_batch.get(b)
+        if pb is None or db is None:
+            problems.append(f"batch {b}: committed but data files missing")
+            continue
+        for field, actual in (
+            ("n_blocks", int(pb["n_blocks"])),
+            ("n_postings", int(pb["n_postings"])),
+            ("n_docs", int(db["n_docs"])),
+            ("sum_dl", int(db["sum_dl"] or 0)),
+        ):
+            if row.get(field) is not None and int(row[field]) != actual:
+                problems.append(
+                    f"batch {b}: lineage {field}={row[field]} != data {actual}"
+                )
+        if pb["lo"] is not None and not (
+            row["doc_lo"] <= int(pb["lo"]) and int(pb["hi"]) < row["doc_hi"]
+        ):
+            problems.append(
+                f"batch {b}: doc range [{pb['lo']}, {pb['hi']}] outside "
+                f"committed [{row['doc_lo']}, {row['doc_hi']})"
+            )
+    for b in set(per_batch) - {r["batch_id"] for r in rows}:
+        problems.append(f"batch {b}: data files present but not committed")
+
+    d = spark.read.parquet(f"{index_dir}/dictionary")
+    n_terms, total_df = d.agg(
+        F.count(F.lit(1)), F.sum("df")
+    ).first()
+    if int(n_terms) != int(meta.get("n_terms", -1)):
+        problems.append(f"dictionary n_terms {n_terms} != meta {meta.get('n_terms')}")
+    total_postings = sum(int(r.get("n_postings", 0)) for r in rows)
+    if int(total_df or 0) != total_postings:
+        problems.append(
+            f"dictionary sum(df)={total_df} != lineage postings {total_postings}"
+        )
+    if int(meta.get("n_docs", -1)) != sum(int(r.get("n_docs", 0)) for r in rows):
+        problems.append("meta n_docs != sum of lineage batches")
+    return {"ok": not problems, "problems": problems, "batches": len(rows)}

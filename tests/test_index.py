@@ -380,3 +380,34 @@ def test_must_not_filter_vs_oracle(spark, index, sf_smoke):
     got0 = [(r["doc_id"], r["score"])
             for r in index.bm25_topk_filtered(q).collect()]
     assert got0 == list(plain.items())[:10]
+
+
+def test_check_index_integrity(spark, corpus, tmp_path):
+    import json
+    import os
+    import shutil
+
+    from smse_backend_spark.index.build import check_index
+
+    out = str(tmp_path / "idx")
+    build_index(spark, corpus, out, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=2)
+    res = check_index(spark, out)
+    assert res["ok"] and res["batches"] == 2, res
+
+    # tamper with a lineage counter -> detected
+    path = os.path.join(out, "lineage", "batch_1.json")
+    row = json.load(open(path))
+    row["n_postings"] += 7
+    json.dump(row, open(path, "w"))
+    res2 = check_index(spark, out)
+    assert not res2["ok"]
+    assert any("n_postings" in p for p in res2["problems"]), res2
+    row["n_postings"] -= 7
+    json.dump(row, open(path, "w"))
+
+    # drop a batch's docstats -> detected
+    shutil.rmtree(os.path.join(out, "docstats", "batch=1"))
+    res3 = check_index(spark, out)
+    assert not res3["ok"]
+    assert any("missing" in p or "n_docs" in p for p in res3["problems"]), res3
