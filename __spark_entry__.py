@@ -16,6 +16,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from smse_backend_spark.corpus import load_corpus
 from smse_backend_spark.operators.search import (
+    bm25_fuzzy_oracle_sql,
     bm25_phrase_oracle_sql,
     bm25_prefix_oracle_sql,
     bm25_scan_oracle_sql,
@@ -325,6 +326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix (wildcard) search: dictionary expansion, OR-scored
         "bm25_prefix": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_prefix("wi", 10, max_expansions=16),
+        # fuzzy (edit-distance) search: dictionary expansion, OR-scored
+        "bm25_fuzzy": lambda spark, sf: _indexed(spark, sf)
+        .bm25_topk_fuzzy("dat", max_edits=2, k=10),
         # exact phrase search over the positional index
         "bm25_phrase": lambda spark, sf: _pos_indexed(spark, sf)
         .phrase_topk("table scan", 10),
@@ -493,6 +497,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             table="(SELECT * FROM documents WHERE doc_id < 256)",
         ),
         "bm25_prefix": bm25_prefix_oracle_sql("wi", 10, max_expansions=16),
+        "bm25_fuzzy": bm25_fuzzy_oracle_sql("dat", 2, 10),
         "bm25_phrase": bm25_phrase_oracle_sql("table scan", 10),
         "bm25_must_not": bm25_scan_oracle_sql(
             FLAGSHIP_QUERY,

@@ -70,6 +70,9 @@ def cmd_query(args) -> None:
     elif args.prefix:
         out = idx.bm25_topk_prefix(args.text, args.k, args.lang,
                                    args.max_expansions, mode=args.mode)
+    elif args.fuzzy is not None:
+        out = idx.bm25_topk_fuzzy(args.text, args.fuzzy, args.k, args.lang,
+                                  args.max_expansions, mode=args.mode)
     else:
         out = idx.bm25_topk(args.text, args.k, args.lang, mode=args.mode)
     rows = out.collect()
@@ -206,6 +209,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="exact phrase (needs --with-positions index)")
     q.add_argument("--prefix", action="store_true",
                    help="treat --text as a term prefix (wildcard search)")
+    q.add_argument("--fuzzy", type=int, metavar="MAX_EDITS",
+                   help="treat --text as one term; expand within this "
+                        "Levenshtein distance (typo-tolerant search)")
     q.add_argument("--max-expansions", type=int, default=64)
     q.add_argument("--master")
     q.set_defaults(fn=cmd_query)

@@ -480,28 +480,29 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str) -> dict:
             "n_blocks": sum(r.get("n_blocks", 0) for r in rows),
             "n_postings": sum(r.get("n_postings", 0) for r in rows),
         }
-    elif cfg.get("with_positions"):
-        # the re-block pass below decodes only (doc, tf, dl); rebuilding
-        # poss blobs needs a positions-aware decode — not implemented
-        raise NotImplementedError(
-            "physical delete compaction on a positional index is not "
-            "supported — compact before deletes, or rebuild"
-        )
     else:
         # tombstones present: decode -> drop deleted docs -> re-block.
         # Blocks must be rebuilt (a block's first_doc/gaps/stats change
         # when members vanish), but the pass reuses the build kernels and
-        # stays one wide shuffle, same as an index batch.
+        # stays one wide shuffle, same as an index batch. Positional
+        # indexes additionally decode each posting's offset list from the
+        # poss blobs (offsets are doc-relative, so survivors' lists pass
+        # through unchanged into the rebuilt blocks).
+        with_pos = bool(cfg.get("with_positions"))
         seg_size = int(cfg["segment_size"])
         n_buckets = int(cfg["n_buckets"])
         nparts = min(512, 4 * spark.sparkContext.defaultParallelism)
+        blob_cols = ["lang", "term", "first_doc", "gaps", "tfs", "dls"]
+        dec_kernel = _decode_postings_with_lang
+        dec_schema = "lang string, term string, doc_id long, tf long, doc_len long"
+        if with_pos:
+            blob_cols.append("poss")
+            dec_kernel = _decode_postings_with_lang_pos
+            dec_schema += ", positions array<long>"
         decoded = (
-            postings.select("lang", "term", "first_doc", "gaps", "tfs", "dls")
+            postings.select(*blob_cols)
             .repartition(nparts)
-            .mapInPandas(
-                _decode_postings_with_lang,
-                "lang string, term string, doc_id long, tf long, doc_len long",
-            )
+            .mapInPandas(dec_kernel, dec_schema)
             .join(tomb, "doc_id", "left_anti")
             .withColumn("segment", (F.col("doc_id") / seg_size).cast("long"))
             .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
@@ -509,7 +510,10 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str) -> dict:
         obs_blocks = Observation("compact_blocks")
         (
             decoded.groupBy("lang", "term_bucket", "segment")
-            .applyInPandas(make_block_builder(int(cfg["block_size"])), BLOCKS_SCHEMA)
+            .applyInPandas(
+                make_block_builder(int(cfg["block_size"]), with_pos),
+                BLOCKS_SCHEMA_POS if with_pos else BLOCKS_SCHEMA,
+            )
             .observe(obs_blocks, F.count(F.lit(1)).alias("n_blocks"),
                      F.sum("n").alias("n_postings"))
             .repartition("lang", "term_bucket")
@@ -587,6 +591,43 @@ def _decode_postings_with_lang(
                 "doc_id": doc_ids,
                 "tf": tfs.astype(np.int64),
                 "doc_len": dls.astype(np.int64),
+            }
+        )
+
+
+def _decode_postings_with_lang_pos(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Positions-aware twin of :func:`_decode_postings_with_lang`: also
+    reconstructs each posting's absolute token offsets from the per-block
+    ``poss`` blobs (encoded first-raw-then-gaps per posting; see
+    :func:`make_block_builder`). Offsets are doc-relative, so they decode
+    to exactly what the positional build kernel expects back."""
+    from smse_backend_spark.index.codec import decode_blocks, delta_decode
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        gaps, counts = decode_blocks(list(pdf["gaps"]))
+        tfs, _ = decode_blocks(list(pdf["tfs"]))
+        dls, _ = decode_blocks(list(pdf["dls"]))
+        doc_ids = delta_decode(
+            gaps.astype(np.int64), pdf["first_doc"].to_numpy(np.int64), counts
+        )
+        tf_i = tfs.astype(np.int64)
+        d = decode_blocks(list(pdf["poss"]))[0].astype(np.int64)
+        post_starts = np.concatenate(([0], np.cumsum(tf_i[:-1])))
+        # invert "first raw, then gaps": running sum reset per posting
+        c = np.cumsum(d)
+        flat = c - np.repeat(c[post_starts], tf_i) + np.repeat(d[post_starts], tf_i)
+        yield pd.DataFrame(
+            {
+                "lang": np.repeat(pdf["lang"].to_numpy(), counts),
+                "term": np.repeat(pdf["term"].to_numpy(), counts),
+                "doc_id": doc_ids,
+                "tf": tf_i,
+                "doc_len": dls.astype(np.int64),
+                "positions": np.split(flat, np.cumsum(tf_i)[:-1]),
             }
         )
 

@@ -68,6 +68,35 @@ def _decode_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _levenshtein_within(a: str, b: str, d: int) -> bool:
+    """True iff standard Levenshtein distance (unit insert/delete/replace —
+    the same metric as Spark's ``levenshtein`` expression and DuckDB's
+    ``levenshtein``) between ``a`` and ``b`` is <= ``d``. Banded DP with
+    early abandon: O(min(len)*d) per pair, which keeps a full driver-side
+    dictionary walk cheap."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return False
+    if d == 0:
+        return a == b
+    big = d + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        lo, hi = max(1, i - d), min(lb, i + d)
+        cur = [big] * (lb + 1)
+        cur[0] = i if i <= d else big
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        if min(cur[lo - 1: hi + 1]) > d:
+            return False
+        prev = cur
+    return prev[lb] <= d
+
+
 def _make_batch_scorer(
     term_ix: dict[str, int], w_mat: np.ndarray, qids: np.ndarray, avgdl: float,
     k: int, tomb_b=None,
@@ -487,6 +516,70 @@ class InvertedIndex:
         its own idf — the code-search symbol-prefix / autocomplete shape."""
         return self._topk_for_terms(
             self.expand_prefix(prefix, lang, max_expansions), k, lang, mode
+        )
+
+    def expand_fuzzy(
+        self,
+        term: str,
+        max_edits: int = 1,
+        lang: str | None = None,
+        max_expansions: int = 64,
+    ) -> list[str]:
+        """Dictionary terms within Levenshtein distance ``max_edits`` of
+        ``term`` (the term itself included at distance 0), ranked (df desc,
+        term asc) and capped — Lucene's FuzzyQuery expansion discipline
+        (its automaton walk of the term dictionary), with the same
+        multi-term rewrite cap. Served from the driver dictionary cache
+        when the vocabulary fits; otherwise a dictionary scan using the
+        JVM-side ``levenshtein`` expression over the two metadata columns
+        (posting blobs are never touched)."""
+        if self.as_of is not None:
+            raise ValueError(
+                "fuzzy expansion uses the as-of-latest dictionary — "
+                "time-travel fuzzy queries are not supported"
+            )
+        toks = query_terms(term)
+        if len(toks) != 1:
+            raise ValueError(f"fuzzy expansion takes exactly one term, got {toks!r}")
+        q = toks[0]
+        if self.meta.get("n_terms", 1 << 62) <= self.DICT_CACHE_MAX_TERMS:
+            self._ensure_dict_cache()
+            agg: dict[str, int] = {}
+            for (lg, t), df in self._dict_cache.items():
+                if (lang is None or lg == lang) and _levenshtein_within(
+                    q, t, max_edits
+                ):
+                    agg[t] = agg.get(t, 0) + df
+            ranked = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+            return [t for t, _df in ranked[:max_expansions]]
+        d = self.spark.read.parquet(f"{self.path}/dictionary").filter(
+            F.levenshtein(F.col("term"), F.lit(q)) <= max_edits
+        )
+        if lang is not None:
+            d = d.filter(F.col("lang") == lang)
+        rows = (
+            d.groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def bm25_topk_fuzzy(
+        self,
+        term: str,
+        max_edits: int = 1,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+        max_expansions: int = 64,
+        mode: str = "auto",
+    ) -> DataFrame:
+        """Fuzzy (edit-distance) search: ``term~max_edits`` expands against
+        the dictionary and scores as the OR of the expanded terms, each
+        with its own idf — the typo-tolerant code-symbol lookup shape."""
+        return self._topk_for_terms(
+            self.expand_fuzzy(term, max_edits, lang, max_expansions),
+            k, lang, mode,
         )
 
     def bm25_topk_filtered(

@@ -193,6 +193,65 @@ LIMIT {k}
 """
 
 
+def bm25_fuzzy_oracle_sql(
+    term: str,
+    max_edits: int = 1,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    max_expansions: int = 64,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.bm25_topk_fuzzy``: the expansion set
+    (terms within Levenshtein distance ``max_edits``, ranked df desc /
+    term asc, capped) is derived from the corpus itself — identical to the
+    index dictionary by construction — then scored as the OR of the
+    expanded terms. DuckDB's ``levenshtein`` computes the same
+    unit-cost metric as Spark's expression and the driver-side DP."""
+    toks = query_terms(term)
+    if len(toks) != 1:
+        raise ValueError(f"fuzzy oracle takes exactly one term, got {toks!r}")
+    esc = toks[0].replace("'", "''")
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toksql = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toksql} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+exp AS (
+  SELECT term FROM (
+    SELECT term, count(DISTINCT doc_id) AS df
+    FROM tok WHERE levenshtein(term, '{esc}') <= {max_edits} GROUP BY term
+  ) ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok JOIN exp USING (term)
+  GROUP BY doc_id, doc_len, term
+),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_prefix_oracle_sql(
     prefix: str,
     k: int = DEFAULT_TOP_K,

@@ -94,6 +94,11 @@ def test_cli_positional_build_phrase_prefix_query(tmp_path, spark, sf_smoke, cap
     hits2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert hits2
 
+    cli.main(["query", "--index", out, "--text", "soet", "--fuzzy", "1",
+              "--master", "local[4]"])
+    hits3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits3 and all("score" in h for h in hits3)
+
 
 def test_cli_stats(tmp_path, spark, sf_smoke, capsys):
     out = str(tmp_path / "idx")

@@ -136,6 +136,41 @@ def test_compact_applies_tombstones(spark, corpus, soft_deleted, tmp_path):
     survivors.unpersist()
 
 
+def test_compact_applies_tombstones_positional(spark, corpus, tmp_path):
+    """Physical-delete compaction on a POSITIONAL index: poss blobs are
+    decoded, survivors' offset lists pass through, and phrase queries on
+    the compacted index are rank- and score-identical to a fresh
+    positional build over the filtered corpus."""
+    src, dst = str(tmp_path / "pos_src"), str(tmp_path / "pos_dst")
+    build_index(spark, corpus, src, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=2, with_positions=True)
+    deletes.delete_docs(
+        spark, src, corpus.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    )
+    meta = compact_index(spark, src, dst)
+    survivors = corpus.filter(F.col("doc_id") % 5 != 0).cache()
+    assert meta["n_docs"] == survivors.count()
+    assert meta["config"]["with_positions"] is True
+
+    ref = str(tmp_path / "pos_ref")
+    build_index(spark, survivors, ref, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=1, with_positions=True)
+    idx, ridx = InvertedIndex(spark, dst), InvertedIndex(spark, ref)
+    for phrase in ["table scan", "hash join", "merge sort"]:
+        got = [(r["doc_id"], r["score"])
+               for r in idx.phrase_topk(phrase, 10).collect()]
+        want = [(r["doc_id"], r["score"])
+                for r in ridx.phrase_topk(phrase, 10).collect()]
+        assert got == want, (phrase, got[:3], want[:3])
+    # ordinary term queries re-derive exact survivor stats too
+    for q, lang in QUERIES[:2]:
+        got = [(r["doc_id"], r["score"]) for r in idx.bm25_topk(q, 10, lang).collect()]
+        want = [(r["doc_id"], r["score"])
+                for r in bm25_topk_scan(survivors, q, 10, lang).collect()]
+        assert got == want, (q, got[:3], want[:3])
+    survivors.unpersist()
+
+
 def test_replace_docs_update_flow(spark, corpus, tmp_path):
     """Re-crawled file: old doc_id tombstoned, new version indexed above
     the frontier — queries see exactly one (the new) version."""

@@ -308,6 +308,45 @@ def test_prefix_search_vs_oracle(spark, index, sf_smoke):
         assert got == want, (prefix, lang, mx, got[:3], want[:3])
 
 
+def test_fuzzy_search_vs_oracle(spark, index, sf_smoke):
+    """bm25_topk_fuzzy == DuckDB oracle (expansion = dictionary terms with
+    levenshtein <= d, ranked df desc/term asc, capped, OR-scored)."""
+    import duckdb
+
+    from smse_backend_spark.operators.search import bm25_fuzzy_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    for term, d, lang, mx in [("dat", 2, None, 64), ("soet", 1, None, 64),
+                              ("hush", 1, "en", 64), ("dat", 2, None, 3),
+                              ("zzzqq", 1, None, 64)]:
+        got = [(r["doc_id"], r["score"])
+               for r in index.bm25_topk_fuzzy(term, d, 10, lang, mx).collect()]
+        want = [tuple(r) for r in
+                con.execute(bm25_fuzzy_oracle_sql(term, d, 10, lang, mx)).fetchall()]
+        assert got == want, (term, d, lang, mx, got[:3], want[:3])
+
+
+def test_fuzzy_expansion_cache_and_scan_paths_agree(index):
+    """The driver-cache dictionary walk and the JVM levenshtein scan must
+    produce the identical ranked expansion (both metrics are standard
+    Levenshtein); exercised by forcing the scan path via the cache gate."""
+    for term, d in [("dat", 2), ("soet", 1), ("merge", 0)]:
+        cached = index.expand_fuzzy(term, d)
+        saved = index.meta.get("n_terms")
+        try:
+            index.meta["n_terms"] = index.DICT_CACHE_MAX_TERMS + 1
+            scanned = index.expand_fuzzy(term, d)
+        finally:
+            index.meta["n_terms"] = saved
+        assert cached == scanned, (term, d, cached, scanned)
+    assert index.expand_fuzzy("merge", 0) == ["merge"]
+    with pytest.raises(ValueError, match="exactly one term"):
+        index.expand_fuzzy("two terms", 1)
+
+
 @pytest.fixture(scope="module")
 def pos_index(spark, corpus, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("idx_pos"))
