@@ -21,6 +21,12 @@ from smse_backend_spark.operators.search import (
     bm25_prefix_oracle_sql,
     bm25_scan_oracle_sql,
     bm25_topk_scan,
+    facet_counts_oracle_sql,
+    hit_count_oracle_sql,
+    more_like_this_oracle_sql,
+    near_oracle_sql,
+    query_terms,
+    suggest_oracle_sql,
 )
 
 FLAGSHIP_QUERY = "hash join merge scan"
@@ -110,6 +116,37 @@ def _deleted_indexes(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         compact_index(spark, soft, hard)
         _DELETED_CACHE[sf_dir] = (soft, hard)
     return _DELETED_CACHE[sf_dir]
+
+
+_MERGED_CACHE: dict[str, str] = {}
+
+# the merged-index contract entry is sf-independent: both halves and the
+# oracle cap the corpus at doc_id < 512, split on the segment boundary 256
+MERGE_CAP, MERGE_SPLIT = 512, 256
+
+
+def _merged_index(spark: SparkSession, sf_dir: str):
+    """Two disjoint half-corpus indexes consolidated by merge_indexes —
+    queries must equal a scan over the capped corpus."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index.build import build_index, merge_indexes
+    from smse_backend_spark.index.query import InvertedIndex
+
+    if sf_dir not in _MERGED_CACHE:
+        import tempfile
+
+        corpus = load_corpus(spark, sf_dir).filter(F.col("doc_id") < MERGE_CAP)
+        a = tempfile.mkdtemp(prefix="smse_idx_mrg_a_")
+        b = tempfile.mkdtemp(prefix="smse_idx_mrg_b_")
+        m = tempfile.mkdtemp(prefix="smse_idx_mrg_")
+        build_index(spark, corpus.filter(F.col("doc_id") < MERGE_SPLIT), a,
+                    segment_size=64, n_buckets=4, block_size=32, n_batches=1)
+        build_index(spark, corpus.filter(F.col("doc_id") >= MERGE_SPLIT), b,
+                    segment_size=64, n_buckets=4, block_size=32, n_batches=1)
+        merge_indexes(spark, [a, b], m)
+        _MERGED_CACHE[sf_dir] = m
+    return InvertedIndex(spark, _MERGED_CACHE[sf_dir])
 
 
 def _streamed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,6 +372,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MUST_NOT filter: excluded docs dropped, global stats unchanged
         "bm25_must_not": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_filtered(FLAGSHIP_QUERY, must_not=["window"]),
+        # conjunctive AND + minimum-should-match: filter, never a rescore
+        "bm25_conjunctive": lambda spark, sf: _indexed(spark, sf)
+        .bm25_topk_msm(FLAGSHIP_QUERY, None, 10),
+        "bm25_msm": lambda spark, sf: _indexed(spark, sf)
+        .bm25_topk_msm("the fast row data column", 3, 10),
+        # total hits + facet counts over the OR match set
+        "hit_count": lambda spark, sf: _indexed(spark, sf)
+        .count_matches(FLAGSHIP_QUERY),
+        "search_facets": lambda spark, sf: _indexed(spark, sf)
+        .facet_counts(load_corpus(spark, sf), FLAGSHIP_QUERY),
+        # more-like-this: tf*idf term selection from doc 42, OR query
+        "more_like_this": lambda spark, sf: _indexed(spark, sf)
+        .more_like_this(load_corpus(spark, sf), 42, 10, max_terms=8),
+        # span-near proximity over the positional index
+        "span_near": lambda spark, sf: _pos_indexed(spark, sf)
+        .near_topk("table scan", 6, 10),
+        # did-you-mean: dictionary walk by edit distance
+        "spell_suggest": lambda spark, sf: _indexed(spark, sf)
+        .suggest("soet", 2, 10),
+        # shard consolidation: two disjoint indexes merged, then queried
+        "bm25_indexed_merged": lambda spark, sf: _merged_index(spark, sf)
+        .bm25_topk(FLAGSHIP_QUERY, 10),
         # hybrid retrieval: BM25 + cosine fused by reciprocal-rank fusion
         "hybrid_rrf": lambda spark, sf: HY.rrf_hybrid_topk(
             load_corpus(spark, sf), S.load_embeddings(spark, sf),
@@ -503,6 +562,21 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             FLAGSHIP_QUERY,
             exclude_where="tf.doc_id NOT IN "
             "(SELECT DISTINCT doc_id FROM tok WHERE term = 'window')",
+        ),
+        "bm25_conjunctive": bm25_scan_oracle_sql(
+            FLAGSHIP_QUERY, min_match=len(query_terms(FLAGSHIP_QUERY))
+        ),
+        "bm25_msm": bm25_scan_oracle_sql(
+            "the fast row data column", min_match=3
+        ),
+        "hit_count": hit_count_oracle_sql(FLAGSHIP_QUERY),
+        "search_facets": facet_counts_oracle_sql(FLAGSHIP_QUERY),
+        "more_like_this": more_like_this_oracle_sql(42, 10, max_terms=8),
+        "span_near": near_oracle_sql("table scan", 6, 10),
+        "spell_suggest": suggest_oracle_sql("soet", 2, 10),
+        "bm25_indexed_merged": bm25_scan_oracle_sql(
+            FLAGSHIP_QUERY,
+            table=f"(SELECT * FROM documents WHERE doc_id < {MERGE_CAP})",
         ),
         "hybrid_rrf": HY.rrf_hybrid_sql(FLAGSHIP_QUERY, 0, 10),
         "cosine_topk": S.cosine_topk_sql(0, 10),

@@ -67,6 +67,13 @@ def cmd_query(args) -> None:
     idx = InvertedIndex(spark, args.index)
     if args.phrase:
         out = idx.phrase_topk(args.text, args.k, args.lang)
+    elif args.near is not None:
+        out = idx.near_topk(args.text, args.near, args.k, args.lang)
+    elif args.min_match is not None or args.all_terms:
+        out = idx.bm25_topk_msm(
+            args.text, None if args.all_terms else args.min_match,
+            args.k, args.lang,
+        )
     elif args.prefix:
         out = idx.bm25_topk_prefix(args.text, args.k, args.lang,
                                    args.max_expansions, mode=args.mode)
@@ -97,6 +104,26 @@ def cmd_verify(args) -> None:
         ok &= match
         print(json.dumps({"query": q, "rank_identical": match}))
     sys.exit(0 if ok else 1)
+
+
+def cmd_suggest(args) -> None:
+    """Did-you-mean: dictionary terms near --text by edit distance."""
+    from smse_backend_spark.index.query import InvertedIndex
+
+    spark = _spark(args)
+    idx = InvertedIndex(spark, args.index)
+    rows = idx.suggest(args.text, args.max_edits, args.n, args.lang).collect()
+    print(json.dumps(
+        [{"term": r["term"], "df": r["df"], "dist": r["dist"]} for r in rows]
+    ))
+
+
+def cmd_merge(args) -> None:
+    """Merge disjoint same-config indexes into one at --out."""
+    from smse_backend_spark.index.build import merge_indexes
+
+    spark = _spark(args)
+    print(json.dumps(merge_indexes(spark, args.src, args.out)))
 
 
 def cmd_compact(args) -> None:
@@ -213,8 +240,32 @@ def main(argv: list[str] | None = None) -> None:
                    help="treat --text as one term; expand within this "
                         "Levenshtein distance (typo-tolerant search)")
     q.add_argument("--max-expansions", type=int, default=64)
+    q.add_argument("--near", type=int, metavar="WINDOW",
+                   help="proximity: all terms within this token window "
+                        "(needs --with-positions index)")
+    q.add_argument("--min-match", type=int,
+                   help="docs must match at least this many query terms")
+    q.add_argument("--all-terms", action="store_true",
+                   help="conjunctive AND: docs must match every query term")
     q.add_argument("--master")
     q.set_defaults(fn=cmd_query)
+
+    g = sub.add_parser("suggest", help="did-you-mean spelling suggestions")
+    g.add_argument("--index", required=True)
+    g.add_argument("--text", required=True)
+    g.add_argument("--max-edits", type=int, default=2)
+    g.add_argument("--n", type=int, default=10)
+    g.add_argument("--lang")
+    g.add_argument("--master")
+    g.set_defaults(fn=cmd_suggest)
+
+    mg = sub.add_parser(
+        "merge", help="merge disjoint same-config indexes into one"
+    )
+    mg.add_argument("--src", nargs="+", required=True)
+    mg.add_argument("--out", required=True)
+    mg.add_argument("--master")
+    mg.set_defaults(fn=cmd_merge)
 
     v = sub.add_parser("verify", help="rank-identity vs full-scan reference")
     v.add_argument("--index", required=True)

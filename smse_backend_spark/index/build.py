@@ -41,6 +41,7 @@ Scale design (the reason this is NOT a term-partitioned index):
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -195,15 +196,18 @@ def build_index(
     from smse_backend_spark.session import ensure_pyfiles
 
     ensure_pyfiles(spark)
-    max_doc = (
-        known_max_doc
-        if known_max_doc is not None
-        else corpus.agg(F.max("doc_id")).first()[0]
-    )
+    if known_max_doc is not None:
+        min_doc, max_doc = 0, known_max_doc
+    else:
+        min_doc, max_doc = corpus.agg(F.min("doc_id"), F.max("doc_id")).first()
     if max_doc is None:
         raise ValueError("empty corpus")
     n_segments = max_doc // segment_size + 1
-    segs_per_batch = max(1, math.ceil(n_segments / n_batches))
+    # batching starts at the corpus's first occupied segment: a doc-id-
+    # filtered corpus (e.g. one shard of a doc-id-partitioned build) would
+    # otherwise commit empty batches below its range
+    seg_start = min_doc // segment_size
+    segs_per_batch = max(1, math.ceil((n_segments - seg_start) / n_batches))
 
     # corpus snapshot identity (the Iceberg-snapshot-id stand-in): a batch
     # committed under one snapshot must never be silently reused for
@@ -227,7 +231,8 @@ def build_index(
     done = lin.committed_batches(out_dir)
     built = 0
     for b in range(n_batches):
-        seg_lo, seg_hi = b * segs_per_batch, min((b + 1) * segs_per_batch, n_segments)
+        seg_lo = seg_start + b * segs_per_batch
+        seg_hi = min(seg_start + (b + 1) * segs_per_batch, n_segments)
         if seg_lo >= n_segments:
             break
         if b in done:
@@ -630,6 +635,96 @@ def _decode_postings_with_lang_pos(
                 "positions": np.split(flat, np.cumsum(tf_i)[:-1]),
             }
         )
+
+
+def merge_indexes(
+    spark: SparkSession, src_dirs: list[str], dst_dir: str
+) -> dict:
+    """Merge N indexes with identical configs and disjoint doc-id ranges
+    into one index at ``dst_dir`` — the shard-consolidation op (e.g. per-
+    crawl or per-tenant indexes built independently, unified for serving).
+
+    Batch data dirs are immutable, so the merge is a MANIFEST-level relink:
+    each source batch dir is copied under a renumbered batch id (on an
+    object store this is a listing + server-side copy — no posting blob is
+    ever decoded or re-encoded, the Lucene no-rewrite segment-merge
+    analog), tombstone sets are unioned into one fresh delete commit, and
+    :func:`finalize` re-derives the dictionary and exact global BM25 stats
+    over the union. Disjointness is checked from lineage doc ranges (batch
+    ranges are segment-aligned, so disjoint doc ranges imply disjoint
+    segments) — overlapping sources must go through rebuild instead.
+    """
+    import shutil
+
+    from smse_backend_spark.index import deletes
+
+    if len(src_dirs) < 2:
+        raise ValueError("merge_indexes needs at least two source indexes")
+    metas = [lin.read_meta(s) for s in src_dirs]
+
+    def _key(cfg: dict) -> tuple:
+        return (
+            int(cfg["segment_size"]), int(cfg["n_buckets"]),
+            int(cfg["block_size"]), bool(cfg.get("with_positions", False)),
+        )
+
+    if len({_key(m["config"]) for m in metas}) != 1:
+        raise ValueError(
+            "merge_indexes requires identical (segment_size, n_buckets, "
+            f"block_size, with_positions) configs, got "
+            f"{[m['config'] for m in metas]}"
+        )
+    all_rows = []
+    for s in src_dirs:
+        rows = lin.read_lineage(s)
+        if not rows:
+            raise ValueError(f"no committed batches at {s}")
+        all_rows.append(sorted(rows, key=lambda r: r["batch_id"]))
+    # empty batches (a source built over a doc-id-filtered corpus commits
+    # zero-doc batches for the uncovered segment range) can't conflict
+    intervals = sorted(
+        (r["doc_lo"], r["doc_hi"], i)
+        for i, rows in enumerate(all_rows)
+        for r in rows
+        if r.get("n_docs", 0) > 0
+    )
+    for (a_lo, a_hi, ai), (b_lo, b_hi, bi) in zip(intervals, intervals[1:]):
+        if b_lo < a_hi and ai != bi:
+            raise ValueError(
+                f"doc-id ranges overlap across sources "
+                f"({src_dirs[ai]} [{a_lo},{a_hi}) vs "
+                f"{src_dirs[bi]} [{b_lo},{b_hi})) — refusing to merge"
+            )
+    os.makedirs(dst_dir, exist_ok=True)
+    next_b = 0
+    for s, rows in zip(src_dirs, all_rows):
+        for r in rows:
+            b = r["batch_id"]
+            for sub in ("postings", "docstats"):
+                src_p = os.path.join(s, sub, f"batch={b}")
+                if os.path.isdir(src_p):
+                    shutil.copytree(
+                        src_p,
+                        os.path.join(dst_dir, sub, f"batch={next_b}"),
+                        dirs_exist_ok=True,
+                    )
+            fields = {k: v for k, v in r.items() if k != "batch_id"}
+            fields["merged_from"] = s
+            lin.commit_batch(dst_dir, next_b, **fields)
+            next_b += 1
+    tombs = [
+        t for t in (deletes.read_tombstones(spark, s) for s in src_dirs)
+        if t is not None
+    ]
+    if tombs:
+        merged_tombs = tombs[0]
+        for t in tombs[1:]:
+            merged_tombs = merged_tombs.unionByName(t)
+        deletes.delete_docs(spark, dst_dir, merged_tombs.distinct())
+    cfg = dict(metas[0]["config"])
+    cfg["n_batches"] = next_b
+    cfg["merged_from"] = [os.path.abspath(s) for s in src_dirs]
+    return finalize(spark, dst_dir, cfg)
 
 
 def finalize(spark: SparkSession, out_dir: str, config: dict) -> dict:

@@ -68,18 +68,18 @@ def _decode_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def _levenshtein_within(a: str, b: str, d: int) -> bool:
-    """True iff standard Levenshtein distance (unit insert/delete/replace —
-    the same metric as Spark's ``levenshtein`` expression and DuckDB's
-    ``levenshtein``) between ``a`` and ``b`` is <= ``d``. Banded DP with
-    early abandon: O(min(len)*d) per pair, which keeps a full driver-side
-    dictionary walk cheap."""
+def _levenshtein_band(a: str, b: str, d: int) -> int:
+    """Standard Levenshtein distance (unit insert/delete/replace — the same
+    metric as Spark's ``levenshtein`` expression and DuckDB's
+    ``levenshtein``) between ``a`` and ``b`` if it is <= ``d``, else
+    ``d + 1``. Banded DP with early abandon: O(min(len)*d) per pair, which
+    keeps a full driver-side dictionary walk cheap."""
     la, lb = len(a), len(b)
-    if abs(la - lb) > d:
-        return False
-    if d == 0:
-        return a == b
     big = d + 1
+    if abs(la - lb) > d:
+        return big
+    if d == 0:
+        return 0 if a == b else big
     prev = list(range(lb + 1))
     for i in range(1, la + 1):
         lo, hi = max(1, i - d), min(lb, i + d)
@@ -92,9 +92,13 @@ def _levenshtein_within(a: str, b: str, d: int) -> bool:
                 prev[j - 1] + (a[i - 1] != b[j - 1]),
             )
         if min(cur[lo - 1: hi + 1]) > d:
-            return False
+            return big
         prev = cur
-    return prev[lb] <= d
+    return min(prev[lb], big)
+
+
+def _levenshtein_within(a: str, b: str, d: int) -> bool:
+    return _levenshtein_band(a, b, d) <= d
 
 
 def _make_batch_scorer(
@@ -168,6 +172,69 @@ def _make_batch_scorer(
     return kernel
 
 
+def _decode_positional_rows(batches, tomb_b=None):
+    """Decode positional posting blocks into the per-(doc, term) position
+    map shared by the phrase / span-near kernels. Returns
+    ``(grouped, dl_of, cand_docs)``: ``grouped[(doc, term)]`` is the sorted
+    absolute token-offset array, ``dl_of[doc]`` the doc length, and
+    ``cand_docs`` the docs carrying EVERY distinct term seen in this
+    partition's input terms (computed by the caller from ``grouped``)."""
+    frames = []
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        gaps, counts = decode_blocks(list(pdf["gaps"]))
+        tfs, _ = decode_blocks(list(pdf["tfs"]))
+        dls, _ = decode_blocks(list(pdf["dls"]))
+        pos_flat, _ = decode_blocks(list(pdf["poss"]))
+        doc_ids = delta_decode(
+            gaps.astype(np.int64), pdf["first_doc"].to_numpy(np.int64), counts
+        )
+        tfs = tfs.astype(np.int64)
+        # positions: delta per posting with raw first -> absolute via
+        # cumsum minus the cumsum offset at each posting start
+        d = pos_flat.astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(tfs[:-1])))
+        cum = np.cumsum(d)
+        firsts = d[starts]
+        abs_pos = cum - np.repeat(cum[starts] - firsts, tfs)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "term": np.repeat(pdf["term"].to_numpy(), counts),
+                    "doc_id": doc_ids,
+                    "dl": dls.astype(np.int64),
+                    "pos_start": starts,
+                    "tf": tfs,
+                }
+            ).assign(
+                positions=[
+                    abs_pos[s : s + t] for s, t in zip(starts, tfs)
+                ]
+            )
+        )
+    if not frames:
+        return None, None
+    all_rows = pd.concat(frames, ignore_index=True)
+    if tomb_b is not None:
+        all_rows = all_rows[
+            live_mask(tomb_b.value, all_rows["doc_id"].to_numpy(np.int64))
+        ]
+        if all_rows.empty:
+            return None, None
+    grouped: dict[tuple[int, str], np.ndarray] = {}
+    dl_of: dict[int, int] = {}
+    for r in all_rows.itertuples(index=False):
+        grouped[(r.doc_id, r.term)] = r.positions
+        dl_of[r.doc_id] = r.dl
+    return grouped, dl_of
+
+
+def _docs_with_all_terms(grouped, uniq: list[str]) -> set:
+    per_term_docs = [{d for (d, t) in grouped if t == u} for u in uniq]
+    return set.intersection(*per_term_docs) if per_term_docs else set()
+
+
 def _make_phrase_matcher(terms: list[str], tomb_b=None):
     """mapInPandas kernel: positional blocks (one partition holds every
     phrase term's postings for its segments) -> (doc_id, phrase_tf, dl)
@@ -181,59 +248,10 @@ def _make_phrase_matcher(terms: list[str], tomb_b=None):
     uniq = sorted(set(terms))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        frames = []
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            gaps, counts = decode_blocks(list(pdf["gaps"]))
-            tfs, _ = decode_blocks(list(pdf["tfs"]))
-            dls, _ = decode_blocks(list(pdf["dls"]))
-            pos_flat, _ = decode_blocks(list(pdf["poss"]))
-            doc_ids = delta_decode(
-                gaps.astype(np.int64), pdf["first_doc"].to_numpy(np.int64), counts
-            )
-            tfs = tfs.astype(np.int64)
-            # positions: delta per posting with raw first -> absolute via
-            # cumsum minus the cumsum offset at each posting start
-            d = pos_flat.astype(np.int64)
-            starts = np.concatenate(([0], np.cumsum(tfs[:-1])))
-            cum = np.cumsum(d)
-            firsts = d[starts]
-            abs_pos = cum - np.repeat(cum[starts] - firsts, tfs)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "term": np.repeat(pdf["term"].to_numpy(), counts),
-                        "doc_id": doc_ids,
-                        "dl": dls.astype(np.int64),
-                        "pos_start": starts,
-                        "tf": tfs,
-                    }
-                ).assign(
-                    positions=[
-                        abs_pos[s : s + t] for s, t in zip(starts, tfs)
-                    ]
-                )
-            )
-        if not frames:
+        grouped, dl_of = _decode_positional_rows(batches, tomb_b)
+        if grouped is None:
             return
-        all_rows = pd.concat(frames, ignore_index=True)
-        if tomb_b is not None:
-            all_rows = all_rows[
-                live_mask(tomb_b.value, all_rows["doc_id"].to_numpy(np.int64))
-            ]
-            if all_rows.empty:
-                return
-        # per (doc, term) -> positions array; docs must carry ALL terms
-        grouped: dict[tuple[int, str], np.ndarray] = {}
-        dl_of: dict[int, int] = {}
-        for r in all_rows.itertuples(index=False):
-            grouped[(r.doc_id, r.term)] = r.positions
-            dl_of[r.doc_id] = r.dl
-        per_term_docs = [
-            {d for (d, t) in grouped if t == u} for u in uniq
-        ]
-        cand_docs = set.intersection(*per_term_docs) if per_term_docs else set()
+        cand_docs = _docs_with_all_terms(grouped, uniq)
         out_d, out_ptf, out_dl = [], [], []
         for doc in cand_docs:
             cand = grouped[(doc, terms[0])]
@@ -250,6 +268,63 @@ def _make_phrase_matcher(terms: list[str], tomb_b=None):
                 {"doc_id": np.array(out_d, dtype=np.int64),
                  "ptf": np.array(out_ptf, dtype=np.int64),
                  "dl": np.array(out_dl, dtype=np.int64)}
+            )
+
+    return kernel
+
+
+def _min_cover_within(pos_lists: list[np.ndarray], window: int) -> bool:
+    """True iff one occurrence can be picked from every list such that
+    ``max(picks) - min(picks) <= window`` — the minimal cover window over
+    k sorted position lists, via the classic k-pointer sweep: repeatedly
+    advance the list whose current pick is the global minimum."""
+    ptrs = [0] * len(pos_lists)
+    heads = [pl[0] for pl in pos_lists]
+    while True:
+        lo_i = min(range(len(heads)), key=heads.__getitem__)
+        if max(heads) - heads[lo_i] <= window:
+            return True
+        ptrs[lo_i] += 1
+        if ptrs[lo_i] >= len(pos_lists[lo_i]):
+            return False
+        heads[lo_i] = pos_lists[lo_i][ptrs[lo_i]]
+
+
+def _make_near_matcher(
+    terms: list[str], window: int, idf: dict[str, float], avgdl: float,
+    tomb_b=None,
+):
+    """mapInPandas kernel for span-near (proximity) search: emits
+    (doc_id, score) for docs where EVERY distinct term occurs and some
+    choice of one occurrence per term spans at most ``window`` tokens
+    (max offset - min offset <= window). Score is the standard BM25 sum
+    over the terms' FULL doc tfs with global idf — proximity filters, it
+    never rescores (Lucene SpanNearQuery-as-filter discipline)."""
+    uniq = sorted(set(terms))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grouped, dl_of = _decode_positional_rows(batches, tomb_b)
+        if grouped is None:
+            return
+        cand_docs = _docs_with_all_terms(grouped, uniq)
+        out_d, out_s = [], []
+        for doc in cand_docs:
+            pos_lists = [grouped[(doc, t)] for t in uniq]
+            if not _min_cover_within(pos_lists, window):
+                continue
+            dl = float(dl_of[doc])
+            score = 0.0
+            for t, pl in zip(uniq, pos_lists):
+                tf = float(pl.size)
+                score += idf[t] * tf * (K1 + 1.0) / (
+                    tf + K1 * (1.0 - B + B * dl / avgdl)
+                )
+            out_d.append(doc)
+            out_s.append(score)
+        if out_d:
+            yield pd.DataFrame(
+                {"doc_id": np.array(out_d, dtype=np.int64),
+                 "score": np.array(out_s, dtype=np.float64)}
             )
 
     return kernel
@@ -582,6 +657,94 @@ class InvertedIndex:
             k, lang, mode,
         )
 
+    def bm25_topk_msm(
+        self,
+        query_text: str,
+        min_match: int | None = None,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """BM25 with a minimum-should-match constraint: only docs matching
+        at least ``min_match`` of the query's distinct terms qualify
+        (``min_match=None`` -> ALL terms, i.e. a conjunctive AND query).
+        Scoring is unchanged from the OR query — global idf, sum over the
+        doc's matched terms (Lucene's BooleanQuery.minimumNumberShouldMatch
+        semantics: the constraint filters, it never rescores).
+
+        Scale shape: segments are disjoint doc-id ranges, so a doc's whole
+        term profile lives in ONE segment — a segment containing fewer than
+        ``min_match`` of the query terms cannot host a qualifying doc. A
+        metadata-only pass over (segment, term) prunes those segments
+        before any posting blob is decoded; at AND semantics on selective
+        terms this skips nearly the whole posting list of the hot term.
+        """
+        terms = query_terms(query_text)
+        m = len(terms) if min_match is None else min_match
+        if m <= 1:
+            return self._topk_for_terms(terms, k, lang, "auto")
+        n, avgdl = self.corpus_stats(lang)
+        dfs = self.term_df(terms, lang) if terms and n else {}
+        idf = {
+            t: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for t, df in dfs.items()
+        }
+        if len(idf) < m:  # fewer terms exist than the constraint demands
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        blocks = self._blocks(sorted(idf), lang)
+        qual = (
+            blocks.groupBy("segment")
+            .agg(F.count_distinct("term").alias("nt"))
+            .filter(F.col("nt") >= m)
+            .select("segment")
+        )
+        blocks = blocks.join(qual, "segment", "left_semi")
+        idf_df = F.broadcast(
+            self.spark.createDataFrame(list(idf.items()), "term string, idf double")
+        )
+        decoded = self._live(
+            blocks.select("term", "first_doc", "gaps", "tfs", "dls")
+            .repartition(self.spark.sparkContext.defaultParallelism)
+            .mapInPandas(_decode_map, DECODED_SCHEMA)
+        )
+        scored = (
+            decoded.join(idf_df, "term")
+            .withColumn(
+                "contrib", F.col("idf") * _tf_norm(F.col("tf"), F.col("dl"), avgdl)
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.sum("contrib").alias("score"),
+                F.count(F.lit(1)).alias("nmatch"),
+            )
+            .filter(F.col("nmatch") >= m)
+        )
+        return self._finish(scored, k)
+
+    def bm25_topk_boosted(
+        self,
+        boosts: dict[str, float],
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Per-term boosted query (Lucene ``term^boost``): each term's BM25
+        contribution is multiplied by its boost. Implemented by scaling the
+        idf weights before scoring — zero extra plan cost over the plain OR
+        query (the scoring kernels are linear in idf)."""
+        per_term: dict[str, float] = {}
+        for raw, w in boosts.items():
+            for t in query_terms(raw):
+                per_term[t] = float(w)
+        n, avgdl = self.corpus_stats(lang)
+        dfs = self.term_df(sorted(per_term), lang) if per_term and n else {}
+        scaled = {
+            t: per_term[t] * math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for t, df in dfs.items()
+        }
+        if not scaled:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        scored = self._score(self._blocks(sorted(scaled), lang), scaled, avgdl)
+        return self._finish(scored, k)
+
     def bm25_topk_filtered(
         self,
         query_text: str,
@@ -677,6 +840,195 @@ class InvertedIndex:
             )
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
+        )
+
+    def near_topk(
+        self,
+        query_text: str,
+        window: int,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Span-near (proximity) search over a positional index: docs where
+        every distinct query term occurs AND some choice of one occurrence
+        per term spans at most ``window`` tokens. Proximity is a filter;
+        scoring stays the standard BM25 sum (global idf, full doc tf) over
+        the query terms — so results are the conjunctive-query scores
+        restricted to proximity-satisfying docs.
+
+        Plan shape: identical to :meth:`phrase_topk` — partition-pruned
+        positional block scan, one segment shuffle co-locating each doc's
+        postings for all terms, vectorized window sweep in the kernel.
+        """
+        if not self.meta["config"].get("with_positions"):
+            raise ValueError(
+                "near_topk requires an index built with with_positions=True"
+            )
+        terms = query_terms(query_text)
+        if not terms:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        n, avgdl = self.corpus_stats(lang)
+        if not n:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        dfs = self.term_df(terms, lang)
+        if any(t not in dfs for t in terms):
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        idf = {
+            t: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for t, df in dfs.items()
+        }
+        nparts = int(
+            min(1024, max(self.spark.sparkContext.defaultParallelism,
+                          sum(dfs.values()) // 200_000 + 1))
+        )
+        blocks = self._blocks(terms, lang).select(
+            "segment", "term", "first_doc", "gaps", "tfs", "dls", "poss"
+        ).repartition(nparts, "segment")
+        self._load_tombs()
+        matches = blocks.mapInPandas(
+            _make_near_matcher(terms, window, idf, avgdl, self._tomb_bcast),
+            "doc_id long, score double",
+        )
+        if self._tomb_df is not None:
+            matches = matches.join(self._tomb_df, "doc_id", "left_anti")
+        return self._finish(matches, k)
+
+    def match_doc_ids(
+        self, query_text: str, lang: str | None = None
+    ) -> DataFrame:
+        """Distinct live doc_ids matching ANY query term — the raw OR match
+        set, decoded from the partition-pruned postings (no scoring)."""
+        terms = query_terms(query_text)
+        dfs = self.term_df(terms, lang) if terms else {}
+        if not dfs:
+            return self.spark.createDataFrame([], "doc_id long")
+        return self._live(
+            self._blocks(sorted(dfs), lang)
+            .select("term", "first_doc", "gaps", "tfs", "dls")
+            .mapInPandas(_decode_map, DECODED_SCHEMA)
+            .select("doc_id")
+            .distinct()
+        )
+
+    def count_matches(
+        self, query_text: str, lang: str | None = None
+    ) -> DataFrame:
+        """Total-hit count: one row ``(n_hits)`` — the number of live docs
+        matching >= 1 query term (Lucene TotalHitCountCollector). Single-
+        term counts could come straight from the dictionary df, but deletes
+        make decode-and-distinct the always-correct path; it reads only the
+        matched terms' partition-pruned blocks."""
+        return self.match_doc_ids(query_text, lang).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+
+    def facet_counts(
+        self,
+        corpus: DataFrame,
+        query_text: str,
+        facet_cols: tuple[str, ...] = ("lang", "repo"),
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Facet aggregation over a query's OR match set: doc counts per
+        combination of ``facet_cols`` values, ordered (n_docs desc, facet
+        values asc) — the search-results sidebar shape.
+
+        Plan: the match set (small: doc_ids only) shuffle-joins the corpus
+        projection on doc_id — the corpus scan reads ONLY doc_id + facet
+        columns (column pruning), then a partial-agg count per facet value.
+        """
+        matches = self.match_doc_ids(query_text, lang)
+        facets = corpus.select("doc_id", *facet_cols)
+        order = [F.desc("n_docs")] + [F.asc(c) for c in facet_cols]
+        return (
+            matches.join(facets, "doc_id")
+            .groupBy(*facet_cols)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(*order)
+        )
+
+    def more_like_this(
+        self,
+        corpus: DataFrame,
+        doc_id: int,
+        k: int = DEFAULT_TOP_K,
+        max_terms: int = 8,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """More-like-this: find docs similar to a source doc by selecting
+        its most characteristic terms and running them as an OR query
+        (Lucene MoreLikeThis). Term selection: per-term ``tf * idf`` in
+        the source doc (tf from the doc, idf from the global dictionary),
+        rounded to 6 dp, ranked (weight desc, term asc), capped at
+        ``max_terms``. The source doc itself is excluded from results.
+        """
+        from smse_backend_spark.functions.tokenizer import tokenize_py
+
+        row = corpus.filter(F.col("doc_id") == doc_id).select("content").first()
+        if row is None:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        toks = tokenize_py(row["content"])
+        if not toks:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        tf_of: dict[str, int] = {}
+        for t in toks:
+            tf_of[t] = tf_of.get(t, 0) + 1
+        idf = self.term_idf(sorted(tf_of), lang)
+        weights = {
+            t: math.floor(tf_of[t] * w * 1e6 + 0.5) / 1e6
+            for t, w in idf.items()
+        }
+        chosen = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))
+        sel = sorted(t for t, _w in chosen[:max_terms])
+        if not sel:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        _, avgdl = self.corpus_stats(lang)
+        sel_idf = {t: idf[t] for t in sel}
+        scored = self._score(
+            self._blocks(sel, lang), sel_idf, avgdl
+        ).filter(F.col("doc_id") != doc_id)
+        return self._finish(scored, k)
+
+    def suggest(
+        self,
+        term: str,
+        max_edits: int = 2,
+        n: int = 10,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Did-you-mean spelling suggestions: dictionary terms within
+        ``max_edits`` Levenshtein of ``term``, ranked (distance asc, df
+        desc, term asc) and capped — returns (term, df, dist). Driver
+        dictionary walk when the vocabulary fits, else a metadata-only
+        dictionary scan with the JVM ``levenshtein`` expression."""
+        toks = query_terms(term)
+        if len(toks) != 1:
+            raise ValueError(f"suggest takes exactly one term, got {toks!r}")
+        q = toks[0]
+        out_schema = "term string, df long, dist int"
+        if self.meta.get("n_terms", 1 << 62) <= self.DICT_CACHE_MAX_TERMS:
+            self._ensure_dict_cache()
+            agg: dict[str, int] = {}
+            for (lg, t), df in self._dict_cache.items():
+                if lang is None or lg == lang:
+                    agg[t] = agg.get(t, 0) + df
+            rows = []
+            for t, df in agg.items():
+                dist = _levenshtein_band(q, t, max_edits)
+                if dist <= max_edits:
+                    rows.append((t, df, dist))
+            rows.sort(key=lambda r: (r[2], -r[1], r[0]))
+            return self.spark.createDataFrame(rows[:n], out_schema)
+        d = self.spark.read.parquet(f"{self.path}/dictionary").withColumn(
+            "dist", F.levenshtein(F.col("term"), F.lit(q))
+        ).filter(F.col("dist") <= max_edits)
+        if lang is not None:
+            d = d.filter(F.col("lang") == lang)
+        return (
+            d.groupBy("term", "dist").agg(F.sum("df").alias("df"))
+            .select("term", "df", "dist")
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(n)
         )
 
     def _topk_for_terms(

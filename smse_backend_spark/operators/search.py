@@ -43,12 +43,17 @@ def bm25_topk_scan(
     query_text: str,
     k: int = DEFAULT_TOP_K,
     lang: str | None = None,
+    min_match: int | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k over a corpus DataFrame with a ``content`` column.
 
     Returns (doc_id, score) — score rounded to 6 dp for cross-engine hash
     stability; ORDER is (score desc, doc_id asc) and the plan's top is
     ``TakeOrderedAndProject`` (no global sort materialization).
+
+    ``min_match``: docs must match at least this many distinct query terms
+    (Lucene minimumNumberShouldMatch — a filter, never a rescore); the
+    default keeps OR semantics.
     """
     terms = query_terms(query_text)
     if lang is not None:
@@ -82,9 +87,18 @@ def bm25_topk_scan(
             bm25_term_score_col(F.col("tf"), F.col("idf"), F.col("doc_len"), float(avgdl)),
         )
         .groupBy("doc_id")
-        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("score"),
+            F.count(F.lit(1)).alias("nmatch"),
+        )
     )
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if min_match is not None:
+        scored = scored.filter(F.col("nmatch") >= min_match)
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 def bm25_scan_oracle_sql(
@@ -94,6 +108,7 @@ def bm25_scan_oracle_sql(
     table: str = "documents",
     content_col: str = "text",
     exclude_where: str | None = None,
+    min_match: int | None = None,
 ) -> str:
     """DuckDB SQL computing the identical result (same tokenizer, same math).
 
@@ -101,7 +116,10 @@ def bm25_scan_oracle_sql(
     the soft-delete twin (tombstoned docs keep counting into global BM25
     stats, Lucene-style, but cannot appear in results). For a physically
     deleted corpus pass a filtered subquery as ``table`` instead, which
-    recomputes stats over the survivors."""
+    recomputes stats over the survivors.
+
+    ``min_match``: HAVING >= this many matched distinct terms per doc
+    (the minimum-should-match / conjunctive twin; scoring unchanged)."""
     terms = query_terms(query_text)
     if not terms:
         return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
@@ -136,6 +154,7 @@ SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score
 FROM tf JOIN dfq USING (term) CROSS JOIN stats
 {f"WHERE {exclude_where}" if exclude_where else ""}
 GROUP BY tf.doc_id
+{f"HAVING count(*) >= {min_match}" if min_match is not None else ""}
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
@@ -298,6 +317,429 @@ dfq AS (
   SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
 )
 SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+def hit_count_oracle_sql(
+    query_text: str,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.count_matches``: distinct docs
+    containing >= 1 query term."""
+    terms = query_terms(query_text)
+    if not terms:
+        return "SELECT 0::BIGINT AS n_hits"
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM docs
+)
+SELECT count(DISTINCT doc_id)::BIGINT AS n_hits
+FROM tok WHERE term IN ({in_list})
+"""
+
+
+def facet_counts_oracle_sql(
+    query_text: str,
+    facet_cols: tuple[tuple[str, str], ...] = (("lang", "lang"), ("source", "repo")),
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.facet_counts``: doc counts per facet
+    value combination over the query's OR match set. ``facet_cols`` is a
+    tuple of (documents-table column, output alias) pairs — the aliases
+    must match the engine-side corpus column names (``source`` -> ``repo``
+    under the corpus mapping in :mod:`smse_backend_spark.corpus`)."""
+    terms = query_terms(query_text)
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    fsel = ", ".join(f"d.{c} AS {a}" for c, a in facet_cols)
+    fgrp = ", ".join(f"d.{c}" for c, _a in facet_cols)
+    ford = ", ".join(f"{a} ASC" for _c, a in facet_cols)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM docs
+),
+m AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ({in_list})
+)
+SELECT {fsel}, count(*)::BIGINT AS n_docs
+FROM {table} d JOIN m USING (doc_id)
+GROUP BY {fgrp}
+ORDER BY n_docs DESC, {ford}
+"""
+
+
+def more_like_this_oracle_sql(
+    doc_id: int,
+    k: int = DEFAULT_TOP_K,
+    max_terms: int = 8,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.more_like_this``: select the source
+    doc's top ``max_terms`` terms by 6dp-floored tf*idf (weight desc, term
+    asc), score them as an OR query, exclude the source doc. The floored
+    rounding (``floor(x*1e6+0.5)/1e6``) is written identically on both
+    sides — exact cross-engine tie behavior in the term ranking."""
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toksql = tokenize_duckdb_sql(content_col)
+    sel_idf = idf_sql("dfall.df", "stats.n")
+    score = bm25_term_score_sql(
+        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toksql} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+src AS (
+  SELECT term, count(*)::BIGINT AS tf FROM tok
+  WHERE doc_id = {doc_id} GROUP BY term
+),
+dfall AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+  WHERE term IN (SELECT term FROM src) GROUP BY term
+),
+sel AS (
+  SELECT s.term
+  FROM src s JOIN dfall USING (term) CROSS JOIN stats
+  ORDER BY floor(s.tf * {sel_idf} * 1e6 + 0.5) / 1e6 DESC, s.term ASC
+  LIMIT {max_terms}
+),
+tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok JOIN sel USING (term)
+  GROUP BY doc_id, doc_len, term
+),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN stats
+WHERE tf.doc_id != {doc_id}
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def near_oracle_sql(
+    query_text: str,
+    window: int,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.near_topk``: docs where every distinct
+    query term occurs and some choice of one occurrence per term spans at
+    most ``window`` tokens; scored as the conjunctive BM25 sum (global df,
+    full doc tf) restricted to the proximity match set."""
+    terms = query_terms(query_text)
+    if not terms:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toksql = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
+    )
+    pos_ctes = ",\n".join(
+        f"""p{i} AS (
+  SELECT doc_id, unnest(list_filter(generate_series(1, len(toks)),
+                                    j -> toks[j] = '{t.replace("'", "''")}')) AS p
+  FROM dl
+)"""
+        for i, t in enumerate(terms)
+    )
+    join_chain = " ".join(f"JOIN p{i} USING (doc_id)" for i in range(1, len(terms)))
+    ps = ", ".join(f"p{i}.p" for i in range(len(terms)))
+    win = (
+        f"greatest({ps}) - least({ps}) <= {window}"
+        if len(terms) > 1
+        else "TRUE"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toksql} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ({in_list})
+  GROUP BY doc_id, doc_len, term
+),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+{pos_ctes},
+m AS (
+  SELECT DISTINCT p0.doc_id FROM p0 {join_chain} WHERE {win}
+)
+SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN stats JOIN m ON tf.doc_id = m.doc_id
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def suggest_oracle_sql(
+    term: str,
+    max_edits: int = 2,
+    n: int = 10,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.suggest``: corpus-derived dictionary
+    terms within Levenshtein ``max_edits``, ranked (dist asc, df desc,
+    term asc), capped."""
+    toks = query_terms(term)
+    if len(toks) != 1:
+        raise ValueError(f"suggest oracle takes exactly one term, got {toks!r}")
+    esc = toks[0].replace("'", "''")
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toksql = tokenize_duckdb_sql(content_col)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toksql} AS toks FROM {table} {where_lang}
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM docs
+),
+dict AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
+)
+SELECT term, df, levenshtein(term, '{esc}')::INT AS dist
+FROM dict
+WHERE levenshtein(term, '{esc}') <= {max_edits}
+ORDER BY dist ASC, df DESC, term ASC
+LIMIT {n}
+"""
+
+def highlight_snippets(
+    corpus: DataFrame,
+    topk: DataFrame,
+    query_text: str,
+    window: int = 3,
+    lang: str | None = None,
+) -> DataFrame:
+    """Attach a highlighted token-window snippet to each top-k hit:
+    (doc_id, score, snippet) — the search-results display shape.
+
+    Snippet rule (deterministic on both engines): among the query terms
+    present in the doc, pick the rarest (corpus df asc, term asc); the
+    snippet is the token window ``[p-window, p+window]`` around that
+    term's FIRST occurrence, with every occurrence of the term inside the
+    window wrapped in ``<em>`` tags.
+
+    Plan: the tiny top-k side broadcasts into the corpus join, the corpus
+    scan reads only (doc_id, content), and everything after tokenization
+    is JVM Column algebra (array_position / slice / transform) — no UDF.
+    """
+    terms = query_terms(query_text)
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    toks_df = corpus.select("doc_id", tokenize_col("content").alias("toks"))
+    if not terms:
+        return topk.select("doc_id", "score", F.lit(None).cast("string").alias("snippet")).limit(0)
+    dfs = {
+        r["term"]: r["df"]
+        for r in toks_df.select(
+            F.explode(F.array_distinct("toks")).alias("term")
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    ordered = sorted((t for t in terms if t in dfs), key=lambda t: (dfs[t], t))
+    if not ordered:
+        return topk.select(
+            "doc_id", "score", F.lit(None).cast("string").alias("snippet")
+        ).limit(0)
+    chosen = F.coalesce(
+        *[
+            F.when(F.array_contains("toks", t), F.lit(t))
+            for t in ordered
+        ]
+    )
+    joined = toks_df.join(F.broadcast(topk), "doc_id").withColumn("pick", chosen)
+    p = F.array_position("toks", F.col("pick"))
+    lo = F.greatest(F.lit(1), p - window)
+    length = p + window - lo + 1
+    win = F.slice("toks", lo, length)
+    snippet = F.array_join(
+        F.transform(
+            win,
+            lambda x: F.when(
+                x == F.col("pick"), F.concat(F.lit("<em>"), x, F.lit("</em>"))
+            ).otherwise(x),
+        ),
+        " ",
+    )
+    return (
+        joined.select("doc_id", "score", snippet.alias("snippet"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def highlight_snippets_oracle_sql(
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    window: int = 3,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``highlight_snippets`` over the scan top-k: same
+    rarest-term pick (df asc, term asc), same first-occurrence token
+    window, same <em> marking."""
+    terms = query_terms(query_text)
+    if not terms:
+        return f"SELECT doc_id, 0.0 AS score, NULL AS snippet FROM {table} WHERE false"
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toksql = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toksql} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ({in_list})
+  GROUP BY doc_id, doc_len, term
+),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+topk AS (
+  SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {k}
+),
+pick AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY df ASC, term ASC) AS rn
+  FROM tf JOIN dfq USING (term)
+),
+snip AS (
+  SELECT t.doc_id, t.score, p.term,
+         list_position(d.toks, p.term) AS pos, d.toks
+  FROM topk t JOIN pick p ON t.doc_id = p.doc_id AND p.rn = 1
+  JOIN dl d ON d.doc_id = t.doc_id
+)
+SELECT doc_id, score,
+       array_to_string(
+         list_transform(
+           toks[greatest(1, pos - {window}) : pos + {window}],
+           x -> CASE WHEN x = term THEN '<em>' || x || '</em>' ELSE x END
+         ), ' '
+       ) AS snippet
+FROM snip
+ORDER BY score DESC, doc_id ASC
+"""
+
+
+def bm25_boost_case_sql(boosts: dict[str, float]) -> str:
+    """SQL CASE expression mapping a term to its boost (1.0 default)."""
+    whens = " ".join(
+        f"WHEN '{t}' THEN {float(w)!r}" for t, w in sorted(boosts.items())
+    )
+    return f"(CASE term {whens} ELSE 1.0 END)"
+
+
+def bm25_boosted_oracle_sql(
+    boosts: dict[str, float],
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.bm25_topk_boosted``: per-term boost
+    multiplies the term's BM25 contribution (Lucene ``term^boost``)."""
+    terms = sorted({t for raw in boosts for t in query_terms(raw)})
+    if not terms:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toksql = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
+    )
+    boost = bm25_boost_case_sql(
+        {t: w for raw, w in boosts.items() for t in query_terms(raw)}
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toksql} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ({in_list})
+  GROUP BY doc_id, doc_len, term
+),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id AS doc_id, round(sum({boost} * ({score})), 6) AS score
 FROM tf JOIN dfq USING (term) CROSS JOIN stats
 GROUP BY tf.doc_id
 ORDER BY score DESC, doc_id ASC

@@ -110,3 +110,47 @@ def test_cli_stats(tmp_path, spark, sf_smoke, capsys):
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st["meta"]["n_docs"] == 500
     assert len(st["batches"]) == 2 and st["tombstones"] == 0
+
+
+def test_cli_msm_near_suggest_merge(tmp_path, spark, sf_smoke, capsys):
+    """Round-2 query surface: --min-match/--all-terms/--near flags plus the
+    suggest and merge subcommands."""
+    a, b, m = (str(tmp_path / x) for x in ("ha", "hb", "hm"))
+    common = ["--segment-size", "64", "--n-buckets", "4", "--n-batches", "1",
+              "--with-positions", "--master", "local[4]"]
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW d AS SELECT * FROM '{sf_smoke}/documents.parquet'")
+    lo = str(tmp_path / "lo.parquet")
+    hi = str(tmp_path / "hi.parquet")
+    con.execute(f"COPY (SELECT * FROM d WHERE doc_id < 256) TO '{lo}'")
+    con.execute(f"COPY (SELECT * FROM d WHERE doc_id >= 256) TO '{hi}'")
+    (tmp_path / "lo_dir").mkdir(); (tmp_path / "hi_dir").mkdir()
+    import shutil
+    shutil.move(lo, str(tmp_path / "lo_dir" / "documents.parquet"))
+    shutil.move(hi, str(tmp_path / "hi_dir" / "documents.parquet"))
+    cli.main(["build", "--corpus", str(tmp_path / "lo_dir"), "--out", a] + common)
+    cli.main(["build", "--corpus", str(tmp_path / "hi_dir"), "--out", b] + common)
+    capsys.readouterr()
+    cli.main(["merge", "--src", a, b, "--out", m, "--master", "local[4]"])
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["n_docs"] == 500
+
+    cli.main(["query", "--index", m, "--text", "hash join merge scan",
+              "--all-terms", "--master", "local[4]"])
+    hits_and = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    cli.main(["query", "--index", m, "--text", "hash join merge scan",
+              "--min-match", "2", "--master", "local[4]"])
+    hits_m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits_and and hits_m2
+
+    cli.main(["query", "--index", m, "--text", "table scan", "--near", "6",
+              "--master", "local[4]"])
+    hits_near = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits_near and all("score" in h for h in hits_near)
+
+    cli.main(["suggest", "--index", m, "--text", "soet", "--max-edits", "1",
+              "--master", "local[4]"])
+    sugg = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sugg and all(s["dist"] <= 1 for s in sugg)

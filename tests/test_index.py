@@ -450,3 +450,200 @@ def test_check_index_integrity(spark, corpus, tmp_path):
     res3 = check_index(spark, out)
     assert not res3["ok"]
     assert any("missing" in p or "n_docs" in p for p in res3["problems"]), res3
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_smoke):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    return con
+
+
+def test_min_should_match_vs_oracle(index, oracle_con):
+    """bm25_topk_msm == scan oracle with HAVING n matched terms >= m;
+    m=None is conjunctive AND."""
+    from smse_backend_spark.operators.search import (
+        bm25_scan_oracle_sql,
+        query_terms,
+    )
+
+    for q, m, lang in [("hash join merge scan", 2, None),
+                       ("hash join merge scan", 3, None),
+                       ("hash join merge scan", None, None),
+                       ("the fast small slow", None, None),
+                       ("batch stream spark window", 3, "en"),
+                       ("window nonexistentterm", None, None)]:
+        mm = len(query_terms(q)) if m is None else m
+        got = [(r["doc_id"], r["score"])
+               for r in index.bm25_topk_msm(q, m, 10, lang).collect()]
+        want = [tuple(r) for r in oracle_con.execute(
+            bm25_scan_oracle_sql(q, 10, lang, min_match=mm)).fetchall()]
+        assert got == want, (q, m, lang, got[:3], want[:3])
+
+
+def test_min_should_match_scan_parity(corpus, index):
+    """The scan operator's min_match filter agrees with the indexed path."""
+    for q, m in [("hash join merge scan", 2), ("the row data column", 4)]:
+        got = [(r["doc_id"], r["score"])
+               for r in index.bm25_topk_msm(q, m, 10).collect()]
+        want = [(r["doc_id"], r["score"])
+                for r in bm25_topk_scan(corpus, q, 10, min_match=m).collect()]
+        assert got == want, (q, m, got[:3], want[:3])
+    # m=1 degenerates to the plain OR query
+    got1 = [(r["doc_id"], r["score"])
+            for r in index.bm25_topk_msm("hash join", 1, 10).collect()]
+    want1 = [(r["doc_id"], r["score"])
+             for r in index.bm25_topk("hash join", 10).collect()]
+    assert got1 == want1
+
+
+def test_hit_count_vs_oracle(index, oracle_con):
+    from smse_backend_spark.operators.search import hit_count_oracle_sql
+
+    for q, lang in [("hash join", None), ("window", "en"),
+                    ("nonexistentterm", None)]:
+        got = index.count_matches(q, lang).first()["n_hits"]
+        want = oracle_con.execute(hit_count_oracle_sql(q, lang)).fetchone()[0]
+        assert got == want, (q, lang, got, want)
+
+
+def test_facet_counts_vs_oracle(corpus, index, oracle_con):
+    from smse_backend_spark.operators.search import facet_counts_oracle_sql
+
+    for q in ["hash join merge scan", "window"]:
+        got = [tuple(r) for r in index.facet_counts(corpus, q).collect()]
+        want = [tuple(r) for r in
+                oracle_con.execute(facet_counts_oracle_sql(q)).fetchall()]
+        assert got == want, (q, got[:3], want[:3])
+        assert got  # the match set is non-empty for these queries
+
+
+def test_more_like_this_vs_oracle(corpus, index, oracle_con):
+    from smse_backend_spark.operators.search import more_like_this_oracle_sql
+
+    for src_doc, mt in [(7, 8), (123, 8), (42, 4)]:
+        got = [(r["doc_id"], r["score"])
+               for r in index.more_like_this(corpus, src_doc,
+                                             10, max_terms=mt).collect()]
+        want = [tuple(r) for r in oracle_con.execute(
+            more_like_this_oracle_sql(src_doc, 10, max_terms=mt)).fetchall()]
+        assert got == want, (src_doc, mt, got[:3], want[:3])
+        assert src_doc not in [d for d, _ in got]
+
+
+def test_suggest_vs_oracle(index, oracle_con):
+    from smse_backend_spark.operators.search import suggest_oracle_sql
+
+    for term, d, n in [("soet", 1, 10), ("dat", 2, 10), ("hash", 1, 5),
+                       ("zzzqq", 2, 10)]:
+        got = [(r["term"], r["df"], r["dist"])
+               for r in index.suggest(term, d, n).collect()]
+        want = [tuple(r) for r in
+                oracle_con.execute(suggest_oracle_sql(term, d, n)).fetchall()]
+        assert got == want, (term, d, got[:3], want[:3])
+
+
+def test_near_search_vs_oracle(pos_index, oracle_con):
+    from smse_backend_spark.operators.search import near_oracle_sql
+
+    nonzero = 0
+    for q, w, lang in [("table scan", 1, None), ("table scan", 8, None),
+                       ("hash merge sort", 12, None), ("merge sort", 3, "en"),
+                       ("window", 1, None), ("zzqq nohit", 5, None)]:
+        got = [(r["doc_id"], r["score"])
+               for r in pos_index.near_topk(q, w, 10, lang).collect()]
+        want = [tuple(r) for r in
+                oracle_con.execute(near_oracle_sql(q, w, 10, lang)).fetchall()]
+        assert got == want, (q, w, lang, got[:3], want[:3])
+        nonzero += bool(got)
+    assert nonzero >= 4
+
+
+def test_near_window_widens_monotonically(pos_index):
+    """A larger window can only admit more docs, and an admitted doc keeps
+    the same (window-independent) score."""
+    sets = {}
+    for w in (1, 4, 16):
+        sets[w] = {r["doc_id"]: r["score"]
+                   for r in pos_index.near_topk("hash merge", w, 500).collect()}
+    assert set(sets[1]) <= set(sets[4]) <= set(sets[16])
+    for d, s in sets[1].items():
+        assert sets[16][d] == s
+
+
+def test_near_requires_positional_index(index):
+    with pytest.raises(ValueError, match="with_positions"):
+        index.near_topk("table scan", 3)
+
+
+def test_merge_indexes(spark, corpus, index, tmp_path):
+    """Two disjoint half-corpus indexes merged == one full-corpus index:
+    identical query results AND byte-identical global stats."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index.build import merge_indexes
+
+    a, b, m = (str(tmp_path / x) for x in ("half_a", "half_b", "merged"))
+    lo = corpus.filter(F.col("doc_id") < 256)
+    hi = corpus.filter(F.col("doc_id") >= 256)
+    build_index(spark, lo, a, segment_size=64, n_buckets=4, block_size=16,
+                n_batches=2)
+    build_index(spark, hi, b, segment_size=64, n_buckets=4, block_size=16,
+                n_batches=2)
+    meta = merge_indexes(spark, [a, b], m)
+    assert meta["n_docs"] == index.meta["n_docs"]
+    assert meta["sum_dl"] == index.meta["sum_dl"]
+    assert meta["n_terms"] == index.meta["n_terms"]
+    assert meta["n_postings"] == index.meta["n_postings"]
+    midx = InvertedIndex(spark, m)
+    for q, lang in QUERIES[:4]:
+        got = [(r["doc_id"], r["score"])
+               for r in midx.bm25_topk(q, 10, lang).collect()]
+        want = [(r["doc_id"], r["score"])
+                for r in index.bm25_topk(q, 10, lang).collect()]
+        assert got == want, (q, got[:3], want[:3])
+
+
+def test_merge_refuses_overlap_and_config_mismatch(spark, corpus, tmp_path):
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index.build import merge_indexes
+
+    a, b, c = (str(tmp_path / x) for x in ("ov_a", "ov_b", "cfg_c"))
+    build_index(spark, corpus.filter(F.col("doc_id") < 256), a,
+                segment_size=64, n_buckets=4, block_size=16, n_batches=1)
+    build_index(spark, corpus.filter(F.col("doc_id") < 128), b,
+                segment_size=64, n_buckets=4, block_size=16, n_batches=1)
+    with pytest.raises(ValueError, match="overlap"):
+        merge_indexes(spark, [a, b], str(tmp_path / "m1"))
+    build_index(spark, corpus.filter(F.col("doc_id") >= 256), c,
+                segment_size=128, n_buckets=4, block_size=16, n_batches=1)
+    with pytest.raises(ValueError, match="identical"):
+        merge_indexes(spark, [a, c], str(tmp_path / "m2"))
+
+
+def test_merge_carries_tombstones(spark, corpus, tmp_path):
+    """Soft deletes in a source survive the merge as one unioned commit."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index import deletes
+    from smse_backend_spark.index.build import merge_indexes
+
+    a, b, m = (str(tmp_path / x) for x in ("ta", "tb", "tm"))
+    lo = corpus.filter(F.col("doc_id") < 256)
+    hi = corpus.filter(F.col("doc_id") >= 256)
+    build_index(spark, lo, a, segment_size=64, n_buckets=4, block_size=16,
+                n_batches=1)
+    build_index(spark, hi, b, segment_size=64, n_buckets=4, block_size=16,
+                n_batches=1)
+    deletes.delete_docs(spark, a, [3, 5])
+    deletes.delete_docs(spark, b, [300])
+    merge_indexes(spark, [a, b], m)
+    midx = InvertedIndex(spark, m)
+    survivors = {r["doc_id"] for r in midx.bm25_topk("the row data", 500).collect()}
+    assert {3, 5, 300}.isdisjoint(survivors)
+    assert deletes.tombstone_count(m) == 3
