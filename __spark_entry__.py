@@ -16,18 +16,24 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from smse_backend_spark.corpus import load_corpus
 from smse_backend_spark.operators.search import (
+    bm25_boosted_oracle_sql,
     bm25_fuzzy_oracle_sql,
     bm25_phrase_oracle_sql,
     bm25_prefix_oracle_sql,
     bm25_scan_oracle_sql,
     bm25_topk_scan,
     facet_counts_oracle_sql,
+    highlight_snippets,
+    highlight_snippets_oracle_sql,
     hit_count_oracle_sql,
     more_like_this_oracle_sql,
     near_oracle_sql,
     query_terms,
     suggest_oracle_sql,
 )
+
+# per-term boosts for the boosted-query contract entry (Lucene term^boost)
+BOOSTS: dict[str, float] = {"hash": 2.0, "join": 1.0, "scan": 0.5}
 
 FLAGSHIP_QUERY = "hash join merge scan"
 
@@ -391,6 +397,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # did-you-mean: dictionary walk by edit distance
         "spell_suggest": lambda spark, sf: _indexed(spark, sf)
         .suggest("soet", 2, 10),
+        # per-term boosts scale idf before scoring (term^boost)
+        "bm25_boosted": lambda spark, sf: _indexed(spark, sf)
+        .bm25_topk_boosted(BOOSTS, 10),
+        # results display: rarest-term token-window snippet per hit
+        "search_highlight": lambda spark, sf: highlight_snippets(
+            load_corpus(spark, sf),
+            bm25_topk_scan(load_corpus(spark, sf), FLAGSHIP_QUERY, 10),
+            FLAGSHIP_QUERY,
+            window=3,
+        ),
         # shard consolidation: two disjoint indexes merged, then queried
         "bm25_indexed_merged": lambda spark, sf: _merged_index(spark, sf)
         .bm25_topk(FLAGSHIP_QUERY, 10),
@@ -574,6 +590,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "more_like_this": more_like_this_oracle_sql(42, 10, max_terms=8),
         "span_near": near_oracle_sql("table scan", 6, 10),
         "spell_suggest": suggest_oracle_sql("soet", 2, 10),
+        "bm25_boosted": bm25_boosted_oracle_sql(BOOSTS, 10),
+        "search_highlight": highlight_snippets_oracle_sql(
+            FLAGSHIP_QUERY, 10, window=3
+        ),
         "bm25_indexed_merged": bm25_scan_oracle_sql(
             FLAGSHIP_QUERY,
             table=f"(SELECT * FROM documents WHERE doc_id < {MERGE_CAP})",

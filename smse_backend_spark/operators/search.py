@@ -712,11 +712,16 @@ def bm25_boosted_oracle_sql(
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
     toksql = tokenize_duckdb_sql(content_col)
-    score = bm25_term_score_sql(
-        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
-    )
     boost = bm25_boost_case_sql(
         {t: w for raw, w in boosts.items() for t in query_terms(raw)}
+    )
+    # boost*idf is grouped FIRST — the engine scales the idf dict before
+    # scoring, so the oracle must associate identically for 6dp parity
+    score = bm25_term_score_sql(
+        "tf.tf",
+        f"({boost} * {idf_sql('dfq.df', 'stats.n')})",
+        "tf.doc_len",
+        "stats.avgdl",
     )
     return f"""
 WITH docs AS (
@@ -739,7 +744,7 @@ tf AS (
 dfq AS (
   SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
 )
-SELECT tf.doc_id AS doc_id, round(sum({boost} * ({score})), 6) AS score
+SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score
 FROM tf JOIN dfq USING (term) CROSS JOIN stats
 GROUP BY tf.doc_id
 ORDER BY score DESC, doc_id ASC

@@ -68,3 +68,28 @@ def test_sha256_invariant(corpus):
 def test_topk_is_take_ordered(corpus):
     plan = bm25_topk_scan(corpus, "hash join")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_highlight_snippets_vs_oracle(corpus, sf_smoke):
+    """highlight_snippets == DuckDB oracle: same rarest-term pick
+    (df asc, term asc), same first-occurrence window, same <em> marks."""
+    from smse_backend_spark.operators.search import (
+        highlight_snippets,
+        highlight_snippets_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    for q, k, w in [
+        ("hash join merge scan", 10, 3),
+        ("window", 5, 2),
+        ("the row data", 10, 4),
+        ("nonexistentterm", 10, 3),
+    ]:
+        topk = bm25_topk_scan(corpus, q, k)
+        got = [tuple(r) for r in highlight_snippets(corpus, topk, q, window=w).collect()]
+        want = [tuple(r) for r in
+                con.execute(highlight_snippets_oracle_sql(q, k, window=w)).fetchall()]
+        assert got == want, (q, k, w, got[:2], want[:2])

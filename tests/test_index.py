@@ -647,3 +647,27 @@ def test_merge_carries_tombstones(spark, corpus, tmp_path):
     survivors = {r["doc_id"] for r in midx.bm25_topk("the row data", 500).collect()}
     assert {3, 5, 300}.isdisjoint(survivors)
     assert deletes.tombstone_count(m) == 3
+
+
+def test_boosted_search_vs_oracle(spark, index, sf_smoke):
+    """bm25_topk_boosted == DuckDB oracle (boost scales idf BEFORE scoring,
+    Lucene term^boost; unboosted terms default to 1.0)."""
+    import duckdb
+
+    from smse_backend_spark.operators.search import bm25_boosted_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    for boosts, lang in [
+        ({"hash": 2.0, "join": 1.0, "scan": 0.5}, None),
+        ({"window": 3.0}, None),
+        ({"batch stream": 2.0, "spark": 1.0}, "en"),
+        ({"zzzqq": 2.0}, None),
+    ]:
+        got = [(r["doc_id"], r["score"])
+               for r in index.bm25_topk_boosted(boosts, 10, lang).collect()]
+        want = [tuple(r) for r in
+                con.execute(bm25_boosted_oracle_sql(boosts, 10, lang)).fetchall()]
+        assert got == want, (boosts, lang, got[:3], want[:3])
