@@ -20,8 +20,11 @@ from smse_backend_spark.operators.search import (
     bm25_fuzzy_oracle_sql,
     bm25_phrase_oracle_sql,
     bm25_prefix_oracle_sql,
+    bm25_regex_oracle_sql,
     bm25_scan_oracle_sql,
+    bm25_synonyms_oracle_sql,
     bm25_topk_scan,
+    explain_scores_oracle_sql,
     facet_counts_oracle_sql,
     highlight_snippets,
     highlight_snippets_oracle_sql,
@@ -34,6 +37,9 @@ from smse_backend_spark.operators.search import (
 
 # per-term boosts for the boosted-query contract entry (Lucene term^boost)
 BOOSTS: dict[str, float] = {"hash": 2.0, "join": 1.0, "scan": 0.5}
+
+# synonym groups for the SynonymQuery contract entry (disjoint term sets)
+SYN_GROUPS: list[list[str]] = [["join", "merge"], ["scan", "window"], ["hash"]]
 
 FLAGSHIP_QUERY = "hash join merge scan"
 
@@ -400,6 +406,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-term boosts scale idf before scoring (term^boost)
         "bm25_boosted": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_boosted(BOOSTS, 10),
+        # synonym groups score as one pseudo-term (SynonymQuery)
+        "bm25_synonyms": lambda spark, sf: _indexed(spark, sf)
+        .bm25_topk_synonyms(SYN_GROUPS, 10),
+        # regexp search: dictionary full-match expansion, OR-scored
+        "bm25_regex": lambda spark, sf: _indexed(spark, sf)
+        .bm25_topk_regex("sc[a-z]n|ha.h", 10),
+        # per-(doc,term) BM25 contribution rows for the top-k (explain())
+        "score_explain": lambda spark, sf: _indexed(spark, sf)
+        .explain_scores(FLAGSHIP_QUERY, 10),
         # results display: rarest-term token-window snippet per hit
         "search_highlight": lambda spark, sf: highlight_snippets(
             load_corpus(spark, sf),
@@ -591,6 +606,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "span_near": near_oracle_sql("table scan", 6, 10),
         "spell_suggest": suggest_oracle_sql("soet", 2, 10),
         "bm25_boosted": bm25_boosted_oracle_sql(BOOSTS, 10),
+        "bm25_synonyms": bm25_synonyms_oracle_sql(SYN_GROUPS, 10),
+        "bm25_regex": bm25_regex_oracle_sql("sc[a-z]n|ha.h", 10),
+        "score_explain": explain_scores_oracle_sql(FLAGSHIP_QUERY, 10),
         "search_highlight": highlight_snippets_oracle_sql(
             FLAGSHIP_QUERY, 10, window=3
         ),

@@ -657,6 +657,62 @@ class InvertedIndex:
             k, lang, mode,
         )
 
+    def expand_regex(
+        self,
+        pattern: str,
+        lang: str | None = None,
+        max_expansions: int = 64,
+    ) -> list[str]:
+        """Dictionary terms fully matching ``pattern``, ranked (df desc,
+        term asc) and capped — Lucene's RegexpQuery expansion discipline.
+        Patterns must stay in the RE2-compatible subset (no lookahead /
+        backreferences) so the driver cache (Python ``re``), the JVM
+        dictionary-scan fallback (``rlike``), and the DuckDB oracle
+        (``regexp_full_match``) agree."""
+        if self.as_of is not None:
+            raise ValueError(
+                "regex expansion uses the as-of-latest dictionary — "
+                "time-travel regex queries are not supported"
+            )
+        import re as _re
+
+        rx = _re.compile(pattern)
+        if self.meta.get("n_terms", 1 << 62) <= self.DICT_CACHE_MAX_TERMS:
+            self._ensure_dict_cache()
+            agg: dict[str, int] = {}
+            for (lg, t), df in self._dict_cache.items():
+                if (lang is None or lg == lang) and rx.fullmatch(t):
+                    agg[t] = agg.get(t, 0) + df
+            ranked = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+            return [t for t, _df in ranked[:max_expansions]]
+        d = self.spark.read.parquet(f"{self.path}/dictionary").filter(
+            F.col("term").rlike(f"^(?:{pattern})$")
+        )
+        if lang is not None:
+            d = d.filter(F.col("lang") == lang)
+        rows = (
+            d.groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def bm25_topk_regex(
+        self,
+        pattern: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+        max_expansions: int = 64,
+        mode: str = "auto",
+    ) -> DataFrame:
+        """Regexp search: the pattern expands against the dictionary and
+        scores as the OR of the matched terms, each with its own idf —
+        the code-search symbol-pattern shape (e.g. ``get_[a-z]+_id``)."""
+        return self._topk_for_terms(
+            self.expand_regex(pattern, lang, max_expansions), k, lang, mode
+        )
+
     def bm25_topk_msm(
         self,
         query_text: str,
@@ -743,6 +799,69 @@ class InvertedIndex:
         if not scaled:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         scored = self._score(self._blocks(sorted(scaled), lang), scaled, avgdl)
+        return self._finish(scored, k)
+
+    def bm25_topk_synonyms(
+        self,
+        groups: list[list[str] | str],
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Synonym-group query (Lucene ``SynonymQuery``): each group of
+        terms scores as ONE pseudo-term — tf is the SUM of the group's
+        term frequencies in the doc, idf comes from the MAX document
+        frequency over the group (Lucene's blended docFreq; no union-
+        distinct pass needed, which also keeps the plan one decode +
+        one aggregation at any scale). Groups must be disjoint.
+
+        Plan: one partition-pruned decode of all groups' postings, a
+        broadcast (term -> group, group idf) map join, then a single
+        two-level aggregation (doc,group)->doc; the second shuffle keys
+        on a prefix of the first, so AQE coalesces it cheaply."""
+        norm: list[list[str]] = []
+        for g in groups:
+            raws = g if isinstance(g, (list, tuple)) else [g]
+            terms = sorted({t for raw in raws for t in query_terms(raw)})
+            if terms:
+                norm.append(terms)
+        flat = [t for g in norm for t in g]
+        if len(flat) != len(set(flat)):
+            raise ValueError(f"synonym groups must be disjoint, got {norm!r}")
+        n, avgdl = self.corpus_stats(lang)
+        dfs = self.term_df(sorted(flat), lang) if flat and n else {}
+        rows = []  # (term, gid, group idf)
+        for gi, g in enumerate(norm):
+            present = [t for t in g if t in dfs]
+            if not present:
+                continue
+            dfmax = max(dfs[t] for t in present)
+            gidf = math.log(1.0 + (n - dfmax + 0.5) / (dfmax + 0.5))
+            rows.extend((t, gi, gidf) for t in present)
+        if not rows:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        gmap = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, gid int, idf double")
+        )
+        blocks = self._blocks(sorted(r[0] for r in rows), lang)
+        decoded = self._live(
+            blocks.select("term", "first_doc", "gaps", "tfs", "dls")
+            .repartition(self.spark.sparkContext.defaultParallelism)
+            .mapInPandas(_decode_map, DECODED_SCHEMA)
+        )
+        scored = (
+            decoded.join(gmap, "term")
+            .groupBy("doc_id", "gid")
+            .agg(
+                F.sum("tf").alias("tf"),
+                F.first("dl").alias("dl"),
+                F.first("idf").alias("idf"),
+            )
+            .withColumn(
+                "contrib", F.col("idf") * _tf_norm(F.col("tf"), F.col("dl"), avgdl)
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
         return self._finish(scored, k)
 
     def bm25_topk_filtered(
@@ -892,6 +1011,62 @@ class InvertedIndex:
         if self._tomb_df is not None:
             matches = matches.join(self._tomb_df, "doc_id", "left_anti")
         return self._finish(matches, k)
+
+    def explain_scores(
+        self,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Score explanation (Lucene ``explain()``): for each top-k doc,
+        one row per matched term with the inputs of its BM25 contribution
+        — (doc_id, term, tf, idf, contrib, score). idf/contrib are
+        floored-half-rounded to 6dp (the cross-engine-exact convention);
+        score is the doc's rounded total, repeated per row.
+
+        Plan: the same one-decode pipeline as the exhaustive query; the
+        k-row top-k frame broadcasts back onto the contribution rows, so
+        explaining costs one extra broadcast join over scoring."""
+        terms = query_terms(query_text)
+        n, avgdl = self.corpus_stats(lang)
+        dfs = self.term_df(terms, lang) if terms and n else {}
+        idf = {
+            t: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for t, df in dfs.items()
+        }
+        empty = "doc_id long, term string, tf long, idf double, contrib double, score double"
+        if not idf:
+            return self.spark.createDataFrame([], empty)
+        idf_df = F.broadcast(
+            self.spark.createDataFrame(list(idf.items()), "term string, idf double")
+        )
+        decoded = self._live(
+            self._blocks(sorted(idf), lang)
+            .select("term", "first_doc", "gaps", "tfs", "dls")
+            .repartition(self.spark.sparkContext.defaultParallelism)
+            .mapInPandas(_decode_map, DECODED_SCHEMA)
+        )
+        contribs = decoded.join(idf_df, "term").withColumn(
+            "contrib", F.col("idf") * _tf_norm(F.col("tf"), F.col("dl"), avgdl)
+        )
+        totals = contribs.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+        top = F.broadcast(self._finish(totals, k))
+
+        def six(c):
+            return F.floor(c * 1e6 + F.lit(0.5)) / F.lit(1e6)
+
+        return (
+            contribs.join(top, "doc_id")
+            .select(
+                "doc_id",
+                "term",
+                F.col("tf").cast("long").alias("tf"),
+                six(F.col("idf")).alias("idf"),
+                six(F.col("contrib")).alias("contrib"),
+                "score",
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("term"))
+        )
 
     def match_doc_ids(
         self, query_text: str, lang: str | None = None

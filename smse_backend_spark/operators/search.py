@@ -323,6 +323,60 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
 
+def bm25_regex_oracle_sql(
+    pattern: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    max_expansions: int = 64,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.bm25_topk_regex``: the expansion set
+    (dictionary terms fully matching the pattern, ranked df desc / term
+    asc, capped) is derived from the corpus itself, then OR-scored.
+    Patterns must stay in the RE2-compatible subset (see
+    ``InvertedIndex.expand_regex``)."""
+    esc = pattern.replace("'", "''")
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+exp AS (
+  SELECT term FROM (
+    SELECT term, count(DISTINCT doc_id) AS df
+    FROM tok WHERE regexp_full_match(term, '{esc}') GROUP BY term
+  ) ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok JOIN exp USING (term)
+  GROUP BY doc_id, doc_len, term
+),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def hit_count_oracle_sql(
     query_text: str,
     lang: str | None = None,
@@ -686,6 +740,138 @@ SELECT doc_id, score,
        ) AS snippet
 FROM snip
 ORDER BY score DESC, doc_id ASC
+"""
+
+
+def explain_scores_oracle_sql(
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.explain_scores``: per-(doc, term)
+    BM25 contribution rows for the top-k docs, idf/contrib floored-half-
+    rounded to 6dp identically on both engines."""
+    terms = query_terms(query_text)
+    if not terms:
+        return (
+            "SELECT doc_id, '' AS term, 0::BIGINT AS tf, 0.0 AS idf, "
+            f"0.0 AS contrib, 0.0 AS score FROM {table} WHERE false"
+        )
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toksql = tokenize_duckdb_sql(content_col)
+    idf = idf_sql("dfq.df", "stats.n")
+    score = bm25_term_score_sql("tf.tf", idf, "tf.doc_len", "stats.avgdl")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toksql} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ({in_list})
+  GROUP BY doc_id, doc_len, term
+),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+c AS (
+  SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf,
+         {idf} AS idf, {score} AS contrib
+  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+),
+tot AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score
+  FROM c GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {k}
+)
+SELECT c.doc_id AS doc_id, c.term AS term, c.tf AS tf,
+       floor(c.idf * 1e6 + 0.5) / 1e6 AS idf,
+       floor(c.contrib * 1e6 + 0.5) / 1e6 AS contrib,
+       t.score AS score
+FROM c JOIN tot t USING (doc_id)
+ORDER BY score DESC, doc_id ASC, term ASC
+"""
+
+
+def bm25_synonyms_oracle_sql(
+    groups: list[list[str] | str],
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.bm25_topk_synonyms``: each group is
+    one pseudo-term — tf summed over the group per doc, idf from the MAX
+    per-term df in the group (Lucene SynonymQuery's blended docFreq)."""
+    norm: list[list[str]] = []
+    for g in groups:
+        raws = g if isinstance(g, (list, tuple)) else [g]
+        terms = sorted({t for raw in raws for t in query_terms(raw)})
+        if terms:
+            norm.append(terms)
+    flat = [t for g in norm for t in g]
+    if len(flat) != len(set(flat)):
+        raise ValueError(f"synonym groups must be disjoint, got {norm!r}")
+    if not flat:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in flat)
+    gvals = ", ".join(
+        f"('{t.replace(chr(39), chr(39) * 2)}', {gi})"
+        for gi, g in enumerate(norm)
+        for t in g
+    )
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toksql = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "gtf.tf", idf_sql("gdf.df", "stats.n"), "gtf.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toksql} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ({in_list})
+  GROUP BY doc_id, doc_len, term
+),
+gmap AS (SELECT * FROM (VALUES {gvals}) AS g(term, gid)),
+dft AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+gdf AS (
+  SELECT gid, max(df) AS df FROM dft JOIN gmap USING (term) GROUP BY gid
+),
+gtf AS (
+  SELECT doc_id, doc_len, gid, sum(tf)::BIGINT AS tf
+  FROM tf JOIN gmap USING (term)
+  GROUP BY doc_id, doc_len, gid
+)
+SELECT gtf.doc_id AS doc_id, round(sum({score}), 6) AS score
+FROM gtf JOIN gdf USING (gid) CROSS JOIN stats
+GROUP BY gtf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
 """
 
 

@@ -671,3 +671,80 @@ def test_boosted_search_vs_oracle(spark, index, sf_smoke):
         want = [tuple(r) for r in
                 con.execute(bm25_boosted_oracle_sql(boosts, 10, lang)).fetchall()]
         assert got == want, (boosts, lang, got[:3], want[:3])
+
+
+def test_synonym_search_vs_oracle(spark, index, sf_smoke):
+    """bm25_topk_synonyms == DuckDB oracle (group = one pseudo-term:
+    tf summed, idf from the group's max df — Lucene SynonymQuery)."""
+    import duckdb
+
+    from smse_backend_spark.operators.search import bm25_synonyms_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    for groups, lang in [
+        ([["join", "merge"], ["scan", "window"], ["hash"]], None),
+        ([["the"], ["row", "data", "column"]], None),
+        ([["batch stream"], ["spark"]], "en"),
+        ([["zzzqq", "join"]], None),
+        ([["zzzqq"]], None),
+    ]:
+        got = [(r["doc_id"], r["score"])
+               for r in index.bm25_topk_synonyms(groups, 10, lang).collect()]
+        want = [tuple(r) for r in
+                con.execute(bm25_synonyms_oracle_sql(groups, 10, lang)).fetchall()]
+        assert got == want, (groups, lang, got[:3], want[:3])
+    with pytest.raises(ValueError, match="disjoint"):
+        index.bm25_topk_synonyms([["join"], ["join", "merge"]])
+
+
+def test_regex_search_vs_oracle(spark, index, sf_smoke):
+    """bm25_topk_regex == DuckDB oracle (full-match expansion ranked
+    df desc / term asc, capped, OR-scored). RE2-compatible patterns only."""
+    import duckdb
+
+    from smse_backend_spark.operators.search import bm25_regex_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    for pat, lang, mx in [
+        ("sc[a-z]n|ha.h", None, 64),
+        ("w.*w", None, 64),
+        ("s.+", "en", 5),
+        ("zzz.*", None, 64),
+    ]:
+        got = [(r["doc_id"], r["score"])
+               for r in index.bm25_topk_regex(pat, 10, lang, mx).collect()]
+        want = [tuple(r) for r in
+                con.execute(bm25_regex_oracle_sql(pat, 10, lang, mx)).fetchall()]
+        assert got == want, (pat, lang, mx, got[:3], want[:3])
+
+
+def test_explain_scores_vs_oracle(spark, index, sf_smoke):
+    """explain_scores == DuckDB oracle: per-(doc, term) BM25 contribution
+    rows for the top-k docs, 6dp floored-half rounding on both engines."""
+    import duckdb
+
+    from smse_backend_spark.operators.search import explain_scores_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    for q, lang in [("hash join merge scan", None), ("window", None),
+                    ("batch stream spark", "en"), ("zzzqq", None)]:
+        got = sorted(map(tuple, index.explain_scores(q, 10, lang).collect()))
+        want = sorted(map(tuple,
+                          con.execute(explain_scores_oracle_sql(q, 10, lang)).fetchall()))
+        assert got == want, (q, lang, got[:2], want[:2])
+    # contribs of a doc must sum (to 6dp) to its reported score
+    rows = index.explain_scores("hash join merge scan", 5).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        assert abs(sum(x["contrib"] for x in rs) - rs[0]["score"]) < 5e-6, doc
