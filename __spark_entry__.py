@@ -30,10 +30,17 @@ from smse_backend_spark.operators.search import (
     highlight_snippets_oracle_sql,
     hit_count_oracle_sql,
     more_like_this_oracle_sql,
+    multi_field_bm25_scan,
+    multi_field_oracle_sql,
     near_oracle_sql,
     query_terms,
     suggest_oracle_sql,
 )
+
+# fielded-BM25 contract query: 'f42' / 'src' / 'py' hit only the path
+# field, 'hash'/'join' only content — exercises per-field df/avgdl spaces
+MULTI_FIELD_QUERY = "py f42 hash join"
+MULTI_FIELD_WEIGHTS: dict[str, float] = {"content": 1.0, "path": 2.0}
 
 # per-term boosts for the boosted-query contract entry (Lucene term^boost)
 BOOSTS: dict[str, float] = {"hash": 2.0, "join": 1.0, "scan": 0.5}
@@ -412,6 +419,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # regexp search: dictionary full-match expansion, OR-scored
         "bm25_regex": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_regex("sc[a-z]n|ha.h", 10),
+        # fielded BM25: per-field score spaces, weighted sum (path^2)
+        "bm25_multi_field": lambda spark, sf: multi_field_bm25_scan(
+            load_corpus(spark, sf), MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 10
+        ),
         # per-(doc,term) BM25 contribution rows for the top-k (explain())
         "score_explain": lambda spark, sf: _indexed(spark, sf)
         .explain_scores(FLAGSHIP_QUERY, 10),
@@ -608,6 +619,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25_boosted": bm25_boosted_oracle_sql(BOOSTS, 10),
         "bm25_synonyms": bm25_synonyms_oracle_sql(SYN_GROUPS, 10),
         "bm25_regex": bm25_regex_oracle_sql("sc[a-z]n|ha.h", 10),
+        "bm25_multi_field": multi_field_oracle_sql(
+            MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 10
+        ),
         "score_explain": explain_scores_oracle_sql(FLAGSHIP_QUERY, 10),
         "search_highlight": highlight_snippets_oracle_sql(
             FLAGSHIP_QUERY, 10, window=3

@@ -101,6 +101,167 @@ def bm25_topk_scan(
     )
 
 
+def multi_field_bm25_scan(
+    corpus: DataFrame,
+    query_text: str,
+    field_weights: dict[str, float] | None = None,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+) -> DataFrame:
+    """Fielded BM25 (Lucene multi-field query with per-field boosts): each
+    field is scored as its own BM25 space — field-local df, avgdl, and
+    doc_len — and a doc's total is the weighted sum of its per-field
+    scores. The code-search shape: a hit in ``path`` (file/symbol name)
+    usually deserves a higher boost than one in ``content``.
+
+    Plan: ONE corpus scan — the fields stack into an exploded
+    (doc_id, field, toks) frame, so adding fields adds no extra scans;
+    per-(field, term) df stays tiny and broadcasts; the weighted sum is
+    a single aggregation with a ``TakeOrderedAndProject`` top.
+    """
+    if field_weights is None:
+        field_weights = {"content": 1.0, "path": 2.0}
+    terms = query_terms(query_text)
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    if not terms or not field_weights:
+        return corpus.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+    fields = sorted(field_weights)
+    stacked = F.array(*[
+        F.struct(
+            F.lit(f).alias("field"),
+            tokenize_col(f).alias("toks"),
+            doc_len_col(f).alias("doc_len"),
+        )
+        for f in fields
+    ])
+    base = corpus.select("doc_id", F.explode(stacked).alias("x")).select(
+        "doc_id", "x.field", "x.toks", "x.doc_len"
+    )
+    stats = {
+        r["field"]: (float(r["n"]), float(r["avgdl"]))
+        for r in base.groupBy("field")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
+        .collect()
+    }
+    if not stats:
+        return corpus.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+    n_docs = next(iter(stats.values()))[0]  # identical across fields
+    avgdl_c = F.coalesce(
+        *[F.when(F.col("field") == f, F.lit(a)) for f, (_n, a) in stats.items()]
+    )
+    w_c = F.coalesce(
+        *[
+            F.when(F.col("field") == f, F.lit(float(field_weights[f])))
+            for f in fields
+        ]
+    )
+    tf = (
+        base.select("doc_id", "field", "doc_len", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "field", "doc_len", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("field", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    return (
+        tf.join(F.broadcast(df_t), ["field", "term"])
+        .withColumn("idf", idf_col(F.col("df"), n_docs))
+        .withColumn(
+            "contrib",
+            w_c
+            * bm25_term_score_col(
+                F.col("tf"), F.col("idf"), F.col("doc_len"), avgdl_c
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def corpus_path_sql() -> str:
+    """The synthesized ``path`` column as DuckDB SQL — the exact twin of
+    the expression in :func:`smse_backend_spark.corpus.load_corpus`."""
+    from smse_backend_spark.corpus import LANG_EXT
+
+    whens = " ".join(f"WHEN '{lg}' THEN '{ex}'" for lg, ex in sorted(LANG_EXT.items()))
+    ext = f"(CASE lang {whens} ELSE 'txt' END)"
+    return (
+        "('src/m' || (doc_id % 50)::VARCHAR || '/f' || doc_id::VARCHAR "
+        f"|| '.' || {ext})"
+    )
+
+
+def multi_field_oracle_sql(
+    query_text: str,
+    field_weights: dict[str, float] | None = None,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`multi_field_bm25_scan` over the synthesized
+    corpus fields (``content`` = text, ``path`` = the deterministic path
+    expression). Per-field BM25 spaces, weighted sum, same rounding."""
+    if field_weights is None:
+        field_weights = {"content": 1.0, "path": 2.0}
+    terms = query_terms(query_text)
+    if not terms or not field_weights:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    field_expr = {"content": content_col, "path": corpus_path_sql()}
+    unknown = set(field_weights) - set(field_expr)
+    if unknown:
+        raise ValueError(f"oracle has no SQL source for fields {sorted(unknown)}")
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    branches = "\n  UNION ALL\n".join(
+        f"SELECT doc_id, '{f}' AS field, "
+        f"{tokenize_duckdb_sql(field_expr[f])} AS toks FROM {table} {where_lang}"
+        for f in sorted(field_weights)
+    )
+    wvals = ", ".join(
+        f"('{f}', {float(w)!r})" for f, w in sorted(field_weights.items())
+    )
+    score = bm25_term_score_sql(
+        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH base AS (
+  {branches}
+),
+dl AS (
+  SELECT doc_id, field, toks, len(toks)::BIGINT AS doc_len FROM base
+),
+stats AS (
+  SELECT field, count(*)::DOUBLE AS n, avg(doc_len) AS avgdl
+  FROM dl GROUP BY field
+),
+tok AS (
+  SELECT doc_id, field, doc_len, unnest(toks) AS term FROM dl
+),
+tf AS (
+  SELECT doc_id, field, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ({in_list})
+  GROUP BY doc_id, field, doc_len, term
+),
+dfq AS (
+  SELECT field, term, count(*)::DOUBLE AS df FROM tf GROUP BY field, term
+),
+w AS (SELECT * FROM (VALUES {wvals}) AS w(field, wt))
+SELECT tf.doc_id AS doc_id, round(sum(w.wt * ({score})), 6) AS score
+FROM tf
+JOIN dfq USING (field, term)
+JOIN stats USING (field)
+JOIN w USING (field)
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_scan_oracle_sql(
     query_text: str,
     k: int = DEFAULT_TOP_K,

@@ -61,6 +61,52 @@ def test_rank_identity_vs_duckdb(corpus, sf_smoke, query, lang):
         assert gs == pytest.approx(ws, abs=1e-6)
 
 
+@pytest.mark.parametrize(
+    "query,weights,lang",
+    [
+        ("hash join merge scan", None, None),          # content-only hits
+        ("py f42 hash join", {"content": 1.0, "path": 3.0}, None),  # cross-field
+        ("src window", None, "en"),                    # path-saturating term + lang
+        ("nonexistentterm", None, None),               # empty result
+        ("", None, None),                              # empty query
+    ],
+)
+def test_multi_field_vs_duckdb(corpus, sf_smoke, query, weights, lang):
+    """Fielded BM25 (per-field df/avgdl spaces, weighted sum) == DuckDB twin."""
+    from smse_backend_spark.operators.search import (
+        multi_field_bm25_scan,
+        multi_field_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{sf_smoke}/documents.parquet'"
+    )
+    want = con.execute(multi_field_oracle_sql(query, weights, 10, lang)).fetchall()
+    got = [
+        (r["doc_id"], r["score"])
+        for r in multi_field_bm25_scan(corpus, query, weights, 10, lang).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want], (got, want)
+    for (_gd, gs), (_wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-6)
+
+
+def test_multi_field_scans_dont_grow_with_fields(corpus):
+    """The fields stack into one exploded frame, so adding a field must
+    not add a corpus scan to the plan."""
+    from smse_backend_spark.operators.search import multi_field_bm25_scan
+
+    def scan_count(weights):
+        plan = (
+            multi_field_bm25_scan(corpus, "hash src join", weights, 10)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        return plan.count("InMemoryTableScan") + plan.count("Scan parquet")
+
+    assert scan_count({"content": 1.0, "path": 2.0}) == scan_count({"content": 1.0})
+
+
 def test_sha256_invariant(corpus):
     assert verify_sha256_invariant(corpus) == 0
 
