@@ -15,8 +15,23 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from smse_backend_spark.corpus import load_corpus
+from smse_backend_spark.operators import aggregations as AG
 from smse_backend_spark.operators.search import (
     bm25_boosted_oracle_sql,
+    bm25_range_oracle_sql,
+    bm25_range_topk,
+    bm25_search_after,
+    bm25f_oracle_sql,
+    bm25f_scan,
+    collapse_oracle_sql,
+    collapse_topk,
+    dis_max_bm25_scan,
+    dis_max_oracle_sql,
+    facet_top_hits,
+    facet_top_hits_oracle_sql,
+    search_after_oracle_sql,
+    sort_by_field_oracle_sql,
+    sort_by_field_topk,
     bm25_fuzzy_oracle_sql,
     bm25_phrase_oracle_sql,
     bm25_prefix_oracle_sql,
@@ -41,6 +56,15 @@ from smse_backend_spark.operators.search import (
 # field, 'hash'/'join' only content — exercises per-field df/avgdl spaces
 MULTI_FIELD_QUERY = "py f42 hash join"
 MULTI_FIELD_WEIGHTS: dict[str, float] = {"content": 1.0, "path": 2.0}
+
+# stored queries for the percolator (reverse-search) contract entry:
+# conjunctive AND semantics; qid 3 can never match, qid 4 nearly always does
+PERCOLATE_QUERIES: dict[int, str] = {
+    1: "hash join",
+    2: "window scan sort",
+    3: "nonexistentterm",
+    4: "the",
+}
 
 # per-term boosts for the boosted-query contract entry (Lucene term^boost)
 BOOSTS: dict[str, float] = {"hash": 2.0, "join": 1.0, "scan": 0.5}
@@ -423,6 +447,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multi_field": lambda spark, sf: multi_field_bm25_scan(
             load_corpus(spark, sf), MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 10
         ),
+        # DisjunctionMax across fields: best field + 0.3 * the rest
+        "bm25_dismax": lambda spark, sf: dis_max_bm25_scan(
+            load_corpus(spark, sf), MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 0.3, 10
+        ),
+        # analyzer variant: Harman S-stemmer folds plurals on both sides
+        "bm25_stemmed": lambda spark, sf: bm25_topk_scan(
+            load_corpus(spark, sf), "tables scans windows merges", 10, stem=True
+        ),
+        # keyset pagination: page 2 strictly after page 1's (score, doc_id)
+        "bm25_search_after": lambda spark, sf: bm25_search_after(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, 10
+        ),
+        # field collapsing: at most one (best) hit per repo
+        "search_collapse": lambda spark, sf: collapse_topk(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, 10, "repo"
+        ),
+        # grouped top hits: best 3 docs inside every lang bucket
+        "facet_top_hits": lambda spark, sf: facet_top_hits(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, "lang", 3
+        ),
+        # true BM25F: pooled weighted tf/dl, any-field df, one saturation
+        "bm25f": lambda spark, sf: bm25f_scan(
+            load_corpus(spark, sf), MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 10
+        ),
+        # doc-value sort: match set ordered by content length, not score
+        "sort_by_field": lambda spark, sf: sort_by_field_topk(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, 10
+        ),
+        # numeric range FILTER context: global stats, restricted candidates
+        "bm25_range_filter": lambda spark, sf: bm25_range_topk(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, 100, 160, 10
+        ),
+        # ES significant-terms aggregation (JLH) over the OR match set
+        "significant_terms": lambda spark, sf: AG.significant_terms(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, 15
+        ),
+        # percolator: stored queries matched against docs (reverse search)
+        "percolate": lambda spark, sf: AG.percolate(
+            load_corpus(spark, sf), PERCOLATE_QUERIES, 200
+        ),
         # per-(doc,term) BM25 contribution rows for the top-k (explain())
         "score_explain": lambda spark, sf: _indexed(spark, sf)
         .explain_scores(FLAGSHIP_QUERY, 10),
@@ -622,6 +686,20 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25_multi_field": multi_field_oracle_sql(
             MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 10
         ),
+        "bm25_dismax": dis_max_oracle_sql(
+            MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 0.3, 10
+        ),
+        "bm25_stemmed": bm25_scan_oracle_sql(
+            "tables scans windows merges", 10, stem=True
+        ),
+        "bm25_search_after": search_after_oracle_sql(FLAGSHIP_QUERY, 10),
+        "search_collapse": collapse_oracle_sql(FLAGSHIP_QUERY, 10, "source"),
+        "facet_top_hits": facet_top_hits_oracle_sql(FLAGSHIP_QUERY, "lang", 3),
+        "bm25f": bm25f_oracle_sql(MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 10),
+        "sort_by_field": sort_by_field_oracle_sql(FLAGSHIP_QUERY, 10),
+        "bm25_range_filter": bm25_range_oracle_sql(FLAGSHIP_QUERY, 100, 160, 10),
+        "significant_terms": AG.significant_terms_sql(FLAGSHIP_QUERY, 15),
+        "percolate": AG.percolate_sql(PERCOLATE_QUERIES, 200),
         "score_explain": explain_scores_oracle_sql(FLAGSHIP_QUERY, 10),
         "search_highlight": highlight_snippets_oracle_sql(
             FLAGSHIP_QUERY, 10, window=3

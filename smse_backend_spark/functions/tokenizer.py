@@ -262,3 +262,64 @@ def tokenize_duckdb_sql(expr: str) -> str:
         f"regexp_replace(regexp_replace({folded}, '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),"
         " '([a-z0-9])([A-Z])', '\\1 \\2', 'g')), '[^a-z0-9]+'), t -> t <> '')"
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. Harman "S" stemmer \u2014 the minimal plural folder (Harman 1991, "How
+# effective is suffixing?"). Three lockstep impls: Python (oracle/driver),
+# Column (JVM plan), DuckDB SQL (driver oracle). Tokens are ASCII [a-z0-9]+
+# by construction, so char/byte length functions agree across engines.
+# ---------------------------------------------------------------------------
+
+def stem_py(t: str) -> str:
+    """ies->y (unless -eies/-aies) | -es -> -e drop s (unless -aes/-ees/-oes)
+    | -s drop (unless -us/-ss); minimum lengths keep 'is'/'ties' sane."""
+    if len(t) > 4 and t.endswith("ies") and not t.endswith(("eies", "aies")):
+        return t[:-3] + "y"
+    if len(t) > 3 and t.endswith("es") and not t.endswith(("aes", "ees", "oes")):
+        return t[:-1]
+    if len(t) > 3 and t.endswith("s") and not t.endswith(("us", "ss")):
+        return t[:-1]
+    return t
+
+
+def stem_col(toks: Column) -> Column:
+    """array<string> -> array<string>, stemmed; pure Column algebra."""
+
+    def one(t: Column) -> Column:
+        n = F.length(t)
+        return (
+            F.when(
+                (n > 4) & t.endswith("ies") & ~t.endswith("eies") & ~t.endswith("aies"),
+                F.concat(F.substr(t, F.lit(1), n - 3), F.lit("y")),
+            )
+            .when(
+                (n > 3) & t.endswith("es") & ~t.endswith("aes")
+                & ~t.endswith("ees") & ~t.endswith("oes"),
+                F.substr(t, F.lit(1), n - 1),
+            )
+            .when(
+                (n > 3) & t.endswith("s") & ~t.endswith("us") & ~t.endswith("ss"),
+                F.substr(t, F.lit(1), n - 1),
+            )
+            .otherwise(t)
+        )
+
+    return F.transform(toks, one)
+
+
+def stem_duckdb_sql(toks_expr: str) -> str:
+    """DuckDB twin of :func:`stem_col` over a list<varchar> expression."""
+    return (
+        f"list_transform({toks_expr}, t -> CASE "
+        "WHEN length(t) > 4 AND t LIKE '%ies' "
+        "AND t NOT LIKE '%eies' AND t NOT LIKE '%aies' "
+        "THEN substr(t, 1, length(t) - 3) || 'y' "
+        "WHEN length(t) > 3 AND t LIKE '%es' "
+        "AND t NOT LIKE '%aes' AND t NOT LIKE '%ees' AND t NOT LIKE '%oes' "
+        "THEN substr(t, 1, length(t) - 1) "
+        "WHEN length(t) > 3 AND t LIKE '%s' "
+        "AND t NOT LIKE '%us' AND t NOT LIKE '%ss' "
+        "THEN substr(t, 1, length(t) - 1) "
+        "ELSE t END)"
+    )

@@ -1,0 +1,208 @@
+"""Search-side analytics: significant-terms aggregation and percolation.
+
+Two Elasticsearch/Lucene capabilities the reference's search surface implies
+but never had an engine for (its API stops at ranked retrieval —
+``smse_backend/routes/search.py:148-231``):
+
+* ``significant_terms`` — "what is this result set ABOUT": terms that are
+  unusually frequent in the matched docs vs the whole corpus (the ES
+  significant-terms aggregation, JLH score).
+* ``percolate`` — reverse search: given a table of STORED queries, which
+  queries match a given document (saved searches / alerting).
+
+Both are pure DataFrame algebra — tokenize, explode, join, aggregate — and
+both ship a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from smse_backend_spark.functions.tokenizer import tokenize_col, tokenize_duckdb_sql
+from smse_backend_spark.operators.search import query_terms
+
+
+def _doc_terms(corpus: DataFrame) -> DataFrame:
+    """(doc_id, term) with per-doc DISTINCT terms — doc-frequency units."""
+    return corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize_col("content"))).alias("term"),
+    )
+
+
+def significant_terms(
+    corpus: DataFrame,
+    query_text: str,
+    k: int = 20,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES significant-terms aggregation: for each term in the foreground
+    (docs matching ANY query term), JLH score
+
+        (fg% - bg%) * (fg% / bg%),  fg% = fg_df/|fg|, bg% = bg_df/N
+
+    Returns the top-k (term, fg_df, bg_df, score) by (score desc, term asc).
+
+    Scale shape: two doc-frequency aggregations over distinct (doc, term)
+    pairs — the index build's shuffle unit — plus an equi-join on term;
+    the foreground doc set joins on doc_id (no broadcast assumption: the
+    match set can be huge).
+    """
+    qterms = query_terms(query_text)
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    empty = corpus.select(
+        F.lit("").alias("term"), F.lit(0).cast("long").alias("fg_df"),
+        F.lit(0).cast("long").alias("bg_df"), F.lit(0.0).alias("score"),
+    ).limit(0)
+    if not qterms:
+        return empty
+    toks = _doc_terms(corpus)
+    m = toks.filter(F.col("term").isin(qterms)).select("doc_id").distinct()
+    fg_n = m.count()
+    bg_n = corpus.count()
+    if not fg_n:
+        return empty
+    fg = toks.join(m, "doc_id").groupBy("term").agg(
+        F.count(F.lit(1)).alias("fg_df")
+    )
+    bg = toks.groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
+    fg_pct = F.col("fg_df").cast("double") / F.lit(float(fg_n))
+    bg_pct = F.col("bg_df").cast("double") / F.lit(float(bg_n))
+    return (
+        fg.join(bg, "term")
+        .withColumn("score", F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6))
+        .select("term", "fg_df", "bg_df", "score")
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def significant_terms_sql(
+    query_text: str,
+    k: int = 20,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`significant_terms` (same JLH expression,
+    same parenthesization, same rounding)."""
+    qterms = query_terms(query_text)
+    if not qterms:
+        return ("SELECT '' AS term, 0::BIGINT AS fg_df, 0::BIGINT AS bg_df, "
+                f"0.0 AS score FROM {table} WHERE false")
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in qterms)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    return f"""
+WITH dl AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM dl
+),
+m AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ({in_list})
+),
+nn AS (
+  SELECT (SELECT count(*) FROM m)::DOUBLE AS fg_n,
+         (SELECT count(*) FROM dl)::DOUBLE AS bg_n
+),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_df
+  FROM tok JOIN m USING (doc_id) GROUP BY term
+),
+bg AS (
+  SELECT term, count(*)::BIGINT AS bg_df FROM tok GROUP BY term
+)
+SELECT term, fg_df, bg_df,
+       round(((fg_df::DOUBLE / nn.fg_n) - (bg_df::DOUBLE / nn.bg_n))
+             * ((fg_df::DOUBLE / nn.fg_n) / (bg_df::DOUBLE / nn.bg_n)), 6)
+         AS score
+FROM fg JOIN bg USING (term) CROSS JOIN nn
+ORDER BY score DESC, term ASC
+LIMIT {k}
+"""
+
+
+def percolate(
+    corpus: DataFrame,
+    stored_queries: dict[int, str],
+    max_doc_id: int | None = None,
+) -> DataFrame:
+    """Reverse search (ES percolator, conjunctive semantics): a stored
+    query matches a doc iff EVERY query term appears in the doc. Returns
+    (doc_id, query_id) pairs, one per match.
+
+    The stored-query table is tiny and broadcasts; the doc side streams
+    through one tokenize + join + count — matching cost scales with the
+    corpus, not corpus x queries.
+    """
+    spark = corpus.sparkSession
+    qrows = [
+        (qid, t)
+        for qid, q in sorted(stored_queries.items())
+        for t in query_terms(q)
+    ]
+    if max_doc_id is not None:
+        corpus = corpus.filter(F.col("doc_id") < max_doc_id)
+    empty = corpus.select(
+        "doc_id", F.lit(0).cast("long").alias("query_id")
+    ).limit(0)
+    if not qrows:  # zero-term queries match nothing (not everything)
+        return empty
+    qdf = spark.createDataFrame(qrows, "query_id long, term string")
+    need = {qid: 0 for qid, _ in qrows}
+    for qid, _ in qrows:
+        need[qid] += 1
+    need_c = F.coalesce(
+        *[F.when(F.col("query_id") == q, F.lit(n)) for q, n in need.items()]
+    )
+    return (
+        _doc_terms(corpus)
+        .join(F.broadcast(qdf), "term")
+        .groupBy("doc_id", "query_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == need_c)
+        .select("doc_id", "query_id")
+        .orderBy("doc_id", "query_id")
+    )
+
+
+def percolate_sql(
+    stored_queries: dict[int, str],
+    max_doc_id: int | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`percolate`."""
+    qrows = [
+        (qid, t)
+        for qid, q in sorted(stored_queries.items())
+        for t in query_terms(q)
+    ]
+    if not qrows:
+        return f"SELECT doc_id, 0::BIGINT AS query_id FROM {table} WHERE false"
+    vals = ", ".join(
+        f"({qid}::BIGINT, '" + t.replace("'", "''") + "')" for qid, t in qrows
+    )
+    where = f"WHERE doc_id < {max_doc_id}" if max_doc_id is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    return f"""
+WITH q(query_id, term) AS (VALUES {vals}),
+need AS (SELECT query_id, count(*) AS n FROM q GROUP BY query_id),
+dl AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where}
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM dl
+),
+hit AS (
+  SELECT doc_id, query_id, count(*) AS c
+  FROM tok JOIN q USING (term) GROUP BY doc_id, query_id
+)
+SELECT doc_id, query_id
+FROM hit JOIN need USING (query_id)
+WHERE c = n
+ORDER BY doc_id, query_id
+"""

@@ -15,7 +15,7 @@ statistics (N, avgdl, df) are computed over the restricted set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from smse_backend_spark import DEFAULT_TOP_K
@@ -27,6 +27,9 @@ from smse_backend_spark.functions.bm25 import (
 )
 from smse_backend_spark.functions.tokenizer import (
     doc_len_col,
+    stem_col,
+    stem_duckdb_sql,
+    stem_py,
     tokenize_col,
     tokenize_duckdb_sql,
     tokenize_py,
@@ -38,38 +41,42 @@ def query_terms(query_text: str) -> list[str]:
     return sorted(set(tokenize_py(query_text)))
 
 
-def bm25_topk_scan(
+def bm25_scored_scan(
     corpus: DataFrame,
     query_text: str,
-    k: int = DEFAULT_TOP_K,
     lang: str | None = None,
-    min_match: int | None = None,
+    stem: bool = False,
 ) -> DataFrame:
-    """Exact BM25 top-k over a corpus DataFrame with a ``content`` column.
+    """ALL matched docs as (doc_id, score, nmatch) — the uncut BM25 match
+    set every scan-mode retrieval variant (top-k, collapse, search_after,
+    grouped hits) builds on. Score rounded to 6 dp; nmatch = distinct
+    query terms the doc matched.
 
-    Returns (doc_id, score) — score rounded to 6 dp for cross-engine hash
-    stability; ORDER is (score desc, doc_id asc) and the plan's top is
-    ``TakeOrderedAndProject`` (no global sort materialization).
-
-    ``min_match``: docs must match at least this many distinct query terms
-    (Lucene minimumNumberShouldMatch — a filter, never a rescore); the
-    default keeps OR semantics.
+    ``stem=True`` runs the Harman S-stemmer analyzer over both document
+    tokens and query terms (plural folding; the df/idf space changes with
+    the analyzer, exactly as a Lucene per-field analyzer would).
     """
     terms = query_terms(query_text)
+    if stem:
+        terms = sorted({stem_py(t) for t in terms})
     if lang is not None:
         corpus = corpus.filter(F.col("lang") == lang)
+    empty = corpus.select(
+        F.col("doc_id"), F.lit(0.0).alias("score"), F.lit(0).alias("nmatch")
+    ).limit(0)
     if not terms:
-        return corpus.select(
-            F.col("doc_id"), F.lit(0.0).alias("score")
-        ).limit(0)
+        return empty
 
+    toks = tokenize_col("content")
+    if stem:
+        toks = stem_col(toks)
     docs = corpus.select("doc_id", doc_len_col("content").alias("doc_len"),
-                         tokenize_col("content").alias("toks"))
+                         toks.alias("toks"))
     n_docs, avgdl = docs.agg(
         F.count(F.lit(1)).cast("double"), F.avg("doc_len")
     ).first()
     if not n_docs:
-        return corpus.select(F.col("doc_id"), F.lit(0.0).alias("score")).limit(0)
+        return empty
 
     tf = (
         docs.select("doc_id", "doc_len", F.explode("toks").alias("term"))
@@ -79,7 +86,7 @@ def bm25_topk_scan(
     )
     # df per query term over the candidate corpus; tiny (<= |q| rows) -> broadcast
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    scored = (
+    return (
         tf.join(F.broadcast(df_t), "term")
         .withColumn("idf", idf_col(F.col("df"), n_docs))
         .withColumn(
@@ -92,6 +99,27 @@ def bm25_topk_scan(
             F.count(F.lit(1)).alias("nmatch"),
         )
     )
+
+
+def bm25_topk_scan(
+    corpus: DataFrame,
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    min_match: int | None = None,
+    stem: bool = False,
+) -> DataFrame:
+    """Exact BM25 top-k over a corpus DataFrame with a ``content`` column.
+
+    Returns (doc_id, score) — score rounded to 6 dp for cross-engine hash
+    stability; ORDER is (score desc, doc_id asc) and the plan's top is
+    ``TakeOrderedAndProject`` (no global sort materialization).
+
+    ``min_match``: docs must match at least this many distinct query terms
+    (Lucene minimumNumberShouldMatch — a filter, never a rescore); the
+    default keeps OR semantics. ``stem``: Harman S-stemmer analyzer.
+    """
+    scored = bm25_scored_scan(corpus, query_text, lang, stem=stem)
     if min_match is not None:
         scored = scored.filter(F.col("nmatch") >= min_match)
     return (
@@ -101,32 +129,88 @@ def bm25_topk_scan(
     )
 
 
-def multi_field_bm25_scan(
+def bm25_search_after(
     corpus: DataFrame,
     query_text: str,
-    field_weights: dict[str, float] | None = None,
     k: int = DEFAULT_TOP_K,
     lang: str | None = None,
 ) -> DataFrame:
-    """Fielded BM25 (Lucene multi-field query with per-field boosts): each
-    field is scored as its own BM25 space — field-local df, avgdl, and
-    doc_len — and a doc's total is the weighted sum of its per-field
-    scores. The code-search shape: a hit in ``path`` (file/symbol name)
-    usually deserves a higher boost than one in ``content``.
+    """Keyset pagination (Lucene/Elasticsearch ``search_after``): page 2 of
+    the top-k — fetch page 1's last (score, doc_id) cursor, then take the
+    k best rows strictly after it in (score desc, doc_id asc) order.
 
-    Plan: ONE corpus scan — the fields stack into an exploded
-    (doc_id, field, toks) frame, so adding fields adds no extra scans;
-    per-(field, term) df stays tiny and broadcasts; the weighted sum is
-    a single aggregation with a ``TakeOrderedAndProject`` top.
+    Cursor filtering beats OFFSET at scale: every page is one
+    ``TakeOrderedAndProject`` over the filtered match set; a deep OFFSET
+    would force page_number * k rows through the global top instead.
     """
-    if field_weights is None:
-        field_weights = {"content": 1.0, "path": 2.0}
-    terms = query_terms(query_text)
-    if lang is not None:
-        corpus = corpus.filter(F.col("lang") == lang)
-    if not terms or not field_weights:
-        return corpus.select("doc_id", F.lit(0.0).alias("score")).limit(0)
-    fields = sorted(field_weights)
+    cursor = bm25_topk_scan(corpus, query_text, k, lang).collect()
+    scored = bm25_scored_scan(corpus, query_text, lang).select("doc_id", "score")
+    if len(cursor) < k:  # page 1 wasn't full -> nothing after it
+        return scored.limit(0)
+    last = cursor[-1]
+    after = scored.filter(
+        (F.col("score") < F.lit(last["score"]))
+        | ((F.col("score") == F.lit(last["score"])) & (F.col("doc_id") > F.lit(last["doc_id"])))
+    )
+    return after.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def collapse_topk(
+    corpus: DataFrame,
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    collapse_col: str = "repo",
+    lang: str | None = None,
+) -> DataFrame:
+    """Field collapsing (Lucene grouping / ES ``collapse``): at most ONE
+    hit — the best — per distinct ``collapse_col`` value, then the global
+    top-k of those survivors. Diversifies code-search results so a single
+    repo can't flood the page.
+
+    Scale shape: the window shuffles only (doc_id, score, key) rows of the
+    match set, never document text; the corpus join is column-pruned to
+    (doc_id, key).
+    """
+    scored = bm25_scored_scan(corpus, query_text, lang).select("doc_id", "score")
+    keys = corpus.select("doc_id", F.col(collapse_col).alias("group_key"))
+    w = Window.partitionBy("group_key").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(keys, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("group_key", "doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def facet_top_hits(
+    corpus: DataFrame,
+    query_text: str,
+    facet_col: str = "lang",
+    per_facet: int = 3,
+    lang: str | None = None,
+) -> DataFrame:
+    """Grouped top hits (ES ``top_hits`` aggregation): the best
+    ``per_facet`` docs inside EVERY facet bucket of the match set, with
+    their in-bucket rank. Output is bounded by n_facets * per_facet, so no
+    global cut is needed.
+    """
+    scored = bm25_scored_scan(corpus, query_text, lang).select("doc_id", "score")
+    keys = corpus.select("doc_id", F.col(facet_col).alias("facet"))
+    w = Window.partitionBy("facet").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(keys, "doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= per_facet)
+        .select("facet", "rank", "doc_id", "score")
+        .orderBy(F.asc("facet"), F.asc("rank"))
+    )
+
+
+def _stacked_fields(corpus: DataFrame, fields: list[str]) -> DataFrame:
+    """ONE corpus scan -> (doc_id, field, toks, doc_len) with the fields
+    stacked by an in-row explode; adding fields adds no extra scans."""
     stacked = F.array(*[
         F.struct(
             F.lit(f).alias("field"),
@@ -135,9 +219,39 @@ def multi_field_bm25_scan(
         )
         for f in fields
     ])
-    base = corpus.select("doc_id", F.explode(stacked).alias("x")).select(
+    return corpus.select("doc_id", F.explode(stacked).alias("x")).select(
         "doc_id", "x.field", "x.toks", "x.doc_len"
     )
+
+
+def _field_weight_col(field_weights: dict[str, float]):
+    return F.coalesce(
+        *[
+            F.when(F.col("field") == f, F.lit(float(w)))
+            for f, w in sorted(field_weights.items())
+        ]
+    )
+
+
+def _fielded_contribs(
+    corpus: DataFrame,
+    query_text: str,
+    field_weights: dict[str, float],
+    lang: str | None = None,
+) -> DataFrame | None:
+    """Shared frame of the fielded retrieval family: per-(doc, field, term)
+    weighted BM25 contributions. Each field is its own BM25 space —
+    field-local df, avgdl, doc_len — weighted by its boost.
+
+    Per-(field, term) df stays tiny and broadcasts. Returns None when the
+    query or the corpus is empty.
+    """
+    terms = query_terms(query_text)
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    if not terms or not field_weights:
+        return None
+    base = _stacked_fields(corpus, sorted(field_weights))
     stats = {
         r["field"]: (float(r["n"]), float(r["avgdl"]))
         for r in base.groupBy("field")
@@ -145,17 +259,12 @@ def multi_field_bm25_scan(
         .collect()
     }
     if not stats:
-        return corpus.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+        return None
     n_docs = next(iter(stats.values()))[0]  # identical across fields
     avgdl_c = F.coalesce(
         *[F.when(F.col("field") == f, F.lit(a)) for f, (_n, a) in stats.items()]
     )
-    w_c = F.coalesce(
-        *[
-            F.when(F.col("field") == f, F.lit(float(field_weights[f])))
-            for f in fields
-        ]
-    )
+    w_c = _field_weight_col(field_weights)
     tf = (
         base.select("doc_id", "field", "doc_len", F.explode("toks").alias("term"))
         .filter(F.col("term").isin(terms))
@@ -175,8 +284,176 @@ def multi_field_bm25_scan(
                 F.col("tf"), F.col("idf"), F.col("doc_len"), avgdl_c
             ),
         )
+        .select("doc_id", "field", "contrib")
+    )
+
+
+def _empty_scores(corpus: DataFrame) -> DataFrame:
+    return corpus.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+
+
+def multi_field_bm25_scan(
+    corpus: DataFrame,
+    query_text: str,
+    field_weights: dict[str, float] | None = None,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+) -> DataFrame:
+    """Fielded BM25 (Lucene multi-field query with per-field boosts): a
+    doc's total is the weighted SUM of its per-field scores. The
+    code-search shape: a hit in ``path`` (file/symbol name) usually
+    deserves a higher boost than one in ``content``.
+    """
+    if field_weights is None:
+        field_weights = {"content": 1.0, "path": 2.0}
+    contribs = _fielded_contribs(corpus, query_text, field_weights, lang)
+    if contribs is None:
+        return _empty_scores(corpus)
+    return (
+        contribs.groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def dis_max_bm25_scan(
+    corpus: DataFrame,
+    query_text: str,
+    field_weights: dict[str, float] | None = None,
+    tie_breaker: float = 0.0,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+) -> DataFrame:
+    """Lucene ``DisjunctionMaxQuery`` across fields: a doc scores its BEST
+    field plus ``tie_breaker`` times the rest —
+    ``max(fs) + tie_breaker * (sum(fs) - max(fs))`` over per-field scores
+    ``fs``. The right semantics when fields are alternative descriptions
+    of the same thing (a term hitting both path AND content shouldn't
+    double-dip the way the weighted sum does).
+    """
+    if field_weights is None:
+        field_weights = {"content": 1.0, "path": 2.0}
+    contribs = _fielded_contribs(corpus, query_text, field_weights, lang)
+    if contribs is None:
+        return _empty_scores(corpus)
+    per_field = contribs.groupBy("doc_id", "field").agg(
+        F.sum("contrib").alias("fs")
+    )
+    tb = float(tie_breaker)
+    return (
+        per_field.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max("fs") + F.lit(tb) * (F.sum("fs") - F.max("fs")), 6
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25f_scan(
+    corpus: DataFrame,
+    query_text: str,
+    field_weights: dict[str, float] | None = None,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+) -> DataFrame:
+    """True BM25F (Robertson/Zaragoza): POOL the fields before saturation
+    instead of summing saturated per-field scores —
+
+        tf~(d,t) = sum_f w_f * tf_f(d,t),   dl~(d) = sum_f w_f * len_f(d)
+        df(t)    = docs where ANY field contains t
+        score    = sum_t idf(df) * sat(tf~, dl~, avg(dl~))
+
+    Unlike the weighted sum (:func:`multi_field_bm25_scan`), a term
+    repeated across fields saturates ONCE, so field spam can't stack.
+
+    Note: keep the contract's weights integral — dl~ then stays
+    integer-valued, so avg(dl~) is bit-identical across engines (exact
+    integer sums) and 6dp rounding is stable.
+    """
+    if field_weights is None:
+        field_weights = {"content": 1.0, "path": 2.0}
+    terms = query_terms(query_text)
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    if not terms or not field_weights:
+        return _empty_scores(corpus)
+    base = _stacked_fields(corpus, sorted(field_weights))
+    w_c = _field_weight_col(field_weights)
+    wdl = base.groupBy("doc_id").agg(
+        F.sum(w_c * F.col("doc_len").cast("double")).alias("dl")
+    )
+    n_docs, avgdl = wdl.agg(
+        F.count(F.lit(1)).cast("double"), F.avg("dl")
+    ).first()
+    if not n_docs:
+        return _empty_scores(corpus)
+    tfp = (
+        base.select("doc_id", "field", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.sum(w_c).alias("tf"))
+    )
+    df_t = tfp.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    return (
+        tfp.join(F.broadcast(df_t), "term")
+        .join(wdl, "doc_id")
+        .withColumn("idf", idf_col(F.col("df"), n_docs))
+        .withColumn(
+            "contrib",
+            bm25_term_score_col(F.col("tf"), F.col("idf"), F.col("dl"), float(avgdl)),
+        )
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def sort_by_field_topk(
+    corpus: DataFrame,
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Sort-by-doc-value retrieval (ES ``sort: [{field: ...}]``): the match
+    set ordered by a document value — here content length — instead of
+    relevance; score still reported. One ``TakeOrderedAndProject`` top."""
+    scored = bm25_scored_scan(corpus, query_text, lang).select("doc_id", "score")
+    vals = corpus.select(
+        "doc_id", F.length("content").cast("long").alias("n_chars")
+    )
+    first = F.desc("n_chars") if descending else F.asc("n_chars")
+    return (
+        scored.join(vals, "doc_id")
+        .select("doc_id", "n_chars", "score")
+        .orderBy(first, F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_range_topk(
+    corpus: DataFrame,
+    query_text: str,
+    lo: int,
+    hi: int,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+) -> DataFrame:
+    """BM25 top-k under a numeric doc-value range filter (Lucene FILTER
+    context): the range restricts which docs may surface, but global
+    stats (df, avgdl, N) stay corpus-wide — a filter, never a rescore."""
+    scored = bm25_scored_scan(corpus, query_text, lang)
+    rng = corpus.filter(
+        F.length("content").between(F.lit(lo), F.lit(hi))
+    ).select("doc_id")
+    return (
+        scored.join(rng, "doc_id")
+        .select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
@@ -195,22 +472,18 @@ def corpus_path_sql() -> str:
     )
 
 
-def multi_field_oracle_sql(
+def _fielded_cte_sql(
     query_text: str,
-    field_weights: dict[str, float] | None = None,
-    k: int = DEFAULT_TOP_K,
-    lang: str | None = None,
-    table: str = "documents",
-    content_col: str = "text",
-) -> str:
-    """DuckDB twin of :func:`multi_field_bm25_scan` over the synthesized
-    corpus fields (``content`` = text, ``path`` = the deterministic path
-    expression). Per-field BM25 spaces, weighted sum, same rounding."""
-    if field_weights is None:
-        field_weights = {"content": 1.0, "path": 2.0}
+    field_weights: dict[str, float],
+    lang: str | None,
+    table: str,
+    content_col: str,
+) -> str | None:
+    """Shared WITH-body of the fielded oracles: per-(doc, field, term) tf,
+    per-field df/stats, and the boost table ``w``. None when empty."""
     terms = query_terms(query_text)
     if not terms or not field_weights:
-        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+        return None
     field_expr = {"content": content_col, "path": corpus_path_sql()}
     unknown = set(field_weights) - set(field_expr)
     if unknown:
@@ -224,9 +497,6 @@ def multi_field_oracle_sql(
     )
     wvals = ", ".join(
         f"('{f}', {float(w)!r})" for f, w in sorted(field_weights.items())
-    )
-    score = bm25_term_score_sql(
-        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
     )
     return f"""
 WITH base AS (
@@ -250,13 +520,72 @@ tf AS (
 dfq AS (
   SELECT field, term, count(*)::DOUBLE AS df FROM tf GROUP BY field, term
 ),
-w AS (SELECT * FROM (VALUES {wvals}) AS w(field, wt))
+w AS (SELECT * FROM (VALUES {wvals}) AS w(field, wt))"""
+
+
+def multi_field_oracle_sql(
+    query_text: str,
+    field_weights: dict[str, float] | None = None,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`multi_field_bm25_scan` over the synthesized
+    corpus fields (``content`` = text, ``path`` = the deterministic path
+    expression). Per-field BM25 spaces, weighted sum, same rounding."""
+    if field_weights is None:
+        field_weights = {"content": 1.0, "path": 2.0}
+    cte = _fielded_cte_sql(query_text, field_weights, lang, table, content_col)
+    if cte is None:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    score = bm25_term_score_sql(
+        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
+    )
+    return f"""{cte}
 SELECT tf.doc_id AS doc_id, round(sum(w.wt * ({score})), 6) AS score
 FROM tf
 JOIN dfq USING (field, term)
 JOIN stats USING (field)
 JOIN w USING (field)
 GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def dis_max_oracle_sql(
+    query_text: str,
+    field_weights: dict[str, float] | None = None,
+    tie_breaker: float = 0.0,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`dis_max_bm25_scan`: per-field weighted BM25
+    scores, combined as max + tie_breaker * (sum - max)."""
+    if field_weights is None:
+        field_weights = {"content": 1.0, "path": 2.0}
+    cte = _fielded_cte_sql(query_text, field_weights, lang, table, content_col)
+    if cte is None:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    score = bm25_term_score_sql(
+        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
+    )
+    tb = float(tie_breaker)
+    return f"""{cte},
+fs AS (
+  SELECT tf.doc_id AS doc_id, tf.field, sum(w.wt * ({score})) AS fs
+  FROM tf
+  JOIN dfq USING (field, term)
+  JOIN stats USING (field)
+  JOIN w USING (field)
+  GROUP BY tf.doc_id, tf.field
+)
+SELECT doc_id, round(max(fs) + {tb!r} * (sum(fs) - max(fs)), 6) AS score
+FROM fs
+GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
@@ -270,6 +599,7 @@ def bm25_scan_oracle_sql(
     content_col: str = "text",
     exclude_where: str | None = None,
     min_match: int | None = None,
+    stem: bool = False,
 ) -> str:
     """DuckDB SQL computing the identical result (same tokenizer, same math).
 
@@ -280,13 +610,19 @@ def bm25_scan_oracle_sql(
     recomputes stats over the survivors.
 
     ``min_match``: HAVING >= this many matched distinct terms per doc
-    (the minimum-should-match / conjunctive twin; scoring unchanged)."""
+    (the minimum-should-match / conjunctive twin; scoring unchanged).
+
+    ``stem``: Harman S-stemmer analyzer over doc tokens and query terms."""
     terms = query_terms(query_text)
+    if stem:
+        terms = sorted({stem_py(t) for t in terms})
     if not terms:
         return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
     toks = tokenize_duckdb_sql(content_col)
+    if stem:
+        toks = stem_duckdb_sql(toks)
     score = bm25_term_score_sql(
         "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
     )
@@ -318,6 +654,208 @@ GROUP BY tf.doc_id
 {f"HAVING count(*) >= {min_match}" if min_match is not None else ""}
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
+"""
+
+
+def bm25f_oracle_sql(
+    query_text: str,
+    field_weights: dict[str, float] | None = None,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bm25f_scan`: pooled weighted tf and dl, any-
+    field df, one saturation."""
+    if field_weights is None:
+        field_weights = {"content": 1.0, "path": 2.0}
+    terms = query_terms(query_text)
+    if not terms or not field_weights:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    field_expr = {"content": content_col, "path": corpus_path_sql()}
+    unknown = set(field_weights) - set(field_expr)
+    if unknown:
+        raise ValueError(f"oracle has no SQL source for fields {sorted(unknown)}")
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    branches = "\n  UNION ALL\n".join(
+        f"SELECT doc_id, '{f}' AS field, "
+        f"{tokenize_duckdb_sql(field_expr[f])} AS toks FROM {table} {where_lang}"
+        for f in sorted(field_weights)
+    )
+    wvals = ", ".join(
+        f"('{f}', {float(w)!r})" for f, w in sorted(field_weights.items())
+    )
+    score = bm25_term_score_sql(
+        "tfp.tf", idf_sql("dfq.df", "stats.n"), "wdl.dl", "stats.avgdl"
+    )
+    return f"""
+WITH base AS (
+  {branches}
+),
+fdl AS (
+  SELECT doc_id, field, toks, len(toks)::BIGINT AS fdl FROM base
+),
+w AS (SELECT * FROM (VALUES {wvals}) AS w(field, wt)),
+wdl AS (
+  SELECT doc_id, sum(w.wt * fdl)::DOUBLE AS dl
+  FROM fdl JOIN w USING (field) GROUP BY doc_id
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM wdl
+),
+tok AS (
+  SELECT doc_id, field, unnest(toks) AS term FROM fdl
+),
+tfp AS (
+  SELECT doc_id, term, sum(w.wt)::DOUBLE AS tf
+  FROM tok JOIN w USING (field)
+  WHERE term IN ({in_list})
+  GROUP BY doc_id, term
+),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tfp GROUP BY term
+)
+SELECT tfp.doc_id AS doc_id, round(sum({score}), 6) AS score
+FROM tfp
+JOIN dfq USING (term)
+JOIN wdl USING (doc_id)
+CROSS JOIN stats
+GROUP BY tfp.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def sort_by_field_oracle_sql(
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    descending: bool = True,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`sort_by_field_topk` (doc value = content
+    length in characters, identical in both engines)."""
+    scored = bm25_scan_oracle_sql(query_text, _ALL_ROWS, lang, table, content_col)
+    direction = "DESC" if descending else "ASC"
+    return f"""
+WITH scored AS ({scored})
+SELECT s.doc_id AS doc_id, length(d.{content_col})::BIGINT AS n_chars,
+       s.score AS score
+FROM scored s JOIN {table} d USING (doc_id)
+ORDER BY n_chars {direction}, doc_id ASC
+LIMIT {k}
+"""
+
+
+def bm25_range_oracle_sql(
+    query_text: str,
+    lo: int,
+    hi: int,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bm25_range_topk`: the range is a FILTER
+    (candidates restricted after corpus-wide stats)."""
+    return bm25_scan_oracle_sql(
+        query_text, k, lang, table, content_col,
+        exclude_where=(
+            f"tf.doc_id IN (SELECT doc_id FROM {table} "
+            f"WHERE length({content_col}) BETWEEN {lo} AND {hi})"
+        ),
+    )
+
+
+_ALL_ROWS = 1_000_000_000  # "no cut" limit for full-match-set subqueries
+
+
+def search_after_oracle_sql(
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bm25_search_after`: the cursor is page 1's
+    k-th row; page 2 is the k best rows strictly after it. An empty page 1
+    tail (fewer than k hits) yields an empty page 2 via the empty cursor
+    cross join."""
+    scored = bm25_scan_oracle_sql(query_text, _ALL_ROWS, lang, table, content_col)
+    return f"""
+WITH scored AS ({scored}),
+cur AS (
+  SELECT score, doc_id FROM scored
+  ORDER BY score DESC, doc_id ASC
+  LIMIT 1 OFFSET {k - 1}
+)
+SELECT s.doc_id AS doc_id, s.score AS score
+FROM scored s, cur c
+WHERE s.score < c.score OR (s.score = c.score AND s.doc_id > c.doc_id)
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT {k}
+"""
+
+
+def collapse_oracle_sql(
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    collapse_expr: str = "source",
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`collapse_topk`. ``collapse_expr`` is the SQL
+    source of the collapse key on the raw table (corpus ``repo`` =
+    documents ``source``)."""
+    scored = bm25_scan_oracle_sql(query_text, _ALL_ROWS, lang, table, content_col)
+    return f"""
+WITH scored AS ({scored}),
+j AS (
+  SELECT s.doc_id, s.score, d.{collapse_expr} AS group_key
+  FROM scored s JOIN {table} d USING (doc_id)
+),
+r AS (
+  SELECT group_key, doc_id, score,
+         row_number() OVER (PARTITION BY group_key
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM j
+)
+SELECT group_key, doc_id, score FROM r
+WHERE rn = 1
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def facet_top_hits_oracle_sql(
+    query_text: str,
+    facet_expr: str = "lang",
+    per_facet: int = 3,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`facet_top_hits`: best ``per_facet`` hits per
+    facet bucket with in-bucket rank."""
+    scored = bm25_scan_oracle_sql(query_text, _ALL_ROWS, lang, table, content_col)
+    return f"""
+WITH scored AS ({scored}),
+j AS (
+  SELECT s.doc_id, s.score, d.{facet_expr} AS facet
+  FROM scored s JOIN {table} d USING (doc_id)
+),
+r AS (
+  SELECT facet, doc_id, score,
+         row_number() OVER (PARTITION BY facet
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM j
+)
+SELECT facet, rank, doc_id, score FROM r
+WHERE rank <= {per_facet}
+ORDER BY facet ASC, rank ASC
 """
 
 

@@ -107,6 +107,123 @@ def test_multi_field_scans_dont_grow_with_fields(corpus):
     assert scan_count({"content": 1.0, "path": 2.0}) == scan_count({"content": 1.0})
 
 
+def _con(sf_smoke):
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{sf_smoke}/documents.parquet'"
+    )
+    return con
+
+
+def test_stemmer_lockstep(corpus, sf_smoke):
+    """stem_py == stem_duckdb_sql == stem_col on real corpus tokens and
+    hand-picked suffix edge cases."""
+    from smse_backend_spark.functions.tokenizer import (
+        stem_duckdb_sql,
+        stem_py,
+    )
+
+    edge = ["ties", "cities", "eies", "aies", "goes", "tables", "types",
+            "trees", "bus", "class", "is", "as", "its", "was", "queries",
+            "does", "uses", "s", "es", "ies", "x9s", "batches"]
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {stem_duckdb_sql('?')}", [edge]
+    ).fetchone()[0]
+    assert got == [stem_py(t) for t in edge]
+
+
+@pytest.mark.parametrize("query,lang", [
+    ("tables scans windows merges", None),
+    ("hash join merge scan", None),  # stemming a stem-free query = identity path
+    ("queries batches", "en"),
+])
+def test_stemmed_bm25_vs_duckdb(corpus, sf_smoke, query, lang):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_scan(corpus, query, 10, lang, stem=True).collect()
+    ]
+    want = _con(sf_smoke).execute(
+        bm25_scan_oracle_sql(query, 10, lang, stem=True)
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_search_after_vs_duckdb_and_page_property(corpus, sf_smoke):
+    """Page 2 == oracle, and page1 + page2 == top-2k of the scan."""
+    from smse_backend_spark.operators.search import (
+        bm25_search_after,
+        search_after_oracle_sql,
+    )
+
+    q = "hash join merge scan"
+    p2 = [(r["doc_id"], r["score"])
+          for r in bm25_search_after(corpus, q, 10).collect()]
+    want = _con(sf_smoke).execute(search_after_oracle_sql(q, 10)).fetchall()
+    assert p2 == [tuple(w) for w in want]
+    p1 = [(r["doc_id"], r["score"]) for r in bm25_topk_scan(corpus, q, 10).collect()]
+    both = [(r["doc_id"], r["score"]) for r in bm25_topk_scan(corpus, q, 20).collect()]
+    assert p1 + p2 == both
+    # degenerate: match set smaller than a page -> empty page 2
+    assert bm25_search_after(corpus, "nonexistentterm", 10).count() == 0
+
+
+def test_collapse_vs_duckdb(corpus, sf_smoke):
+    from smse_backend_spark.operators.search import (
+        collapse_oracle_sql,
+        collapse_topk,
+    )
+
+    q = "hash join merge scan"
+    got = [tuple(r) for r in collapse_topk(corpus, q, 10, "repo").collect()]
+    want = [tuple(w) for w in
+            _con(sf_smoke).execute(collapse_oracle_sql(q, 10, "source")).fetchall()]
+    assert got == want
+    # one hit per group, by construction
+    keys = [g for g, *_ in got]
+    assert len(keys) == len(set(keys))
+
+
+def test_facet_top_hits_vs_duckdb(corpus, sf_smoke):
+    from smse_backend_spark.operators.search import (
+        facet_top_hits,
+        facet_top_hits_oracle_sql,
+    )
+
+    q = "hash join merge scan"
+    got = [tuple(r) for r in facet_top_hits(corpus, q, "lang", 3).collect()]
+    want = [tuple(w) for w in
+            _con(sf_smoke).execute(facet_top_hits_oracle_sql(q, "lang", 3)).fetchall()]
+    assert got == want
+    assert all(rank <= 3 for _f, rank, *_ in got)
+
+
+def test_dismax_vs_duckdb_and_sum_equivalence(corpus, sf_smoke):
+    """dis_max == oracle; and with tie_breaker=1.0 it degenerates to the
+    multi-field weighted sum (same rows, same scores)."""
+    from smse_backend_spark.operators.search import (
+        dis_max_bm25_scan,
+        dis_max_oracle_sql,
+        multi_field_bm25_scan,
+    )
+
+    q = "py f42 hash join"
+    wts = {"content": 1.0, "path": 2.0}
+    got = [(r["doc_id"], r["score"])
+           for r in dis_max_bm25_scan(corpus, q, wts, 0.3, 10).collect()]
+    want = _con(sf_smoke).execute(dis_max_oracle_sql(q, wts, 0.3, 10)).fetchall()
+    assert got == [tuple(w) for w in want]
+
+    tb1 = {(r["doc_id"], r["score"])
+           for r in dis_max_bm25_scan(corpus, q, wts, 1.0, 10).collect()}
+    ms = {(r["doc_id"], r["score"])
+          for r in multi_field_bm25_scan(corpus, q, wts, 10).collect()}
+    assert {d for d, _ in tb1} == {d for d, _ in ms}
+    sc1 = dict(tb1)
+    for d, s in ms:
+        assert sc1[d] == pytest.approx(s, abs=2e-6)
+
+
 def test_sha256_invariant(corpus):
     assert verify_sha256_invariant(corpus) == 0
 

@@ -1,0 +1,150 @@
+"""Oracle-identity tests for the search-analytics batch: significant terms,
+percolation, BM25F, sort-by-field, and range-filtered retrieval."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from smse_backend_spark.corpus import load_corpus
+from smse_backend_spark.operators.aggregations import (
+    percolate,
+    percolate_sql,
+    significant_terms,
+    significant_terms_sql,
+)
+from smse_backend_spark.operators.search import (
+    bm25_range_oracle_sql,
+    bm25_range_topk,
+    bm25f_oracle_sql,
+    bm25f_scan,
+    bm25_topk_scan,
+    multi_field_bm25_scan,
+    sort_by_field_oracle_sql,
+    sort_by_field_topk,
+)
+
+STORED_QUERIES = {
+    1: "hash join",
+    2: "window scan sort",
+    3: "nonexistentterm",
+    4: "the",
+}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_smoke):
+    c = load_corpus(spark, sf_smoke).cache()
+    c.count()
+    return c
+
+
+@pytest.fixture(scope="module")
+def con(sf_smoke):
+    c = duckdb.connect()
+    c.execute(
+        f"create view documents as select * from '{sf_smoke}/documents.parquet'"
+    )
+    return c
+
+
+@pytest.mark.parametrize("query,lang", [
+    ("hash join", None),
+    ("window", "en"),
+    ("nonexistentterm", None),
+    ("", None),
+])
+def test_significant_terms_vs_duckdb(corpus, con, query, lang):
+    got = [tuple(r) for r in significant_terms(corpus, query, 15, lang).collect()]
+    want = [tuple(w) for w in
+            con.execute(significant_terms_sql(query, 15, lang)).fetchall()]
+    assert got == want
+    # query terms are in their own foreground -> they surface near the top
+    if query and query != "nonexistentterm":
+        assert any(t in query.split() for t, *_ in got[:3])
+
+
+def test_percolate_vs_duckdb(corpus, con):
+    got = [tuple(r) for r in percolate(corpus, STORED_QUERIES, 100).collect()]
+    want = [tuple(w) for w in
+            con.execute(percolate_sql(STORED_QUERIES, 100)).fetchall()]
+    assert got == want
+    # conjunctive semantics: the zero-hit query never matches
+    assert all(q != 3 for _d, q in got)
+    # 'the' is near-universal: sanity that matching happened at all
+    assert any(q == 4 for _d, q in got)
+
+
+def test_percolate_conjunctive_not_disjunctive(corpus, con):
+    """A doc containing 'hash' but not 'join' must NOT match query 1."""
+    rows = con.execute(
+        "SELECT doc_id FROM documents "
+        "WHERE doc_id < 100 AND text LIKE '%hash%' AND text NOT LIKE '%join%' "
+        "LIMIT 1"
+    ).fetchall()
+    if not rows:
+        pytest.skip("no hash-without-join doc below 100 at this sf")
+    doc = rows[0][0]
+    got = {(r["doc_id"], r["query_id"])
+           for r in percolate(corpus, {1: "hash join"}, 100).collect()}
+    assert (doc, 1) not in got
+
+
+@pytest.mark.parametrize("query,wts,lang", [
+    ("py f42 hash join", None, None),
+    ("hash join merge scan", {"content": 1.0, "path": 3.0}, None),
+    ("src window", None, "en"),
+])
+def test_bm25f_vs_duckdb(corpus, con, query, wts, lang):
+    got = [(r["doc_id"], r["score"])
+           for r in bm25f_scan(corpus, query, wts, 10, lang).collect()]
+    want = [tuple(w) for w in
+            con.execute(bm25f_oracle_sql(query, wts, 10, lang)).fetchall()]
+    assert got == want
+
+
+def test_bm25f_differs_from_weighted_sum(corpus):
+    """Pooling before saturation is a different ranking function than the
+    per-field weighted sum — scores must differ on cross-field queries."""
+    q = "py f42 hash join"
+    f_scores = dict(
+        (r["doc_id"], r["score"]) for r in bm25f_scan(corpus, q, None, 10).collect()
+    )
+    m_scores = dict(
+        (r["doc_id"], r["score"])
+        for r in multi_field_bm25_scan(corpus, q, None, 10).collect()
+    )
+    common = set(f_scores) & set(m_scores)
+    assert common and any(f_scores[d] != m_scores[d] for d in common)
+
+
+def test_sort_by_field_vs_duckdb(corpus, con):
+    q = "hash join merge scan"
+    got = [tuple(r) for r in sort_by_field_topk(corpus, q, 10).collect()]
+    want = [tuple(w) for w in con.execute(sort_by_field_oracle_sql(q, 10)).fetchall()]
+    assert got == want
+    lens = [n for _d, n, _s in got]
+    assert lens == sorted(lens, reverse=True)
+
+
+def test_range_filter_vs_duckdb(corpus, con):
+    q = "hash join merge scan"
+    got = [(r["doc_id"], r["score"])
+           for r in bm25_range_topk(corpus, q, 100, 160, 10).collect()]
+    want = [tuple(w) for w in
+            con.execute(bm25_range_oracle_sql(q, 100, 160, 10)).fetchall()]
+    assert got == want
+
+
+def test_range_filter_keeps_global_stats(corpus):
+    """Filter context: a doc surviving the range must keep its unfiltered
+    score (stats are corpus-wide, not range-local)."""
+    q = "hash join merge scan"
+    full = dict(
+        (r["doc_id"], r["score"]) for r in bm25_topk_scan(corpus, q, 1000).collect()
+    )
+    ranged = [(r["doc_id"], r["score"])
+              for r in bm25_range_topk(corpus, q, 100, 160, 10).collect()]
+    assert ranged, "range filter swallowed the whole match set"
+    for d, s in ranged:
+        assert full[d] == s
