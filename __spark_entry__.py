@@ -254,10 +254,47 @@ def _indexed(spark: SparkSession, sf_dir: str):
     return InvertedIndex(spark, _INDEX_CACHE[sf_dir])
 
 
+_PATH_INDEX_CACHE: dict[str, str] = {}
+
+
+def _field_indexes(spark: SparkSession, sf_dir: str):
+    """{field: InvertedIndex} for the fielded index entries: the normal
+    content index plus a second index over the path field (path tokens
+    indexed as that index's content)."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+
+    if sf_dir not in _PATH_INDEX_CACHE:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="smse_index_path_")
+        build_index(
+            spark,
+            load_corpus(spark, sf_dir).withColumn("content", F.col("path")),
+            out, segment_size=256, n_buckets=8, block_size=64, n_batches=2,
+        )
+        _PATH_INDEX_CACHE[sf_dir] = out
+    return {
+        "content": _indexed(spark, sf_dir),
+        "path": InvertedIndex(spark, _PATH_INDEX_CACHE[sf_dir]),
+    }
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for a fixed query over the sf0.001 corpus."""
     corpus = load_corpus(spark, "/root/testdata/sf0.001")
     return bm25_topk_scan(corpus, FLAGSHIP_QUERY, k=10)
+
+
+def _fielded_indexed(spark: SparkSession, sf_dir: str, combine: str) -> DataFrame:
+    from smse_backend_spark.index.query import fielded_indexed_topk
+
+    return fielded_indexed_topk(
+        _field_indexes(spark, sf_dir), MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS,
+        10, combine=combine, tie_breaker=0.3 if combine == "dismax" else 0.0,
+    )
 
 
 def _bm25(query: str, k: int = 10, lang: str | None = None):
@@ -466,6 +503,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grouped top hits: best 3 docs inside every lang bucket
         "facet_top_hits": lambda spark, sf: facet_top_hits(
             load_corpus(spark, sf), FLAGSHIP_QUERY, "lang", 3
+        ),
+        # fielded search on the INDEX path: per-field posting match sets,
+        # weighted/combined before one rounding — rank-identical to the
+        # scan twins (same oracles)
+        "bm25_multi_field_indexed": lambda spark, sf: _fielded_indexed(
+            spark, sf, "sum"
+        ),
+        "bm25_dismax_indexed": lambda spark, sf: _fielded_indexed(
+            spark, sf, "dismax"
         ),
         # true BM25F: pooled weighted tf/dl, any-field df, one saturation
         "bm25f": lambda spark, sf: bm25f_scan(
@@ -695,6 +741,12 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25_search_after": search_after_oracle_sql(FLAGSHIP_QUERY, 10),
         "search_collapse": collapse_oracle_sql(FLAGSHIP_QUERY, 10, "source"),
         "facet_top_hits": facet_top_hits_oracle_sql(FLAGSHIP_QUERY, "lang", 3),
+        "bm25_multi_field_indexed": multi_field_oracle_sql(
+            MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 10
+        ),
+        "bm25_dismax_indexed": dis_max_oracle_sql(
+            MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 0.3, 10
+        ),
         "bm25f": bm25f_oracle_sql(MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 10),
         "sort_by_field": sort_by_field_oracle_sql(FLAGSHIP_QUERY, 10),
         "bm25_range_filter": bm25_range_oracle_sql(FLAGSHIP_QUERY, 100, 160, 10),

@@ -1394,3 +1394,68 @@ class InvertedIndex:
             blocks.filter(F.col("segment").isin(rest)), idf, avgdl
         )
         return self._finish(seed_scores.unionByName(rest_scores), k)
+
+
+def fielded_indexed_topk(
+    field_indexes: dict[str, "InvertedIndex"],
+    query_text: str,
+    field_weights: dict[str, float],
+    k: int = DEFAULT_TOP_K,
+    combine: str = "sum",
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """Fielded BM25 over PER-FIELD inverted indexes — the scale path of
+    :func:`smse_backend_spark.operators.search.multi_field_bm25_scan`
+    (``combine="sum"``) and :func:`...dis_max_bm25_scan`
+    (``combine="dismax"``), rank-identical to the scan twins.
+
+    Each field is its own index (e.g. the ``path`` field indexed via
+    ``corpus.withColumn("content", col("path"))``), so a query touches
+    only the posting blocks of its terms in each field — cost scales with
+    matched postings, never with the corpus. Per-field match sets come
+    back UNROUNDED from ``_score`` and are weighted/combined before the
+    single 6dp rounding, preserving parity with the scan oracles.
+    """
+    terms = query_terms(query_text)
+    some_idx = next(iter(field_indexes.values()))
+    empty = some_idx.spark.createDataFrame([], RESULT_SCHEMA)
+    if not terms or not field_weights:
+        return empty
+    parts = []
+    for f in sorted(field_weights):
+        idx = field_indexes[f]
+        n, avgdl = idx.corpus_stats(None)
+        dfs = idx.term_df(terms, None) if n else {}
+        idf = {
+            t: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for t, df in dfs.items()
+        }
+        if not idf:
+            continue
+        scored = idx._score(idx._blocks(sorted(idf), None), idf, avgdl)
+        parts.append(
+            scored.select(
+                "doc_id",
+                (F.col("score") * F.lit(float(field_weights[f]))).alias("fs"),
+            )
+        )
+    if not parts:
+        return empty
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    if combine == "sum":
+        agg = F.round(F.sum("fs"), 6).alias("score")
+    elif combine == "dismax":
+        tb = float(tie_breaker)
+        agg = F.round(
+            F.max("fs") + F.lit(tb) * (F.sum("fs") - F.max("fs")), 6
+        ).alias("score")
+    else:
+        raise ValueError(f"unknown combine mode {combine!r}")
+    return (
+        u.groupBy("doc_id")
+        .agg(agg)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

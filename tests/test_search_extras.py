@@ -118,6 +118,38 @@ def test_bm25f_differs_from_weighted_sum(corpus):
     assert common and any(f_scores[d] != m_scores[d] for d in common)
 
 
+def test_fielded_indexed_rank_identity(spark, sf_smoke, corpus):
+    """Fielded search on the index path == the scan twins, for both
+    combine modes (weighted sum and dis-max), on cross-field queries."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex, fielded_indexed_topk
+    from smse_backend_spark.operators.search import dis_max_bm25_scan
+
+    idx = {}
+    for field, col in [("content", "content"), ("path", "path")]:
+        out = tempfile.mkdtemp(prefix=f"smse_fidx_{field}_")
+        build_index(spark, corpus.withColumn("content", F.col(col)), out,
+                    segment_size=256, n_buckets=8, block_size=64, n_batches=2)
+        idx[field] = InvertedIndex(spark, out)
+
+    wts = {"content": 1.0, "path": 2.0}
+    for q in ["py f42 hash join", "src window", "nonexistentterm"]:
+        got = [tuple(r) for r in
+               fielded_indexed_topk(idx, q, wts, 10, combine="sum").collect()]
+        want = [tuple(r) for r in
+                multi_field_bm25_scan(corpus, q, wts, 10).collect()]
+        assert got == want, (q, got, want)
+        got = [tuple(r) for r in
+               fielded_indexed_topk(idx, q, wts, 10, "dismax", 0.3).collect()]
+        want = [tuple(r) for r in
+                dis_max_bm25_scan(corpus, q, wts, 0.3, 10).collect()]
+        assert got == want, (q, got, want)
+
+
 def test_sort_by_field_vs_duckdb(corpus, con):
     q = "hash join merge scan"
     got = [tuple(r) for r in sort_by_field_topk(corpus, q, 10).collect()]
