@@ -29,6 +29,8 @@ from smse_backend_spark.operators.search import (
     dis_max_oracle_sql,
     facet_top_hits,
     facet_top_hits_oracle_sql,
+    function_score_oracle_sql,
+    function_score_topk,
     search_after_oracle_sql,
     sort_by_field_oracle_sql,
     sort_by_field_topk,
@@ -215,6 +217,21 @@ def _streamed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         _SDEDUP_CACHE[sf_dir] = tempfile.mkdtemp(prefix="smse_sdedup_")
     return streamed_dedup_df(spark, sf_dir, _SDEDUP_CACHE[sf_dir])
+
+
+_SPERC_CACHE: dict[str, str] = {}
+
+
+def _streamed_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smse_backend_spark.streaming.events import streamed_percolate_df
+
+    if sf_dir not in _SPERC_CACHE:
+        import tempfile
+
+        _SPERC_CACHE[sf_dir] = tempfile.mkdtemp(prefix="smse_sperc_")
+    return streamed_percolate_df(
+        spark, sf_dir, _SPERC_CACHE[sf_dir], PERCOLATE_QUERIES, 200
+    )
 
 
 def _roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,6 +550,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": lambda spark, sf: AG.percolate(
             load_corpus(spark, sf), PERCOLATE_QUERIES, 200
         ),
+        # streaming percolation: two arrival waves, alerts appended per
+        # micro-batch — equals the one-shot batch result (same oracle)
+        "streamed_percolate": _streamed_percolate,
+        # function_score: linear decay on content length reweighs BM25
+        "function_score": lambda spark, sf: function_score_topk(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, 140, 80, 10
+        ),
+        # has_child: repos ranked by summed relevance of matching docs
+        "repo_search": lambda spark, sf: AG.repo_topk(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, 10, "sum"
+        ),
         # per-(doc,term) BM25 contribution rows for the top-k (explain())
         "score_explain": lambda spark, sf: _indexed(spark, sf)
         .explain_scores(FLAGSHIP_QUERY, 10),
@@ -752,6 +780,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25_range_filter": bm25_range_oracle_sql(FLAGSHIP_QUERY, 100, 160, 10),
         "significant_terms": AG.significant_terms_sql(FLAGSHIP_QUERY, 15),
         "percolate": AG.percolate_sql(PERCOLATE_QUERIES, 200),
+        "streamed_percolate": AG.percolate_sql(PERCOLATE_QUERIES, 200),
+        "function_score": function_score_oracle_sql(FLAGSHIP_QUERY, 140, 80, 10),
+        "repo_search": AG.repo_topk_sql(FLAGSHIP_QUERY, 10, "sum"),
         "score_explain": explain_scores_oracle_sql(FLAGSHIP_QUERY, 10),
         "search_highlight": highlight_snippets_oracle_sql(
             FLAGSHIP_QUERY, 10, window=3

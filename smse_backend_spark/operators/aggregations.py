@@ -206,3 +206,63 @@ FROM hit JOIN need USING (query_id)
 WHERE c = n
 ORDER BY doc_id, query_id
 """
+
+
+def repo_topk(
+    corpus: DataFrame,
+    query_text: str,
+    k: int = 10,
+    score_mode: str = "sum",
+    lang: str | None = None,
+) -> DataFrame:
+    """Parent-level retrieval (ES ``has_child`` query): rank repos by the
+    aggregated relevance of their matching docs — ``score_mode`` ``sum``
+    or ``max`` — with the matching-doc count. Output
+    (repo, n_hits, score) by (score desc, repo asc).
+
+    Scale shape: the match set (doc_id, score) joins a column-pruned
+    (doc_id, repo) projection, then one groupBy on repo — document text
+    never moves.
+    """
+    from smse_backend_spark.operators.search import bm25_scored_scan
+
+    scored = bm25_scored_scan(corpus, query_text, lang).select("doc_id", "score")
+    if score_mode == "sum":
+        agg = F.round(F.sum("score"), 6).alias("score")
+    elif score_mode == "max":
+        agg = F.round(F.max("score"), 6).alias("score")
+    else:
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    return (
+        scored.join(corpus.select("doc_id", "repo"), "doc_id")
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n_hits"), agg)
+        .select("repo", "n_hits", "score")
+        .orderBy(F.desc("score"), F.asc("repo"))
+        .limit(k)
+    )
+
+
+def repo_topk_sql(
+    query_text: str,
+    k: int = 10,
+    score_mode: str = "sum",
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`repo_topk` (corpus ``repo`` = raw ``source``)."""
+    from smse_backend_spark.operators.search import _ALL_ROWS, bm25_scan_oracle_sql
+
+    if score_mode not in ("sum", "max"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    scored = bm25_scan_oracle_sql(query_text, _ALL_ROWS, lang, table, content_col)
+    return f"""
+WITH scored AS ({scored})
+SELECT d.source AS repo, count(*)::BIGINT AS n_hits,
+       round({score_mode}(s.score), 6) AS score
+FROM scored s JOIN {table} d USING (doc_id)
+GROUP BY d.source
+ORDER BY score DESC, repo ASC
+LIMIT {k}
+"""

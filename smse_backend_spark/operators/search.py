@@ -459,6 +459,62 @@ def bm25_range_topk(
     )
 
 
+def function_score_topk(
+    corpus: DataFrame,
+    query_text: str,
+    origin: int = 140,
+    scale: int = 80,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``function_score`` with a LINEAR decay on a numeric doc value
+    (content length stands in for recency):
+
+        decay(x) = max(0, 1 - |x - origin| / scale)
+        final    = round(bm25 * decay, 6)
+
+    Linear (not gauss/exp) keeps the arithmetic transcendental-free, so
+    the DuckDB twin is bit-identical. Docs outside the decay window stay
+    in the result with score 0 (they matched; the function only reweighs).
+    """
+    scored = bm25_scored_scan(corpus, query_text, lang).select("doc_id", "score")
+    vals = corpus.select("doc_id", F.length("content").cast("long").alias("x"))
+    decay = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - F.abs(F.col("x") - F.lit(origin)) / F.lit(float(scale)),
+    )
+    return (
+        scored.join(vals, "doc_id")
+        .select("doc_id", F.round(F.col("score") * decay, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def function_score_oracle_sql(
+    query_text: str,
+    origin: int = 140,
+    scale: int = 80,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`function_score_topk` (same linear decay,
+    same rounding)."""
+    scored = bm25_scan_oracle_sql(query_text, _ALL_ROWS, lang, table, content_col)
+    return f"""
+WITH scored AS ({scored})
+SELECT s.doc_id AS doc_id,
+       round(s.score * greatest(0.0,
+             1.0 - abs(length(d.{content_col}) - {origin}) / {float(scale)!r}), 6)
+         AS score
+FROM scored s JOIN {table} d USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def corpus_path_sql() -> str:
     """The synthesized ``path`` column as DuckDB SQL — the exact twin of
     the expression in :func:`smse_backend_spark.corpus.load_corpus`."""

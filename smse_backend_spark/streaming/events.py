@@ -196,3 +196,69 @@ def incremental_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def streamed_percolate(
+    spark: SparkSession,
+    source_dir: str,
+    out_path: str,
+    checkpoint: str,
+    stored_queries: dict[int, str],
+    max_doc_id: int | None = None,
+) -> None:
+    """Streaming percolation (the ES watcher / saved-search alerting
+    shape): every arriving document is matched against the stored-query
+    table inside its micro-batch, and (doc_id, query_id) alert rows are
+    appended. Percolation is per-doc stateless, so the streamed result
+    over any wave split equals the one-shot batch result — which is what
+    the DuckDB oracle checks.
+
+    ``foreachBatch`` + checkpoint gives exactly-once appends per batch;
+    the stored-query side broadcasts inside :func:`percolate`.
+    """
+    from smse_backend_spark.operators.aggregations import percolate
+
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(source_dir)
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        corpus = batch_df.withColumnRenamed("text", "content")
+        percolate(corpus, stored_queries, max_doc_id).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    q = (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streamed_percolate_df(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    stored_queries: dict[int, str],
+    max_doc_id: int | None = None,
+) -> DataFrame:
+    """Driver-contract wrapper: the corpus arrives in two waves (split on
+    doc_id parity of the row order — wave files, not doc ranges), each
+    drained by its own AvailableNow run; idempotent via checkpoint."""
+    import os
+
+    import pandas as pd
+
+    src = os.path.join(out_root, "src")
+    out = os.path.join(out_root, "out")
+    ckpt = os.path.join(out_root, "ckpt")
+    if not os.path.exists(src):
+        os.makedirs(src)
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        half = len(docs) // 2
+        for i, wave in enumerate((docs.iloc[:half], docs.iloc[half:])):
+            wave.to_parquet(os.path.join(src, f"wave{i}.parquet"), index=False)
+            streamed_percolate(
+                spark, src, out, ckpt, stored_queries, max_doc_id
+            )
+    return spark.read.parquet(out)

@@ -168,6 +168,52 @@ def test_range_filter_vs_duckdb(corpus, con):
     assert got == want
 
 
+def test_function_score_vs_duckdb(corpus, con):
+    from smse_backend_spark.operators.search import (
+        function_score_oracle_sql,
+        function_score_topk,
+    )
+
+    q = "hash join merge scan"
+    got = [tuple(r) for r in function_score_topk(corpus, q, 140, 80, 10).collect()]
+    want = [tuple(w) for w in
+            con.execute(function_score_oracle_sql(q, 140, 80, 10)).fetchall()]
+    assert got == want
+    # decay only reweighs: no score may exceed its undecayed value
+    full = dict((r["doc_id"], r["score"])
+                for r in bm25_topk_scan(corpus, q, 1000).collect())
+    assert all(s <= full[d] for d, s in got)
+
+
+def test_repo_topk_vs_duckdb(corpus, con):
+    from smse_backend_spark.operators.aggregations import repo_topk, repo_topk_sql
+
+    q = "hash join merge scan"
+    for mode in ("sum", "max"):
+        got = [tuple(r) for r in repo_topk(corpus, q, 10, mode).collect()]
+        want = [tuple(w) for w in
+                con.execute(repo_topk_sql(q, 10, mode)).fetchall()]
+        assert got == want, mode
+
+
+def test_streamed_percolate_equals_batch(spark, sf_smoke, corpus, con, tmp_path):
+    """Two arrival waves drained separately == the one-shot batch
+    percolation (per-doc stateless; exactly-once via checkpoint)."""
+    from smse_backend_spark.streaming.events import streamed_percolate_df
+
+    out = streamed_percolate_df(
+        spark, sf_smoke, str(tmp_path), STORED_QUERIES, 100
+    )
+    got = sorted((r["doc_id"], r["query_id"]) for r in out.collect())
+    want = sorted(map(tuple, con.execute(percolate_sql(STORED_QUERIES, 100)).fetchall()))
+    assert got == want
+    # re-drain with no new files: checkpoint makes it a no-op (idempotent)
+    out2 = streamed_percolate_df(
+        spark, sf_smoke, str(tmp_path), STORED_QUERIES, 100
+    )
+    assert sorted((r["doc_id"], r["query_id"]) for r in out2.collect()) == got
+
+
 def test_range_filter_keeps_global_stats(corpus):
     """Filter context: a doc surviving the range must keep its unfiltered
     score (stats are corpus-wide, not range-local)."""
