@@ -16,6 +16,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from smse_backend_spark.corpus import load_corpus
 from smse_backend_spark.operators import aggregations as AG
+from smse_backend_spark.operators.boolquery import (
+    boolean_query_oracle_sql,
+    boolean_query_topk,
+)
 from smse_backend_spark.operators.search import (
     bm25_boosted_oracle_sql,
     bm25_range_oracle_sql,
@@ -75,6 +79,9 @@ BOOSTS: dict[str, float] = {"hash": 2.0, "join": 1.0, "scan": 0.5}
 SYN_GROUPS: list[list[str]] = [["join", "merge"], ["scan", "window"], ["hash"]]
 
 FLAGSHIP_QUERY = "hash join merge scan"
+
+# boolean-DSL contract query: AND/OR composition with a MUST_NOT clause
+BOOL_QUERY = "hash AND (join OR merge) AND NOT window"
 
 # fixed query batch for the batch-kernel contract entry (one DataFrame job
 # scores them all; the oracle is the per-query scan SQL unioned)
@@ -561,6 +568,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_search": lambda spark, sf: AG.repo_topk(
             load_corpus(spark, sf), FLAGSHIP_QUERY, 10, "sum"
         ),
+        # boolean query DSL: AND/OR/NOT composition, MUST_NOT never scores
+        "boolean_query": lambda spark, sf: boolean_query_topk(
+            load_corpus(spark, sf), BOOL_QUERY, 10
+        ),
         # per-(doc,term) BM25 contribution rows for the top-k (explain())
         "score_explain": lambda spark, sf: _indexed(spark, sf)
         .explain_scores(FLAGSHIP_QUERY, 10),
@@ -783,6 +794,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "streamed_percolate": AG.percolate_sql(PERCOLATE_QUERIES, 200),
         "function_score": function_score_oracle_sql(FLAGSHIP_QUERY, 140, 80, 10),
         "repo_search": AG.repo_topk_sql(FLAGSHIP_QUERY, 10, "sum"),
+        "boolean_query": boolean_query_oracle_sql(BOOL_QUERY, 10),
         "score_explain": explain_scores_oracle_sql(FLAGSHIP_QUERY, 10),
         "search_highlight": highlight_snippets_oracle_sql(
             FLAGSHIP_QUERY, 10, window=3
