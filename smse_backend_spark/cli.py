@@ -175,6 +175,41 @@ def cmd_delete(args) -> None:
     print(json.dumps(delete_docs(spark, args.index, ids)))
 
 
+def cmd_search(args) -> None:
+    """Scan-mode retrieval over a corpus dir (no index): plain / stemmed
+    BM25, the boolean DSL, and the fielded family (sum / dis-max / BM25F)."""
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.operators.boolquery import boolean_query_topk
+    from smse_backend_spark.operators.search import (
+        bm25_topk_scan,
+        bm25f_scan,
+        dis_max_bm25_scan,
+        multi_field_bm25_scan,
+    )
+
+    spark = _spark(args)
+    corpus = load_corpus(spark, args.corpus)
+    if args.bool_query:
+        out = boolean_query_topk(corpus, args.text, args.k, args.lang)
+    elif args.fields:
+        wts = {
+            f: float(w)
+            for f, w in (kv.split("=", 1) for kv in args.fields.split(","))
+        }
+        if args.dismax is not None:
+            out = dis_max_bm25_scan(corpus, args.text, wts, args.dismax,
+                                    args.k, args.lang)
+        elif args.bm25f:
+            out = bm25f_scan(corpus, args.text, wts, args.k, args.lang)
+        else:
+            out = multi_field_bm25_scan(corpus, args.text, wts, args.k, args.lang)
+    else:
+        out = bm25_topk_scan(corpus, args.text, args.k, args.lang,
+                             stem=args.stem)
+    rows = out.collect()
+    print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
+
+
 def cmd_dedup(args) -> None:
     """Training-data dedup as a spark-submit job over a documents parquet
     (columns ``doc_id, text[, lang, source]``): writes the survivor view or
@@ -296,6 +331,26 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--out", required=True)
     c.add_argument("--master")
     c.set_defaults(fn=cmd_compact)
+
+    sr = sub.add_parser(
+        "search", help="scan-mode search over a corpus dir (no index)"
+    )
+    sr.add_argument("--corpus", required=True)
+    sr.add_argument("--text", required=True)
+    sr.add_argument("--k", type=int, default=10)
+    sr.add_argument("--lang")
+    sr.add_argument("--bool", action="store_true", dest="bool_query",
+                    help="treat --text as a boolean query (AND/OR/NOT)")
+    sr.add_argument("--stem", action="store_true",
+                    help="Harman S-stemmer analyzer (plural folding)")
+    sr.add_argument("--fields", metavar="F=W,...",
+                    help="fielded search, e.g. content=1,path=2")
+    sr.add_argument("--dismax", type=float, metavar="TIE_BREAKER",
+                    help="with --fields: dis-max combine")
+    sr.add_argument("--bm25f", action="store_true",
+                    help="with --fields: pooled BM25F combine")
+    sr.add_argument("--master")
+    sr.set_defaults(fn=cmd_search)
 
     d = sub.add_parser("dedup", help="exact/near-dup over a documents parquet")
     d.add_argument("--docs", required=True)

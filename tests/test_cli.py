@@ -154,3 +154,25 @@ def test_cli_msm_near_suggest_merge(tmp_path, spark, sf_smoke, capsys):
               "--master", "local[4]"])
     sugg = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert sugg and all(s["dist"] <= 1 for s in sugg)
+
+
+def test_cli_search_scan_modes(spark, sf_smoke, capsys):
+    """search subcommand: plain, boolean DSL, fielded sum/dismax/bm25f,
+    stemmed — each returns a ranked JSON list."""
+    def run(extra):
+        cli.main(["search", "--corpus", sf_smoke, "--text", extra[0],
+                  "--master", "local[4]", *extra[1:]])
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    plain = run(["hash join merge scan"])
+    assert len(plain) == 10
+    boolean = run(["hash AND (join OR merge) AND NOT window", "--bool"])
+    assert boolean and all(h["score"] > 0 for h in boolean)
+    fielded = run(["py f42 hash join", "--fields", "content=1,path=2"])
+    dismax = run(["py f42 hash join", "--fields", "content=1,path=2",
+                  "--dismax", "0.3"])
+    bm25f = run(["py f42 hash join", "--fields", "content=1,path=2", "--bm25f"])
+    assert fielded and dismax and bm25f
+    assert [h["doc_id"] for h in dismax] != [] and fielded != bm25f
+    stemmed = run(["tables scans", "--stem"])
+    assert stemmed and all(h["score"] > 0 for h in stemmed)
