@@ -549,6 +549,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_range_filter": lambda spark, sf: bm25_range_topk(
             load_corpus(spark, sf), FLAGSHIP_QUERY, 100, 160, 10
         ),
+        # same FILTER context on the INDEX path: dl rides every posting,
+        # so the doc-value filter is free inside the decode pipeline
+        "bm25_indexed_range": lambda spark, sf: _indexed(spark, sf)
+        .bm25_topk_range(FLAGSHIP_QUERY, 20, 40, 10),
         # ES significant-terms aggregation (JLH) over the OR match set
         "significant_terms": lambda spark, sf: AG.significant_terms(
             load_corpus(spark, sf), FLAGSHIP_QUERY, 15
@@ -789,6 +793,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25f": bm25f_oracle_sql(MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 10),
         "sort_by_field": sort_by_field_oracle_sql(FLAGSHIP_QUERY, 10),
         "bm25_range_filter": bm25_range_oracle_sql(FLAGSHIP_QUERY, 100, 160, 10),
+        "bm25_indexed_range": bm25_scan_oracle_sql(
+            FLAGSHIP_QUERY, 10, exclude_where="tf.doc_len BETWEEN 20 AND 40"
+        ),
         "significant_terms": AG.significant_terms_sql(FLAGSHIP_QUERY, 15),
         "percolate": AG.percolate_sql(PERCOLATE_QUERIES, 200),
         "streamed_percolate": AG.percolate_sql(PERCOLATE_QUERIES, 200),

@@ -501,9 +501,15 @@ class InvertedIndex:
         return df
 
     def _score(
-        self, blocks: DataFrame, idf: dict[str, float], avgdl: float
+        self,
+        blocks: DataFrame,
+        idf: dict[str, float],
+        avgdl: float,
+        dl_range: tuple[int, int] | None = None,
     ) -> DataFrame:
-        """Decode blocks -> unrounded (doc_id, score)."""
+        """Decode blocks -> unrounded (doc_id, score). ``dl_range`` is a
+        FILTER-context doc-value restriction (dl is carried in every
+        posting, so the filter is free post-decode; stats stay global)."""
         idf_df = F.broadcast(
             self.spark.createDataFrame(list(idf.items()), "term string, idf double")
         )
@@ -518,11 +524,41 @@ class InvertedIndex:
             .repartition(nparts)
             .mapInPandas(_decode_map, DECODED_SCHEMA)
         )
+        if dl_range is not None:
+            decoded = decoded.filter(
+                F.col("dl").between(int(dl_range[0]), int(dl_range[1]))
+            )
         return (
             decoded.join(idf_df, "term")
             .withColumn("contrib", F.col("idf") * _tf_norm(F.col("tf"), F.col("dl"), avgdl))
             .groupBy("doc_id")
             .agg(F.sum("contrib").alias("score"))
+        )
+
+    def bm25_topk_range(
+        self,
+        query_text: str,
+        dl_lo: int,
+        dl_hi: int,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """BM25 top-k restricted to docs whose token count (the dl doc
+        value, present in every posting) lies in [dl_lo, dl_hi] — Lucene
+        FILTER context: candidates restricted, stats corpus-wide. The
+        filter runs inside the decode pipeline, before any aggregation."""
+        terms = query_terms(query_text)
+        n, avgdl = self.corpus_stats(lang)
+        dfs = self.term_df(terms, lang) if terms and n else {}
+        idf = {
+            t: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for t, df in dfs.items()
+        }
+        if not idf:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        blocks = self._blocks(sorted(idf), lang)
+        return self._finish(
+            self._score(blocks, idf, avgdl, dl_range=(dl_lo, dl_hi)), k
         )
 
     # -- public API --------------------------------------------------------

@@ -93,3 +93,46 @@ def test_boolean_semantics(corpus, con):
     assert hits
     for r in hits:
         assert not has_window[r["doc_id"]]
+
+
+def test_parser_roundtrip_property():
+    """Random ASTs render to strings that parse back to the same AST
+    (hypothesis over positive-valid trees)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    terms = st.sampled_from(["hash", "join", "merge", "scan", "window", "sort"])
+
+    def render(node):
+        if isinstance(node, Term):
+            return node.term
+        if isinstance(node, Not):
+            return f"NOT ({render(node.child)})"
+        op = " AND " if isinstance(node, And) else " OR "
+        return "(" + op.join(f"({render(c)})" for c in node.children) + ")"
+
+    @st.composite
+    def trees(draw, depth=0):
+        if depth >= 3:
+            return Term(draw(terms))
+        kind = draw(st.sampled_from(["term", "and", "or", "andnot"]))
+        if kind == "term":
+            return Term(draw(terms))
+        if kind == "andnot":  # NOT always anchored by a positive sibling
+            return And((draw(trees(depth + 1)), Not(draw(trees(depth + 1)))))
+        children = tuple(
+            draw(trees(depth + 1))
+            for _ in range(draw(st.integers(min_value=2, max_value=3)))
+        )
+        return And(children) if kind == "and" else Or(children)
+
+    @settings(max_examples=200, deadline=None)
+    @given(trees())
+    def check(t):
+        # every generated tree is positive-valid by construction
+        assert parse_bool_query(render(t)) == _strip_singletons(t)
+
+    def _strip_singletons(t):
+        return t  # renderer never produces 1-child And/Or
+
+    check()

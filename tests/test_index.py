@@ -748,3 +748,25 @@ def test_explain_scores_vs_oracle(spark, index, sf_smoke):
         by_doc.setdefault(r["doc_id"], []).append(r)
     for doc, rs in by_doc.items():
         assert abs(sum(x["contrib"] for x in rs) - rs[0]["score"]) < 5e-6, doc
+
+
+def test_indexed_range_filter_vs_oracle(spark, index, sf_smoke):
+    """Doc-value (dl) range FILTER on the index path: candidates
+    restricted, stats corpus-wide; matches the scan oracle with a
+    doc_len predicate."""
+    import duckdb
+
+    from smse_backend_spark.operators.search import bm25_scan_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    q = "hash join merge scan"
+    got = [(r["doc_id"], r["score"])
+           for r in index.bm25_topk_range(q, 20, 40, 10).collect()]
+    want = con.execute(bm25_scan_oracle_sql(
+        q, 10, exclude_where="tf.doc_len BETWEEN 20 AND 40"
+    )).fetchall()
+    assert got == [tuple(w) for w in want]
+    assert got  # the band covers typical docs at this sf
