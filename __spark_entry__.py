@@ -279,6 +279,24 @@ def _indexed(spark: SparkSession, sf_dir: str):
 
 
 _PATH_INDEX_CACHE: dict[str, str] = {}
+_STEM_INDEX_CACHE: dict[str, str] = {}
+
+
+def _stem_indexed(spark: SparkSession, sf_dir: str):
+    """Index built with the S-stemmer analyzer (postings in stemmed term
+    space; query terms stemmed to match via the recorded config)."""
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+
+    if sf_dir not in _STEM_INDEX_CACHE:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="smse_index_stem_")
+        build_index(spark, load_corpus(spark, sf_dir), out,
+                    segment_size=256, n_buckets=8, block_size=64,
+                    n_batches=2, analyzer="stem")
+        _STEM_INDEX_CACHE[sf_dir] = out
+    return InvertedIndex(spark, _STEM_INDEX_CACHE[sf_dir])
 
 
 def _field_indexes(spark: SparkSession, sf_dir: str):
@@ -516,6 +534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_stemmed": lambda spark, sf: bm25_topk_scan(
             load_corpus(spark, sf), "tables scans windows merges", 10, stem=True
         ),
+        # the same analyzer applied at INDEX time: postings stored in
+        # stemmed term space, query terms stemmed via the recorded config
+        "bm25_indexed_stemmed": lambda spark, sf: _stem_indexed(spark, sf)
+        .bm25_topk("tables scans windows merges", 10),
         # keyset pagination: page 2 strictly after page 1's (score, doc_id)
         "bm25_search_after": lambda spark, sf: bm25_search_after(
             load_corpus(spark, sf), FLAGSHIP_QUERY, 10
@@ -779,6 +801,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 0.3, 10
         ),
         "bm25_stemmed": bm25_scan_oracle_sql(
+            "tables scans windows merges", 10, stem=True
+        ),
+        "bm25_indexed_stemmed": bm25_scan_oracle_sql(
             "tables scans windows merges", 10, stem=True
         ),
         "bm25_search_after": search_after_oracle_sql(FLAGSHIP_QUERY, 10),

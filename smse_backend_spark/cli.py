@@ -56,6 +56,7 @@ def cmd_build(args) -> None:
         segment_size=args.segment_size, n_buckets=args.n_buckets,
         block_size=args.block_size, n_batches=args.n_batches,
         with_positions=args.with_positions,
+        analyzer=args.analyzer,
     )
     print(json.dumps(meta))
 
@@ -255,6 +256,9 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--n-buckets", type=int, default=16)
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--n-batches", type=int, default=4)
+    b.add_argument("--analyzer", default="standard",
+                   choices=["standard", "stem"],
+                   help="index-time analyzer (stem = Harman S-stemmer)")
     b.add_argument("--with-positions", action="store_true",
                    help="store token positions (enables phrase queries)")
     b.add_argument("--master")

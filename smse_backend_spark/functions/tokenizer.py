@@ -146,6 +146,28 @@ def term_counts_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Da
         yield out
 
 
+def stemmed_term_counts_map_in_pandas(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """:func:`term_counts_map_in_pandas` with the Harman S-stemmer applied
+    inside the Arrow batch (index-time analyzer): stems are computed once
+    per DISTINCT term, and tf is re-merged where stems collide ("tables" +
+    "table" in one doc become one posting). ``doc_len`` is the raw token
+    count — a stemmer never changes it."""
+    for out in term_counts_map_in_pandas(batches):
+        if out.empty:
+            yield out
+            continue
+        m = {t: stem_py(t) for t in pd.unique(out["term"])}
+        out = out.assign(term=out["term"].map(m))
+        keys = [c for c in ("doc_id", "doc_len", "lang") if c in out.columns]
+        out = out.groupby(keys + ["term"], as_index=False, sort=False)["tf"].sum()
+        cols = ["doc_id", "term", "tf", "doc_len"]
+        if "lang" in out.columns:
+            cols.append("lang")
+        yield out[cols]
+
+
 def term_counts_with_docs_map_in_pandas(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:

@@ -179,6 +179,7 @@ def build_index(
     known_max_doc: int | None = None,
     snapshot_id: str | None = None,
     with_positions: bool = False,
+    analyzer: str = "standard",
 ) -> dict:
     """Build (or resume) the index from a corpus (doc_id, lang, content).
 
@@ -188,6 +189,13 @@ def build_index(
     positions roughly double posting bytes and add a list-agg to the
     tokenize kernel.
 
+    ``analyzer``: ``"standard"`` (default) or ``"stem"`` — the Harman
+    S-stemmer applied at INDEX time (Lucene per-field-analyzer style):
+    postings are stored in stemmed term space, doc_len stays the raw
+    token count, and the recorded config makes ``InvertedIndex`` stem
+    query terms to match. Positional builds don't support it (phrase
+    adjacency over stemmed tokens is ambiguous).
+
     Batches partition the doc-id space; each batch commits postings +
     docstats + a lineage row atomically-enough (data first, lineage JSON
     last). A rerun skips committed batches — the resumability contract.
@@ -196,6 +204,10 @@ def build_index(
     from smse_backend_spark.session import ensure_pyfiles
 
     ensure_pyfiles(spark)
+    if analyzer not in ("standard", "stem"):
+        raise ValueError(f"unknown analyzer {analyzer!r}")
+    if analyzer == "stem" and with_positions:
+        raise NotImplementedError("stemmed positional index not supported")
     if known_max_doc is not None:
         min_doc, max_doc = 0, known_max_doc
     else:
@@ -242,14 +254,15 @@ def build_index(
         _build_batch(
             spark, corpus, out_dir, b, seg_lo, seg_hi, segment_size,
             n_buckets, block_size, input_partitions, snapshot,
-            with_positions,
+            with_positions, analyzer,
         )
         built += 1
     return finalize(
         spark, out_dir,
         {"segment_size": segment_size, "n_buckets": n_buckets,
          "block_size": block_size, "n_batches": n_batches,
-         "corpus_snapshot": snapshot, "with_positions": with_positions},
+         "corpus_snapshot": snapshot, "with_positions": with_positions,
+         "analyzer": analyzer},
     )
 
 
@@ -268,7 +281,7 @@ def corpus_snapshot(corpus: DataFrame) -> str | None:
 def _build_batch(
     spark, corpus, out_dir, batch_id, seg_lo, seg_hi, segment_size,
     n_buckets, block_size, input_partitions, snapshot=None,
-    with_positions=False,
+    with_positions=False, analyzer="standard",
 ) -> None:
     lo_doc, hi_doc = seg_lo * segment_size, seg_hi * segment_size
     part = corpus.filter((F.col("doc_id") >= lo_doc) & (F.col("doc_id") < hi_doc))
@@ -313,6 +326,13 @@ def _build_batch(
 
         kernel, schema = term_positions_map_in_pandas, TERM_POSITIONS_LANG_SCHEMA
         out_schema = BLOCKS_SCHEMA_POS
+    elif analyzer == "stem":
+        from smse_backend_spark.functions.tokenizer import (
+            stemmed_term_counts_map_in_pandas,
+        )
+
+        kernel, schema = stemmed_term_counts_map_in_pandas, TERM_COUNTS_LANG_SCHEMA
+        out_schema = BLOCKS_SCHEMA
     else:
         kernel, schema = term_counts_map_in_pandas, TERM_COUNTS_LANG_SCHEMA
         out_schema = BLOCKS_SCHEMA
@@ -403,6 +423,7 @@ def extend_index(
         spark, new_docs, out_dir, next_batch, seg_base, seg_hi, seg_size,
         int(cfg["n_buckets"]), int(cfg["block_size"]), input_partitions,
         snapshot, bool(cfg.get("with_positions", False)),
+        cfg.get("analyzer", "standard"),
     )
     return finalize(
         spark, out_dir, {**cfg, "n_batches": next_batch + 1},

@@ -386,6 +386,18 @@ class InvertedIndex:
         self._tomb_loaded = False
         self._tomb_bcast = None  # sc.broadcast of the sorted id array
         self._tomb_df: DataFrame | None = None  # join fallback (big sets)
+        self.analyzer = self.meta.get("config", {}).get("analyzer", "standard")
+
+    def _analyze(self, query_text: str) -> list[str]:
+        """Query terms in the INDEX's term space: the recorded index-time
+        analyzer is applied to the query too (Lucene's rule — query and
+        index must share the analyzer or ranking silently breaks)."""
+        from smse_backend_spark.functions.tokenizer import stem_py
+
+        terms = query_terms(query_text)
+        if self.analyzer == "stem":
+            terms = sorted({stem_py(t) for t in terms})
+        return terms
 
     # -- soft deletes ------------------------------------------------------
 
@@ -547,7 +559,7 @@ class InvertedIndex:
         value, present in every posting) lies in [dl_lo, dl_hi] — Lucene
         FILTER context: candidates restricted, stats corpus-wide. The
         filter runs inside the decode pipeline, before any aggregation."""
-        terms = query_terms(query_text)
+        terms = self._analyze(query_text)
         n, avgdl = self.corpus_stats(lang)
         dfs = self.term_df(terms, lang) if terms and n else {}
         idf = {
@@ -577,7 +589,7 @@ class InvertedIndex:
         lang: str | None = None,
         mode: str = "auto",
     ) -> DataFrame:
-        return self._topk_for_terms(query_terms(query_text), k, lang, mode)
+        return self._topk_for_terms(self._analyze(query_text), k, lang, mode)
 
     def expand_prefix(
         self, prefix: str, lang: str | None = None, max_expansions: int = 64

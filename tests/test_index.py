@@ -770,3 +770,41 @@ def test_indexed_range_filter_vs_oracle(spark, index, sf_smoke):
     )).fetchall()
     assert got == [tuple(w) for w in want]
     assert got  # the band covers typical docs at this sf
+
+
+def test_stemmed_index_rank_identity(spark, sf_smoke):
+    """analyzer="stem" at build time == stem=True scan at query time, for
+    queries with and without foldable plurals; config round-trips so a
+    reopened handle stems queries automatically."""
+    import tempfile
+
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+    from smse_backend_spark.operators.search import bm25_topk_scan
+
+    corpus = load_corpus(spark, sf_smoke)
+    out = tempfile.mkdtemp(prefix="smse_idx_stem_")
+    build_index(spark, corpus, out, segment_size=256, n_buckets=8,
+                block_size=64, n_batches=2, analyzer="stem")
+    idx = InvertedIndex(spark, out)
+    assert idx.analyzer == "stem"
+    for q in ["tables scans windows merges", "hash join", "queries"]:
+        got = [(r["doc_id"], r["score"]) for r in idx.bm25_topk(q, 10).collect()]
+        want = [(r["doc_id"], r["score"])
+                for r in bm25_topk_scan(corpus, q, 10, stem=True).collect()]
+        assert got == want, q
+
+
+def test_stemmed_positional_build_rejected(spark, sf_smoke):
+    import tempfile
+
+    import pytest as _pytest
+
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.index.build import build_index
+
+    with _pytest.raises(NotImplementedError):
+        build_index(spark, load_corpus(spark, sf_smoke),
+                    tempfile.mkdtemp(prefix="smse_idx_bad_"),
+                    analyzer="stem", with_positions=True)
