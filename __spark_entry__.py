@@ -648,6 +648,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(f"{sf}/embeddings.parquet"), 0.3
         ),
         "token_stats": lambda spark, sf: Q.token_stats(_docs(spark, sf)),
+        # corpus-derived stopword list (df-ratio cut) + sparse tf-idf export
+        "auto_stopwords": lambda spark, sf: Q.auto_stopwords(
+            _docs(spark, sf), 0.4, 20
+        ),
+        "tfidf_vectors": lambda spark, sf: Q.tfidf_vectors(_docs(spark, sf), 100),
         "quality_scores": lambda spark, sf: Q.quality_scores(_docs(spark, sf), 0.2),
         "lang_id": lambda spark, sf: Q.lang_id(_docs(spark, sf)),
         "doc_fingerprint": lambda spark, sf: Q.doc_fingerprint(_docs(spark, sf)),
@@ -742,6 +747,8 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "ann_lsh": lsh_topk_sql([0, 1, 2], dim=64, k=10, n_planes=8, n_tables=4),
         "ann_ivf": ivf_topk_sql([0, 1, 2], k=10, n_centroids=16, n_probe=4),
         "token_stats": Q.token_stats_sql(),
+        "auto_stopwords": Q.auto_stopwords_sql(0.4, 20),
+        "tfidf_vectors": Q.tfidf_vectors_sql(100),
         "quality_scores": Q.quality_scores_sql(0.2),
         "lang_id": Q.lang_id_sql(),
         "doc_fingerprint": Q.doc_fingerprint_sql(),

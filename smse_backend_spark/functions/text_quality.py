@@ -154,3 +154,89 @@ def doc_fingerprint_sql() -> str:
 SELECT doc_id, sha256(array_to_string({toks}, ' ')) AS fingerprint
 FROM documents
 """
+
+
+def auto_stopwords(docs: DataFrame, df_ratio: float = 0.4, k: int = 20) -> DataFrame:
+    """Corpus-derived stopword detection: terms present in more than
+    ``df_ratio`` of documents, ranked by document frequency — the data-
+    driven replacement for a hand-curated list when a training corpus
+    changes domain. Output (term, df, ratio) by (df desc, term asc).
+
+    Scale shape: one doc-frequency aggregation over distinct (doc, term)
+    pairs; output is bounded by the vocabulary above the ratio cut.
+    """
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize_col(F.col("text")))).alias("term"),
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("ratio", F.round(F.col("df").cast("double") / F.lit(float(n_docs)), 6))
+        .filter(F.col("ratio") > df_ratio)
+        .select("term", "df", "ratio")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def auto_stopwords_sql(df_ratio: float = 0.4, k: int = 20) -> str:
+    toks = tokenize_duckdb_sql("text")
+    return f"""
+WITH dl AS (SELECT doc_id, {toks} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM dl),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM dl),
+d AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY term)
+SELECT term, df, round(df::DOUBLE / n.n_docs, 6) AS ratio
+FROM d CROSS JOIN n
+WHERE round(df::DOUBLE / n.n_docs, 6) > {df_ratio!r}
+ORDER BY df DESC, term ASC
+LIMIT {k}
+"""
+
+
+def tfidf_vectors(docs: DataFrame, max_doc_id: int = 100) -> DataFrame:
+    """Sparse tf-idf feature export for downstream ML (the classic
+    ``tf * ln(N/df)`` weighting, NOT the BM25 search score): one row per
+    (doc, term) with the raw tf and the rounded weight, for docs below
+    ``max_doc_id`` (bounds the contract output; remove the filter for a
+    full-corpus export — the plan is identical).
+
+    Stats (N, df) always come from the FULL corpus; the doc_id cut only
+    bounds which docs' vectors are emitted.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_col(F.col("text"))).alias("term")
+    )
+    n_docs = docs.count()
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    return (
+        tf.filter(F.col("doc_id") < max_doc_id)
+        .join(df_t, "term")
+        .select(
+            "doc_id", "term", "tf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("weight"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+def tfidf_vectors_sql(max_doc_id: int = 100) -> str:
+    toks = tokenize_duckdb_sql("text")
+    return f"""
+WITH dl AS (SELECT doc_id, {toks} AS t FROM documents),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM dl),
+tok AS (SELECT doc_id, unnest(t) AS term FROM dl),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf,
+       round(tf.tf::DOUBLE * ln(n.n_docs / dfq.df), 6) AS weight
+FROM tf JOIN dfq USING (term) CROSS JOIN n
+WHERE tf.doc_id < {max_doc_id}
+ORDER BY doc_id, term
+"""

@@ -165,3 +165,34 @@ def test_dup_clusters_vs_duckdb(spark, sf_smoke):
     reps = {c for _d, c in got}
     survivors = {d for d, c in got if d == c}
     assert reps <= survivors
+
+
+def test_auto_stopwords_and_tfidf_vs_duckdb(spark, sf_smoke):
+    """Corpus-derived stopwords and tf-idf export match their SQL twins;
+    the ratio cut and the doc_id output cut behave as documented."""
+    import duckdb
+
+    from smse_backend_spark.functions.text_quality import (
+        auto_stopwords,
+        auto_stopwords_sql,
+        tfidf_vectors,
+        tfidf_vectors_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{sf_smoke}/documents.parquet'"
+    )
+    got = [tuple(r) for r in auto_stopwords(docs, 0.4, 20).collect()]
+    want = [tuple(w) for w in con.execute(auto_stopwords_sql(0.4, 20)).fetchall()]
+    assert got == want
+    assert all(ratio > 0.4 for _t, _d, ratio in got)
+
+    got = [tuple(r) for r in tfidf_vectors(docs, 50).collect()]
+    want = [tuple(w) for w in con.execute(tfidf_vectors_sql(50)).fetchall()]
+    assert got == want
+    assert got and all(d < 50 for d, *_ in got)
+    # idf uses the FULL corpus: a universal term must get weight ~0 only
+    # if df == N; spot-check weights are finite and non-negative-ish
+    assert all(w == w for *_x, w in got)  # no NaNs
