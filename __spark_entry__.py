@@ -690,6 +690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_scores": lambda spark, sf: N.normalized_events(spark, sf, 5),
         # generic relational coverage
         "pricing_summary": R.pricing_summary,
+        "shipping_priority": R.shipping_priority,
+        "order_priority_counts": R.order_priority_counts,
         "top_revenue_nations": R.top_revenue_nations,
         "anti_join_customers": R.customers_without_big_orders,
         "window_latest_orders": R.latest_orders_per_customer,
@@ -854,6 +856,8 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "history_page": H.history_page_sql(7, 10, 5),
         "history_counts": H.history_counts_sql(60),
         "pricing_summary": R.pricing_summary_sql(),
+        "shipping_priority": R.shipping_priority_sql(),
+        "order_priority_counts": R.order_priority_counts_sql(),
         "top_revenue_nations": R.top_revenue_nations_sql(),
         "anti_join_customers": R.customers_without_big_orders_sql(),
         "window_latest_orders": R.latest_orders_per_customer_sql(),

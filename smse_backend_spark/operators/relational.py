@@ -249,3 +249,95 @@ latest AS (
 )
 SELECT user_id, pref_key, pref_value FROM latest WHERE rn = 1
 """
+
+
+# --- TPC-H Q3-style shipping priority (selective 3-way join + top-k) --------
+
+def shipping_priority(
+    spark: SparkSession, sf_dir: str,
+    segment: str = "BUILDING", date: str = "1997-06-01",
+) -> DataFrame:
+    """Unshipped-revenue top-10 per order for one market segment (TPC-H Q3
+    shape): filters push to all three base scans, the customer side is a
+    selective dimension, the top is one ``TakeOrderedAndProject``."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == segment)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < date)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > date)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def shipping_priority_sql(
+    segment: str = "BUILDING", date: str = "1997-06-01"
+) -> str:
+    return f"""
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{segment}'
+  AND o_orderdate < TIMESTAMP '{date} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{date} 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- TPC-H Q4-style order-priority check (EXISTS semi-join) -----------------
+
+def order_priority_counts(
+    spark: SparkSession, sf_dir: str,
+    date: str = "1997-07-01", late_days: int = 60,
+) -> DataFrame:
+    """Orders in one quarter that had at least one lineitem shipped more
+    than ``late_days`` after the order date, counted per priority (TPC-H
+    Q4 shape re-keyed to this schema's columns). The EXISTS becomes a
+    LEFT SEMI join — each order counted once however many lineitems are
+    late."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= date)
+        & (F.col("o_orderdate") < F.lit(date).cast("timestamp")
+           + F.expr("INTERVAL 3 MONTHS"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr(f"INTERVAL {late_days} DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy(F.asc("o_orderpriority"))
+    )
+
+
+def order_priority_counts_sql(
+    date: str = "1997-07-01", late_days: int = 60
+) -> str:
+    return f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{date} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{date} 00:00:00' + INTERVAL 3 MONTH
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {late_days} DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority ASC
+"""

@@ -86,3 +86,28 @@ def test_persist_and_readback_roundtrip(spark, sf_correct, tmp_path):
     hydrated = H.hydrate_results(records.filter(F.col("query_id") == 1), contents)
     rows = hydrated.collect()
     assert len(rows) == 5 and all(r["path"] is not None for r in rows)
+
+
+def test_shipping_priority_and_order_priority_vs_duckdb(spark, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.relational import (
+        order_priority_counts,
+        order_priority_counts_sql,
+        shipping_priority,
+        shipping_priority_sql,
+    )
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer"):
+        con.execute(
+            f"create view {t} as select * from '{sf_smoke}/{t}.parquet'"
+        )
+    got = [tuple(r) for r in shipping_priority(spark, sf_smoke).collect()]
+    want = [tuple(w) for w in con.execute(shipping_priority_sql()).fetchall()]
+    assert got == want and got
+
+    got = [tuple(r) for r in order_priority_counts(spark, sf_smoke).collect()]
+    want = [tuple(w) for w in
+            con.execute(order_priority_counts_sql()).fetchall()]
+    assert got == want and got
