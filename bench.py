@@ -17,6 +17,10 @@ Env:
   SMSE_BENCH_CORES_HI    scaling probe 4N (default 16)
   SMSE_BENCH_REPS        timed reps per level, min taken (default 2)
   SMSE_BENCH_SCALING     "0" to skip the scaling probes
+  SMSE_BENCH_COOLDOWN    idle seconds between load phases (default 45) —
+                         lets the host's sustained-load clamp release so
+                         each probe measures the engine, not the previous
+                         phase's thermal debt
 
 Methodology (single-host evidence for the N -> 4N executor-scaling rule):
 the same job runs at local[N] and local[4N] on the same materialized input,
@@ -212,7 +216,16 @@ def main() -> None:
         # 8-core min swing 39.6 -> 45.3 s across full runs, enough to move
         # efficiency 0.86 -> 0.75 with nothing changed), so it gets one more
         # rep than LO (each hi rep is also ~3x cheaper than a lo rep).
+        # Cool-downs: the host clamp is triggered by SUSTAINED load and
+        # outlasts the phase that caused it (measured: a probe run started
+        # right after a 20-min pytest suite reported 0.693 combined; the
+        # identical run minutes later on an idle box reported 0.848, with
+        # byte-identical index output). A short idle gap between phases
+        # lets the clamp release so each probe measures the engine.
+        cooldown = int(os.environ.get("SMSE_BENCH_COOLDOWN", "45"))
+        time.sleep(cooldown)
         s_hi = run_probe(CORES_HI, REPS + 2)
+        time.sleep(cooldown)
         s_lo = run_probe(CORES_LO, REPS + 1)
         if s_lo and s_hi:
             ratio = CORES_HI / CORES_LO
