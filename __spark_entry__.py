@@ -444,6 +444,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, _query_vecs(spark, sf_dir), 10, n_planes=8, n_tables=4
         ).withColumn("rank", F.col("rank").cast("long"))
 
+    def _ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from smse_backend_spark.operators.ann import sq8_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return sq8_topk(emb, _query_vecs(spark, sf_dir), 10).withColumn(
+            "rank", F.col("rank").cast("long")
+        )
+
     def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
 
@@ -663,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": _ann_brute,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
+        # int8 scalar quantization: 4x-smaller vectors, deterministic rank
+        "ann_sq8": _ann_sq8,
         # streaming twin of hourly_event_rollup (append-mode watermark oracle)
         "streamed_event_rollup": _streamed_rollup,
         # streaming exact dedup (dropDuplicates state on content hash)
@@ -735,7 +747,11 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
 """
 
     from smse_backend_spark.operators import simhash as SH
-    from smse_backend_spark.operators.ann import ivf_topk_sql, lsh_topk_sql
+    from smse_backend_spark.operators.ann import (
+        ivf_topk_sql,
+        lsh_topk_sql,
+        sq8_topk_sql,
+    )
 
     return {
         "dedup_exact": D.dedup_exact_sql(),
@@ -747,6 +763,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "embedding_near_dup_lsh": D.embedding_near_dup_lsh_sql(0.3, dim=64),
         "simhash_neardup": SH.simhash_neardup_sql(10),
         "ann_lsh": lsh_topk_sql([0, 1, 2], dim=64, k=10, n_planes=8, n_tables=4),
+        "ann_sq8": sq8_topk_sql([0, 1, 2], 10),
         "ann_ivf": ivf_topk_sql([0, 1, 2], k=10, n_centroids=16, n_probe=4),
         "token_stats": Q.token_stats_sql(),
         "auto_stopwords": Q.auto_stopwords_sql(0.4, 20),

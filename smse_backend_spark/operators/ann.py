@@ -411,3 +411,68 @@ r AS (
 )
 SELECT query_id, rank, vec_id, score FROM r WHERE rank <= {k}
 """
+
+
+def dequantized_sq8_col(emb_col: str = "embedding"):
+    """Scalar int8 quantization round-trip as PURE Column algebra:
+    per-vector scale s = max|x|/127, code = floor(x/s + 0.5), value
+    back = code * s. At 100 TB the stored form is the int8 codes + one
+    float scale (4x smaller vectors, int8 matmul); here the dequantized
+    doubles keep the DuckDB oracle bit-identical."""
+    e = F.col(emb_col)
+    s_raw = F.array_max(F.transform(e, lambda x: F.abs(x))) / F.lit(127.0)
+    s = F.when(s_raw == F.lit(0.0), F.lit(1.0)).otherwise(s_raw)
+    return F.transform(e, lambda x: F.floor(x / s + F.lit(0.5)) * s)
+
+
+def sq8_topk(
+    emb: DataFrame, queries: dict[int, list[float]], k: int = 10
+) -> DataFrame:
+    """ANN over int8 scalar-quantized vectors: corpus vectors quantized
+    (the compressed form a 100 TB store would hold), queries stay full
+    precision, scoring/rank is the exact brute-force machinery over the
+    dequantized values — so results are deterministic and SQL-replayable,
+    unlike recall-probabilistic LSH."""
+    return brute_force_topk(
+        emb.withColumn("embedding", dequantized_sq8_col()), queries, k
+    )
+
+
+def sq8_topk_sql(query_ids: list[int], k: int = 10) -> str:
+    """DuckDB twin of :func:`sq8_topk` (same scale, same floor rounding,
+    same cosine + 6dp round + (score desc, vec_id asc) rank)."""
+    ids = ", ".join(str(int(q)) for q in sorted(query_ids))
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN ({ids})
+),
+scaled AS (
+  SELECT vec_id, embedding,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(x))) / 127.0 = 0.0
+              THEN 1.0
+              ELSE list_max(list_transform(embedding, x -> abs(x))) / 127.0
+         END AS s
+  FROM embeddings
+),
+dq AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x / s + 0.5) * s) AS dv
+  FROM scaled
+),
+z AS (
+  SELECT q.qid, d.vec_id, unnest(d.dv)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM dq d, q
+),
+sims AS (
+  SELECT qid, vec_id,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score
+  FROM z GROUP BY qid, vec_id
+),
+r AS (
+  SELECT qid AS query_id, vec_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, rank, vec_id, score FROM r WHERE rank <= {k}
+"""

@@ -237,3 +237,38 @@ def test_sessionize_out_of_order_across_batches(spark, tmp_path):
     assert (user_id, str(start), str(end), n, total) == (
         7, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 3, 7.0
     )
+
+
+def test_sq8_vs_duckdb_and_recall(spark, sf_smoke):
+    """Quantized ANN == its SQL twin exactly; quantization costs little
+    recall vs full-precision brute force on the synthetic embeddings."""
+    import duckdb
+
+    from smse_backend_spark.operators.ann import (
+        brute_force_topk,
+        sq8_topk,
+        sq8_topk_sql,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id in (0, 1, 2)").collect()
+    }
+    got = [tuple(r) for r in sq8_topk(emb, qvecs, 10).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"create view embeddings as select * from '{sf_smoke}/embeddings.parquet'"
+    )
+    want = [tuple(w) for w in con.execute(sq8_topk_sql([0, 1, 2], 10)).fetchall()]
+    assert sorted(got) == sorted(want)
+
+    exact = brute_force_topk(emb, qvecs, 10).collect()
+    by_q_exact = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    by_q_sq8 = {}
+    for qid, _rank, vid, _s in got:
+        by_q_sq8.setdefault(qid, set()).add(vid)
+    for qid, ex in by_q_exact.items():
+        assert len(by_q_sq8[qid] & ex) >= 8, (qid, by_q_sq8[qid], ex)
