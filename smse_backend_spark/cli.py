@@ -188,6 +188,13 @@ def cmd_search(args) -> None:
         multi_field_bm25_scan,
     )
 
+    if (args.dismax is not None or args.bm25f) and not args.fields:
+        sys.exit("search: --dismax/--bm25f require --fields")
+    if args.dismax is not None and args.bm25f:
+        sys.exit("search: --dismax and --bm25f are mutually exclusive")
+    if args.stem and (args.bool_query or args.fields):
+        sys.exit("search: --stem applies only to plain BM25 "
+                 "(boolean/fielded stemming not supported)")
     spark = _spark(args)
     corpus = load_corpus(spark, args.corpus)
     if args.bool_query:

@@ -782,7 +782,7 @@ class InvertedIndex:
         before any posting blob is decoded; at AND semantics on selective
         terms this skips nearly the whole posting list of the hot term.
         """
-        terms = query_terms(query_text)
+        terms = self._analyze(query_text)
         m = len(terms) if min_match is None else min_match
         if m <= 1:
             return self._topk_for_terms(terms, k, lang, "auto")
@@ -836,7 +836,7 @@ class InvertedIndex:
         query (the scoring kernels are linear in idf)."""
         per_term: dict[str, float] = {}
         for raw, w in boosts.items():
-            for t in query_terms(raw):
+            for t in self._analyze(raw):
                 per_term[t] = float(w)
         n, avgdl = self.corpus_stats(lang)
         dfs = self.term_df(sorted(per_term), lang) if per_term and n else {}
@@ -869,7 +869,7 @@ class InvertedIndex:
         norm: list[list[str]] = []
         for g in groups:
             raws = g if isinstance(g, (list, tuple)) else [g]
-            terms = sorted({t for raw in raws for t in query_terms(raw)})
+            terms = sorted({t for raw in raws for t in self._analyze(raw)})
             if terms:
                 norm.append(terms)
         flat = [t for g in norm for t in g]
@@ -926,8 +926,8 @@ class InvertedIndex:
         Plan: normal exhaustive scoring, plus one decode of the excluded
         terms' (partition-pruned) postings reduced to a distinct doc set,
         anti-joined BEFORE the top-k cut."""
-        terms = query_terms(query_text)
-        ex_terms = sorted({t for raw in must_not for t in query_terms(raw)})
+        terms = self._analyze(query_text)
+        ex_terms = sorted({t for raw in must_not for t in self._analyze(raw)})
         n, avgdl = self.corpus_stats(lang)
         dfs = self.term_df(terms, lang) if terms and n else {}
         idf = {
@@ -1075,7 +1075,7 @@ class InvertedIndex:
         Plan: the same one-decode pipeline as the exhaustive query; the
         k-row top-k frame broadcasts back onto the contribution rows, so
         explaining costs one extra broadcast join over scoring."""
-        terms = query_terms(query_text)
+        terms = self._analyze(query_text)
         n, avgdl = self.corpus_stats(lang)
         dfs = self.term_df(terms, lang) if terms and n else {}
         idf = {
@@ -1121,7 +1121,7 @@ class InvertedIndex:
     ) -> DataFrame:
         """Distinct live doc_ids matching ANY query term — the raw OR match
         set, decoded from the partition-pruned postings (no scoring)."""
-        terms = query_terms(query_text)
+        terms = self._analyze(query_text)
         dfs = self.term_df(terms, lang) if terms else {}
         if not dfs:
             return self.spark.createDataFrame([], "doc_id long")
@@ -1191,6 +1191,10 @@ class InvertedIndex:
         if row is None:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         toks = tokenize_py(row["content"])
+        if self.analyzer == "stem":
+            from smse_backend_spark.functions.tokenizer import stem_py
+
+            toks = [stem_py(t) for t in toks]
         if not toks:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         tf_of: dict[str, int] = {}
@@ -1321,7 +1325,7 @@ class InvertedIndex:
         from pyspark.sql import Window
 
         n, avgdl = self.corpus_stats(lang)
-        all_terms = sorted({t for q in queries.values() for t in query_terms(q)})
+        all_terms = sorted({t for q in queries.values() for t in self._analyze(q)})
         idf = self.term_idf(all_terms, lang) if all_terms and n else {}
         if not idf:
             return self.spark.createDataFrame(
@@ -1348,7 +1352,7 @@ class InvertedIndex:
                 "batch path — run compact_index to apply deletes physically, "
                 "or query per-query with mode='exhaustive'"
             )
-        per_q = {qid: query_terms(q) for qid, q in queries.items()}
+        per_q = {qid: self._analyze(q) for qid, q in queries.items()}
         matched = sorted(idf)
         term_ix = {t: i for i, t in enumerate(matched)}
         qids = sorted(per_q)
@@ -1464,14 +1468,16 @@ def fielded_indexed_topk(
     back UNROUNDED from ``_score`` and are weighted/combined before the
     single 6dp rounding, preserving parity with the scan oracles.
     """
-    terms = query_terms(query_text)
     some_idx = next(iter(field_indexes.values()))
     empty = some_idx.spark.createDataFrame([], RESULT_SCHEMA)
-    if not terms or not field_weights:
+    if not field_weights:
         return empty
     parts = []
     for f in sorted(field_weights):
         idx = field_indexes[f]
+        terms = idx._analyze(query_text)  # each field's own analyzer
+        if not terms:
+            continue
         n, avgdl = idx.corpus_stats(None)
         dfs = idx.term_df(terms, None) if n else {}
         idf = {

@@ -142,9 +142,17 @@ def bm25_search_after(
     Cursor filtering beats OFFSET at scale: every page is one
     ``TakeOrderedAndProject`` over the filtered match set; a deep OFFSET
     would force page_number * k rows through the global top instead.
+    The scored match set is computed ONCE (localCheckpoint) and serves
+    both the cursor fetch and the page-2 filter — no second corpus pass.
     """
-    cursor = bm25_topk_scan(corpus, query_text, k, lang).collect()
-    scored = bm25_scored_scan(corpus, query_text, lang).select("doc_id", "score")
+    scored = (
+        bm25_scored_scan(corpus, query_text, lang)
+        .select("doc_id", "score")
+        .localCheckpoint()
+    )
+    cursor = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    )
     if len(cursor) < k:  # page 1 wasn't full -> nothing after it
         return scored.limit(0)
     last = cursor[-1]
@@ -528,6 +536,34 @@ def corpus_path_sql() -> str:
     )
 
 
+def _field_branches_sql(
+    field_weights: dict[str, float],
+    lang: str | None,
+    table: str,
+    content_col: str,
+) -> tuple[str, str]:
+    """Shared scaffolding of every fielded oracle: the UNION ALL of
+    per-field tokenized branches and the boost VALUES table."""
+    field_expr = {"content": content_col, "path": corpus_path_sql()}
+    unknown = set(field_weights) - set(field_expr)
+    if unknown:
+        raise ValueError(f"oracle has no SQL source for fields {sorted(unknown)}")
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    branches = "\n  UNION ALL\n".join(
+        f"SELECT doc_id, '{f}' AS field, "
+        f"{tokenize_duckdb_sql(field_expr[f])} AS toks FROM {table} {where_lang}"
+        for f in sorted(field_weights)
+    )
+    wvals = ", ".join(
+        f"('{f}', {float(w)!r})" for f, w in sorted(field_weights.items())
+    )
+    return branches, wvals
+
+
+def _terms_in_list(terms: list[str]) -> str:
+    return ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+
+
 def _fielded_cte_sql(
     query_text: str,
     field_weights: dict[str, float],
@@ -540,20 +576,8 @@ def _fielded_cte_sql(
     terms = query_terms(query_text)
     if not terms or not field_weights:
         return None
-    field_expr = {"content": content_col, "path": corpus_path_sql()}
-    unknown = set(field_weights) - set(field_expr)
-    if unknown:
-        raise ValueError(f"oracle has no SQL source for fields {sorted(unknown)}")
-    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
-    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
-    branches = "\n  UNION ALL\n".join(
-        f"SELECT doc_id, '{f}' AS field, "
-        f"{tokenize_duckdb_sql(field_expr[f])} AS toks FROM {table} {where_lang}"
-        for f in sorted(field_weights)
-    )
-    wvals = ", ".join(
-        f"('{f}', {float(w)!r})" for f, w in sorted(field_weights.items())
-    )
+    in_list = _terms_in_list(terms)
+    branches, wvals = _field_branches_sql(field_weights, lang, table, content_col)
     return f"""
 WITH base AS (
   {branches}
@@ -728,20 +752,8 @@ def bm25f_oracle_sql(
     terms = query_terms(query_text)
     if not terms or not field_weights:
         return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
-    field_expr = {"content": content_col, "path": corpus_path_sql()}
-    unknown = set(field_weights) - set(field_expr)
-    if unknown:
-        raise ValueError(f"oracle has no SQL source for fields {sorted(unknown)}")
-    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
-    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
-    branches = "\n  UNION ALL\n".join(
-        f"SELECT doc_id, '{f}' AS field, "
-        f"{tokenize_duckdb_sql(field_expr[f])} AS toks FROM {table} {where_lang}"
-        for f in sorted(field_weights)
-    )
-    wvals = ", ".join(
-        f"('{f}', {float(w)!r})" for f, w in sorted(field_weights.items())
-    )
+    in_list = _terms_in_list(terms)
+    branches, wvals = _field_branches_sql(field_weights, lang, table, content_col)
     score = bm25_term_score_sql(
         "tfp.tf", idf_sql("dfq.df", "stats.n"), "wdl.dl", "stats.avgdl"
     )

@@ -242,9 +242,12 @@ def streamed_percolate_df(
     stored_queries: dict[int, str],
     max_doc_id: int | None = None,
 ) -> DataFrame:
-    """Driver-contract wrapper: the corpus arrives in two waves (split on
-    doc_id parity of the row order — wave files, not doc ranges), each
-    drained by its own AvailableNow run; idempotent via checkpoint."""
+    """Driver-contract wrapper: the corpus arrives in two waves, each
+    drained by its own AvailableNow run. Crash-safe the way
+    :func:`streamed_dedup_df` is: every call re-writes any missing wave
+    file (atomic tmp+rename) and re-drains — the checkpoint makes drains
+    of already-processed files no-ops, so a run that died between waves
+    self-heals on the next call instead of returning partial alerts."""
     import os
 
     import pandas as pd
@@ -252,13 +255,16 @@ def streamed_percolate_df(
     src = os.path.join(out_root, "src")
     out = os.path.join(out_root, "out")
     ckpt = os.path.join(out_root, "ckpt")
-    if not os.path.exists(src):
-        os.makedirs(src)
-        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-        half = len(docs) // 2
-        for i, wave in enumerate((docs.iloc[:half], docs.iloc[half:])):
-            wave.to_parquet(os.path.join(src, f"wave{i}.parquet"), index=False)
-            streamed_percolate(
-                spark, src, out, ckpt, stored_queries, max_doc_id
-            )
+    os.makedirs(src, exist_ok=True)
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    half = len(docs) // 2
+    for i, wave in enumerate((docs.iloc[:half], docs.iloc[half:])):
+        path = os.path.join(src, f"wave{i}.parquet")
+        if not os.path.exists(path):
+            # dot-prefixed tmp: the parquet stream source ignores hidden
+            # files, so a crash mid-write can never corrupt a drain
+            tmp = os.path.join(src, f".wave{i}.tmp")
+            wave.to_parquet(tmp, index=False)
+            os.rename(tmp, path)
+        streamed_percolate(spark, src, out, ckpt, stored_queries, max_doc_id)
     return spark.read.parquet(out)

@@ -176,3 +176,18 @@ def test_cli_search_scan_modes(spark, sf_smoke, capsys):
     assert [h["doc_id"] for h in dismax] != [] and fielded != bm25f
     stemmed = run(["tables scans", "--stem"])
     assert stemmed and all(h["score"] > 0 for h in stemmed)
+
+
+def test_cli_search_flag_validation(sf_smoke):
+    """Conflicting/incomplete search flags exit with a diagnostic instead
+    of silently running a different ranking."""
+    for argv in (
+        ["search", "--corpus", sf_smoke, "--text", "q", "--bm25f"],
+        ["search", "--corpus", sf_smoke, "--text", "q", "--dismax", "0.3"],
+        ["search", "--corpus", sf_smoke, "--text", "q",
+         "--fields", "content=1", "--dismax", "0.3", "--bm25f"],
+        ["search", "--corpus", sf_smoke, "--text", "q", "--bool", "--stem"],
+    ):
+        with pytest.raises(SystemExit) as e:
+            cli.main(argv)
+        assert e.value.code not in (0, None), argv

@@ -794,6 +794,22 @@ def test_stemmed_index_rank_identity(spark, sf_smoke):
         want = [(r["doc_id"], r["score"])
                 for r in bm25_topk_scan(corpus, q, 10, stem=True).collect()]
         assert got == want, q
+    # EVERY free-text entry point must stem to the index's term space —
+    # an unstemmed path would silently miss the stemmed postings
+    q = "tables scans"
+    top = idx.bm25_topk(q, 10).collect()
+    assert top, "stemmed plural query must hit the stemmed postings"
+    assert idx.bm25_topk_batch({0: q}, 10).count() > 0
+    assert idx.count_matches(q).first()["n_hits"] > 0
+    assert idx.explain_scores(q, 5).count() > 0
+    assert idx.bm25_topk_msm(q, 2, 10).count() > 0
+    filt = idx.bm25_topk_filtered(q, must_not=["windows"])
+    assert filt.count() > 0
+    # batch and single-query paths agree in the stemmed space
+    batch = [(r["doc_id"], r["score"])
+             for r in idx.bm25_topk_batch({0: q}, 10).collect()]
+    single = [(r["doc_id"], r["score"]) for r in idx.bm25_topk(q, 10).collect()]
+    assert batch == single
 
 
 def test_stemmed_positional_build_rejected(spark, sf_smoke):
