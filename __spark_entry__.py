@@ -608,6 +608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_query": lambda spark, sf: boolean_query_topk(
             load_corpus(spark, sf), BOOL_QUERY, 10
         ),
+        # the same DSL evaluated from posting blocks alone (no corpus scan)
+        "boolean_query_indexed": lambda spark, sf: _indexed(spark, sf)
+        .boolean_topk(BOOL_QUERY, 10),
         # per-(doc,term) BM25 contribution rows for the top-k (explain())
         "score_explain": lambda spark, sf: _indexed(spark, sf)
         .explain_scores(FLAGSHIP_QUERY, 10),
@@ -853,6 +856,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "function_score": function_score_oracle_sql(FLAGSHIP_QUERY, 140, 80, 10),
         "repo_search": AG.repo_topk_sql(FLAGSHIP_QUERY, 10, "sum"),
         "boolean_query": boolean_query_oracle_sql(BOOL_QUERY, 10),
+        "boolean_query_indexed": boolean_query_oracle_sql(BOOL_QUERY, 10),
         "score_explain": explain_scores_oracle_sql(FLAGSHIP_QUERY, 10),
         "search_highlight": highlight_snippets_oracle_sql(
             FLAGSHIP_QUERY, 10, window=3

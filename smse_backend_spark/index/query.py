@@ -522,29 +522,94 @@ class InvertedIndex:
         """Decode blocks -> unrounded (doc_id, score). ``dl_range`` is a
         FILTER-context doc-value restriction (dl is carried in every
         posting, so the filter is free post-decode; stats stay global)."""
-        idf_df = F.broadcast(
-            self.spark.createDataFrame(list(idf.items()), "term string, idf double")
-        )
-        # widen the decode: compressed blocks are tiny on disk, 50-100x
-        # bigger decoded — spread them before the ArrowEvalPython stage
-        nparts = int(
-            min(1024, max(self.spark.sparkContext.defaultParallelism,
-                          self.meta.get("n_postings", 0) // 400_000 + 1))
-        )
-        decoded = self._live(
-            blocks.select("term", "first_doc", "gaps", "tfs", "dls")
-            .repartition(nparts)
-            .mapInPandas(_decode_map, DECODED_SCHEMA)
-        )
+        decoded = self._decoded(blocks)
         if dl_range is not None:
             decoded = decoded.filter(
                 F.col("dl").between(int(dl_range[0]), int(dl_range[1]))
             )
         return (
-            decoded.join(idf_df, "term")
+            decoded.join(self._idf_df(idf), "term")
             .withColumn("contrib", F.col("idf") * _tf_norm(F.col("tf"), F.col("dl"), avgdl))
             .groupBy("doc_id")
             .agg(F.sum("contrib").alias("score"))
+        )
+
+    def _idf_df(self, idf: dict[str, float]) -> DataFrame:
+        return F.broadcast(
+            self.spark.createDataFrame(list(idf.items()), "term string, idf double")
+        )
+
+    def _decoded(self, blocks: DataFrame) -> DataFrame:
+        """Blocks -> live decoded (term, doc_id, tf, dl) rows; the decode
+        is widened first — compressed blocks are tiny on disk, 50-100x
+        bigger decoded — so the ArrowEvalPython stage load-balances."""
+        nparts = int(
+            min(1024, max(self.spark.sparkContext.defaultParallelism,
+                          self.meta.get("n_postings", 0) // 400_000 + 1))
+        )
+        return self._live(
+            blocks.select("term", "first_doc", "gaps", "tfs", "dls")
+            .repartition(nparts)
+            .mapInPandas(_decode_map, DECODED_SCHEMA)
+        )
+
+    def boolean_topk(
+        self,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Boolean AND/OR/NOT query on the INDEX path: the same DSL and
+        semantics as ``operators.boolquery.boolean_query_topk`` (score =
+        positive terms only; negations filter) evaluated from posting
+        blocks alone — the corpus is never scanned; cost is the matched
+        postings of the query's terms. Term leaves are folded through the
+        index's analyzer, and the per-doc matched-term set comes from the
+        decoded postings (``collect_set``), so the predicate sees exactly
+        the terms the index knows."""
+        from smse_backend_spark.functions.tokenizer import stem_py
+        from smse_backend_spark.operators.boolquery import (
+            all_terms,
+            map_terms,
+            parse_bool_query,
+            positive_terms,
+            pred_col,
+        )
+
+        tree = parse_bool_query(query_text)
+        if self.analyzer == "stem":
+            tree = map_terms(tree, stem_py)
+        terms = sorted(all_terms(tree))
+        pos = sorted(positive_terms(tree))
+        n, avgdl = self.corpus_stats(lang)
+        dfs = self.term_df(terms, lang) if terms and n else {}
+        idf = {
+            t: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for t, df in dfs.items()
+        }
+        if not idf:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        decoded = self._decoded(self._blocks(sorted(idf), lang))
+        per_doc = (
+            decoded.join(self._idf_df(idf), "term")
+            .withColumn(
+                "contrib",
+                F.when(
+                    F.col("term").isin(pos),
+                    F.col("idf") * _tf_norm(F.col("tf"), F.col("dl"), avgdl),
+                ).otherwise(F.lit(0.0)),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.round(F.sum("contrib"), 6).alias("score"),
+                F.collect_set("term").alias("matched"),
+            )
+        )
+        return (
+            per_doc.filter(pred_col(tree, F.col("matched")))
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
         )
 
     def bm25_topk_range(

@@ -221,18 +221,27 @@ def boolean_query_topk(
     query: str,
     k: int = DEFAULT_TOP_K,
     lang: str | None = None,
+    stem: bool = False,
 ) -> DataFrame:
     """Top-k for a boolean query string. Score = BM25 over the doc's
     positive terms; the boolean expression filters (Lucene MUST/SHOULD/
-    MUST_NOT composition)."""
+    MUST_NOT composition). ``stem`` runs the Harman S-stemmer analyzer
+    over both the tree's term leaves and the document tokens."""
+    from smse_backend_spark.functions.tokenizer import stem_col, stem_py
+
     tree = parse_bool_query(query)
+    if stem:
+        tree = map_terms(tree, stem_py)
     terms = sorted(_all_terms(tree))
     pos = sorted(_positive_terms(tree))
     if lang is not None:
         corpus = corpus.filter(F.col("lang") == lang)
 
+    toks = tokenize_col("content")
+    if stem:
+        toks = stem_col(toks)
     docs = corpus.select("doc_id", doc_len_col("content").alias("doc_len"),
-                         tokenize_col("content").alias("toks"))
+                         toks.alias("toks"))
     n_docs, avgdl = docs.agg(
         F.count(F.lit(1)).cast("double"), F.avg("doc_len")
     ).first()
@@ -273,15 +282,23 @@ def boolean_query_oracle_sql(
     lang: str | None = None,
     table: str = "documents",
     content_col: str = "text",
+    stem: bool = False,
 ) -> str:
-    """DuckDB twin of :func:`boolean_query_topk`."""
+    """DuckDB twin of :func:`boolean_query_topk` (and of the index path
+    ``InvertedIndex.boolean_topk`` — set ``stem`` to the index analyzer)."""
+    from smse_backend_spark.functions.tokenizer import stem_duckdb_sql, stem_py
+
     tree = parse_bool_query(query)
+    if stem:
+        tree = map_terms(tree, stem_py)
     terms = sorted(_all_terms(tree))
     pos = sorted(_positive_terms(tree))
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     pos_list = ", ".join("'" + t.replace("'", "''") + "'" for t in pos) or "''"
     where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
     toks = tokenize_duckdb_sql(content_col)
+    if stem:
+        toks = stem_duckdb_sql(toks)
     score = bm25_term_score_sql(
         "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
     )
@@ -319,3 +336,26 @@ WHERE {_pred_sql(tree, "matched")}
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def map_terms(node: Node, fn) -> Node:
+    """Rewrite every Term leaf through ``fn`` (e.g. an analyzer's stemmer)
+    — two leaves may fold to one term; boolean semantics are unaffected."""
+    if isinstance(node, Term):
+        return Term(fn(node.term))
+    if isinstance(node, Not):
+        return Not(map_terms(node.child, fn))
+    children = tuple(map_terms(c, fn) for c in node.children)
+    return And(children) if isinstance(node, And) else Or(children)
+
+
+def all_terms(node: Node) -> set[str]:
+    return _all_terms(node)
+
+
+def positive_terms(node: Node) -> set[str]:
+    return _positive_terms(node)
+
+
+def pred_col(node: Node, matched: Column) -> Column:
+    return _pred_col(node, matched)

@@ -136,3 +136,41 @@ def test_parser_roundtrip_property():
         return t  # renderer never produces 1-child And/Or
 
     check()
+
+
+def test_boolean_indexed_rank_identity(spark, sf_smoke, corpus, con):
+    """Index-path boolean queries == the scan twin — on a standard index,
+    and on a stemmed index (tree leaves folded through the analyzer,
+    checked against the stem=True scan/oracle)."""
+    import tempfile
+
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+
+    out = tempfile.mkdtemp(prefix="smse_idx_bool_")
+    build_index(spark, corpus, out, segment_size=256, n_buckets=8,
+                block_size=64, n_batches=2)
+    idx = InvertedIndex(spark, out)
+    for q in [
+        "hash AND (join OR merge) AND NOT window",
+        "hash OR join",
+        "hash AND NOT hash",
+        "the AND NOT nonexistentterm",
+        "nonexistentterm",
+    ]:
+        got = [tuple(r) for r in idx.boolean_topk(q, 10).collect()]
+        want = [tuple(r) for r in boolean_query_topk(corpus, q, 10).collect()]
+        assert got == want, q
+
+    outs = tempfile.mkdtemp(prefix="smse_idx_bools_")
+    build_index(spark, corpus, outs, segment_size=256, n_buckets=8,
+                block_size=64, n_batches=2, analyzer="stem")
+    sidx = InvertedIndex(spark, outs)
+    q = "tables AND scans AND NOT windows"
+    got = [tuple(r) for r in sidx.boolean_topk(q, 10).collect()]
+    assert got, "stemmed boolean query must hit stemmed postings"
+    want_scan = [tuple(r) for r in
+                 boolean_query_topk(corpus, q, 10, stem=True).collect()]
+    want_sql = [tuple(w) for w in
+                con.execute(boolean_query_oracle_sql(q, 10, stem=True)).fetchall()]
+    assert got == want_scan == want_sql
