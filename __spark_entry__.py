@@ -273,9 +273,24 @@ def _indexed(spark: SparkSession, sf_dir: str):
 
         out = tempfile.mkdtemp(prefix="smse_index_")
         build_index(spark, load_corpus(spark, sf_dir), out,
-                    segment_size=256, n_buckets=8, block_size=64, n_batches=2)
+                    segment_size=256, n_buckets=8, block_size=64, n_batches=2,
+                    docvalues=("repo", "n_chars"))
         _INDEX_CACHE[sf_dir] = out
     return InvertedIndex(spark, _INDEX_CACHE[sf_dir])
+
+
+def _search_after_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 via keyset pagination on the INDEX path: page 1's last
+    (score, doc_id) is the cursor; each page is one postings decode ending
+    in TakeOrderedAndProject — no corpus scan, no localCheckpoint."""
+    idx = _indexed(spark, sf_dir)
+    page1 = idx.bm25_topk_after(FLAGSHIP_QUERY, None, 10).collect()
+    if len(page1) < 10:  # page 1 wasn't full -> nothing after it
+        return spark.createDataFrame([], "doc_id long, score double")
+    last = page1[-1]
+    return idx.bm25_topk_after(
+        FLAGSHIP_QUERY, (last["score"], last["doc_id"]), 10
+    )
 
 
 _PATH_INDEX_CACHE: dict[str, str] = {}
@@ -464,13 +479,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, _query_vecs(spark, sf_dir), 10, n_centroids=16, n_probe=4
         ).withColumn("rank", F.col("rank").cast("long"))
 
+    def _ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from smse_backend_spark.operators.ann import ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ivf_topk(
+            emb, _query_vecs(spark, sf_dir), 10, n_centroids=16, n_probe=4,
+            train_iters=1,
+        ).withColumn("rank", F.col("rank").cast("long"))
+
     def _emb(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             return fn(S.load_embeddings(spark, sf_dir))
 
         return run
 
-    return {
+    q = {
         # BM25 search core (scan + indexed paths)
         "bm25_topk": _bm25(FLAGSHIP_QUERY),
         "bm25_topk_lang": _bm25("batch stream spark window", lang="en"),
@@ -621,6 +647,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             FLAGSHIP_QUERY,
             window=3,
         ),
+        # --- the same retrieval variants on the INDEX path: scores from
+        # posting blocks, per-doc attributes from stored doc-values
+        # (build_index(docvalues=...)) — the corpus is never scanned at
+        # query time; rank-identical to the scan twins (same oracles)
+        "bm25_search_after_indexed": _search_after_indexed,
+        "search_collapse_indexed": lambda spark, sf: _indexed(spark, sf)
+        .collapse_topk(FLAGSHIP_QUERY, 10, "repo"),
+        "facet_top_hits_indexed": lambda spark, sf: _indexed(spark, sf)
+        .facet_top_hits(FLAGSHIP_QUERY, "lang", 3),
+        "sort_by_field_indexed": lambda spark, sf: _indexed(spark, sf)
+        .sort_by_field_topk(FLAGSHIP_QUERY, 10),
+        "function_score_indexed": lambda spark, sf: _indexed(spark, sf)
+        .function_score_topk(FLAGSHIP_QUERY, 140, 80, 10),
+        # top-k + rarest-term order from the index; corpus read only for
+        # the k hit docs (doc-id-pruned) to cut snippet text
+        "search_highlight_indexed": lambda spark, sf: _indexed(spark, sf)
+        .highlight_snippets(load_corpus(spark, sf), FLAGSHIP_QUERY, 10, 3),
+        # JLH foreground doc-set from postings, background dfs from the
+        # dictionary; only foreground docs are tokenized
+        "significant_terms_indexed": lambda spark, sf: _indexed(spark, sf)
+        .significant_terms(load_corpus(spark, sf), FLAGSHIP_QUERY, 15),
         # shard consolidation: two disjoint indexes merged, then queried
         "bm25_indexed_merged": lambda spark, sf: _merged_index(spark, sf)
         .bm25_topk(FLAGSHIP_QUERY, 10),
@@ -676,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": _ann_brute,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
+        # IVF after one deterministic Lloyd round (integer-quantized means)
+        "ann_ivf_trained": _ann_ivf_trained,
         # int8 scalar quantization: 4x-smaller vectors, deterministic rank
         "ann_sq8": _ann_sq8,
         # streaming twin of hourly_event_rollup (append-mode watermark oracle)
@@ -713,6 +762,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_rollup": R.hourly_event_rollup,
         "event_props_extract": R.event_props_extract,
     }
+    # Driver-coverage ordering: a correctness run may cap how many entries
+    # it checks per round, so entries with the LEAST prior driver evidence
+    # go first — (a) entries never checked by any driver round, (b) this
+    # round's additions, (c) entries green only in round 1 — then the rest
+    # in declaration order. Content is identical either way.
+    ordered = {k: q[k] for k in _CHECK_FIRST if k in q}
+    ordered.update(q)
+    return ordered
+
+
+# never driver-checked as of CORRECTNESS_r02 (12), round-3 additions (7),
+# then round-1-only greens (35) — see VERDICT.md round 2, "Next round" #2
+_CHECK_FIRST = [
+    "ann_ivf", "ann_sq8", "auto_stopwords", "dup_clusters",
+    "embedding_near_dup_lsh", "media_thumbnail_plan", "order_priority_counts",
+    "prefs_merge", "search_persist_roundtrip", "shipping_priority",
+    "streamed_dedup", "tfidf_vectors",
+    "bm25_search_after_indexed", "search_collapse_indexed",
+    "facet_top_hits_indexed", "sort_by_field_indexed",
+    "function_score_indexed", "search_highlight_indexed",
+    "significant_terms_indexed", "ann_ivf_trained",
+    "ann_brute_force", "ann_lsh", "anti_join_customers", "blob_listing",
+    "cosine_topk_modality", "cosine_topk_user", "dedup_exact",
+    "dir_size_rollup", "doc_fingerprint", "embedding_near_dup",
+    "event_props_extract", "exact_dup_groups", "filename_display",
+    "fusion_multipart", "history_counts", "history_page",
+    "hourly_event_rollup", "lang_id", "media_frame_plan",
+    "media_image_features", "media_ingest_meta", "minhash_lsh",
+    "multimodal_search", "multimodal_search_audio", "ngram_jaccard",
+    "normalized_scores", "pricing_summary", "quality_scores",
+    "sessionized_events", "simhash_neardup", "streamed_event_rollup",
+    "temp_file_gc", "token_stats", "top_revenue_nations",
+    "window_latest_orders",
+]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -752,6 +835,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
     from smse_backend_spark.operators import simhash as SH
     from smse_backend_spark.operators.ann import (
         ivf_topk_sql,
+        ivf_trained_topk_sql,
         lsh_topk_sql,
         sq8_topk_sql,
     )
@@ -768,6 +852,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "ann_lsh": lsh_topk_sql([0, 1, 2], dim=64, k=10, n_planes=8, n_tables=4),
         "ann_sq8": sq8_topk_sql([0, 1, 2], 10),
         "ann_ivf": ivf_topk_sql([0, 1, 2], k=10, n_centroids=16, n_probe=4),
+        "ann_ivf_trained": ivf_trained_topk_sql(
+            [0, 1, 2], dim=64, k=10, n_centroids=16, n_probe=4
+        ),
         "token_stats": Q.token_stats_sql(),
         "auto_stopwords": Q.auto_stopwords_sql(0.4, 20),
         "tfidf_vectors": Q.tfidf_vectors_sql(100),
@@ -861,6 +948,19 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "search_highlight": highlight_snippets_oracle_sql(
             FLAGSHIP_QUERY, 10, window=3
         ),
+        "bm25_search_after_indexed": search_after_oracle_sql(FLAGSHIP_QUERY, 10),
+        "search_collapse_indexed": collapse_oracle_sql(FLAGSHIP_QUERY, 10, "source"),
+        "facet_top_hits_indexed": facet_top_hits_oracle_sql(
+            FLAGSHIP_QUERY, "lang", 3
+        ),
+        "sort_by_field_indexed": sort_by_field_oracle_sql(FLAGSHIP_QUERY, 10),
+        "function_score_indexed": function_score_oracle_sql(
+            FLAGSHIP_QUERY, 140, 80, 10
+        ),
+        "search_highlight_indexed": highlight_snippets_oracle_sql(
+            FLAGSHIP_QUERY, 10, window=3
+        ),
+        "significant_terms_indexed": AG.significant_terms_sql(FLAGSHIP_QUERY, 15),
         "bm25_indexed_merged": bm25_scan_oracle_sql(
             FLAGSHIP_QUERY,
             table=f"(SELECT * FROM documents WHERE doc_id < {MERGE_CAP})",

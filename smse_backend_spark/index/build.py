@@ -5,7 +5,7 @@ Layout (all partitioned Parquet; an Iceberg-like manifest/lineage layer in
 this image):
 
     <index>/postings/batch=<B>/lang=<L>/term_bucket=<T>/part-*.parquet
-    <index>/docstats/batch=<B>/part-*.parquet      (doc_id, lang, doc_len)
+    <index>/docstats/batch=<B>/part-*.parquet      (doc_id, lang, doc_len[, docvalues...])
     <index>/dictionary/part-*.parquet              (lang, term, df, cf)
     <index>/lineage/batch_<B>.json                 (per-partition lineage)
     <index>/meta.json                              (corpus stats + config)
@@ -180,8 +180,15 @@ def build_index(
     snapshot_id: str | None = None,
     with_positions: bool = False,
     analyzer: str = "standard",
+    docvalues: tuple[str, ...] | list[str] = (),
 ) -> dict:
     """Build (or resume) the index from a corpus (doc_id, lang, content).
+
+    ``docvalues``: extra per-document columns stored columnar alongside
+    docstats (Lucene doc-values) — what lets collapse / sort-by-field /
+    function-score / faceting run from the index alone, never touching
+    the corpus at query time. Each name is taken from the corpus as-is;
+    the special name ``"n_chars"`` is computed as ``length(content)``.
 
     ``with_positions=True`` additionally stores each posting's token
     positions (delta+varint, a ``poss`` blob per block) — required for
@@ -254,7 +261,7 @@ def build_index(
         _build_batch(
             spark, corpus, out_dir, b, seg_lo, seg_hi, segment_size,
             n_buckets, block_size, input_partitions, snapshot,
-            with_positions, analyzer,
+            with_positions, analyzer, tuple(docvalues),
         )
         built += 1
     return finalize(
@@ -262,7 +269,7 @@ def build_index(
         {"segment_size": segment_size, "n_buckets": n_buckets,
          "block_size": block_size, "n_batches": n_batches,
          "corpus_snapshot": snapshot, "with_positions": with_positions,
-         "analyzer": analyzer},
+         "analyzer": analyzer, "docvalues": list(docvalues)},
     )
 
 
@@ -281,7 +288,7 @@ def corpus_snapshot(corpus: DataFrame) -> str | None:
 def _build_batch(
     spark, corpus, out_dir, batch_id, seg_lo, seg_hi, segment_size,
     n_buckets, block_size, input_partitions, snapshot=None,
-    with_positions=False, analyzer="standard",
+    with_positions=False, analyzer="standard", docvalues=(),
 ) -> None:
     lo_doc, hi_doc = seg_lo * segment_size, seg_hi * segment_size
     part = corpus.filter((F.col("doc_id") >= lo_doc) & (F.col("doc_id") < hi_doc))
@@ -306,10 +313,18 @@ def _build_batch(
     # lockstep-tested equal (functions/tokenizer.py).
     from smse_backend_spark.functions.tokenizer import doc_len_col
 
+    # doc-values ride the docstats pass (one extra pure-Column projection
+    # per column — no extra scan, no shuffle); "n_chars" is derived
+    dv_cols = [
+        (F.length("content").cast("long").alias("n_chars") if c == "n_chars"
+         else F.col(c))
+        for c in docvalues
+    ]
     obs_docs = Observation(f"docstats_{batch_id}")
     docstats = (
         part.select(
-            "doc_id", "lang", doc_len_col(F.col("content")).alias("doc_len")
+            "doc_id", "lang", doc_len_col(F.col("content")).alias("doc_len"),
+            *dv_cols,
         )
         .observe(obs_docs, F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
     )
@@ -424,6 +439,7 @@ def extend_index(
         int(cfg["n_buckets"]), int(cfg["block_size"]), input_partitions,
         snapshot, bool(cfg.get("with_positions", False)),
         cfg.get("analyzer", "standard"),
+        tuple(cfg.get("docvalues", ())),
     )
     return finalize(
         spark, out_dir, {**cfg, "n_batches": next_batch + 1},
@@ -687,6 +703,7 @@ def merge_indexes(
         return (
             int(cfg["segment_size"]), int(cfg["n_buckets"]),
             int(cfg["block_size"]), bool(cfg.get("with_positions", False)),
+            tuple(cfg.get("docvalues", ())),
         )
 
     if len({_key(m["config"]) for m in metas}) != 1:

@@ -1235,6 +1235,276 @@ class InvertedIndex:
             .orderBy(*order)
         )
 
+    # -- doc-values-backed retrieval variants --------------------------------
+    #
+    # Everything below runs WITHOUT touching the corpus at query time: BM25
+    # scores come from the posting blocks, per-document attributes from the
+    # columnar doc-values stored at build time (build_index(docvalues=...) —
+    # the Lucene doc-values analog; lang/doc_len are always stored). These
+    # are the index-path twins of the scan-mode variants in
+    # operators/search.py and are rank-identical to them.
+
+    def doc_values(self, cols: tuple[str, ...] | list[str]) -> DataFrame:
+        """Column-pruned doc-values read: (doc_id, *cols) from the index's
+        docstats component. ``lang`` and ``doc_len`` are always stored;
+        anything else must have been listed in ``build_index(docvalues=)``.
+        Honors time travel (batch partition pruning)."""
+        stored = {"lang", "doc_len", *self.meta["config"].get("docvalues", ())}
+        missing = [c for c in cols if c not in stored]
+        if missing:
+            raise ValueError(
+                f"doc-values {missing} not stored in this index — rebuild "
+                f"with build_index(..., docvalues={sorted(missing)})"
+            )
+        df = self.spark.read.parquet(f"{self.path}/docstats")
+        if self.as_of is not None:
+            df = df.filter(F.col("batch") <= self.as_of)
+        return df.select("doc_id", *cols)
+
+    def scored_matches(
+        self, query_text: str, lang: str | None = None
+    ) -> DataFrame:
+        """The FULL rounded BM25 match set (doc_id, score) from posting
+        blocks alone — the index-path twin of
+        ``operators.search.bm25_scored_scan`` (sans nmatch). Cost is the
+        matched postings of the query's terms; the corpus is never read."""
+        terms = self._analyze(query_text)
+        n, avgdl = self.corpus_stats(lang)
+        dfs = self.term_df(terms, lang) if terms and n else {}
+        idf = {
+            t: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for t, df in dfs.items()
+        }
+        if not idf:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        scored = self._score(self._blocks(sorted(idf), lang), idf, avgdl)
+        return scored.select("doc_id", F.round("score", 6).alias("score"))
+
+    def bm25_topk_after(
+        self,
+        query_text: str,
+        cursor: tuple[float, int] | None,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Keyset pagination (``search_after``) on the index path: the k
+        best hits strictly after the (score, doc_id) cursor in
+        (score desc, doc_id asc) order; ``cursor=None`` returns page 1.
+
+        One postings decode per page, the cursor predicate rides the same
+        pipeline before the top-k cut, and the plan ends in
+        ``TakeOrderedAndProject`` — no OFFSET, no localCheckpoint, no
+        corpus scan (the scan twin ``bm25_search_after`` needs all three
+        corpus passes this path avoids)."""
+        scored = self.scored_matches(query_text, lang)
+        if cursor is not None:
+            c_score, c_doc = float(cursor[0]), int(cursor[1])
+            scored = scored.filter(
+                (F.col("score") < F.lit(c_score))
+                | (
+                    (F.col("score") == F.lit(c_score))
+                    & (F.col("doc_id") > F.lit(c_doc))
+                )
+            )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def collapse_topk(
+        self,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        collapse_col: str = "repo",
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Field collapsing on the index path: best hit per distinct
+        ``collapse_col`` doc-value, then the global top-k of survivors —
+        rank-identical to ``operators.search.collapse_topk``. The window
+        shuffles only (doc_id, score, key) rows of the match set; the key
+        comes from doc-values, never from the corpus."""
+        from pyspark.sql import Window
+
+        scored = self.scored_matches(query_text, lang)
+        keys = self.doc_values([collapse_col]).withColumnRenamed(
+            collapse_col, "group_key"
+        )
+        w = Window.partitionBy("group_key").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.join(keys, "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("group_key", "doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def facet_top_hits(
+        self,
+        query_text: str,
+        facet_col: str = "lang",
+        per_facet: int = 3,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Grouped top hits (ES ``top_hits``) on the index path: the best
+        ``per_facet`` docs inside EVERY facet bucket of the match set with
+        their in-bucket rank — rank-identical to
+        ``operators.search.facet_top_hits``; the facet value is a
+        doc-value (``lang`` is always stored)."""
+        from pyspark.sql import Window
+
+        scored = self.scored_matches(query_text, lang)
+        keys = self.doc_values([facet_col]).withColumnRenamed(
+            facet_col, "facet"
+        )
+        w = Window.partitionBy("facet").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.join(keys, "doc_id")
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= per_facet)
+            .select("facet", "rank", "doc_id", "score")
+            .orderBy(F.asc("facet"), F.asc("rank"))
+        )
+
+    def sort_by_field_topk(
+        self,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+        descending: bool = True,
+        field: str = "n_chars",
+    ) -> DataFrame:
+        """Sort-by-doc-value retrieval on the index path (ES ``sort``):
+        the match set ordered by a stored doc-value instead of relevance,
+        score still reported — rank-identical to
+        ``operators.search.sort_by_field_topk`` (field = content chars)."""
+        scored = self.scored_matches(query_text, lang)
+        vals = self.doc_values([field])
+        first = F.desc(field) if descending else F.asc(field)
+        return (
+            scored.join(vals, "doc_id")
+            .select("doc_id", field, "score")
+            .orderBy(first, F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def function_score_topk(
+        self,
+        query_text: str,
+        origin: int = 140,
+        scale: int = 80,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+        field: str = "n_chars",
+    ) -> DataFrame:
+        """ES ``function_score`` with a LINEAR decay on a stored doc-value,
+        on the index path — rank-identical to
+        ``operators.search.function_score_topk``:
+
+            decay(x) = max(0, 1 - |x - origin| / scale)
+            final    = round(bm25 * decay, 6)
+        """
+        scored = self.scored_matches(query_text, lang)
+        vals = self.doc_values([field]).withColumnRenamed(field, "x")
+        decay = F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - F.abs(F.col("x") - F.lit(origin)) / F.lit(float(scale)),
+        )
+        return (
+            scored.join(vals, "doc_id")
+            .select("doc_id", F.round(F.col("score") * decay, 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def highlight_snippets(
+        self,
+        corpus: DataFrame,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        window: int = 3,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Highlighted snippets for the BM25 top-k, index path: the top-k
+        and the rarest-term pick order both come from the index (postings
+        + dictionary dfs); the corpus is read ONLY for the k hit documents
+        (doc-id-pruned scan) to cut the snippet text — no full tokenize
+        pass anywhere, vs the scan twin's one. Rank- and snippet-identical
+        to ``operators.search.highlight_snippets`` on a delete-free index
+        (with tombstones, dictionary dfs — like Lucene docFreq — still
+        count deleted docs, so the rarest-term pick may differ until
+        compaction).
+        """
+        from smse_backend_spark.operators.search import snippets_for_hits
+
+        if self.analyzer != "standard":
+            raise ValueError("highlight_snippets requires the standard analyzer")
+        terms = self._analyze(query_text)
+        dfs = self.term_df(terms, lang) if terms else {}
+        ordered = sorted(dfs, key=lambda t: (dfs[t], t))
+        topk_rows = self.bm25_topk(query_text, k, lang).collect()
+        return snippets_for_hits(corpus, topk_rows, ordered, window, lang)
+
+    def significant_terms(
+        self,
+        corpus: DataFrame,
+        query_text: str,
+        k: int = 20,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES significant-terms on the index path: JLH-scored terms of the
+        foreground (docs matching ANY query term) vs the corpus background.
+
+            (fg% - bg%) * (fg% / bg%),  fg% = fg_df/|fg|, bg% = bg_df/N
+
+        Index-path shape: the foreground doc set comes from the decoded
+        postings (:meth:`match_doc_ids` — no corpus scan), background dfs
+        and N come from the dictionary and meta; ONLY the foreground
+        documents are tokenized (a doc-id join prunes the corpus read).
+        The scan twin (``operators.aggregations.significant_terms``)
+        tokenizes the whole corpus twice. Rank-identical on a delete-free
+        index (tombstones: dictionary dfs count deleted docs, Lucene
+        docFreq semantics, until compaction).
+        """
+        from smse_backend_spark.operators.aggregations import _doc_terms
+
+        if self.analyzer != "standard":
+            raise ValueError("significant_terms requires the standard analyzer")
+        if self.as_of is not None:
+            raise ValueError(
+                "significant_terms backgrounds against the as-of-latest "
+                "dictionary — time-travel aggregation is not supported"
+            )
+        empty = self.spark.createDataFrame(
+            [], "term string, fg_df long, bg_df long, score double"
+        )
+        terms = self._analyze(query_text)
+        if not terms:
+            return empty
+        bg_n, _ = self.corpus_stats(lang)
+        m = self.match_doc_ids(query_text, lang)
+        fg_n = m.count()
+        if not fg_n or not bg_n:
+            return empty
+        scan = corpus.filter(F.col("lang") == lang) if lang is not None else corpus
+        fg = (
+            _doc_terms(scan.join(m, "doc_id"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("fg_df"))
+        )
+        bg = self.spark.read.parquet(f"{self.path}/dictionary")
+        if lang is not None:
+            bg = bg.filter(F.col("lang") == lang)
+        bg = bg.groupBy("term").agg(F.sum("df").alias("bg_df"))
+        fg_pct = F.col("fg_df").cast("double") / F.lit(float(fg_n))
+        bg_pct = F.col("bg_df").cast("double") / F.lit(float(bg_n))
+        return (
+            fg.join(bg, "term")
+            .withColumn("score", F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6))
+            .select("term", "fg_df", "bg_df", "score")
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(k)
+        )
+
     def more_like_this(
         self,
         corpus: DataFrame,

@@ -192,12 +192,84 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic Lloyd refinement of the IVF seed centroids.
+
+    Seeds are the ``vec_id < n_centroids`` rows (same rule as the untrained
+    path); each iteration assigns every vector to its nearest centroid
+    (6dp-rounded cosine, ties -> smallest centroid id) and replaces the
+    centroid with the mean of its list. The mean is made EXACTLY
+    replayable cross-engine by quantizing components to the 1e-6 grid
+    first — ``floor(x*1e6 + 0.5)`` summed as int64 is order-independent
+    (no float-summation-order divergence between Spark partial aggs and
+    DuckDB), then one double division ``s / (1e6 * n)``. Empty lists keep
+    their seed centroid.
+
+    Distributed shape: one corpus scan per iteration; the per-vector work
+    is a single Arrow-batched matmul; the shuffle carries ``n_centroids``
+    groups of (count, dim int64 sums) after map-side partial aggregation —
+    bytes are O(n_centroids * dim), independent of corpus size. Returns
+    ``(c_ids, c_mat)`` with the seed ids kept as list labels.
+    """
+    ensure_pyfiles(emb.sparkSession)
+    cent_rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < n_centroids).collect()
+    )
+    c_ids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    c_mat = np.array([v for _, v in cent_rows], dtype=np.float64)
+    dim = c_mat.shape[1]
+
+    for _ in range(iters):
+        cn = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+
+        @F.pandas_udf("long")
+        def assigned(col: pd.Series) -> pd.Series:
+            m = np.vstack(col.to_numpy()).astype(np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = np.round(mn @ cn.T, 6)
+            # c_ids sorted asc; argmax returns the FIRST maximum -> ties
+            # resolve to the smallest centroid id, same as the oracle
+            return pd.Series(c_ids[np.argmax(sims, axis=1)])
+
+        quant = F.transform(
+            "embedding",
+            lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        )
+        stats = (
+            emb.select(assigned("embedding").alias("c_id"), quant.alias("q"))
+            .groupBy("c_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("q", d + 1)).alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_id = {int(r["c_id"]): r for r in stats}
+        new = c_mat.copy()  # empty list -> seed/previous centroid survives
+        for i, cid in enumerate(c_ids):
+            r = by_id.get(int(cid))
+            if r is not None:
+                denom = 1e6 * float(r["n"])
+                new[i] = [float(r[f"s{d}"]) / denom for d in range(dim)]
+        c_mat = new
+    return c_ids, c_mat
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: dict[int, list[float]],
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: vectors are assigned to their nearest centroid
     (inverted lists); a query probes only its ``n_probe`` nearest lists and
@@ -206,10 +278,10 @@ def ivf_topk(
     corpus instead of all of it, and the assignment is a bounded-size
     broadcast (centroids) against a single corpus scan.
 
-    Centroids here are the deterministic stand-in ``vec_id < n_centroids``
-    rows (a real deployment k-means-trains them first — training changes
-    WHICH rows are centroids, not this dataflow), which keeps the whole
-    operator exactly replayable by the DuckDB oracle. Assignment and probe
+    Centroids: the deterministic ``vec_id < n_centroids`` seed rows, plus
+    ``train_iters`` Lloyd rounds (:func:`train_ivf_centroids`) — training
+    moves the centroids, not this dataflow, and stays exactly replayable
+    by the DuckDB oracle (integer-quantized means). Assignment and probe
     selection round cosines to 6 dp and tie-break on centroid id, so both
     engines pick identical lists.
     """
@@ -217,12 +289,15 @@ def ivf_topk(
 
     spark = emb.sparkSession
     ensure_pyfiles(spark)
-    cent_rows = sorted(
-        (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < n_centroids).collect()
-    )
-    c_ids = np.array([c for c, _ in cent_rows], dtype=np.int64)
-    c_mat = np.array([v for _, v in cent_rows], dtype=np.float64)
+    if train_iters:
+        c_ids, c_mat = train_ivf_centroids(emb, n_centroids, train_iters)
+    else:
+        cent_rows = sorted(
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id") < n_centroids).collect()
+        )
+        c_ids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+        c_mat = np.array([v for _, v in cent_rows], dtype=np.float64)
     cn = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
 
     q_ids = np.array(sorted(queries), dtype=np.int64)
@@ -292,6 +367,107 @@ WITH cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_i
 pz AS (
   SELECT e.vec_id, c.c_id,
          unnest(e.embedding)::DOUBLE AS x, unnest(c.cv)::DOUBLE AS y
+  FROM embeddings e, cent c
+),
+ps AS (
+  SELECT vec_id, c_id,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS sim
+  FROM pz GROUP BY vec_id, c_id
+),
+assigned AS (
+  SELECT vec_id, c_id FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+    FROM ps
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, c_id FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+    FROM ps WHERE vec_id IN ({ids})
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.c_id = p.c_id
+),
+z AS (
+  SELECT c.query_id, c.vec_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(q.embedding)::DOUBLE AS y
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.query_id
+),
+s AS (
+  SELECT query_id, vec_id,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score
+  FROM z GROUP BY query_id, vec_id
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id, score FROM r WHERE rank <= {k}
+"""
+
+
+def ivf_trained_topk_sql(
+    query_vec_ids: list[int],
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """Exact DuckDB oracle for :func:`ivf_topk` with ``train_iters=1``:
+    replays the Lloyd round — seed assignment (6dp cosine, c_id tie-break),
+    integer-quantized per-dimension sums (``floor(x*1e6+0.5)`` as BIGINT,
+    order-independent), one double division for the mean, seeds surviving
+    empty lists — then the trained assignment / probe / exact re-rank."""
+    ids = ", ".join(map(str, query_vec_ids))
+    return f"""
+WITH cent0 AS (
+  SELECT vec_id AS c_id, list_transform(embedding, x -> x::DOUBLE) AS cv
+  FROM embeddings WHERE vec_id < {n_centroids}
+),
+pz0 AS (
+  SELECT e.vec_id, c.c_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(c.cv) AS y
+  FROM embeddings e, cent0 c
+),
+ps0 AS (
+  SELECT vec_id, c_id,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS sim
+  FROM pz0 GROUP BY vec_id, c_id
+),
+assigned0 AS (
+  SELECT vec_id, c_id FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+    FROM ps0
+  ) WHERE rn = 1
+),
+sums AS (
+  SELECT a.c_id, di.i AS d,
+         sum(CAST(floor(e.embedding[di.i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS s
+  FROM embeddings e
+  JOIN assigned0 a USING (vec_id), range(1, {dim + 1}) di(i)
+  GROUP BY a.c_id, di.i
+),
+cnts AS (SELECT c_id, count(*) AS n FROM assigned0 GROUP BY c_id),
+trained AS (
+  SELECT s.c_id, list(s.s::DOUBLE / (1000000.0 * c.n) ORDER BY s.d) AS cv
+  FROM sums s JOIN cnts c USING (c_id)
+  GROUP BY s.c_id
+),
+cent AS (
+  SELECT c0.c_id, coalesce(t.cv, c0.cv) AS cv
+  FROM cent0 c0 LEFT JOIN trained t USING (c_id)
+),
+pz AS (
+  SELECT e.vec_id, c.c_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(c.cv) AS y
   FROM embeddings e, cent c
 ),
 ps AS (

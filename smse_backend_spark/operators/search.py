@@ -1372,54 +1372,49 @@ ORDER BY dist ASC, df DESC, term ASC
 LIMIT {n}
 """
 
-def highlight_snippets(
+def snippets_for_hits(
     corpus: DataFrame,
-    topk: DataFrame,
-    query_text: str,
+    topk_rows: list,
+    ordered_terms: list[str],
     window: int = 3,
     lang: str | None = None,
 ) -> DataFrame:
-    """Attach a highlighted token-window snippet to each top-k hit:
-    (doc_id, score, snippet) — the search-results display shape.
+    """(doc_id, score, snippet) for an already-collected top-k hit list.
+
+    The corpus read is PRUNED to the k hit doc_ids (an ``isin`` filter the
+    parquet scan turns into row-group pruning), so only k documents are
+    ever tokenized regardless of corpus size. ``ordered_terms`` is the
+    rarest-first pick order (df asc, term asc — computed by the caller
+    from scan stats or the index dictionary); everything after
+    tokenization is JVM Column algebra (array_position / slice /
+    transform) — no UDF.
 
     Snippet rule (deterministic on both engines): among the query terms
-    present in the doc, pick the rarest (corpus df asc, term asc); the
-    snippet is the token window ``[p-window, p+window]`` around that
-    term's FIRST occurrence, with every occurrence of the term inside the
-    window wrapped in ``<em>`` tags.
-
-    Plan: the tiny top-k side broadcasts into the corpus join, the corpus
-    scan reads only (doc_id, content), and everything after tokenization
-    is JVM Column algebra (array_position / slice / transform) — no UDF.
+    present in the doc, pick the rarest; the snippet is the token window
+    ``[p-window, p+window]`` around that term's FIRST occurrence, with
+    every occurrence of the term inside the window wrapped in ``<em>``.
     """
-    terms = query_terms(query_text)
+    spark = corpus.sparkSession
+    if not topk_rows or not ordered_terms:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, snippet string"
+        )
     if lang is not None:
         corpus = corpus.filter(F.col("lang") == lang)
-    toks_df = corpus.select("doc_id", tokenize_col("content").alias("toks"))
-    if not terms:
-        return topk.select("doc_id", "score", F.lit(None).cast("string").alias("snippet")).limit(0)
-    dfs = {
-        r["term"]: r["df"]
-        for r in toks_df.select(
-            F.explode(F.array_distinct("toks")).alias("term")
+    ids = [int(r["doc_id"]) for r in topk_rows]
+    hits = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in topk_rows],
+            "doc_id long, score double",
         )
-        .filter(F.col("term").isin(terms))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .collect()
-    }
-    ordered = sorted((t for t in terms if t in dfs), key=lambda t: (dfs[t], t))
-    if not ordered:
-        return topk.select(
-            "doc_id", "score", F.lit(None).cast("string").alias("snippet")
-        ).limit(0)
-    chosen = F.coalesce(
-        *[
-            F.when(F.array_contains("toks", t), F.lit(t))
-            for t in ordered
-        ]
     )
-    joined = toks_df.join(F.broadcast(topk), "doc_id").withColumn("pick", chosen)
+    toks_df = corpus.filter(F.col("doc_id").isin(ids)).select(
+        "doc_id", tokenize_col("content").alias("toks")
+    )
+    chosen = F.coalesce(
+        *[F.when(F.array_contains("toks", t), F.lit(t)) for t in ordered_terms]
+    )
+    joined = toks_df.join(hits, "doc_id").withColumn("pick", chosen)
     p = F.array_position("toks", F.col("pick"))
     lo = F.greatest(F.lit(1), p - window)
     length = p + window - lo + 1
@@ -1437,6 +1432,47 @@ def highlight_snippets(
         joined.select("doc_id", "score", snippet.alias("snippet"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+def highlight_snippets(
+    corpus: DataFrame,
+    topk: DataFrame,
+    query_text: str,
+    window: int = 3,
+    lang: str | None = None,
+) -> DataFrame:
+    """Attach a highlighted token-window snippet to each top-k hit:
+    (doc_id, score, snippet) — the search-results display shape. Snippet
+    semantics in :func:`snippets_for_hits`.
+
+    Plan (scan mode): ONE full tokenize pass computes the query-term dfs
+    for the rarest-term pick; the snippet pass then reads only the k hit
+    documents (doc-id-pruned scan). The k-row ``topk`` frame is collected
+    (bounded) so its plan is never re-executed. The index path
+    (:meth:`InvertedIndex.highlight_snippets`) drops the df pass too —
+    dfs come from the dictionary.
+    """
+    terms = query_terms(query_text)
+    empty = corpus.sparkSession.createDataFrame(
+        [], "doc_id long, score double, snippet string"
+    )
+    if not terms:
+        return empty
+    scan = corpus.filter(F.col("lang") == lang) if lang is not None else corpus
+    dfs = {
+        r["term"]: r["df"]
+        for r in scan.select(
+            F.explode(
+                F.array_distinct(tokenize_col("content"))
+            ).alias("term")
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    ordered = sorted((t for t in terms if t in dfs), key=lambda t: (dfs[t], t))
+    return snippets_for_hits(corpus, topk.collect(), ordered, window, lang)
 
 
 def highlight_snippets_oracle_sql(

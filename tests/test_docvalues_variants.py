@@ -1,0 +1,154 @@
+"""Round-3: doc-values-backed retrieval variants on the INDEX path.
+
+Every variant must be rank-identical to its scan-mode twin in
+operators/search.py / operators/aggregations.py (which are themselves
+oracle-checked by the driver), and the doc-values component must survive
+the index lifecycle (extend, compact).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smse_backend_spark.corpus import load_corpus
+from smse_backend_spark.index.build import build_index, compact_index, extend_index
+from smse_backend_spark.index.query import InvertedIndex
+from smse_backend_spark.operators import search as S
+from smse_backend_spark.operators.aggregations import significant_terms
+
+Q = "hash join merge scan"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_smoke):
+    return load_corpus(spark, sf_smoke)
+
+
+@pytest.fixture(scope="module")
+def dv_index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("dvidx"))
+    build_index(
+        spark, corpus, out, segment_size=256, n_buckets=8, block_size=64,
+        n_batches=2, docvalues=("repo", "n_chars"),
+    )
+    return InvertedIndex(spark, out)
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_scored_matches_equals_scan_match_set(corpus, dv_index):
+    a = sorted(rows(dv_index.scored_matches(Q)))
+    b = sorted(rows(S.bm25_scored_scan(corpus, Q).select("doc_id", "score")))
+    assert a == b and len(a) > 10
+
+
+def test_search_after_rank_identity(corpus, dv_index):
+    page1 = dv_index.bm25_topk_after(Q, None, 10).collect()
+    assert len(page1) == 10
+    cur = (page1[-1]["score"], page1[-1]["doc_id"])
+    a = rows(dv_index.bm25_topk_after(Q, cur, 10))
+    b = rows(S.bm25_search_after(corpus, Q, 10))
+    assert a == b
+    # page 1 itself equals plain top-k
+    assert [tuple(r) for r in page1] == rows(dv_index.bm25_topk(Q, 10))
+
+
+def test_search_after_plan_shape(dv_index):
+    # one pipeline ending in TakeOrderedAndProject; nothing checkpointed
+    plan = str(
+        dv_index.bm25_topk_after(Q, (1.0, 0), 10)
+        ._jdf.queryExecution().executedPlan()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Checkpoint" not in plan
+
+
+def test_collapse_rank_identity(corpus, dv_index):
+    a = rows(dv_index.collapse_topk(Q, 10, "repo"))
+    b = rows(S.collapse_topk(corpus, Q, 10, "repo"))
+    assert a == b and len(a) == 10
+    # at most one hit per group key
+    keys = [r[0] for r in a]
+    assert len(keys) == len(set(keys))
+
+
+def test_facet_top_hits_rank_identity(corpus, dv_index):
+    a = rows(dv_index.facet_top_hits(Q, "lang", 3))
+    b = rows(S.facet_top_hits(corpus, Q, "lang", 3))
+    assert a == b and len(a) > 0
+
+
+def test_sort_by_field_rank_identity(corpus, dv_index):
+    for desc in (True, False):
+        a = rows(dv_index.sort_by_field_topk(Q, 10, descending=desc))
+        b = rows(S.sort_by_field_topk(corpus, Q, 10, descending=desc))
+        assert a == b and len(a) == 10
+
+
+def test_function_score_rank_identity(corpus, dv_index):
+    a = rows(dv_index.function_score_topk(Q, 140, 80, 10))
+    b = rows(S.function_score_topk(corpus, Q, 140, 80, 10))
+    assert a == b and len(a) == 10
+
+
+def test_highlight_rank_and_snippet_identity(corpus, dv_index):
+    a = rows(dv_index.highlight_snippets(corpus, Q, 10, 3))
+    b = rows(
+        S.highlight_snippets(corpus, S.bm25_topk_scan(corpus, Q, 10), Q, 3)
+    )
+    assert a == b and len(a) == 10
+    assert all("<em>" in r[2] for r in a)
+
+
+def test_significant_terms_identity(corpus, dv_index):
+    a = rows(dv_index.significant_terms(corpus, Q, 20))
+    b = rows(significant_terms(corpus, Q, 20))
+    assert a == b and len(a) == 20
+
+
+def test_doc_values_missing_column_raises(dv_index, spark, corpus, tmp_path):
+    with pytest.raises(ValueError, match="doc-values"):
+        dv_index.doc_values(["commit"])
+    # an index built WITHOUT docvalues refuses the variant cleanly
+    out = str(tmp_path / "plain")
+    build_index(spark, corpus, out, segment_size=256, n_buckets=8,
+                block_size=64, n_batches=1)
+    plain = InvertedIndex(spark, out)
+    with pytest.raises(ValueError, match="repo"):
+        plain.collapse_topk(Q, 10, "repo")
+    # lang is always stored — faceting works on any index
+    assert len(rows(plain.facet_top_hits(Q, "lang", 3))) > 0
+
+
+def test_docvalues_survive_extend_and_compact(spark, corpus, tmp_path):
+    lo = corpus.filter(F.col("doc_id") < 256)
+    hi = corpus.filter(F.col("doc_id") >= 256)
+    out = str(tmp_path / "ext")
+    build_index(spark, lo, out, segment_size=256, n_buckets=8, block_size=64,
+                n_batches=1, docvalues=("repo", "n_chars"))
+    extend_index(spark, hi, out)
+    idx = InvertedIndex(spark, out)
+    a = rows(idx.collapse_topk(Q, 10, "repo"))
+    b = rows(S.collapse_topk(corpus, Q, 10, "repo"))
+    assert a == b
+    dst = str(tmp_path / "cmp")
+    compact_index(spark, out, dst)
+    assert rows(InvertedIndex(spark, dst).collapse_topk(Q, 10, "repo")) == b
+
+
+def test_time_travel_doc_values_pruned(spark, corpus, tmp_path):
+    lo = corpus.filter(F.col("doc_id") < 256)
+    hi = corpus.filter(F.col("doc_id") >= 256)
+    out = str(tmp_path / "tt")
+    build_index(spark, lo, out, segment_size=256, n_buckets=8, block_size=64,
+                n_batches=1, docvalues=("repo", "n_chars"))
+    extend_index(spark, hi, out)
+    idx0 = InvertedIndex(spark, out, as_of_batch=0)
+    # as-of doc-values only cover batch-0 docs
+    assert idx0.doc_values(["repo"]).agg(F.max("doc_id")).first()[0] < 256
+    a = rows(idx0.collapse_topk(Q, 10, "repo"))
+    b = rows(S.collapse_topk(corpus.filter(F.col("doc_id") < 256), Q, 10, "repo"))
+    assert a == b
