@@ -761,6 +761,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_latest_orders": R.latest_orders_per_customer,
         "hourly_event_rollup": R.hourly_event_rollup,
         "event_props_extract": R.event_props_extract,
+        # as-of join: each event attributed to the user's latest order at
+        # event time (union + one shuffle + running-last window; no
+        # range-join explosion)
+        "events_asof_orders": R.events_asof_orders,
+        # reference TextConfig sliding-window chunking (tasks.py:97-99),
+        # contract uses 32/8 so sf-corpus docs actually split
+        "doc_chunks": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.chunking", fromlist=["chunk_documents"]
+        ).chunk_documents(load_corpus(spark, sf), 32, 8),
     }
     # Driver-coverage ordering: a correctness run may cap how many entries
     # it checks per round, so entries with the LEAST prior driver evidence
@@ -783,6 +792,7 @@ _CHECK_FIRST = [
     "facet_top_hits_indexed", "sort_by_field_indexed",
     "function_score_indexed", "search_highlight_indexed",
     "significant_terms_indexed", "ann_ivf_trained",
+    "events_asof_orders", "doc_chunks",
     "ann_brute_force", "ann_lsh", "anti_join_customers", "blob_listing",
     "cosine_topk_modality", "cosine_topk_user", "dedup_exact",
     "dir_size_rollup", "doc_fingerprint", "embedding_near_dup",
@@ -984,6 +994,11 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "window_latest_orders": R.latest_orders_per_customer_sql(),
         "hourly_event_rollup": R.hourly_event_rollup_sql(),
         "event_props_extract": R.event_props_extract_sql(),
+        "events_asof_orders": R.events_asof_orders_sql(),
+        "doc_chunks": __import__(
+            "smse_backend_spark.operators.chunking",
+            fromlist=["chunk_documents_sql"],
+        ).chunk_documents_sql(32, 8),
         "streamed_event_rollup": streamed_rollup_sql(),
         "streamed_dedup": streamed_dedup_sql(),
         "sessionized_events": sessionized_events_sql(),

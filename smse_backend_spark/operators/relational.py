@@ -341,3 +341,84 @@ WHERE o.o_orderdate >= TIMESTAMP '{date} 00:00:00'
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority ASC
 """
+
+
+# --- As-of join (event -> latest order at event time) -----------------------
+
+def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute each user event to the user's most recent
+    order at event time (``o_custkey = user_id AND o_orderdate <= ts``,
+    winner = max ``(o_orderdate, o_orderkey)``) — the temporal-attribution
+    primitive Spark lacks as a built-in (reference analog: SQLAlchemy
+    latest-row readback patterns, routes/search.py order-by-created-desc).
+
+    Distributed shape (the classic scalable as-of): probe rows (events)
+    and state rows (orders) are unioned, ONE shuffle on the user key, one
+    in-partition sort, and a running ``last(ignorenulls)`` window carries
+    the latest order forward onto each event row. No range-join explosion
+    (never materializes event x order pairs), no per-row Python; cost is
+    O((|events|+|orders|) log) within partitions. Hot-user skew is
+    bounded by per-user row counts, the same envelope as any per-user
+    window; events with no prior order keep NULLs (left semantics).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("t"),
+        "event_id", F.lit(1).alias("is_probe"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_probe"),
+        "o_orderkey", "o_orderdate", "o_totalprice",
+    )
+    # same-t ordering: orders (is_probe=0) sort BEFORE the probe -> the
+    # join is inclusive (<=); among same-t orders the window's last row
+    # has the max o_orderkey -> deterministic winner
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.asc("t"), F.asc("is_probe"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(
+            F.col("is_probe") == 0,
+            F.struct("o_orderkey", "o_orderdate", "o_totalprice"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.unionByName(od)
+        .withColumn("c", carried)
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("t").alias("ts"),
+            F.col("c.o_orderkey").alias("o_orderkey"),
+            F.col("c.o_orderdate").alias("o_orderdate"),
+            F.col("c.o_totalprice").alias("o_totalprice"),
+        )
+    )
+
+
+def events_asof_orders_sql() -> str:
+    """DuckDB twin of :func:`events_asof_orders` — explicit window instead
+    of ASOF JOIN so the duplicate-date tie rule is pinned, not
+    implementation-defined."""
+    return """
+WITH best AS (
+  SELECT e.event_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+         ) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT e.event_id, e.user_id, e.ts, b.o_orderkey, b.o_orderdate, b.o_totalprice
+FROM events e
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (event_id)
+"""

@@ -83,6 +83,37 @@ def object_store_conf(
     return conf
 
 
+def apply_object_store_conf(
+    spark: SparkSession,
+    endpoint: str | None = None,
+    path_style_access: bool = True,
+) -> None:
+    """Apply the ``fs.s3a.*`` half of :func:`object_store_conf` to a LIVE
+    session — Hadoop configuration is mutable at runtime, so an already-
+    running engine can be pointed at an object store without a JVM
+    restart (the ``spark.sql.*`` committer keys are session-build-time
+    only and still need :func:`get_spark(extra_conf=...)`). Used by the
+    S5 integration test, which runs a moto S3 server and auto-activates
+    when the hadoop-aws jars are present."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in object_store_conf(endpoint, path_style_access).items():
+        if k.startswith("spark.hadoop."):
+            hconf.set(k[len("spark.hadoop."):], v)
+
+
+def s3a_filesystem_available(spark: SparkSession) -> bool:
+    """True when the hadoop-aws jars (S3AFileSystem) are on the JVM
+    classpath — absent from the stock ``spark-<v>-bin-hadoop3`` image, so
+    live s3a tests gate on this instead of failing."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.hadoop.fs.s3a.S3AFileSystem"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def get_spark(
     app_name: str = "smse_backend_spark",
     master: str | None = None,
