@@ -770,6 +770,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": lambda spark, sf: __import__(
             "smse_backend_spark.operators.chunking", fromlist=["chunk_documents"]
         ).chunk_documents(load_corpus(spark, sf), 32, 8),
+        # chunk -> feature-hash embed -> mean-fuse (the reference ingest
+        # pipeline tasks.py:97-118 with a deterministic hasher as the model)
+        "chunk_hash_embed": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.chunking", fromlist=["chunk_hash_embed"]
+        ).chunk_hash_embed(load_corpus(spark, sf), 32, 8, 16),
+        # benchmark decontamination: 8-gram collision vs the eval slice
+        "decontaminate": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.decontam", fromlist=["decontaminate"]
+        ).decontaminate(_docs(spark, sf), 8, 50),
+        # PII scrub (deterministic injected PII; parity by redacted sha256)
+        "pii_redact": lambda spark, sf: __import__(
+            "smse_backend_spark.functions.redact", fromlist=["redact_pii_injected"]
+        ).redact_pii_injected(_docs(spark, sf)),
+        # per-doc term vectors served from posting blocks (segment-pruned)
+        "term_vectors": lambda spark, sf: _indexed(spark, sf).term_vectors(
+            [3, 42, 257]
+        ),
     }
     # Driver-coverage ordering: a correctness run may cap how many entries
     # it checks per round, so entries with the LEAST prior driver evidence
@@ -792,7 +809,8 @@ _CHECK_FIRST = [
     "facet_top_hits_indexed", "sort_by_field_indexed",
     "function_score_indexed", "search_highlight_indexed",
     "significant_terms_indexed", "ann_ivf_trained",
-    "events_asof_orders", "doc_chunks",
+    "events_asof_orders", "doc_chunks", "chunk_hash_embed", "decontaminate",
+    "pii_redact", "term_vectors",
     "ann_brute_force", "ann_lsh", "anti_join_customers", "blob_listing",
     "cosine_topk_modality", "cosine_topk_user", "dedup_exact",
     "dir_size_rollup", "doc_fingerprint", "embedding_near_dup",
@@ -999,6 +1017,21 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             "smse_backend_spark.operators.chunking",
             fromlist=["chunk_documents_sql"],
         ).chunk_documents_sql(32, 8),
+        "chunk_hash_embed": __import__(
+            "smse_backend_spark.operators.chunking",
+            fromlist=["chunk_hash_embed_sql"],
+        ).chunk_hash_embed_sql(32, 8, 16),
+        "decontaminate": __import__(
+            "smse_backend_spark.operators.decontam",
+            fromlist=["decontaminate_sql"],
+        ).decontaminate_sql(8, 50),
+        "pii_redact": __import__(
+            "smse_backend_spark.functions.redact", fromlist=["redact_pii_sql"]
+        ).redact_pii_sql(),
+        "term_vectors": __import__(
+            "smse_backend_spark.index.query",
+            fromlist=["term_vectors_oracle_sql"],
+        ).term_vectors_oracle_sql([3, 42, 257]),
         "streamed_event_rollup": streamed_rollup_sql(),
         "streamed_dedup": streamed_dedup_sql(),
         "sessionized_events": sessionized_events_sql(),

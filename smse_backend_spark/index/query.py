@@ -1261,6 +1261,52 @@ class InvertedIndex:
             df = df.filter(F.col("batch") <= self.as_of)
         return df.select("doc_id", *cols)
 
+    def term_vectors(
+        self, doc_ids: list[int], lang: str | None = None
+    ) -> DataFrame:
+        """Per-document term vectors from the index: (doc_id, term, tf, df)
+        — the Elasticsearch ``_termvectors`` analog, served without touching
+        the corpus.
+
+        Scale shape: postings are segment-partitioned by doc-id range, so
+        the read prunes to the target docs' segments and then to blocks
+        whose ``[first_doc, last_doc]`` span covers a requested id BEFORE
+        any decode — decode volume is bounded by the pruned segments,
+        independent of corpus size. ``df`` comes from the dictionary
+        (driver cache / pruned read), shipped back as one broadcast join;
+        the distinct-term collect is bounded by the requested docs'
+        vocabulary.
+        """
+        ids = sorted({int(d) for d in doc_ids})
+        if not ids:
+            raise ValueError("term_vectors needs at least one doc_id")
+        seg_size = self.meta["config"]["segment_size"]
+        segs = sorted({d // seg_size for d in ids})
+        blocks = self.spark.read.parquet(f"{self.path}/postings").filter(
+            F.col("segment").isin(segs)
+        )
+        if self.as_of is not None:
+            blocks = blocks.filter(F.col("batch") <= self.as_of)
+        if lang is not None:
+            blocks = blocks.filter(F.col("lang") == lang)
+        span = None
+        for d in ids:
+            c = (F.col("first_doc") <= d) & (F.col("last_doc") >= d)
+            span = c if span is None else (span | c)
+        decoded = self._decoded(blocks.filter(span)).filter(
+            F.col("doc_id").isin(ids)
+        )
+        terms = [r["term"] for r in decoded.select("term").distinct().collect()]
+        dfs = self.term_df(terms, lang)
+        df_tbl = F.broadcast(
+            self.spark.createDataFrame(
+                [(t, int(v)) for t, v in dfs.items()], "term string, df long"
+            )
+        )
+        return decoded.join(df_tbl, "term").select(
+            "doc_id", "term", F.col("tf").cast("long").alias("tf"), "df"
+        )
+
     def scored_matches(
         self, query_text: str, lang: str | None = None
     ) -> DataFrame:
@@ -1848,3 +1894,23 @@ def fielded_indexed_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def term_vectors_oracle_sql(doc_ids: list[int], table: str = "documents") -> str:
+    """DuckDB twin of :meth:`InvertedIndex.term_vectors`: tf by re-
+    tokenizing the requested docs, df as the corpus-wide distinct-doc
+    count per term (per-lang doc sets are disjoint, so this equals the
+    dictionary's summed per-lang df)."""
+    from smse_backend_spark.functions.tokenizer import tokenize_duckdb_sql
+
+    ids = ", ".join(str(int(d)) for d in sorted(set(doc_ids)))
+    toks = tokenize_duckdb_sql("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM {table}),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tok WHERE doc_id IN ({ids}) GROUP BY 1, 2
+),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1)
+SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)
+"""

@@ -63,6 +63,91 @@ def chunk_documents(
     )
 
 
+def chunk_hash_embed(
+    corpus: DataFrame,
+    chunk_size: int = 240,
+    overlap: int = 10,
+    dim: int = 16,
+) -> DataFrame:
+    """Feature-hashed chunk embeddings mean-fused to one doc vector:
+    (doc_id, dim, value) rows — the full reference ingest pipeline shape
+    (chunk -> embed -> fuse, ``/root/reference/smse_backend/tasks.py:97-118``)
+    with the model swapped for a deterministic signed feature hasher (the
+    embedding-model call is an external service; the hasher keeps the
+    pipeline exact and oracle-checkable, and is itself the classic
+    hashing-trick text vectorizer).
+
+    Each token hashes to one of ``dim`` buckets with a ±1 sign (both from
+    its sha256); the fused doc vector is the signed bucket count over ALL
+    chunk tokens (overlap tokens intentionally count once per chunk — this
+    is mean-of-chunk-embeddings, not a doc-level bag) divided by the doc's
+    total chunk-token count. Integer sums are order-independent, so the
+    single final division is bit-identical cross-engine; results are
+    rounded with the half-up-on-scaled-integer formula (oracle-safe, see
+    BASELINE.md rounding note).
+
+    Scale shape: chunk -> split -> explode -> two partial-agg groupBys on
+    doc_id — one shuffle key, no UDF, no corpus re-read.
+    """
+    chunks = chunk_documents(corpus, chunk_size, overlap)
+    toks = chunks.select(
+        "doc_id", "n_tokens", F.explode(F.split("chunk_text", " ")).alias("tok")
+    )
+    h = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 15), 16, 10).cast(
+        "long"
+    )
+    sign = F.when(
+        F.conv(F.substring(F.sha2(F.col("tok"), 256), 16, 1), 16, 10).cast(
+            "int"
+        )
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    sums = (
+        toks.select("doc_id", (h % dim).alias("dim"), sign.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").alias("num"))
+    )
+    totals = chunks.groupBy("doc_id").agg(F.sum("n_tokens").alias("den"))
+    v = F.col("num").cast("double") / F.col("den")
+    return sums.join(totals, "doc_id").select(
+        "doc_id",
+        F.col("dim").cast("long").alias("dim"),
+        (F.floor(v * 1e6 + F.lit(0.5)) / 1e6).alias("value"),
+    )
+
+
+def chunk_hash_embed_sql(
+    chunk_size: int = 240,
+    overlap: int = 10,
+    dim: int = 16,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`chunk_hash_embed`."""
+    chunks = chunk_documents_sql(chunk_size, overlap, table, content_col)
+    return f"""
+WITH chunks AS ({chunks}),
+tok AS (
+  SELECT doc_id, unnest(string_split(chunk_text, ' ')) AS tok FROM chunks
+),
+hashed AS (
+  SELECT doc_id,
+         ((('0x' || substr(sha256(tok), 1, 15))::UBIGINT)::BIGINT % {dim})
+           AS dim,
+         CASE WHEN ('0x' || substr(sha256(tok), 16, 1))::INT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM tok
+),
+sums AS (SELECT doc_id, dim, sum(s)::BIGINT AS num FROM hashed GROUP BY 1, 2),
+totals AS (SELECT doc_id, sum(n_tokens)::BIGINT AS den FROM chunks GROUP BY 1)
+SELECT s.doc_id, s.dim::BIGINT AS dim,
+       floor(s.num::DOUBLE / t.den * 1e6 + 0.5) / 1e6 AS value
+FROM sums s JOIN totals t USING (doc_id)
+"""
+
+
 def chunk_documents_sql(
     chunk_size: int = 240,
     overlap: int = 10,
