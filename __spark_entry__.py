@@ -787,6 +787,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": lambda spark, sf: _indexed(spark, sf).term_vectors(
             [3, 42, 257]
         ),
+        # reproducibility primitives: hash split / hash sample / KMV sketch
+        "hash_split": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.sampling", fromlist=["hash_split"]
+        ).hash_split(_docs(spark, sf)),
+        "corpus_sample": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.sampling", fromlist=["corpus_sample"]
+        ).corpus_sample(_docs(spark, sf), 0.1),
+        "kmv_distinct_users": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.sampling", fromlist=["kmv_distinct"]
+        ).kmv_distinct(
+            spark.read.parquet(f"{sf}/events.parquet"), "user_id", "event_type", 64
+        ),
     }
     # Driver-coverage ordering: a correctness run may cap how many entries
     # it checks per round, so entries with the LEAST prior driver evidence
@@ -810,7 +822,8 @@ _CHECK_FIRST = [
     "function_score_indexed", "search_highlight_indexed",
     "significant_terms_indexed", "ann_ivf_trained",
     "events_asof_orders", "doc_chunks", "chunk_hash_embed", "decontaminate",
-    "pii_redact", "term_vectors",
+    "pii_redact", "term_vectors", "hash_split", "corpus_sample",
+    "kmv_distinct_users",
     "ann_brute_force", "ann_lsh", "anti_join_customers", "blob_listing",
     "cosine_topk_modality", "cosine_topk_user", "dedup_exact",
     "dir_size_rollup", "doc_fingerprint", "embedding_near_dup",
@@ -1032,6 +1045,17 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             "smse_backend_spark.index.query",
             fromlist=["term_vectors_oracle_sql"],
         ).term_vectors_oracle_sql([3, 42, 257]),
+        "hash_split": __import__(
+            "smse_backend_spark.operators.sampling", fromlist=["hash_split_sql"]
+        ).hash_split_sql(),
+        "corpus_sample": __import__(
+            "smse_backend_spark.operators.sampling",
+            fromlist=["corpus_sample_sql"],
+        ).corpus_sample_sql(0.1),
+        "kmv_distinct_users": __import__(
+            "smse_backend_spark.operators.sampling",
+            fromlist=["kmv_distinct_sql"],
+        ).kmv_distinct_sql("user_id", "event_type", 64),
         "streamed_event_rollup": streamed_rollup_sql(),
         "streamed_dedup": streamed_dedup_sql(),
         "sessionized_events": sessionized_events_sql(),

@@ -1,0 +1,173 @@
+"""Deterministic hash-based sampling, dataset splitting, and KMV
+distinct-count sketching — the reproducibility primitives of a training-
+data pipeline.
+
+All three share one hash: ``h(x) = int64(first 15 hex chars of
+sha256(x || salt))`` — a uniform draw on ``[0, 2^60)`` that is (a) stable
+across runs/cluster sizes/engines (unlike ``rand()``), (b) pure JVM Column
+algebra, and (c) byte-identical in the DuckDB oracle. Sampling by hash
+threshold is the standard reproducible-subsample trick (every worker
+decides membership locally — no shuffle, no coordination, no seed state);
+KMV (k-minimum-values) is the classic mergeable distinct-count sketch
+(Bar-Yossef et al. 2002): keep the k smallest hashes, estimate
+``(k-1) * 2^60 / h_(k)``.
+
+Scale shape: split/sample are map-only filters bounded by scan bandwidth;
+KMV is a per-group top-k-smallest (partial-aggregated window) whose state
+is k values per group regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TWO60 = 1 << 60
+
+
+def hash_u60(x: Column, salt: str) -> Column:
+    """Deterministic uniform int64 draw on [0, 2^60) from sha256."""
+    return F.conv(
+        F.substring(F.sha2(F.concat(x.cast("string"), F.lit(salt)), 256), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def _hash_u60_sql(expr: str, salt: str) -> str:
+    return (
+        f"((('0x' || substr(sha256({expr}::VARCHAR || '{salt}'), 1, 15))"
+        f"::UBIGINT)::BIGINT)"
+    )
+
+
+# --- train/val/test split ---------------------------------------------------
+
+SPLIT_SALT = "-split-v1"
+
+
+def hash_split(
+    docs: DataFrame, train: float = 0.8, val: float = 0.1
+) -> DataFrame:
+    """(doc_id, split): stable train/val/test assignment by hash threshold.
+
+    Thresholds are INTEGER literals computed once on the driver, so the
+    comparison is exact (no float boundary ambiguity cross-engine). Adding
+    documents never reassigns existing ones — the property that makes
+    hash splits the standard over random splits for growing corpora.
+    """
+    t_train = int(train * TWO60)
+    t_val = int((train + val) * TWO60)
+    h = hash_u60(F.col("doc_id"), SPLIT_SALT)
+    return docs.select(
+        "doc_id",
+        F.when(h < t_train, F.lit("train"))
+        .when(h < t_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def hash_split_sql(
+    train: float = 0.8, val: float = 0.1, table: str = "documents"
+) -> str:
+    t_train = int(train * TWO60)
+    t_val = int((train + val) * TWO60)
+    h = _hash_u60_sql("doc_id", SPLIT_SALT)
+    return f"""
+SELECT doc_id,
+       CASE WHEN {h} < {t_train} THEN 'train'
+            WHEN {h} < {t_val} THEN 'val'
+            ELSE 'test' END AS split
+FROM {table}
+"""
+
+
+# --- reproducible Bernoulli sample ------------------------------------------
+
+SAMPLE_SALT = "-sample-v1"
+
+
+def corpus_sample(docs: DataFrame, rate: float = 0.1) -> DataFrame:
+    """(doc_id, lang): keep a doc iff its hash falls under ``rate`` — a
+    seedless, shuffle-free, engine-portable Bernoulli sample."""
+    thr = int(rate * TWO60)
+    return docs.filter(
+        hash_u60(F.col("doc_id"), SAMPLE_SALT) < thr
+    ).select("doc_id", "lang")
+
+
+def corpus_sample_sql(rate: float = 0.1, table: str = "documents") -> str:
+    thr = int(rate * TWO60)
+    return f"""
+SELECT doc_id, lang FROM {table}
+WHERE {_hash_u60_sql("doc_id", SAMPLE_SALT)} < {thr}
+"""
+
+
+# --- KMV distinct-count sketch ----------------------------------------------
+
+KMV_SALT = "-kmv-v1"
+
+
+def kmv_distinct(
+    events: DataFrame, key: str = "user_id", group: str = "event_type",
+    k: int = 64,
+) -> DataFrame:
+    """(group, n_exact, estimate): KMV distinct-count estimate per group,
+    with the exact count alongside (cheap at test scale; at 10^12 rows the
+    exact column is what you'd drop — the sketch state is k int64s per
+    group, merged associatively by partial aggregation).
+
+    Groups with fewer than k distinct keys return the exact count (the
+    sketch is lossless below its capacity).
+    """
+    d = events.select(group, key).distinct().withColumn(
+        "h", hash_u60(F.col(key), KMV_SALT)
+    )
+    w = Window.partitionBy(group).orderBy("h")
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    est = F.when(
+        F.col("hk").isNull(), F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(TWO60)) / F.col("hk").cast("double")
+    )
+    return (
+        ranked.groupBy(group)
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+        )
+        .select(
+            group,
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.floor(est * 1e6 + F.lit(0.5)) / 1e6).alias("estimate"),
+        )
+    )
+
+
+def kmv_distinct_sql(
+    key: str = "user_id", group: str = "event_type", k: int = 64,
+    table: str = "events",
+) -> str:
+    h = _hash_u60_sql(key, KMV_SALT)
+    return f"""
+WITH d AS (
+  SELECT DISTINCT {group}, {key} FROM {table}
+),
+r AS (
+  SELECT {group}, {h} AS h,
+         row_number() OVER (PARTITION BY {group} ORDER BY {h}) AS rn
+  FROM d
+),
+a AS (
+  SELECT {group}, count(*)::BIGINT AS n_exact,
+         max(CASE WHEN rn = {k} THEN h END) AS hk
+  FROM r GROUP BY {group}
+)
+SELECT {group}, n_exact,
+       floor(CASE WHEN hk IS NULL THEN n_exact::DOUBLE
+                  ELSE {float(k - 1)}::DOUBLE * {float(TWO60)}::DOUBLE
+                       / hk::DOUBLE END * 1e6 + 0.5) / 1e6 AS estimate
+FROM a
+"""

@@ -1,0 +1,103 @@
+"""Hash split / hash sample / KMV distinct sketch."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from smse_backend_spark.operators.sampling import (
+    TWO60,
+    corpus_sample,
+    corpus_sample_sql,
+    hash_split,
+    hash_split_sql,
+    kmv_distinct,
+    kmv_distinct_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def con(sf_smoke):
+    c = duckdb.connect()
+    for t in ("documents", "events"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_smoke}/{t}.parquet'")
+    return c
+
+
+def test_hash_split_matches_duckdb_and_is_total(spark, sf_smoke, con):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    got = sorted(map(tuple, hash_split(docs).collect()))
+    want = sorted(map(tuple, con.execute(hash_split_sql()).fetchall()))
+    assert got == want
+    splits = [s for _, s in got]
+    assert set(splits) == {"train", "val", "test"}
+    # roughly 80/10/10 (loose bound at smoke scale)
+    assert splits.count("train") / len(splits) > 0.6
+
+
+def test_hash_split_stable_under_growth(spark, sf_smoke, sf_correct):
+    """Adding docs never reassigns existing ones (same ids, same split)."""
+    small = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        ).collect()
+    }
+    big = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            spark.read.parquet(f"{sf_correct}/documents.parquet")
+        ).collect()
+    }
+    assert small == {d: big[d] for d in small}
+
+
+def test_corpus_sample_matches_duckdb(spark, sf_smoke, con):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    got = sorted(map(tuple, corpus_sample(docs, 0.1).collect()))
+    want = sorted(map(tuple, con.execute(corpus_sample_sql(0.1)).fetchall()))
+    assert got == want
+    n = docs.count()
+    assert 0 < len(got) < n / 2  # ~10%
+
+
+def test_kmv_matches_duckdb_and_estimates(spark, sf_smoke, con):
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    got = sorted(map(tuple, kmv_distinct(ev, "user_id", "event_type", 8).collect()))
+    want = sorted(
+        map(tuple, con.execute(kmv_distinct_sql("user_id", "event_type", 8)).fetchall())
+    )
+    assert got == want and len(got) > 0
+    for _, n_exact, est in got:
+        # KMV with k=8 has ~35% relative stddev; allow a generous band
+        assert est == pytest.approx(n_exact, rel=1.5)
+
+
+def test_kmv_below_capacity_is_exact(spark):
+    ev = spark.createDataFrame(
+        [(i, "t") for i in range(5)] * 3, "user_id long, event_type string"
+    )
+    rows = kmv_distinct(ev, "user_id", "event_type", 64).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_exact"] == 5 and rows[0]["estimate"] == 5.0
+
+
+def test_kmv_merge_property(spark, sf_smoke):
+    """Sketch of the union == union of sketches: the k smallest hashes of
+    A ∪ B are a subset of (k smallest of A) ∪ (k smallest of B)."""
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    k = 8
+    full = {
+        r["event_type"]: r["estimate"]
+        for r in kmv_distinct(ev, "user_id", "event_type", k).collect()
+    }
+    merged = {
+        r["event_type"]: r["estimate"]
+        for r in kmv_distinct(
+            half_a.unionByName(half_b), "user_id", "event_type", k
+        ).collect()
+    }
+    assert full == merged
