@@ -799,6 +799,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).kmv_distinct(
             spark.read.parquet(f"{sf}/events.parquet"), "user_id", "event_type", 64
         ),
+        # index integrity metrics from block metadata (no blob decode),
+        # oracle = from-scratch recount of distinct (doc, term) pairs
+        "index_postings_stats": lambda spark, sf: __import__(
+            "smse_backend_spark.index.query", fromlist=["postings_stats"]
+        ).postings_stats(spark, _indexed(spark, sf).path).select(
+            "lang", "n_postings", "n_terms"
+        ),
     }
     # Driver-coverage ordering: a correctness run may cap how many entries
     # it checks per round, so entries with the LEAST prior driver evidence
@@ -823,7 +830,7 @@ _CHECK_FIRST = [
     "significant_terms_indexed", "ann_ivf_trained",
     "events_asof_orders", "doc_chunks", "chunk_hash_embed", "decontaminate",
     "pii_redact", "term_vectors", "hash_split", "corpus_sample",
-    "kmv_distinct_users",
+    "kmv_distinct_users", "index_postings_stats",
     "ann_brute_force", "ann_lsh", "anti_join_customers", "blob_listing",
     "cosine_topk_modality", "cosine_topk_user", "dedup_exact",
     "dir_size_rollup", "doc_fingerprint", "embedding_near_dup",
@@ -1056,6 +1063,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             "smse_backend_spark.operators.sampling",
             fromlist=["kmv_distinct_sql"],
         ).kmv_distinct_sql("user_id", "event_type", 64),
+        "index_postings_stats": __import__(
+            "smse_backend_spark.index.query",
+            fromlist=["postings_stats_oracle_sql"],
+        ).postings_stats_oracle_sql(),
         "streamed_event_rollup": streamed_rollup_sql(),
         "streamed_dedup": streamed_dedup_sql(),
         "sessionized_events": sessionized_events_sql(),

@@ -1914,3 +1914,39 @@ tf AS (
 df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1)
 SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)
 """
+
+
+def postings_stats(spark, path: str) -> "DataFrame":
+    """Index integrity metrics from block METADATA alone: per-lang posting
+    count (sum of block ``n``), distinct indexed terms, and block count —
+    no blob is ever decoded, so this is a column-pruned parquet stat scan
+    (the per-partition metrics surface the build's lineage promises).
+    Must equal a from-scratch recount of distinct (doc, term) pairs."""
+    return (
+        spark.read.parquet(f"{path}/postings")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_postings"),
+            F.countDistinct("term").cast("long").alias("n_terms"),
+            F.count("*").cast("long").alias("n_blocks"),
+        )
+    )
+
+
+def postings_stats_oracle_sql(table: str = "documents") -> str:
+    """DuckDB recount twin of :func:`postings_stats` (block count is
+    excluded — it is a physical layout property; the oracle checks the
+    LOGICAL invariants: postings = distinct (doc, term), terms =
+    distinct terms)."""
+    from smse_backend_spark.functions.tokenizer import tokenize_duckdb_sql
+
+    toks = tokenize_duckdb_sql("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({toks}) AS term FROM {table}
+),
+dt AS (SELECT DISTINCT doc_id, lang, term FROM tok)
+SELECT lang, count(*)::BIGINT AS n_postings,
+       count(DISTINCT term)::BIGINT AS n_terms
+FROM dt GROUP BY lang
+"""

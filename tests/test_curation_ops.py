@@ -151,3 +151,19 @@ def test_term_vectors_against_brute_force(spark, sf_smoke, tmp_path):
         for term, tf in Counter(tokenize_py(texts[d])).items():
             want.append((d, term, tf, df_count[term]))
     assert got == sorted(want) and got
+
+
+def test_postings_stats_metadata_only(spark, sf_smoke, tmp_path):
+    """The stats scan must be column-pruned to metadata — never reading
+    the compressed posting blobs (gaps/tfs/dls)."""
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import postings_stats
+
+    path = str(tmp_path / "idx")
+    build_index(spark, load_corpus(spark, sf_smoke), path)
+    df = postings_stats(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and all("gaps" not in l for l in read_schema)
+    assert df.count() > 0
