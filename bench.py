@@ -129,6 +129,12 @@ def probe(cores: int, corpus_path: str, n_docs: int, reps: int) -> dict:
             t_builds.append(time.monotonic() - t0)
         t_index = min(t_builds)
 
+        # the host clamp punishes SUSTAINED load and outlasts its trigger:
+        # query reps timed straight after 3 full-width builds measure the
+        # builds' thermal debt, not the query engine (measured: the same
+        # 64-q batch mins at ~6 s in a settled JVM vs ~10 s right after
+        # the build phase). A short idle gap lets the clamp release.
+        time.sleep(int(os.environ.get("SMSE_BENCH_PROBE_COOLDOWN", "20")))
         idx = InvertedIndex(spark, dirs[-1])
         idx.bm25_topk("vector", 10).collect()  # query-path warm-up
         q_times: dict[str, float] = {}
@@ -141,6 +147,9 @@ def probe(cores: int, corpus_path: str, n_docs: int, reps: int) -> dict:
             for j in range(8)
             for i, (_, q, _lg) in enumerate(BENCH_QUERIES)
         }
+        idx.bm25_topk_batch(
+            {i: q for i, (_, q, _lg) in enumerate(BENCH_QUERIES)}, 10
+        ).count()  # batch-kernel warm-up (codegen + python workers)
         # query reps are an order of magnitude cheaper than build reps —
         # take extra samples so one throttle window can't own the min
         t_queries, n_hits = [], 0

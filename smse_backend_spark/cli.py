@@ -250,6 +250,41 @@ def cmd_dedup(args) -> None:
     print(json.dumps({"mode": args.mode, "rows": n, "out": args.out}))
 
 
+def cmd_curate(args) -> None:
+    """Training-data curation as a spark-submit job over a documents
+    parquet (``doc_id, text``): chunking, decontamination, PII scrub,
+    train/val/test split, or hash sampling; writes to ``--out`` and prints
+    a one-line JSON summary."""
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    if args.mode == "chunks":
+        from smse_backend_spark.operators.chunking import chunk_documents
+
+        out = chunk_documents(
+            docs.withColumnRenamed("text", "content"),
+            args.chunk_size, args.overlap,
+        )
+    elif args.mode == "decontam":
+        from smse_backend_spark.operators.decontam import decontaminate
+
+        out = decontaminate(docs, args.ngram, args.eval_mod)
+    elif args.mode == "redact":
+        from smse_backend_spark.functions.redact import redact_pii
+
+        out = redact_pii(docs)
+    elif args.mode == "split":
+        from smse_backend_spark.operators.sampling import hash_split
+
+        out = hash_split(docs, args.train, args.val)
+    else:  # sample
+        from smse_backend_spark.operators.sampling import corpus_sample
+
+        out = corpus_sample(docs, args.rate)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"mode": args.mode, "rows": n, "out": args.out}))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="smse_backend_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -376,6 +411,23 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--max-hamming", type=int, default=3)
     d.add_argument("--master")
     d.set_defaults(fn=cmd_dedup)
+
+    cu = sub.add_parser(
+        "curate", help="chunk/decontaminate/redact/split/sample a corpus"
+    )
+    cu.add_argument("--docs", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--mode", default="split",
+                    choices=["chunks", "decontam", "redact", "split", "sample"])
+    cu.add_argument("--chunk-size", type=int, default=240)
+    cu.add_argument("--overlap", type=int, default=10)
+    cu.add_argument("--ngram", type=int, default=8)
+    cu.add_argument("--eval-mod", type=int, default=50)
+    cu.add_argument("--train", type=float, default=0.8)
+    cu.add_argument("--val", type=float, default=0.1)
+    cu.add_argument("--rate", type=float, default=0.1)
+    cu.add_argument("--master")
+    cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -191,3 +191,20 @@ def test_cli_search_flag_validation(sf_smoke):
         with pytest.raises(SystemExit) as e:
             cli.main(argv)
         assert e.value.code not in (0, None), argv
+
+
+def test_cli_curate_modes(tmp_path, spark, sf_smoke, capsys):
+    docs = f"{sf_smoke}/documents.parquet"
+    for mode, extra, check in [
+        ("split", [], lambda n: n == 500),
+        ("sample", ["--rate", "0.2"], lambda n: 0 < n < 300),
+        ("decontam", ["--ngram", "8"], lambda n: n == 500),
+        ("redact", [], lambda n: n == 500),
+        ("chunks", ["--chunk-size", "32", "--overlap", "8"],
+         lambda n: n > 500),
+    ]:
+        out = str(tmp_path / f"curate_{mode}")
+        cli.main(["curate", "--docs", docs, "--out", out, "--mode", mode,
+                  "--master", "local[4]", *extra])
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert check(summary["rows"]), (mode, summary)
