@@ -120,8 +120,14 @@ def probe(cores: int, corpus_path: str, n_docs: int, reps: int) -> dict:
         dirs.append(warm_out)
         _build(spark, corpus.filter(F.col("doc_id") < warm_n), warm_n, warm_out)
 
+        probe_cool = int(os.environ.get("SMSE_BENCH_PROBE_COOLDOWN", "20"))
         t_builds = []
-        for _ in range(reps):
+        for i in range(reps):
+            if i:
+                # let the clamp release between reps: min-of-reps wants
+                # each rep to START unclamped, not to measure the debt of
+                # the previous one
+                time.sleep(probe_cool)
             out = tempfile.mkdtemp(prefix=f"smse_bench_idx_{cores}_")
             dirs.append(out)
             t0 = time.monotonic()
@@ -134,7 +140,7 @@ def probe(cores: int, corpus_path: str, n_docs: int, reps: int) -> dict:
         # builds' thermal debt, not the query engine (measured: the same
         # 64-q batch mins at ~6 s in a settled JVM vs ~10 s right after
         # the build phase). A short idle gap lets the clamp release.
-        time.sleep(int(os.environ.get("SMSE_BENCH_PROBE_COOLDOWN", "20")))
+        time.sleep(probe_cool)
         idx = InvertedIndex(spark, dirs[-1])
         idx.bm25_topk("vector", 10).collect()  # query-path warm-up
         q_times: dict[str, float] = {}
