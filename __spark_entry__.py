@@ -799,6 +799,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).kmv_distinct(
             spark.read.parquet(f"{sf}/events.parquet"), "user_id", "event_type", 64
         ),
+        # concat-and-cut sequence packing (per-lang token streams)
+        "pack_chunks": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.chunking", fromlist=["pack_chunks"]
+        ).pack_chunks(load_corpus(spark, sf), 32, 8, 256),
+        # exact per-group percentiles (Spark percentile == DuckDB
+        # quantile_cont, bit-identical interpolation)
+        "event_value_percentiles": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.aggregations",
+            fromlist=["value_percentiles"],
+        ).value_percentiles(spark.read.parquet(f"{sf}/events.parquet")),
         # index integrity metrics from block metadata (no blob decode),
         # oracle = from-scratch recount of distinct (doc, term) pairs
         "index_postings_stats": lambda spark, sf: __import__(
@@ -830,7 +840,8 @@ _CHECK_FIRST = [
     "significant_terms_indexed", "ann_ivf_trained",
     "events_asof_orders", "doc_chunks", "chunk_hash_embed", "decontaminate",
     "pii_redact", "term_vectors", "hash_split", "corpus_sample",
-    "kmv_distinct_users", "index_postings_stats",
+    "kmv_distinct_users", "index_postings_stats", "pack_chunks",
+    "event_value_percentiles",
     "ann_brute_force", "ann_lsh", "anti_join_customers", "blob_listing",
     "cosine_topk_modality", "cosine_topk_user", "dedup_exact",
     "dir_size_rollup", "doc_fingerprint", "embedding_near_dup",
@@ -1067,6 +1078,13 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             "smse_backend_spark.index.query",
             fromlist=["postings_stats_oracle_sql"],
         ).postings_stats_oracle_sql(),
+        "pack_chunks": __import__(
+            "smse_backend_spark.operators.chunking", fromlist=["pack_chunks_sql"]
+        ).pack_chunks_sql(32, 8, 256),
+        "event_value_percentiles": __import__(
+            "smse_backend_spark.operators.aggregations",
+            fromlist=["value_percentiles_sql"],
+        ).value_percentiles_sql(),
         "streamed_event_rollup": streamed_rollup_sql(),
         "streamed_dedup": streamed_dedup_sql(),
         "sessionized_events": sessionized_events_sql(),

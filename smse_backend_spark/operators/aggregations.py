@@ -266,3 +266,35 @@ GROUP BY d.source
 ORDER BY score DESC, repo ASC
 LIMIT {k}
 """
+
+
+# --- exact percentile aggregation -------------------------------------------
+
+PCTLS = (0.25, 0.5, 0.9, 0.99)
+
+
+def value_percentiles(events: DataFrame, group: str = "event_type",
+                      col: str = "value") -> DataFrame:
+    """(group, n, p25, p50, p90, p99): EXACT linear-interpolation
+    percentiles per group (the ES percentiles aggregation, exact flavor).
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    interpolation definition (rank = (n-1)*p, linear between neighbors),
+    so results are bit-identical — verified, no rounding shim needed.
+    Exact percentiles need the group's values together (one shuffle on the
+    group key, in-partition sort); at 10^12 rows you'd swap in a sketch
+    (KLL / t-digest) — the KMV sketch in operators/sampling.py shows the
+    mergeable-sketch pattern this would follow.
+    """
+    aggs = [F.count("*").cast("long").alias("n")] + [
+        F.percentile(col, p).alias(f"p{int(p * 100)}") for p in PCTLS
+    ]
+    return events.groupBy(group).agg(*aggs)
+
+
+def value_percentiles_sql(group: str = "event_type", col: str = "value",
+                          table: str = "events") -> str:
+    qs = ", ".join(
+        f"quantile_cont({col}, {p}) AS p{int(p * 100)}" for p in PCTLS
+    )
+    return f"SELECT {group}, count(*)::BIGINT AS n, {qs} FROM {table} GROUP BY {group}"

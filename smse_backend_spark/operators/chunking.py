@@ -18,7 +18,7 @@ O(corpus tokens * size/stride).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from smse_backend_spark.functions.tokenizer import (
@@ -28,17 +28,23 @@ from smse_backend_spark.functions.tokenizer import (
 
 
 def chunk_documents(
-    corpus: DataFrame, chunk_size: int = 240, overlap: int = 10
+    corpus: DataFrame,
+    chunk_size: int = 240,
+    overlap: int = 10,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, chunk_id, n_tokens, chunk_text): token windows of
-    ``chunk_size`` advancing by ``chunk_size - overlap``; the last window
-    may be short; token-less documents produce no rows. Defaults are the
-    reference's TextConfig (240/10)."""
+    """(doc_id, chunk_id, n_tokens, chunk_text[, *extra_cols]): token
+    windows of ``chunk_size`` advancing by ``chunk_size - overlap``; the
+    last window may be short; token-less documents produce no rows.
+    Defaults are the reference's TextConfig (240/10). ``extra_cols`` are
+    carried through unchanged (e.g. ``lang`` for per-language packing)."""
     if overlap >= chunk_size:
         raise ValueError("overlap must be < chunk_size")
     stride = chunk_size - overlap
     base = (
-        corpus.select("doc_id", tokenize_col(F.col("content")).alias("toks"))
+        corpus.select(
+            "doc_id", *extra_cols, tokenize_col(F.col("content")).alias("toks")
+        )
         .withColumn("n", F.size("toks"))
         .filter(F.col("n") > 0)
     )
@@ -49,6 +55,7 @@ def chunk_documents(
     return (
         base.select(
             "doc_id",
+            *extra_cols,
             F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
                 "chunk_id"
             ),
@@ -56,11 +63,78 @@ def chunk_documents(
         )
         .select(
             "doc_id",
+            *extra_cols,
             F.col("chunk_id").cast("long").alias("chunk_id"),
             F.size(ct).cast("long").alias("n_tokens"),
             F.array_join(ct, " ").alias("chunk_text"),
         )
     )
+
+
+def pack_chunks(
+    corpus: DataFrame,
+    chunk_size: int = 240,
+    overlap: int = 10,
+    budget: int = 1024,
+) -> DataFrame:
+    """Concat-and-cut sequence packing — assign every chunk its position in
+    fixed-size training sequences: (lang, doc_id, chunk_id, bin_id,
+    bin_offset, straddles).
+
+    The standard LLM-pretraining packer: per language (training sequences
+    don't mix languages), chunks concatenate in (doc_id, chunk_id) order
+    into one token stream cut every ``budget`` tokens; ``bin_id`` is the
+    sequence holding the chunk's first token, ``bin_offset`` its position
+    there, ``straddles`` whether it crosses the cut.
+
+    Scale shape: one window partitioned by lang (an exclusive running sum
+    of integer token counts — exact, order-pinned). At 10^12 rows the
+    per-lang partition is the classic distributed prefix-sum (per-partition
+    totals + broadcast prefix offsets); the per-lang window is the
+    contract-scale expression of the same plan.
+    """
+    chunks = chunk_documents(corpus, chunk_size, overlap, extra_cols=("lang",))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return chunks.select(
+        "lang", "doc_id", "chunk_id", "n_tokens",
+        F.floor(excl / budget).cast("long").alias("bin_id"),
+        (excl % budget).cast("long").alias("bin_offset"),
+        ((excl % budget) + F.col("n_tokens") > budget).alias("straddles"),
+    )
+
+
+def pack_chunks_sql(
+    chunk_size: int = 240,
+    overlap: int = 10,
+    budget: int = 1024,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`pack_chunks`."""
+    chunks = chunk_documents_sql(
+        chunk_size, overlap, table, content_col, extra_cols=("lang",)
+    )
+    return f"""
+WITH chunks AS ({chunks}),
+x AS (
+  SELECT lang, doc_id, chunk_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS excl
+  FROM chunks
+)
+SELECT lang, doc_id, chunk_id, n_tokens,
+       (excl // {budget})::BIGINT AS bin_id,
+       (excl % {budget})::BIGINT AS bin_offset,
+       (excl % {budget}) + n_tokens > {budget} AS straddles
+FROM x
+"""
 
 
 def chunk_hash_embed(
@@ -153,30 +227,32 @@ def chunk_documents_sql(
     overlap: int = 10,
     table: str = "documents",
     content_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
 ) -> str:
     """DuckDB twin of :func:`chunk_documents` (identical tokenizer,
     window arithmetic and join separator)."""
     stride = chunk_size - overlap
+    ec = "".join(f"{c}, " for c in extra_cols)
     return f"""
 WITH t AS (
-  SELECT doc_id, {tokenize_duckdb_sql(content_col)} AS toks FROM {table}
+  SELECT doc_id, {ec}{tokenize_duckdb_sql(content_col)} AS toks FROM {table}
 ),
-n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+n AS (SELECT doc_id, {ec}toks, len(toks) AS n FROM t WHERE len(toks) > 0),
 c AS (
-  SELECT doc_id, toks,
+  SELECT doc_id, {ec}toks,
          CASE WHEN n <= {chunk_size} THEN 1
               ELSE (n - {chunk_size} + {stride} - 1) // {stride} + 1
          END AS n_chunks
   FROM n
 ),
-x AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM c),
+x AS (SELECT doc_id, {ec}toks, unnest(range(0, n_chunks)) AS chunk_id FROM c),
 y AS (
-  SELECT doc_id, chunk_id,
+  SELECT doc_id, {ec}chunk_id,
          list_slice(toks, chunk_id * {stride} + 1,
                     chunk_id * {stride} + {chunk_size}) AS ct
   FROM x
 )
-SELECT doc_id, chunk_id::BIGINT AS chunk_id, len(ct)::BIGINT AS n_tokens,
+SELECT doc_id, {ec}chunk_id::BIGINT AS chunk_id, len(ct)::BIGINT AS n_tokens,
        array_to_string(ct, ' ') AS chunk_text
 FROM y
 """

@@ -101,3 +101,49 @@ def test_kmv_merge_property(spark, sf_smoke):
         ).collect()
     }
     assert full == merged
+
+
+def test_pack_chunks_semantics(spark, sf_smoke, con):
+    """Packing: per-lang bins fill contiguously; offsets are consistent
+    with an exclusive running sum; DuckDB twin matches exactly."""
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.operators.chunking import (
+        pack_chunks,
+        pack_chunks_sql,
+    )
+
+    got = sorted(map(tuple, pack_chunks(
+        load_corpus(spark, sf_smoke), 32, 8, 256
+    ).collect()))
+    want = sorted(map(tuple, con.execute(pack_chunks_sql(32, 8, 256)).fetchall()))
+    assert got == want and len(got) > 0
+    # replay the packer per lang in python
+    from collections import defaultdict
+    by_lang = defaultdict(list)
+    for lang, doc_id, chunk_id, n_tok, bin_id, off, straddles in got:
+        by_lang[lang].append((doc_id, chunk_id, n_tok, bin_id, off, straddles))
+    crossed = 0
+    for lang, rows in by_lang.items():
+        rows.sort()
+        cum = 0
+        for doc_id, chunk_id, n_tok, bin_id, off, straddles in rows:
+            assert bin_id == cum // 256 and off == cum % 256
+            assert straddles == (off + n_tok > 256)
+            crossed += straddles
+            cum += n_tok
+    assert crossed > 0  # fixture actually exercises the straddle path
+
+
+def test_value_percentiles_exact_parity(spark, sf_smoke, con):
+    from smse_backend_spark.operators.aggregations import (
+        value_percentiles,
+        value_percentiles_sql,
+    )
+
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    got = sorted(map(tuple, value_percentiles(ev).collect()))
+    want = sorted(map(tuple, con.execute(value_percentiles_sql()).fetchall()))
+    assert got == want and len(got) > 0
+    for row in got:
+        n, p25, p50, p90, p99 = row[1:]
+        assert p25 <= p50 <= p90 <= p99 and n > 0
