@@ -803,6 +803,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": lambda spark, sf: __import__(
             "smse_backend_spark.operators.chunking", fromlist=["pack_chunks"]
         ).pack_chunks(load_corpus(spark, sf), 32, 8, 256),
+        # the composed training-data flow: dedup -> split -> chunk -> pack
+        "curation_pipeline": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.chunking",
+            fromlist=["curation_pipeline"],
+        ).curation_pipeline(_docs(spark, sf), 32, 8, 256),
         # exact per-group percentiles (Spark percentile == DuckDB
         # quantile_cont, bit-identical interpolation)
         "event_value_percentiles": lambda spark, sf: __import__(
@@ -841,7 +846,7 @@ _CHECK_FIRST = [
     "events_asof_orders", "doc_chunks", "chunk_hash_embed", "decontaminate",
     "pii_redact", "term_vectors", "hash_split", "corpus_sample",
     "kmv_distinct_users", "index_postings_stats", "pack_chunks",
-    "event_value_percentiles",
+    "event_value_percentiles", "curation_pipeline",
     "ann_brute_force", "ann_lsh", "anti_join_customers", "blob_listing",
     "cosine_topk_modality", "cosine_topk_user", "dedup_exact",
     "dir_size_rollup", "doc_fingerprint", "embedding_near_dup",
@@ -1081,6 +1086,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "pack_chunks": __import__(
             "smse_backend_spark.operators.chunking", fromlist=["pack_chunks_sql"]
         ).pack_chunks_sql(32, 8, 256),
+        "curation_pipeline": __import__(
+            "smse_backend_spark.operators.chunking",
+            fromlist=["curation_pipeline_sql"],
+        ).curation_pipeline_sql(32, 8, 256),
         "event_value_percentiles": __import__(
             "smse_backend_spark.operators.aggregations",
             fromlist=["value_percentiles_sql"],

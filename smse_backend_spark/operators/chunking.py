@@ -256,3 +256,65 @@ SELECT doc_id, {ec}chunk_id::BIGINT AS chunk_id, len(ct)::BIGINT AS n_tokens,
        array_to_string(ct, ' ') AS chunk_text
 FROM y
 """
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    chunk_size: int = 240,
+    overlap: int = 10,
+    budget: int = 1024,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """The canonical training-data flow as ONE composed plan: exact-dedup
+    survivors -> train-split members -> token chunks -> packed sequences.
+
+    Composability is the point: every stage is the already-verified
+    operator (operators/dedup.dedup_exact, operators/sampling.hash_split,
+    pack_chunks), fused by Catalyst into one job — the dedup window, the
+    split filter (map-only hash predicate) and the chunker all run off a
+    single corpus scan; the only exchanges are the dedup hash window and
+    the per-lang packing window.
+    """
+    from smse_backend_spark.operators.dedup import dedup_exact
+    from smse_backend_spark.operators.sampling import hash_split
+
+    survivors = dedup_exact(docs).select("doc_id")
+    train_ids = hash_split(docs, train, val).filter(
+        F.col("split") == "train"
+    ).select("doc_id")
+    kept = (
+        docs.join(survivors, "doc_id", "left_semi")
+        .join(train_ids, "doc_id", "left_semi")
+        .select("doc_id", "lang", F.col("text").alias("content"))
+    )
+    return pack_chunks(kept, chunk_size, overlap, budget)
+
+
+def curation_pipeline_sql(
+    chunk_size: int = 240,
+    overlap: int = 10,
+    budget: int = 1024,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> str:
+    """DuckDB twin of :func:`curation_pipeline` (stage twins chained; the
+    packer SQL runs as a nested CTE over the kept set)."""
+    from smse_backend_spark.operators.sampling import hash_split_sql
+
+    inner = pack_chunks_sql(chunk_size, overlap, budget, table="kept",
+                            content_col="text")
+    return f"""
+WITH surv AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical
+    FROM documents
+  ) WHERE doc_id = canonical
+),
+tr AS (SELECT doc_id FROM ({hash_split_sql(train, val)}) WHERE split = 'train'),
+kept AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d
+  JOIN surv USING (doc_id) JOIN tr USING (doc_id)
+)
+SELECT * FROM ({inner})
+"""

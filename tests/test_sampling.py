@@ -147,3 +147,37 @@ def test_value_percentiles_exact_parity(spark, sf_smoke, con):
     for row in got:
         n, p25, p50, p90, p99 = row[1:]
         assert p25 <= p50 <= p90 <= p99 and n > 0
+
+
+def test_curation_pipeline_composes_stages(spark, sf_smoke, con):
+    """Pipeline == manually chaining the stage operators; SQL twin exact."""
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.operators.chunking import (
+        curation_pipeline,
+        curation_pipeline_sql,
+        pack_chunks,
+    )
+    from smse_backend_spark.operators.dedup import dedup_exact
+    from smse_backend_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    got = sorted(map(tuple, curation_pipeline(docs, 32, 8, 256).collect()))
+    want = sorted(
+        map(tuple, con.execute(curation_pipeline_sql(32, 8, 256)).fetchall())
+    )
+    assert got == want and len(got) > 0
+    # manual chain
+    surv = {r["doc_id"] for r in dedup_exact(docs).collect()}
+    tr = {
+        r["doc_id"]
+        for r in hash_split(docs).collect()
+        if r["split"] == "train"
+    }
+    keep_ids = surv & tr
+    kept = docs.filter(F.col("doc_id").isin(list(keep_ids))).select(
+        "doc_id", "lang", F.col("text").alias("content")
+    )
+    manual = sorted(map(tuple, pack_chunks(kept, 32, 8, 256).collect()))
+    assert got == manual
+    assert {r[1] for r in got} == {d for d in keep_ids
+                                   if d in {r[1] for r in got}}
