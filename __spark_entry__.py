@@ -821,6 +821,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).postings_stats(spark, _indexed(spark, sf).path).select(
             "lang", "n_postings", "n_terms"
         ),
+        # doc-values histogram aggregation (docstats column-pruned read)
+        "index_doclen_histogram": lambda spark, sf: __import__(
+            "smse_backend_spark.index.query", fromlist=["doclen_histogram"]
+        ).doclen_histogram(spark, _indexed(spark, sf).path, 16),
+        # corpus bigram stats (tokenizer/BPE-training signal)
+        "top_bigrams": lambda spark, sf: Q.top_bigrams(_docs(spark, sf), 20),
     }
     # Driver-coverage ordering: a correctness run may cap how many entries
     # it checks per round, so entries with the LEAST prior driver evidence
@@ -847,6 +853,7 @@ _CHECK_FIRST = [
     "pii_redact", "term_vectors", "hash_split", "corpus_sample",
     "kmv_distinct_users", "index_postings_stats", "pack_chunks",
     "event_value_percentiles", "curation_pipeline",
+    "index_doclen_histogram", "top_bigrams",
     "ann_brute_force", "ann_lsh", "anti_join_customers", "blob_listing",
     "cosine_topk_modality", "cosine_topk_user", "dedup_exact",
     "dir_size_rollup", "doc_fingerprint", "embedding_near_dup",
@@ -1090,6 +1097,14 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             "smse_backend_spark.operators.chunking",
             fromlist=["curation_pipeline_sql"],
         ).curation_pipeline_sql(32, 8, 256),
+        "index_doclen_histogram": __import__(
+            "smse_backend_spark.index.query",
+            fromlist=["doclen_histogram_oracle_sql"],
+        ).doclen_histogram_oracle_sql(16),
+        "top_bigrams": __import__(
+            "smse_backend_spark.functions.text_quality",
+            fromlist=["top_bigrams_sql"],
+        ).top_bigrams_sql(20),
         "event_value_percentiles": __import__(
             "smse_backend_spark.operators.aggregations",
             fromlist=["value_percentiles_sql"],

@@ -240,3 +240,46 @@ FROM tf JOIN dfq USING (term) CROSS JOIN n
 WHERE tf.doc_id < {max_doc_id}
 ORDER BY doc_id, term
 """
+
+
+def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
+    """(bigram, n): the corpus's k most frequent adjacent token pairs —
+    the n-gram statistic feeding tokenizer/BPE training and n-gram LM
+    smoothing. Deterministic total order: (n desc, bigram asc).
+
+    Scale shape: pairs are built in-row (zip of the token array with its
+    tail — JVM ``transform``, no UDF), exploded, and counted with map-side
+    partial aggregation; the wide exchange carries (bigram, partial n)
+    only. Top-k is a TakeOrderedAndProject.
+    """
+    toks = tokenize_col(F.col("text"))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
+def top_bigrams_sql(k: int = 20, table: str = "documents") -> str:
+    toks = tokenize_duckdb_sql("text")
+    return f"""
+WITH t AS (SELECT {toks} AS toks FROM {table}),
+p AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+)
+SELECT bigram, count(*)::BIGINT AS n FROM p
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT {k}
+"""

@@ -1958,3 +1958,29 @@ SELECT lang, count(*)::BIGINT AS n_postings,
        count(DISTINCT term)::BIGINT AS n_terms
 FROM dt GROUP BY lang
 """
+
+
+def doclen_histogram(spark, path: str, bucket: int = 16) -> "DataFrame":
+    """Histogram of document lengths from the index's docstats doc-values
+    (the ES histogram aggregation over a doc-value field): (bucket_lo,
+    n_docs). Column-pruned read of (doc_len) only — the corpus is never
+    touched; one partial-agg groupBy on the bucket."""
+    df = spark.read.parquet(f"{path}/docstats")
+    lo = (F.floor(F.col("doc_len") / bucket) * bucket).cast("long")
+    return (
+        df.groupBy(lo.alias("bucket_lo"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def doclen_histogram_oracle_sql(bucket: int = 16, table: str = "documents") -> str:
+    """DuckDB recount twin of :func:`doclen_histogram`."""
+    from smse_backend_spark.functions.tokenizer import tokenize_duckdb_sql
+
+    toks = tokenize_duckdb_sql("text")
+    return f"""
+WITH dl AS (SELECT len({toks}) AS doc_len FROM {table})
+SELECT ((doc_len // {bucket}) * {bucket})::BIGINT AS bucket_lo,
+       count(*)::BIGINT AS n_docs
+FROM dl GROUP BY 1
+"""

@@ -167,3 +167,28 @@ def test_postings_stats_metadata_only(spark, sf_smoke, tmp_path):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and all("gaps" not in l for l in read_schema)
     assert df.count() > 0
+
+
+def test_top_bigrams_and_doclen_histogram(spark, sf_smoke, con, tmp_path):
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.functions.text_quality import (
+        top_bigrams,
+        top_bigrams_sql,
+    )
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import (
+        doclen_histogram,
+        doclen_histogram_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    got = [tuple(r) for r in top_bigrams(docs, 20).collect()]
+    want = con.execute(top_bigrams_sql(20)).fetchall()
+    assert got == want and len(got) == 20  # ordered comparison: ranked list
+    assert got[0][1] >= got[-1][1]
+
+    path = str(tmp_path / "idx")
+    build_index(spark, load_corpus(spark, sf_smoke), path)
+    hg = sorted(map(tuple, doclen_histogram(spark, path, 16).collect()))
+    ho = sorted(map(tuple, con.execute(doclen_histogram_oracle_sql(16)).fetchall()))
+    assert hg == ho and sum(n for _, n in hg) == docs.count()
