@@ -827,6 +827,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).doclen_histogram(spark, _indexed(spark, sf).path, 16),
         # corpus bigram stats (tokenizer/BPE-training signal)
         "top_bigrams": lambda spark, sf: Q.top_bigrams(_docs(spark, sf), 20),
+        # Gopher-style repetition signals (top-unigram/bigram share,
+        # duplicated-trigram share) for boilerplate cuts
+        "repetition_stats": lambda spark, sf: Q.repetition_stats(_docs(spark, sf)),
+        # unigram-LM mean surprisal (perplexity-filter stand-in; integer
+        # micro-nat accumulation, one final division)
+        "lm_scores": lambda spark, sf: Q.lm_unigram_scores(_docs(spark, sf)),
+        # collocation mining: top adjacent pairs by PMI at min support
+        "bigram_pmi": lambda spark, sf: Q.bigram_pmi(_docs(spark, sf), 5, 30),
+        # substring-level dedup coverage (Lee et al. 2021): tokens inside
+        # 8-grams shared with another doc
+        "span_dedup": lambda spark, sf: Q.span_dedup_coverage(_docs(spark, sf), 8),
+        # per-language quota sample (balanced-mixture primitive)
+        "stratified_sample": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.sampling",
+            fromlist=["stratified_sample"],
+        ).stratified_sample(_docs(spark, sf), 20),
     }
     # Driver-coverage ordering: a correctness run may cap how many entries
     # it checks per round, so entries with the LEAST prior driver evidence
@@ -841,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # never driver-checked as of CORRECTNESS_r02 (12), round-3 additions (7),
 # then round-1-only greens (35) — see VERDICT.md round 2, "Next round" #2
 _CHECK_FIRST = [
+    "repetition_stats", "lm_scores", "bigram_pmi", "span_dedup",
+    "stratified_sample",
     "ann_ivf", "ann_sq8", "auto_stopwords", "dup_clusters",
     "embedding_near_dup_lsh", "media_thumbnail_plan", "order_priority_counts",
     "prefs_merge", "search_persist_roundtrip", "shipping_priority",
@@ -1105,6 +1123,14 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             "smse_backend_spark.functions.text_quality",
             fromlist=["top_bigrams_sql"],
         ).top_bigrams_sql(20),
+        "repetition_stats": Q.repetition_stats_sql(),
+        "lm_scores": Q.lm_unigram_scores_sql(),
+        "bigram_pmi": Q.bigram_pmi_sql(5, 30),
+        "span_dedup": Q.span_dedup_coverage_sql(8),
+        "stratified_sample": __import__(
+            "smse_backend_spark.operators.sampling",
+            fromlist=["stratified_sample_sql"],
+        ).stratified_sample_sql(20),
         "event_value_percentiles": __import__(
             "smse_backend_spark.operators.aggregations",
             fromlist=["value_percentiles_sql"],

@@ -242,6 +242,354 @@ ORDER BY doc_id, term
 """
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    re-expressed over the code tokenizer: per doc, the fraction of tokens
+    claimed by the most frequent unigram, the fraction of bigram slots
+    claimed by the most frequent bigram, and the fraction of trigram
+    occurrences that are duplicated within the doc. High values flag
+    boilerplate/generated text for curation cuts.
+
+    Scale shape: ONE corpus scan builds tagged 1/2/3-gram arrays in-row
+    (JVM ``transform``, no UDF), one explode + (doc_id, gram) partial-agg
+    count, one (doc_id) agg — the same two-shuffle shape as tf-idf, never
+    quadratic in doc length. Zero-token docs come back as all-zero rows
+    via the final left join on the narrow doc_id projection.
+    """
+    toks = tokenize_col(F.col("text"))
+    uni = F.transform(toks, lambda t: F.concat(F.lit("u "), t))
+    big = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.lit("b"), F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.lit("t"), F.element_at(toks, i),
+                F.element_at(toks, i + 1), F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cnt = (
+        docs.select("doc_id", F.explode(F.concat(uni, big, tri)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    is_u = F.col("g").startswith("u ")
+    is_b = F.col("g").startswith("b ")
+    is_t = F.col("g").startswith("t ")
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum(F.when(is_u, F.col("n"))).alias("n_uni"),
+        F.max(F.when(is_u, F.col("n"))).alias("max_uni"),
+        F.sum(F.when(is_b, F.col("n"))).alias("n_big"),
+        F.max(F.when(is_b, F.col("n"))).alias("max_big"),
+        F.sum(F.when(is_t, F.col("n"))).alias("n_tri"),
+        F.sum(F.when(is_t & (F.col("n") > 1), F.col("n"))).alias("dup_tri"),
+    )
+
+    def frac(num, den):
+        return F.coalesce(
+            F.floor(num.cast("double") / den.cast("double") * 1e6 + F.lit(0.5)) / 1e6,
+            F.lit(0.0),
+        )
+
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_uni"), F.lit(0)).cast("long").alias("n_tokens"),
+            frac(F.col("max_uni"), F.col("n_uni")).alias("top_unigram_frac"),
+            frac(F.col("max_big"), F.col("n_big")).alias("top_bigram_frac"),
+            frac(F.coalesce(F.col("dup_tri"), F.lit(0)), F.col("n_tri")).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
+
+
+def repetition_stats_sql(table: str = "documents") -> str:
+    toks = tokenize_duckdb_sql("text")
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS t FROM {table}),
+g AS (
+  SELECT doc_id, 'u ' || unnest(t) AS g FROM tok
+  UNION ALL
+  SELECT doc_id, 'b ' || t[i] || ' ' || t[i + 1] AS g
+  FROM tok, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2
+  UNION ALL
+  SELECT doc_id, 't ' || t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+  FROM tok, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3
+),
+c AS (SELECT doc_id, g, count(*)::BIGINT AS n FROM g GROUP BY doc_id, g),
+a AS (
+  SELECT doc_id,
+         sum(CASE WHEN g LIKE 'u %' THEN n END) AS n_uni,
+         max(CASE WHEN g LIKE 'u %' THEN n END) AS max_uni,
+         sum(CASE WHEN g LIKE 'b %' THEN n END) AS n_big,
+         max(CASE WHEN g LIKE 'b %' THEN n END) AS max_big,
+         sum(CASE WHEN g LIKE 't %' THEN n END) AS n_tri,
+         sum(CASE WHEN g LIKE 't %' AND n > 1 THEN n END) AS dup_tri
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       coalesce(a.n_uni, 0)::BIGINT AS n_tokens,
+       coalesce(floor(a.max_uni::DOUBLE / a.n_uni::DOUBLE * 1e6 + 0.5) / 1e6, 0.0)
+         AS top_unigram_frac,
+       coalesce(floor(a.max_big::DOUBLE / a.n_big::DOUBLE * 1e6 + 0.5) / 1e6, 0.0)
+         AS top_bigram_frac,
+       coalesce(floor(coalesce(a.dup_tri, 0)::DOUBLE / a.n_tri::DOUBLE * 1e6 + 0.5) / 1e6, 0.0)
+         AS dup_trigram_frac
+FROM {table} d LEFT JOIN a USING (doc_id)
+"""
+
+
+def lm_unigram_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, nll): per-doc mean negative log-likelihood in
+    nats under the corpus's own unigram LM — the model-free stand-in for
+    perplexity filtering (a doc of globally-rare tokens scores high, rote
+    boilerplate scores low).
+
+    Cross-engine determinism: each DISTINCT term's surprisal
+    ``ln(total_cf / cf)`` is quantized ONCE to integer micro-nats, so the
+    per-doc accumulation is an integer sum (order-free — double addition
+    is non-associative and Spark/DuckDB aggregate in different orders);
+    the single float division happens at the end. Same discipline as
+    ``chunk_hash_embed``.
+
+    Scale shape: one (doc, term) tf aggregation, a broadcast-sized term
+    weight table joined back, one per-doc integer sum.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(tokenize_col(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf")).first()[0] or 0
+    w = cf.select(
+        "term",
+        F.floor(
+            F.log(F.lit(float(total)) / F.col("cf").cast("double")) * 1e6 + F.lit(0.5)
+        ).cast("long").alias("w_micro"),
+    )
+    per_doc = (
+        tf.join(F.broadcast(w), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w_micro")).alias("s"),
+             F.sum("tf").alias("n"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.floor(F.col("s").cast("double") / F.col("n").cast("double")
+                        + F.lit(0.5)) / 1e6,
+                F.lit(0.0),
+            ).alias("nll"),
+        )
+    )
+
+
+def lm_unigram_scores_sql(table: str = "documents") -> str:
+    toks = tokenize_duckdb_sql("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM {table}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(cf)::DOUBLE AS total FROM cf),
+w AS (
+  SELECT term, floor(ln(tot.total / cf::DOUBLE) * 1e6 + 0.5)::BIGINT AS w_micro
+  FROM cf CROSS JOIN tot
+),
+p AS (
+  SELECT tf.doc_id AS doc_id, sum(tf.tf * w.w_micro)::BIGINT AS s,
+         sum(tf.tf)::BIGINT AS n
+  FROM tf JOIN w USING (term) GROUP BY tf.doc_id
+)
+SELECT d.doc_id AS doc_id,
+       coalesce(p.n, 0)::BIGINT AS n_tokens,
+       coalesce(floor(p.s::DOUBLE / p.n::DOUBLE + 0.5) / 1e6, 0.0) AS nll
+FROM {table} d LEFT JOIN p USING (doc_id)
+"""
+
+
+def bigram_pmi(docs: DataFrame, min_count: int = 5, k: int = 30) -> DataFrame:
+    """(bigram, n, pmi): the k adjacent token pairs with the highest
+    pointwise mutual information ``ln(p(ab) / (p(a) p(b)))`` among pairs
+    seen at least ``min_count`` times — the classic collocation detector
+    (Church & Hanks 1990) feeding phrase mining / tokenizer merges.
+
+    Determinism: pmi is computed as ONE identically-parenthesized double
+    expression from integer counts on both engines — no float
+    accumulation anywhere. Total order (pmi desc, bigram asc).
+
+    Scale shape: two count aggregations (unigrams; adjacent pairs built
+    in-row), the unigram table joined back twice broadcast, then a
+    TakeOrderedAndProject — vocabulary-bounded, never corpus-bounded.
+    """
+    toks = tokenize_col(F.col("text"))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bg = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ug = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    t1 = ug.agg(F.sum("cn")).first()[0] or 0
+    t2 = bg.agg(F.sum("n")).first()[0] or 0
+    ua = ug.select(F.col("term").alias("a"), F.col("cn").alias("ca"))
+    ub = ug.select(F.col("term").alias("b"), F.col("cn").alias("cb"))
+    # one identically-parenthesized double expression on both engines:
+    # ((n * t1) * t1) / (((t2 * ca) * cb))
+    pmi = F.log(
+        (F.col("n").cast("double") * F.lit(float(t1)) * F.lit(float(t1)))
+        / (F.lit(float(t2)) * F.col("ca").cast("double") * F.col("cb").cast("double"))
+    )
+    return (
+        bg.filter(F.col("n") >= min_count)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            F.col("n").cast("long").alias("n"),
+            (F.floor(pmi * 1e6 + F.lit(0.5)) / 1e6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
+def bigram_pmi_sql(min_count: int = 5, k: int = 30, table: str = "documents") -> str:
+    toks = tokenize_duckdb_sql("text")
+    return f"""
+WITH tok AS (SELECT {toks} AS t FROM {table}),
+bg AS (
+  SELECT t[i] AS a, t[i + 1] AS b, count(*)::BIGINT AS n
+  FROM tok, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2 GROUP BY 1, 2
+),
+ug AS (
+  SELECT term, count(*)::BIGINT AS cn
+  FROM (SELECT unnest(t) AS term FROM tok) GROUP BY term
+),
+t1 AS (SELECT sum(cn)::DOUBLE AS v FROM ug),
+t2 AS (SELECT sum(n)::DOUBLE AS v FROM bg)
+SELECT bg.a || ' ' || bg.b AS bigram, bg.n AS n,
+       floor(ln(((bg.n::DOUBLE * t1.v) * t1.v)
+                / ((t2.v * ua.cn::DOUBLE) * ub.cn::DOUBLE)) * 1e6 + 0.5) / 1e6 AS pmi
+FROM bg JOIN ug ua ON ua.term = bg.a
+        JOIN ug ub ON ub.term = bg.b
+        CROSS JOIN t1 CROSS JOIN t2
+WHERE bg.n >= {min_count}
+ORDER BY pmi DESC, bigram ASC LIMIT {k}
+"""
+
+
+def span_dedup_coverage(docs: DataFrame, n: int = 8) -> DataFrame:
+    """(doc_id, n_tokens, covered, frac): per doc, how many token
+    positions sit inside at least one ``n``-token gram that ALSO occurs in
+    a different document — the coverage statistic behind substring-level
+    training-data dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"): docs with high coverage are cut or
+    trimmed rather than exact-dup'd.
+
+    Scale shape: grams are built in-row (JVM ``transform``+``slice``),
+    the cross-doc test is one (gram -> distinct-doc count) aggregation —
+    at 10^12 rows you'd hash the gram first so ~40-byte hashes shuffle
+    instead of gram text (same trick as ``dedup.py``); covered positions
+    are a bounded x``n`` explode of only the SHARED gram hits, then a
+    per-doc distinct count.
+    """
+    toks = tokenize_col(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        "doc_id", F.posexplode(grams).alias("p0", "gram")
+    ).select("doc_id", (F.col("p0") + 1).alias("start"), "gram")
+    shared = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    covered = (
+        g.join(shared, "gram", "left_semi")
+        .select("doc_id", F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("pos").alias("covered"))
+    )
+    lens = docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    return lens.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("covered"), F.lit(0)).cast("long").alias("covered"),
+        F.coalesce(
+            F.floor(
+                F.col("covered").cast("double") / F.col("n_tokens").cast("double")
+                * 1e6 + F.lit(0.5)
+            ) / 1e6,
+            F.lit(0.0),
+        ).alias("frac"),
+    )
+
+
+def span_dedup_coverage_sql(n: int = 8, table: str = "documents") -> str:
+    toks = tokenize_duckdb_sql("text")
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS t FROM {table}),
+g AS (
+  SELECT doc_id, i AS start, array_to_string(t[i : i + {n - 1}], ' ') AS gram
+  FROM tok, unnest(range(1, len(t) - {n - 2})) AS u(i)
+  WHERE len(t) >= {n}
+),
+shared AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT doc_id, count(DISTINCT pos) AS covered
+  FROM (
+    SELECT g.doc_id AS doc_id, unnest(generate_series(g.start, g.start + {n - 1})) AS pos
+    FROM g JOIN shared USING (gram)
+  ) GROUP BY doc_id
+)
+SELECT tok.doc_id AS doc_id, len(tok.t)::BIGINT AS n_tokens,
+       coalesce(cov.covered, 0)::BIGINT AS covered,
+       coalesce(floor(cov.covered::DOUBLE / len(tok.t)::DOUBLE * 1e6 + 0.5) / 1e6, 0.0)
+         AS frac
+FROM tok LEFT JOIN cov USING (doc_id)
+"""
+
+
 def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
     """(bigram, n): the corpus's k most frequent adjacent token pairs —
     the n-gram statistic feeding tokenizer/BPE training and n-gram LM

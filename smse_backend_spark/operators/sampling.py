@@ -105,6 +105,48 @@ WHERE {_hash_u60_sql("doc_id", SAMPLE_SALT)} < {thr}
 """
 
 
+# --- stratified (per-group quota) sample ------------------------------------
+
+STRATA_SALT = "-strata-v1"
+
+
+def stratified_sample(
+    docs: DataFrame, per_group: int = 20, group: str = "lang"
+) -> DataFrame:
+    """(doc_id, lang): the ``per_group`` hash-smallest docs of each group —
+    a deterministic per-stratum quota sample (equal representation per
+    language/source regardless of group skew, the balanced-mixture
+    primitive of training-data recipes). Hash order makes the pick
+    reproducible across runs, engines, and cluster sizes; ``doc_id`` is a
+    formal tie-break (60-bit hash collisions).
+
+    Scale shape: one window per group over the hash (partial top-k via
+    rank pushdown at 10^12 rows you'd swap row_number for a bounded
+    per-partition top-k + re-rank, same as the search top-k kernel).
+    """
+    h = hash_u60(F.col("doc_id"), STRATA_SALT)
+    w = Window.partitionBy(group).orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", group, h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_group)
+        .select("doc_id", group)
+    )
+
+
+def stratified_sample_sql(
+    per_group: int = 20, group: str = "lang", table: str = "documents"
+) -> str:
+    h = _hash_u60_sql("doc_id", STRATA_SALT)
+    return f"""
+SELECT doc_id, {group} FROM (
+  SELECT doc_id, {group},
+         row_number() OVER (PARTITION BY {group} ORDER BY {h} ASC, doc_id ASC) AS rn
+  FROM {table}
+) WHERE rn <= {per_group}
+"""
+
+
 # --- KMV distinct-count sketch ----------------------------------------------
 
 KMV_SALT = "-kmv-v1"
