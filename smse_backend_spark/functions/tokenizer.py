@@ -91,6 +91,73 @@ def tokenize_col(content: Column | str) -> Column:
     )
 
 
+def term_counts_df(df, content: str = "content"):
+    """All-JVM per-document term frequencies: (doc_id, content[, lang])
+    -> (doc_id, term, tf, doc_len[, lang]) — the zero-Python twin of
+    :func:`term_counts_map_in_pandas` (lockstep-tested row-equal;
+    zero-token docs emit no rows).
+
+    Mechanism: sort the token array, find group starts (positions whose
+    token differs from its predecessor), then each group's tf is the gap
+    to the next start. Everything is Column algebra (``array_sort`` +
+    higher-order ``filter``/``transform``), so the posting pass needs no
+    Arrow transfer, no Python workers, and no GIL — the tokenize+count
+    stage stays inside the JVM.
+
+    Each intermediate (sorted tokens, group starts) is materialized in
+    its OWN projection: inside higher-order-function lambdas a repeated
+    subexpression is re-evaluated per element (no CSE across lambda
+    scopes), so referencing an un-projected ``array_sort(tokenize(...))``
+    from the ``transform`` lambda would re-tokenize the document once per
+    distinct term. Staged projections make every reference a bound
+    column read. Uses 0-based ``F.get`` (null-safe out of bounds) rather
+    than ``element_at`` so the expression is ANSI-mode clean.
+    """
+    extra = ["lang"] if "lang" in df.columns else []
+    c = F.col(content)
+    s = F.col("s")
+    n = F.col("doc_len")
+    starts = F.col("starts")
+    staged = (
+        df.select(
+            "doc_id", *extra, F.array_sort(tokenize_col(c)).alias("s")
+        )
+        .select("doc_id", *extra, "s", F.size("s").cast("long").alias("doc_len"))
+        .select(
+            "doc_id", *extra, "s", "doc_len",
+            F.when(
+                n > 0,
+                F.filter(
+                    F.sequence(F.lit(0), (n - 1).cast("int")),
+                    lambda i: (i == 0) | (F.get(s, i) != F.get(s, i - 1)),
+                ),
+            ).otherwise(F.array().cast("array<int>")).alias("starts"),
+        )
+    )
+    pairs = F.when(
+        F.size(starts) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.size(starts) - 1),
+            lambda j: F.struct(
+                F.get(s, F.get(starts, j)).alias("term"),
+                (F.coalesce(F.get(starts, j + 1), n.cast("int")) - F.get(starts, j))
+                .cast("long")
+                .alias("tf"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<term:string,tf:long>>"))
+    return (
+        staged.select("doc_id", *extra, "doc_len", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.term").alias("term"),
+            F.col("p.tf").alias("tf"),
+            "doc_len",
+            *extra,
+        )
+    )
+
+
 def doc_len_col(content: Column | str) -> Column:
     """Token count (BM25 ``dl``) as a pure Column expression (no lowering —
     the count is case-independent)."""

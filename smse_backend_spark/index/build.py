@@ -341,6 +341,7 @@ def _build_batch(
 
         kernel, schema = term_positions_map_in_pandas, TERM_POSITIONS_LANG_SCHEMA
         out_schema = BLOCKS_SCHEMA_POS
+        tc = part.select("doc_id", "content", "lang").mapInPandas(kernel, schema)
     elif analyzer == "stem":
         from smse_backend_spark.functions.tokenizer import (
             stemmed_term_counts_map_in_pandas,
@@ -348,12 +349,24 @@ def _build_batch(
 
         kernel, schema = stemmed_term_counts_map_in_pandas, TERM_COUNTS_LANG_SCHEMA
         out_schema = BLOCKS_SCHEMA
+        tc = part.select("doc_id", "content", "lang").mapInPandas(kernel, schema)
     else:
-        kernel, schema = term_counts_map_in_pandas, TERM_COUNTS_LANG_SCHEMA
+        # default path: all-JVM tokenize+tf (term_counts_df — array_sort +
+        # group-start Column algebra). Row-equal to the Arrow kernel
+        # (lockstep-tested) but with no Python workers, no Arrow transfer,
+        # and no GIL in the widest stage of the build. Set
+        # SMSE_TOKENIZE_IMPL=pandas to fall back to the Arrow kernel.
+        from smse_backend_spark.functions.tokenizer import term_counts_df
+
         out_schema = BLOCKS_SCHEMA
+        if os.environ.get("SMSE_TOKENIZE_IMPL", "column") == "pandas":
+            tc = part.select("doc_id", "content", "lang").mapInPandas(
+                term_counts_map_in_pandas, TERM_COUNTS_LANG_SCHEMA
+            )
+        else:
+            tc = term_counts_df(part.select("doc_id", "content", "lang"))
     tc = (
-        part.select("doc_id", "content", "lang")
-        .mapInPandas(kernel, schema)
+        tc
         .withColumn("segment", (F.col("doc_id") / segment_size).cast("long"))
         .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
     )

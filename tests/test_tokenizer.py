@@ -85,3 +85,36 @@ def test_extraction_equals_reference_algorithm_hypothesis():
         assert tokenize_py(text) == tokenize_py_reference(text), repr(text)
 
     check()
+
+
+def test_term_counts_df_matches_pandas_kernel(spark):
+    """The all-JVM tf pipeline (term_counts_df: array_sort + group-start
+    Column algebra — the index build's default posting source) must be
+    row-equal to the Arrow kernel on edge cases AND real corpus data."""
+    from smse_backend_spark.functions.tokenizer import (
+        TERM_COUNTS_LANG_SCHEMA,
+        term_counts_df,
+        term_counts_map_in_pandas,
+    )
+    from smse_backend_spark.session import ensure_pyfiles
+
+    ensure_pyfiles(spark)
+    edge = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(CASES)]
+        + [(100, None, "zh"), (101, "İstanbul Kelvin Kelvin", "de"),
+           (102, "AAA aaa AaA AB2c HTML2parser", "en")],
+        "doc_id long, content string, lang string",
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .selectExpr("doc_id", "text as content", "lang")
+    for df in (edge, docs):
+        a = sorted(map(tuple, term_counts_df(df).collect()))
+        b = sorted(
+            map(
+                tuple,
+                df.select("doc_id", "content", "lang")
+                .mapInPandas(term_counts_map_in_pandas, TERM_COUNTS_LANG_SCHEMA)
+                .collect(),
+            )
+        )
+        assert a == b and len(a) > 0
