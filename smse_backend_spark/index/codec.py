@@ -78,12 +78,11 @@ def encode_blocks(vals: np.ndarray, block_lens: np.ndarray) -> list[bytes]:
     nb = varint_nbytes(v)
     byte_ends = np.cumsum(nb)
     val_ends = np.cumsum(np.asarray(block_lens, dtype=np.int64))
-    # blocks with 0 values need their end = previous end
-    prev = 0
-    ends = []
-    for i, vl in enumerate(np.asarray(block_lens, dtype=np.int64)):
-        prev = prev if vl == 0 else int(byte_ends[val_ends[i] - 1])
-        ends.append(prev)
+    # a block's byte end is the byte end of its last value; an empty block
+    # shares its predecessor's cumulative val_end, so indexing byte_ends at
+    # val_ends-1 lands on the previous block's end automatically (0 when no
+    # value precedes it at all)
+    ends = np.where(val_ends > 0, byte_ends[val_ends - 1], 0).tolist()
     mv = memoryview(stream)
     out, s = [], 0
     for e in ends:

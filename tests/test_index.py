@@ -824,3 +824,49 @@ def test_stemmed_positional_build_rejected(spark, sf_smoke):
         build_index(spark, load_corpus(spark, sf_smoke),
                     tempfile.mkdtemp(prefix="smse_idx_bad_"),
                     analyzer="stem", with_positions=True)
+
+
+def test_arrow_block_kernel_builds_identical_index(spark, corpus, tmp_path):
+    """SMSE_BLOCK_KERNEL=arrow (applyInArrow twin) must produce a
+    row-identical index to the default pandas kernel — plain AND
+    positional — so the kernels stay swappable when the applyInArrow
+    plumbing gap closes."""
+    import os
+
+    from smse_backend_spark.index.build import build_index
+
+    outs = {}
+    for kernel in ("pandas", "arrow"):
+        os.environ["SMSE_BLOCK_KERNEL"] = kernel
+        try:
+            out = str(tmp_path / f"idx_{kernel}")
+            build_index(spark, corpus, out, segment_size=64, n_buckets=4,
+                        block_size=16, n_batches=2, with_positions=True)
+            outs[kernel] = out
+        finally:
+            os.environ.pop("SMSE_BLOCK_KERNEL", None)
+    for sub in ("postings", "docstats", "dictionary"):
+        a = sorted(map(tuple, spark.read.parquet(f"{outs['arrow']}/{sub}").collect()))
+        p = sorted(map(tuple, spark.read.parquet(f"{outs['pandas']}/{sub}").collect()))
+        assert a == p and len(a) > 0, sub
+
+
+def test_block_layout_invariant_to_seg_range_grouping(spark, corpus, tmp_path):
+    """Index bytes must not depend on the kernel-group granularity knob:
+    per-segment groups and one-giant-group builds yield the same rows."""
+    from smse_backend_spark.index import build as B
+
+    real = B.block_builder_seg_range
+    outs = {}
+    try:
+        for name, width in (("fine", 1), ("huge", 10**6)):
+            B.block_builder_seg_range = lambda *a, _w=width: _w
+            out = str(tmp_path / f"idx_{name}")
+            B.build_index(spark, corpus, out, segment_size=64, n_buckets=4,
+                          block_size=16, n_batches=2)
+            outs[name] = out
+    finally:
+        B.block_builder_seg_range = real
+    a = sorted(map(tuple, spark.read.parquet(f"{outs['fine']}/postings").collect()))
+    b = sorted(map(tuple, spark.read.parquet(f"{outs['huge']}/postings").collect()))
+    assert a == b and len(a) > 0
