@@ -160,10 +160,12 @@ def term_counts_df(df, content: str = "content"):
 
 def doc_len_col(content: Column | str) -> Column:
     """Token count (BM25 ``dl``) as a pure Column expression (no lowering —
-    the count is case-independent)."""
+    the count is case-independent; ``regexp_count`` counts the same
+    non-overlapping matches ``regexp_extract_all`` would return without
+    materializing the token strings)."""
     c = F.col(content) if isinstance(content, str) else content
     c = F.translate(c, _FOLD_FROM, _FOLD_TO)
-    return F.size(F.regexp_extract_all(c, F.lit(_RE_TOKEN), F.lit(0)))
+    return F.regexp_count(c, F.lit(_RE_TOKEN))
 
 
 # ---------------------------------------------------------------------------
