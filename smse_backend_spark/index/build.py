@@ -576,7 +576,41 @@ def _build_batch(
         per_lang=per_lang,
         n_blocks=int(bl["n_blocks"] or 0), n_postings=int(bl["n_postings"] or 0),
         bytes=lin.dir_bytes(f"{out_dir}/postings/batch={batch_id}"),
+        partitions=partition_stats(spark, f"{out_dir}/postings/batch={batch_id}"),
     )
+
+
+def partition_stats(spark: SparkSession, postings_dir: str) -> list[dict]:
+    """Per-partition lineage rows for one batch's postings: partition id
+    (lang, term_bucket), term range, term/block/posting counts, bytes —
+    the target spec's "per-partition lineage (partition id, term range,
+    doc count, bytes)" made explicit in each batch manifest. One
+    metadata-cheap agg over the just-written columnar stats (term + n
+    only; the compressed blobs are never read), plus a local listing per
+    partition directory for bytes."""
+    rows = (
+        spark.read.parquet(postings_dir)
+        .groupBy("lang", "term_bucket")
+        .agg(
+            F.min("term").alias("term_lo"), F.max("term").alias("term_hi"),
+            F.countDistinct("term").alias("n_terms"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+        )
+        .collect()
+    )
+    return [
+        {
+            "lang": r["lang"], "term_bucket": int(r["term_bucket"]),
+            "term_range": [r["term_lo"], r["term_hi"]],
+            "n_terms": int(r["n_terms"]), "n_blocks": int(r["n_blocks"]),
+            "n_postings": int(r["n_postings"]),
+            "bytes": lin.dir_bytes(
+                f"{postings_dir}/lang={r['lang']}/term_bucket={r['term_bucket']}"
+            ),
+        }
+        for r in sorted(rows, key=lambda r: (r["lang"], r["term_bucket"]))
+    ]
 
 
 def extend_index(
@@ -792,6 +826,7 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str) -> dict:
         doc_lo=min(r["doc_lo"] for r in rows),
         doc_hi=max(r["doc_hi"] for r in rows),
         bytes=lin.dir_bytes(f"{dst_dir}/postings/batch=0"),
+        partitions=partition_stats(spark, f"{dst_dir}/postings/batch=0"),
         **counters,
     )
     return finalize(

@@ -124,6 +124,22 @@ def test_lineage_rows_have_metrics(index):
         assert r["doc_hi"] > r["doc_lo"]
 
 
+def test_partition_lineage_consistent_with_batch_totals(index):
+    """Each batch manifest carries per-(lang, term_bucket) partition rows —
+    partition id, term range, counts, bytes — whose sums must equal the
+    batch-level counters and whose term ranges must be orderable."""
+    rows = lin.read_lineage(index.path)
+    for r in rows:
+        parts = r["partitions"]
+        assert parts, "batch manifest must list its partitions"
+        assert sum(p["n_blocks"] for p in parts) == r["n_blocks"]
+        assert sum(p["n_postings"] for p in parts) == r["n_postings"]
+        assert sum(p["bytes"] for p in parts) <= r["bytes"]  # + _SUCCESS etc
+        for p in parts:
+            assert p["term_range"][0] <= p["term_range"][1]
+            assert 0 < p["n_terms"] <= p["n_blocks"]
+
+
 def test_batch_multi_chunk_matches_single(index):
     """>64 queries exercises the query-dimension chunking (64 per kernel):
     results must be identical to the single-chunk/per-query paths."""
