@@ -886,3 +886,43 @@ def test_block_layout_invariant_to_seg_range_grouping(spark, corpus, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(f"{outs['fine']}/postings").collect()))
     b = sorted(map(tuple, spark.read.parquet(f"{outs['huge']}/postings").collect()))
     assert a == b and len(a) > 0
+
+
+def test_hot_term_skew_bounded_by_segments(spark, tmp_path):
+    """Structural skew handling: a term present in EVERY doc must never
+    concentrate in one reducer group — its postings are cut per segment
+    (doc-id range), so the largest (term, segment) posting run is bounded
+    by segment_size no matter how hot the term is, and per-partition
+    lineage shows the load spread across every segment range."""
+    from pyspark.sql import functions as F
+
+    n, seg_size = 2000, 128
+    corpus = spark.range(n).selectExpr(
+        "id as doc_id",
+        # 'def' in every doc (the hot term), plus a sparse discriminator
+        "concat('def import the row ', "
+        "case when id % 97 = 0 then 'needle ' else '' end, "
+        "'x', cast(id % 13 as string)) as content",
+        "'en' as lang",
+    )
+    out = str(tmp_path / "skew_idx")
+    build_index(spark, corpus, out, segment_size=seg_size, n_buckets=4,
+                block_size=32, n_batches=1, known_max_doc=n - 1)
+
+    blocks = spark.read.parquet(f"{out}/postings")
+    hot = blocks.filter("term = 'def'")
+    per_seg = {r["segment"]: r["s"] for r in
+               hot.groupBy("segment").agg(F.sum("n").alias("s")).collect()}
+    # the hot term appears in every segment, never more than segment_size
+    # postings in any one of them (last segment is partial)
+    assert len(per_seg) == -(-n // seg_size)
+    assert all(s <= seg_size for s in per_seg.values())
+    assert sum(per_seg.values()) == n
+
+    # and the index stays rank-identical to the scan on hot+rare mixes
+    idx = InvertedIndex(spark, out)
+    for q in ("def needle", "def import the"):
+        got = [(r["doc_id"], r["score"]) for r in idx.bm25_topk(q, 10).collect()]
+        want = [(r["doc_id"], r["score"])
+                for r in bm25_topk_scan(corpus, q, 10).collect()]
+        assert got == want and len(got) == 10
