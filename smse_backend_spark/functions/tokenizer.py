@@ -91,11 +91,18 @@ def tokenize_col(content: Column | str) -> Column:
     )
 
 
-def term_counts_df(df, content: str = "content"):
+def term_counts_df(df, content: str = "content", analyzer: str = "standard"):
     """All-JVM per-document term frequencies: (doc_id, content[, lang])
     -> (doc_id, term, tf, doc_len[, lang]) — the zero-Python twin of
     :func:`term_counts_map_in_pandas` (lockstep-tested row-equal;
     zero-token docs emit no rows).
+
+    ``analyzer="stem"`` applies the Harman S-stemmer (:func:`stem_col`)
+    to the token array BEFORE the sort, so stem collisions ("table" +
+    "tables" in one doc) merge into one (term, tf) row for free — the
+    sort groups them — while ``doc_len`` stays the raw token count (a
+    stemmer maps tokens 1:1, never drops them). Zero-Python twin of
+    :func:`stemmed_term_counts_map_in_pandas`.
 
     Mechanism: sort the token array, find group starts (positions whose
     token differs from its predecessor), then each group's tf is the gap
@@ -118,9 +125,12 @@ def term_counts_df(df, content: str = "content"):
     s = F.col("s")
     n = F.col("doc_len")
     starts = F.col("starts")
+    toks = tokenize_col(c)
+    if analyzer == "stem":
+        toks = stem_col(toks)
     staged = (
         df.select(
-            "doc_id", *extra, F.array_sort(tokenize_col(c)).alias("s")
+            "doc_id", *extra, F.array_sort(toks).alias("s")
         )
         .select("doc_id", *extra, "s", F.size("s").cast("long").alias("doc_len"))
         .select(

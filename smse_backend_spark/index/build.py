@@ -512,29 +512,33 @@ def _build_batch(
         kernel, schema = term_positions_map_in_pandas, TERM_POSITIONS_LANG_SCHEMA
         out_schema = BLOCKS_SCHEMA_POS
         tc = part.select("doc_id", "content", "lang").mapInPandas(kernel, schema)
-    elif analyzer == "stem":
+    else:
+        # default + stemmed paths: all-JVM tokenize+tf (term_counts_df —
+        # array_sort + group-start Column algebra; the stemmed variant
+        # stems the token array pre-sort so collisions merge for free).
+        # Row-equal to the Arrow kernels (lockstep-tested) but with no
+        # Python workers, no Arrow transfer, and no GIL in the widest
+        # stage of the build. Set SMSE_TOKENIZE_IMPL=pandas to fall back
+        # to the Arrow kernels.
         from smse_backend_spark.functions.tokenizer import (
             stemmed_term_counts_map_in_pandas,
+            term_counts_df,
         )
-
-        kernel, schema = stemmed_term_counts_map_in_pandas, TERM_COUNTS_LANG_SCHEMA
-        out_schema = BLOCKS_SCHEMA
-        tc = part.select("doc_id", "content", "lang").mapInPandas(kernel, schema)
-    else:
-        # default path: all-JVM tokenize+tf (term_counts_df — array_sort +
-        # group-start Column algebra). Row-equal to the Arrow kernel
-        # (lockstep-tested) but with no Python workers, no Arrow transfer,
-        # and no GIL in the widest stage of the build. Set
-        # SMSE_TOKENIZE_IMPL=pandas to fall back to the Arrow kernel.
-        from smse_backend_spark.functions.tokenizer import term_counts_df
 
         out_schema = BLOCKS_SCHEMA
         if os.environ.get("SMSE_TOKENIZE_IMPL", "column") == "pandas":
+            kernel = (
+                stemmed_term_counts_map_in_pandas
+                if analyzer == "stem"
+                else term_counts_map_in_pandas
+            )
             tc = part.select("doc_id", "content", "lang").mapInPandas(
-                term_counts_map_in_pandas, TERM_COUNTS_LANG_SCHEMA
+                kernel, TERM_COUNTS_LANG_SCHEMA
             )
         else:
-            tc = term_counts_df(part.select("doc_id", "content", "lang"))
+            tc = term_counts_df(
+                part.select("doc_id", "content", "lang"), analyzer=analyzer
+            )
     tc = (
         tc
         .withColumn("segment", (F.col("doc_id") / segment_size).cast("long"))

@@ -118,3 +118,39 @@ def test_term_counts_df_matches_pandas_kernel(spark):
             )
         )
         assert a == b and len(a) > 0
+
+
+def test_stemmed_term_counts_df_matches_pandas_kernel(spark):
+    """The all-JVM stemmed tf pipeline (stem the token array pre-sort so
+    collisions merge in the count) must be row-equal to the Arrow stemmed
+    kernel — including docs where stemming merges terms ('table tables
+    tablees') and plural-heavy real corpus rows."""
+    from smse_backend_spark.functions.tokenizer import (
+        TERM_COUNTS_LANG_SCHEMA,
+        stemmed_term_counts_map_in_pandas,
+        term_counts_df,
+    )
+    from smse_backend_spark.session import ensure_pyfiles
+
+    ensure_pyfiles(spark)
+    edge = spark.createDataFrame(
+        [(0, "table tables tablees ties dies is", "en"),
+         (1, "buses business classes class us", "en"),
+         (2, None, "zh"), (3, "goes toes aes trees sees", "en")],
+        "doc_id long, content string, lang string",
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .selectExpr("doc_id", "text as content", "lang")
+    for df in (edge, docs):
+        a = sorted(map(tuple, term_counts_df(df, analyzer="stem").collect()))
+        b = sorted(
+            map(
+                tuple,
+                df.select("doc_id", "content", "lang")
+                .mapInPandas(
+                    stemmed_term_counts_map_in_pandas, TERM_COUNTS_LANG_SCHEMA
+                )
+                .collect(),
+            )
+        )
+        assert a == b and len(a) > 0
