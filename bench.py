@@ -59,7 +59,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("SMSE_BENCH_REPLICAS", "300"))
 CORES_LO = int(os.environ.get("SMSE_BENCH_CORES_LO", "2"))
 CORES_HI = int(os.environ.get("SMSE_BENCH_CORES_HI", "8"))
-REPS = int(os.environ.get("SMSE_BENCH_REPS", "2"))
+# 3 reps default: with the host's ~10-20 s throttle windows, min-of-2 left
+# the low-parallelism probe visibly unconverged (reps still monotonically
+# falling at the cutoff in half the recorded runs); min-of-3 (+1 on the hi
+# level) measured 0.866/0.895 efficiency where back-to-back min-of-2 runs
+# read 0.745-0.781 on identical code
+REPS = int(os.environ.get("SMSE_BENCH_REPS", "3"))
 
 BENCH_QUERIES: list[tuple[str, str, str | None]] = [
     ("q_flagship", "hash join merge scan", None),
