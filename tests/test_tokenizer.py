@@ -154,3 +154,43 @@ def test_stemmed_term_counts_df_matches_pandas_kernel(spark):
             )
         )
         assert a == b and len(a) > 0
+
+
+def test_term_counts_df_matches_python_reference_hypothesis(spark):
+    """Property: the all-JVM tf pipeline == a plain-Python Counter over
+    tokenize_py, on hypothesis-generated unicode text batches (one Spark
+    job per batch of examples, not per example)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from smse_backend_spark.functions.tokenizer import term_counts_df
+    from smse_backend_spark.session import ensure_pyfiles
+
+    ensure_pyfiles(spark)
+    alphabet = st.sampled_from(
+        list("abcXYZ019_ ./(){}\t\n-") + ["é", "ß", "İ", "K"]
+    )
+
+    texts: list[str] = []
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(alphabet, max_size=60).map("".join))
+    def collect(text):
+        texts.append(text)
+
+    collect()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    got: dict[int, dict[str, int]] = {}
+    lens: dict[int, int] = {}
+    for r in term_counts_df(df).collect():
+        got.setdefault(r["doc_id"], {})[r["term"]] = r["tf"]
+        lens[r["doc_id"]] = r["doc_len"]
+    for i, t in enumerate(texts):
+        toks = tokenize_py(t)
+        assert got.get(i, {}) == dict(Counter(toks)), repr(t)
+        if toks:
+            assert lens[i] == len(toks), repr(t)
