@@ -803,6 +803,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": lambda spark, sf: __import__(
             "smse_backend_spark.operators.chunking", fromlist=["pack_chunks"]
         ).pack_chunks(load_corpus(spark, sf), 32, 8, 256),
+        # same packer as the two-pass distributed prefix sum (n_groups-way
+        # parallel instead of one window task per language); bit-identical
+        # output, shares pack_chunks' oracle
+        "packed_sequences_dist": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.chunking",
+            fromlist=["pack_chunks_dist"],
+        ).pack_chunks_dist(load_corpus(spark, sf), 32, 8, 256, 64),
         # the composed training-data flow: dedup -> split -> chunk -> pack
         "curation_pipeline": lambda spark, sf: __import__(
             "smse_backend_spark.operators.chunking",
@@ -857,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # never driver-checked as of CORRECTNESS_r02 (12), round-3 additions (7),
 # then round-1-only greens (35) — see VERDICT.md round 2, "Next round" #2
 _CHECK_FIRST = [
+    "packed_sequences_dist",
     "repetition_stats", "lm_scores", "bigram_pmi", "span_dedup",
     "stratified_sample",
     "ann_ivf", "ann_sq8", "auto_stopwords", "dup_clusters",
@@ -1108,6 +1116,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             "smse_backend_spark.index.query",
             fromlist=["postings_stats_oracle_sql"],
         ).postings_stats_oracle_sql(),
+        "packed_sequences_dist": __import__(
+            "smse_backend_spark.operators.chunking", fromlist=["pack_chunks_sql"]
+        ).pack_chunks_sql(32, 8, 256),
         "pack_chunks": __import__(
             "smse_backend_spark.operators.chunking", fromlist=["pack_chunks_sql"]
         ).pack_chunks_sql(32, 8, 256),

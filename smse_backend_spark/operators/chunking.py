@@ -108,6 +108,77 @@ def pack_chunks(
     )
 
 
+def pack_chunks_dist(
+    corpus: DataFrame,
+    chunk_size: int = 240,
+    overlap: int = 10,
+    budget: int = 1024,
+    n_groups: int | None = None,
+) -> DataFrame:
+    """Bit-identical to :func:`pack_chunks`, computed as the classic
+    two-pass distributed prefix sum instead of one window task per
+    language.
+
+    ``pack_chunks``'s single ``partitionBy("lang")`` window is exact but
+    serial per language — at 10^12 rows one task streams the whole
+    English corpus. Here the stream is cut into ``n_groups``
+    order-preserving blocks by doc-id range (``g = doc_id // d`` — block
+    g's rows ALL precede block g+1's in the (doc_id, chunk_id) order, so
+    blocked prefix sums compose exactly):
+
+    1. local pass — running sum within (lang, g): n_groups-way parallel;
+    2. offsets pass — per-(lang, g) subtotals (a partial-agg groupBy),
+       then an exclusive sum over the TINY (n_langs × n_groups)-row
+       frame, broadcast-joined back.
+
+    excl = group_offset + local_excl, exactly the window's value: integer
+    sums, so bit-identical output (asserted by test and by sharing
+    :func:`pack_chunks_sql` as oracle). Cost: the chunk pipeline runs
+    twice (subtotals + local pass) off the same scan — persist ``corpus``
+    upstream if the tokenize is expensive; the shuffles are
+    hashpartitioning(lang, g), i.e. parallel in n_groups, never in
+    n_langs.
+    """
+    chunks = chunk_documents(corpus, chunk_size, overlap, extra_cols=("lang",))
+    hi = corpus.agg(F.max("doc_id")).first()[0]
+    if hi is None:
+        return pack_chunks(corpus, chunk_size, overlap, budget)
+    if n_groups is None:
+        n_groups = max(
+            8, corpus.sparkSession.sparkContext.defaultParallelism * 4
+        )
+    d = int(hi) // n_groups + 1
+    blocked = chunks.withColumn("g", (F.col("doc_id") / d).cast("long"))
+
+    w_local = (
+        Window.partitionBy("lang", "g")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = blocked.withColumn(
+        "local_excl", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+
+    w_groups = (
+        Window.partitionBy("lang").orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        blocked.groupBy("lang", "g")
+        .agg(F.sum("n_tokens").alias("g_total"))
+        .withColumn("g_off", F.coalesce(F.sum("g_total").over(w_groups), F.lit(0)))
+        .select("lang", "g", "g_off")
+    )
+
+    excl = F.col("g_off") + F.col("local_excl")
+    return local.join(F.broadcast(offsets), ["lang", "g"]).select(
+        "lang", "doc_id", "chunk_id", "n_tokens",
+        F.floor(excl / budget).cast("long").alias("bin_id"),
+        (excl % budget).cast("long").alias("bin_offset"),
+        ((excl % budget) + F.col("n_tokens") > budget).alias("straddles"),
+    )
+
+
 def pack_chunks_sql(
     chunk_size: int = 240,
     overlap: int = 10,

@@ -134,6 +134,50 @@ def test_pack_chunks_semantics(spark, sf_smoke, con):
     assert crossed > 0  # fixture actually exercises the straddle path
 
 
+def test_pack_chunks_dist_bit_identical(spark, sf_smoke):
+    """The two-pass distributed packer == the single-window packer, bit
+    for bit, across several group counts (incl. n_groups=1 — degenerate
+    single block — and a count far above the doc count)."""
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.operators.chunking import (
+        pack_chunks,
+        pack_chunks_dist,
+    )
+
+    corpus = load_corpus(spark, sf_smoke)
+    want = sorted(map(tuple, pack_chunks(corpus, 32, 8, 256).collect()))
+    assert len(want) > 0
+    for n_groups in (1, 7, 64, 100_000):
+        got = sorted(
+            map(tuple, pack_chunks_dist(corpus, 32, 8, 256, n_groups).collect())
+        )
+        assert got == want, f"n_groups={n_groups} diverges"
+
+
+def test_pack_chunks_dist_parallel_plan(spark, sf_smoke):
+    """The heavy window must shuffle on (lang, g) — n_groups-way parallel
+    — never on lang alone (one task per language is the bottleneck this
+    operator exists to remove)."""
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.operators.chunking import pack_chunks_dist
+
+    df = pack_chunks_dist(load_corpus(spark, sf_smoke), 32, 8, 256, 64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the heavy window (the one ordered by doc_id, chunk_id — the row-level
+    # running sum) must partition on (lang, g); the physical plan renames
+    # its output to _weN, so identify it by its ordering keys
+    local_win = [ln for ln in plan.splitlines()
+                 if "windowspecdefinition" in ln
+                 and "doc_id#" in ln and "chunk_id#" in ln]
+    assert local_win, "local window node not found in plan"
+    assert all("g#" in ln for ln in local_win), (
+        "heavy window lost its g key — serial per-language scan is back"
+    )
+    # the offsets frame joins back as a broadcast, never a shuffle join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_value_percentiles_exact_parity(spark, sf_smoke, con):
     from smse_backend_spark.operators.aggregations import (
         value_percentiles,
