@@ -850,6 +850,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "smse_backend_spark.operators.sampling",
             fromlist=["stratified_sample"],
         ).stratified_sample(_docs(spark, sf), 20),
+        # same quota sample with the per-group rank bounded by the
+        # threshold pre-filter (no serial per-group window); same oracle
+        "stratified_sample_dist": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.sampling",
+            fromlist=["stratified_sample_dist"],
+        ).stratified_sample_dist(_docs(spark, sf), 20),
+        # KMV sketch with the rank-k hash located among threshold
+        # survivors only; same oracle
+        "kmv_distinct_users_dist": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.sampling",
+            fromlist=["kmv_distinct_dist"],
+        ).kmv_distinct_dist(
+            spark.read.parquet(f"{sf}/events.parquet"), "user_id", "event_type", 64
+        ),
     }
     # Driver-coverage ordering: a correctness run may cap how many entries
     # it checks per round, so entries with the LEAST prior driver evidence
@@ -864,7 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # never driver-checked as of CORRECTNESS_r02 (12), round-3 additions (7),
 # then round-1-only greens (35) — see VERDICT.md round 2, "Next round" #2
 _CHECK_FIRST = [
-    "packed_sequences_dist",
+    "packed_sequences_dist", "stratified_sample_dist",
+    "kmv_distinct_users_dist",
     "repetition_stats", "lm_scores", "bigram_pmi", "span_dedup",
     "stratified_sample",
     "ann_ivf", "ann_sq8", "auto_stopwords", "dup_clusters",
@@ -1112,6 +1127,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             "smse_backend_spark.operators.sampling",
             fromlist=["kmv_distinct_sql"],
         ).kmv_distinct_sql("user_id", "event_type", 64),
+        "kmv_distinct_users_dist": __import__(
+            "smse_backend_spark.operators.sampling",
+            fromlist=["kmv_distinct_sql"],
+        ).kmv_distinct_sql("user_id", "event_type", 64),
         "index_postings_stats": __import__(
             "smse_backend_spark.index.query",
             fromlist=["postings_stats_oracle_sql"],
@@ -1139,6 +1158,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bigram_pmi": Q.bigram_pmi_sql(5, 30),
         "span_dedup": Q.span_dedup_coverage_sql(8),
         "stratified_sample": __import__(
+            "smse_backend_spark.operators.sampling",
+            fromlist=["stratified_sample_sql"],
+        ).stratified_sample_sql(20),
+        "stratified_sample_dist": __import__(
             "smse_backend_spark.operators.sampling",
             fromlist=["stratified_sample_sql"],
         ).stratified_sample_sql(20),

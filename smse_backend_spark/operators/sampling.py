@@ -147,6 +147,80 @@ SELECT doc_id, {group} FROM (
 """
 
 
+# --- bounded per-group hash rank (the scale path for quota/KMV) -------------
+
+
+def _bounded_group_rank(
+    d: DataFrame, group: str, k: int, safety: int = 8
+) -> DataFrame:
+    """``d`` (must carry a uniform-``[0, 2^60)`` column ``h``) -> the same
+    rows restricted to per-group hash-rank <= ``k``-candidates, with ``rn``
+    attached — WITHOUT ranking whole groups.
+
+    ``Window.partitionBy(group)`` over a low-cardinality stratum column is
+    exact but serial: one task streams each group. Here rank is bounded by
+    the classic threshold pre-filter: since ``h`` is uniform, the k-th
+    smallest of n draws concentrates at ``k/n * 2^60``, so survivors of
+    ``h < safety*k/n * 2^60`` number ~``safety*k`` per group (a map-side
+    filter against broadcast thresholds), and ranking THEM is exact for
+    every rank <= k — all survivors precede all non-survivors in
+    (h, doc-order). The survivor count is verified per group and the
+    threshold doubled for any deficient group (probability ~e^-k at
+    safety=8; the loop terminates because t caps at 2^60 = keep-all).
+
+    Driver state: one row per group (a stratum column is driver-bounded
+    by definition). Cost: two extra partial-agg scans of ``d`` — the
+    price of turning a per-group serial rank into an O(safety*k)-row one.
+    """
+    spark = d.sparkSession
+    counts = {r[0]: r[1] for r in d.groupBy(group).count().collect()}
+    if not counts:
+        return d.withColumn("rn", F.lit(1))
+    thr: dict = {}
+    for g, n in counts.items():
+        if n <= k * safety:
+            thr[g] = TWO60
+        else:
+            thr[g] = min(TWO60, (TWO60 // n) * k * safety + 1)
+    while True:
+        tdf = F.broadcast(
+            spark.createDataFrame(
+                [(g, t) for g, t in thr.items()], f"{group} string, _thr long"
+            )
+        )
+        surv = d.join(tdf, group).filter(F.col("h") < F.col("_thr"))
+        got = {r[0]: r[1] for r in surv.groupBy(group).count().collect()}
+        deficient = [
+            g for g, n in counts.items() if got.get(g, 0) < min(k, n)
+        ]
+        if not deficient:
+            break
+        for g in deficient:
+            thr[g] = min(TWO60, thr[g] * 2)
+    w = Window.partitionBy(group).orderBy(F.asc("h"), *[
+        F.asc(c) for c in d.columns if c not in (group, "h")
+    ])
+    return (
+        surv.drop("_thr")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def stratified_sample_dist(
+    docs: DataFrame, per_group: int = 20, group: str = "lang"
+) -> DataFrame:
+    """Bit-identical to :func:`stratified_sample`, with the per-group rank
+    bounded by the threshold pre-filter (:func:`_bounded_group_rank`) —
+    the window ranks ~``8*per_group`` survivors per group instead of the
+    whole group. Shares ``stratified_sample_sql`` as oracle."""
+    h = hash_u60(F.col("doc_id"), STRATA_SALT)
+    ranked = _bounded_group_rank(
+        docs.select(group, h.alias("h"), "doc_id"), group, per_group
+    )
+    return ranked.select("doc_id", group)
+
+
 # --- KMV distinct-count sketch ----------------------------------------------
 
 KMV_SALT = "-kmv-v1"
@@ -185,6 +259,37 @@ def kmv_distinct(
             F.col("n_exact").cast("long").alias("n_exact"),
             (F.floor(est * 1e6 + F.lit(0.5)) / 1e6).alias("estimate"),
         )
+    )
+
+
+def kmv_distinct_dist(
+    events: DataFrame, key: str = "user_id", group: str = "event_type",
+    k: int = 64,
+) -> DataFrame:
+    """Bit-identical to :func:`kmv_distinct`, with the per-group rank
+    bounded by the threshold pre-filter — only ~``8k`` of each group's
+    distinct-key hashes are ranked to locate the k-th smallest (h_(k) is
+    rank-k, and every rank <= k survives the filter by construction).
+    Shares ``kmv_distinct_sql`` as oracle. The ``n_exact`` column still
+    counts the full distinct frame (one partial agg — it exists because
+    the contract reports it; a pure sketch deployment drops it)."""
+    d = events.select(group, key).distinct().withColumn(
+        "h", hash_u60(F.col(key), KMV_SALT)
+    )
+    ranked = _bounded_group_rank(d.select(group, "h"), group, k)
+    hk = ranked.groupBy(group).agg(
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk")
+    )
+    n_exact = d.groupBy(group).agg(F.count("*").alias("n_exact"))
+    est = F.when(
+        F.col("hk").isNull(), F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(TWO60)) / F.col("hk").cast("double")
+    )
+    return n_exact.join(hk, group, "left").select(
+        group,
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.floor(est * 1e6 + F.lit(0.5)) / 1e6).alias("estimate"),
     )
 
 

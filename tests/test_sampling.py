@@ -134,6 +134,63 @@ def test_pack_chunks_semantics(spark, sf_smoke, con):
     assert crossed > 0  # fixture actually exercises the straddle path
 
 
+def test_stratified_sample_dist_bit_identical(spark, sf_smoke):
+    """Threshold-prefiltered quota sample == the full-window one, and the
+    deliberately-undersized safety factor exercises the doubling loop
+    while staying exact."""
+    from smse_backend_spark.operators.sampling import (
+        _bounded_group_rank,
+        hash_u60,
+        stratified_sample,
+        stratified_sample_dist,
+        STRATA_SALT,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    want = sorted(map(tuple, stratified_sample(docs, 20).collect()))
+    got = sorted(map(tuple, stratified_sample_dist(docs, 20).collect()))
+    assert got == want and len(want) > 0
+    # safety=1: expected survivors == k, so some group almost surely
+    # comes up short and the threshold-doubling loop must run — output
+    # must still be exact
+    d = docs.select(
+        "lang", hash_u60(F.col("doc_id"), STRATA_SALT).alias("h"), "doc_id"
+    )
+    tight = sorted(
+        (r["doc_id"], r["lang"])
+        for r in _bounded_group_rank(d, "lang", 20, safety=1)
+        .select("doc_id", "lang").collect()
+    )
+    assert tight == want
+
+
+def test_kmv_distinct_dist_bit_identical(spark, sf_smoke):
+    from smse_backend_spark.operators.sampling import (
+        kmv_distinct,
+        kmv_distinct_dist,
+    )
+
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    want = sorted(map(tuple, kmv_distinct(ev, "user_id", "event_type", 64).collect()))
+    got = sorted(map(tuple, kmv_distinct_dist(ev, "user_id", "event_type", 64).collect()))
+    assert got == want and len(want) > 0
+
+
+def test_bounded_group_rank_window_is_post_filter(spark, sf_smoke):
+    """The rank window must run on the threshold SURVIVORS (its input is
+    the broadcast-thresholds join), not on the raw group stream."""
+    from smse_backend_spark.operators.sampling import stratified_sample_dist
+
+    df = stratified_sample_dist(
+        spark.read.parquet(f"{sf_smoke}/documents.parquet"), 20
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_at = plan.index("windowspecdefinition")
+    assert "BroadcastHashJoin" in plan[win_at:], (
+        "window input lost the threshold pre-filter join"
+    )
+
+
 def test_pack_chunks_dist_bit_identical(spark, sf_smoke):
     """The two-pass distributed packer == the single-window packer, bit
     for bit, across several group counts (incl. n_groups=1 — degenerate
