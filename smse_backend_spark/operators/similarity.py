@@ -102,6 +102,15 @@ def multimodal_search(
     per-modality SQL loop; a broadcast threshold lookup replaces the
     Python-side gate; normalization is identity (disabled in the reference,
     search.py:190-193).
+
+    The modality rank is the salted two-level top-k: modality has
+    cardinality 3, so a bare partitionBy(modality) window would stream a
+    third of the corpus through one task. Level 1 ranks within
+    (modality, pmod(xxhash64(vec_id), 64)) — 64-way parallel — and keeps
+    rank <= limit; level 2 ranks the <= 64*limit survivors per modality.
+    Exact: a row in the global top-L of its modality has at most L-1 rows
+    above it anywhere, hence rank <= L in its own bucket (the order is
+    total: score desc, vec_id asc).
     """
     from pyspark.sql import Window
 
@@ -113,9 +122,15 @@ def multimodal_search(
         )
     )
     scored = scored_embeddings(emb, query_vec_id)
+    w1 = Window.partitionBy("modality", "b").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
     w = Window.partitionBy("modality").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("b", F.pmod(F.xxhash64("vec_id"), F.lit(64)))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= per_modality_limit)
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= per_modality_limit)
         .join(thr, "modality")
         .filter(F.col("score") >= F.col("threshold"))
