@@ -1904,6 +1904,80 @@ def fielded_indexed_topk(
     )
 
 
+def sharded_bm25_topk(
+    spark: SparkSession,
+    paths: list[str],
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+) -> DataFrame:
+    """Distributed shard search: query N independently-built shard indexes
+    as ONE logical index — the Lucene/ES ``dfs_query_then_fetch``
+    coordinator protocol (the reference keeps one flat search space the
+    user queries as a whole, `routes/search.py:23`; at 10^12 files the
+    shards ARE the deployment unit and consolidating them to ask a
+    question is not an option).
+
+    Phase 1 (coordinator, metadata only): global corpus stats and per-term
+    document frequencies combine across shards from per-shard meta +
+    dictionaries — ``n_docs``/``sum_dl`` add, df sums per term — so every
+    shard scores with the same GLOBAL idf/avgdl. No posting blob is read.
+    Phase 2 (fan-out): each shard decodes only its own matched postings
+    and partially aggregates per doc (its own tombstones applied); the
+    union re-aggregates by doc_id (one narrow shuffle of the match set)
+    and reduces to one global top-k.
+
+    Rank-identical to querying the ``merge_indexes`` consolidation of the
+    same shards (asserted in tests; the contract entry shares
+    ``bm25_indexed_merged``'s oracle). Shards must agree on the analyzer;
+    doc-id spaces are expected disjoint (the ``merge_indexes`` precondition
+    — overlapping ids would double-count exactly as a merged index would
+    refuse to build).
+    """
+    if not paths:
+        raise ValueError("need at least one shard path")
+    shards = [InvertedIndex(spark, p) for p in paths]
+    analyzers = {s.analyzer for s in shards}
+    if len(analyzers) != 1:
+        raise ValueError(f"shards disagree on analyzer: {sorted(analyzers)}")
+    terms = shards[0]._analyze(query_text)
+    # exact integer stat merge from each shard's commit-time metadata
+    if lang is None:
+        n = float(sum(s.meta["n_docs"] for s in shards))
+        sdl = float(sum(s.meta["sum_dl"] for s in shards))
+    else:
+        sts = [
+            s.meta["per_lang"].get(lang, {"n_docs": 0, "sum_dl": 0})
+            for s in shards
+        ]
+        n = float(sum(st["n_docs"] for st in sts))
+        sdl = float(sum(st["sum_dl"] for st in sts))
+    avgdl = sdl / n if n else 0.0
+    dfs: dict[str, int] = {}
+    if terms and n:
+        for s in shards:
+            for t, d in s.term_df(terms, lang).items():
+                dfs[t] = dfs.get(t, 0) + int(d)
+    idf = {
+        t: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for t, df in dfs.items()
+    }
+    if not idf:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    parts = [
+        s._score(s._blocks(sorted(idf), lang), idf, avgdl) for s in shards
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("doc_id")
+        .agg(F.round(F.sum("score"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def term_vectors_oracle_sql(doc_ids: list[int], table: str = "documents") -> str:
     """DuckDB twin of :meth:`InvertedIndex.term_vectors`: tf by re-
     tokenizing the requested docs, df as the corpus-wide distinct-doc

@@ -926,3 +926,60 @@ def test_hot_term_skew_bounded_by_segments(spark, tmp_path):
         want = [(r["doc_id"], r["score"])
                 for r in bm25_topk_scan(corpus, q, 10).collect()]
         assert got == want and len(got) == 10
+
+
+@pytest.fixture(scope="module")
+def shard_paths(spark, corpus, tmp_path_factory):
+    """Two disjoint half-corpus shard indexes (no merge on disk)."""
+    from pyspark.sql import functions as F
+
+    root = tmp_path_factory.mktemp("shards")
+    a, b = str(root / "a"), str(root / "b")
+    build_index(spark, corpus.filter(F.col("doc_id") < 256), a,
+                segment_size=64, n_buckets=4, block_size=16, n_batches=2)
+    build_index(spark, corpus.filter(F.col("doc_id") >= 256), b,
+                segment_size=64, n_buckets=4, block_size=16, n_batches=2)
+    return [a, b]
+
+
+@pytest.mark.parametrize("query,lang", QUERIES)
+def test_sharded_search_rank_identity(spark, index, shard_paths, query, lang):
+    """Coordinator-protocol search over two shards == the one-index query
+    (same global stats path as a merge_indexes consolidation, never built)."""
+    from smse_backend_spark.index.query import sharded_bm25_topk
+
+    got = [(r["doc_id"], r["score"]) for r in
+           sharded_bm25_topk(spark, shard_paths, query, 10, lang).collect()]
+    want = [(r["doc_id"], r["score"])
+            for r in index.bm25_topk(query, 10, lang).collect()]
+    assert got == want
+
+
+def test_sharded_search_applies_shard_tombstones(spark, corpus, tmp_path):
+    """Each shard's soft deletes hold in the fan-out query."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index import deletes
+    from smse_backend_spark.index.query import sharded_bm25_topk
+
+    a, b = str(tmp_path / "sa"), str(tmp_path / "sb")
+    build_index(spark, corpus.filter(F.col("doc_id") < 256), a,
+                segment_size=64, n_buckets=4, block_size=16, n_batches=1)
+    build_index(spark, corpus.filter(F.col("doc_id") >= 256), b,
+                segment_size=64, n_buckets=4, block_size=16, n_batches=1)
+    deletes.delete_docs(spark, a, [3, 5])
+    deletes.delete_docs(spark, b, [300])
+    hits = {r["doc_id"] for r in
+            sharded_bm25_topk(spark, [a, b], "the row data", 500).collect()}
+    assert {3, 5, 300}.isdisjoint(hits) and hits
+
+
+def test_sharded_search_refuses_analyzer_mismatch(spark, corpus, shard_paths,
+                                                  tmp_path):
+    from smse_backend_spark.index.query import sharded_bm25_topk
+
+    c = str(tmp_path / "stemmed_shard")
+    build_index(spark, corpus.limit(64), c, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=1, analyzer="stem")
+    with pytest.raises(ValueError, match="analyzer"):
+        sharded_bm25_topk(spark, [shard_paths[0], c], "hash join", 10)
