@@ -45,6 +45,7 @@ from smse_backend_spark.operators.search import (
     bm25_scan_oracle_sql,
     bm25_synonyms_oracle_sql,
     bm25_topk_scan,
+    complete_oracle_sql,
     explain_scores_oracle_sql,
     facet_counts_oracle_sql,
     highlight_snippets,
@@ -567,6 +568,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # did-you-mean: dictionary walk by edit distance
         "spell_suggest": lambda spark, sf: _indexed(spark, sf)
         .suggest("soet", 2, 10),
+        # type-ahead completion: prefix-matching dictionary terms ranked
+        # by collection frequency (metadata-only, no posting decode)
+        "complete_suggest": lambda spark, sf: _indexed(spark, sf)
+        .complete("sc", 10),
         # per-term boosts scale idf before scoring (term^boost)
         "bm25_boosted": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_boosted(BOOSTS, 10),
@@ -900,7 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # never driver-checked as of CORRECTNESS_r02 (12), round-3 additions,
 # then round-1-only greens (35) — see VERDICT.md round 2, "Next round" #2
 _CHECK_FIRST = [
-    "bm25_sharded",
+    "bm25_sharded", "complete_suggest",
     "packed_sequences_dist", "stratified_sample_dist",
     "kmv_distinct_users_dist",
     "repetition_stats", "lm_scores", "bigram_pmi", "span_dedup",
@@ -1042,6 +1047,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "more_like_this": more_like_this_oracle_sql(42, 10, max_terms=8),
         "span_near": near_oracle_sql("table scan", 6, 10),
         "spell_suggest": suggest_oracle_sql("soet", 2, 10),
+        "complete_suggest": complete_oracle_sql("sc", 10),
         "bm25_boosted": bm25_boosted_oracle_sql(BOOSTS, 10),
         "bm25_synonyms": bm25_synonyms_oracle_sql(SYN_GROUPS, 10),
         "bm25_regex": bm25_regex_oracle_sql("sc[a-z]n|ha.h", 10),

@@ -391,6 +391,7 @@ class InvertedIndex:
                 )
             self._as_of_rows = rows
         self._dict_cache: dict[tuple[str, str], int] | None = None
+        self._cf_cache: dict[tuple[str, str], int] | None = None
         self._tomb_loaded = False
         self._tomb_bcast = None  # sc.broadcast of the sorted id array
         self._tomb_df: DataFrame | None = None  # join fallback (big sets)
@@ -457,10 +458,9 @@ class InvertedIndex:
 
     def _ensure_dict_cache(self) -> None:
         if self._dict_cache is None:
-            self._dict_cache = {
-                (r["lang"], r["term"]): r["df"]
-                for r in self.spark.read.parquet(f"{self.path}/dictionary").collect()
-            }
+            rows = self.spark.read.parquet(f"{self.path}/dictionary").collect()
+            self._dict_cache = {(r["lang"], r["term"]): r["df"] for r in rows}
+            self._cf_cache = {(r["lang"], r["term"]): r["cf"] for r in rows}
 
     def term_df(self, terms: list[str], lang: str | None = None) -> dict[str, int]:
         if self.as_of is not None:
@@ -1644,6 +1644,45 @@ class InvertedIndex:
             d.groupBy("term", "dist").agg(F.sum("df").alias("df"))
             .select("term", "df", "dist")
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
+    def complete(
+        self, prefix: str, n: int = 10, lang: str | None = None
+    ) -> DataFrame:
+        """Completion suggester (ES ``completion``/term-suggest ranked by
+        popularity): dictionary terms starting with ``prefix``, ranked by
+        collection frequency (cf desc, term asc), capped — (term, cf)
+        rows. The reference exposes free-text query entry
+        (`routes/search.py:23`); this is the type-ahead over the indexed
+        vocabulary.
+
+        Metadata-only: served from the driver dictionary cache when the
+        vocabulary fits, else a two-column dictionary scan with the
+        prefix predicate pushed down to the parquet reader (terms are
+        dictionary-sorted on disk, so row groups outside the prefix range
+        skip). Posting blobs are never read."""
+        if not prefix or query_terms(prefix) != [prefix]:
+            raise ValueError(
+                f"prefix must be a single analyzed token, got {prefix!r}"
+            )
+        out_schema = "term string, cf long"
+        if self.meta.get("n_terms", 1 << 62) <= self.DICT_CACHE_MAX_TERMS:
+            self._ensure_dict_cache()
+            agg: dict[str, int] = {}
+            for (lg, t), cf in self._cf_cache.items():
+                if (lang is None or lg == lang) and t.startswith(prefix):
+                    agg[t] = agg.get(t, 0) + int(cf)
+            rows = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+            return self.spark.createDataFrame(rows, out_schema)
+        d = self.spark.read.parquet(f"{self.path}/dictionary").filter(
+            F.col("term").startswith(prefix)
+        )
+        if lang is not None:
+            d = d.filter(F.col("lang") == lang)
+        return (
+            d.groupBy("term").agg(F.sum("cf").alias("cf"))
+            .orderBy(F.desc("cf"), F.asc("term"))
             .limit(n)
         )
 

@@ -1372,6 +1372,40 @@ ORDER BY dist ASC, df DESC, term ASC
 LIMIT {n}
 """
 
+def complete_oracle_sql(
+    prefix: str,
+    n: int = 10,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.complete``: collection frequency
+    (total occurrences) per prefix-matching term from a full re-tokenize,
+    ranked (cf desc, term asc), capped."""
+    toks = query_terms(prefix)
+    if len(toks) != 1 or toks[0] != prefix:
+        raise ValueError(
+            f"complete oracle takes one analyzed token, got {prefix!r}"
+        )
+    esc = prefix.replace("'", "''")
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toksql = tokenize_duckdb_sql(content_col)
+    return f"""
+WITH docs AS (
+  SELECT {toksql} AS toks FROM {table} {where_lang}
+),
+tok AS (
+  SELECT unnest(toks) AS term FROM docs
+)
+SELECT term, count(*)::BIGINT AS cf
+FROM tok
+WHERE starts_with(term, '{esc}')
+GROUP BY term
+ORDER BY cf DESC, term ASC
+LIMIT {n}
+"""
+
+
 def snippets_for_hits(
     corpus: DataFrame,
     topk_rows: list,

@@ -983,3 +983,36 @@ def test_sharded_search_refuses_analyzer_mismatch(spark, corpus, shard_paths,
                 block_size=16, n_batches=1, analyzer="stem")
     with pytest.raises(ValueError, match="analyzer"):
         sharded_bm25_topk(spark, [shard_paths[0], c], "hash join", 10)
+
+
+def test_complete_suggester_matches_recount(spark, corpus, index):
+    """complete() == a full corpus re-tokenize ranked (cf desc, term asc);
+    the driver-cache and dictionary-scan paths agree."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.functions.tokenizer import tokenize_col
+
+    want = (
+        corpus.select(F.explode(tokenize_col("content")).alias("term"))
+        .filter(F.col("term").startswith("sc"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term")).limit(10).collect()
+    )
+    got = index.complete("sc", 10).collect()
+    assert [(r["term"], r["cf"]) for r in got] == [
+        (r["term"], r["cf"]) for r in want
+    ] and got
+
+    # force the big-vocabulary dictionary-scan fallback: same answer
+    index.meta["n_terms"] = InvertedIndex.DICT_CACHE_MAX_TERMS + 1
+    try:
+        scan = index.complete("sc", 10).collect()
+        assert [(r["term"], r["cf"]) for r in scan] == [
+            (r["term"], r["cf"]) for r in got
+        ]
+    finally:
+        del index.meta["n_terms"]
+        index.meta.update(lin.read_meta(index.path))
+
+    with pytest.raises(ValueError, match="single analyzed token"):
+        index.complete("two words")
