@@ -56,6 +56,7 @@ from smse_backend_spark.operators.search import (
     multi_field_oracle_sql,
     near_oracle_sql,
     query_terms,
+    rescore_phrase_oracle_sql,
     suggest_oracle_sql,
 )
 
@@ -565,6 +566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span-near proximity over the positional index
         "span_near": lambda spark, sf: _pos_indexed(spark, sf)
         .near_topk("table scan", 6, 10),
+        # ES rescore window: top-30 BM25 hits re-ranked by adding 2x the
+        # exact-phrase score — a bounded second pass, never a re-scan
+        "bm25_rescore_phrase": lambda spark, sf: _pos_indexed(spark, sf)
+        .rescore_phrase_topk(FLAGSHIP_QUERY, "hash join", 30, 2.0, 10),
         # did-you-mean: dictionary walk by edit distance
         "spell_suggest": lambda spark, sf: _indexed(spark, sf)
         .suggest("soet", 2, 10),
@@ -905,7 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # never driver-checked as of CORRECTNESS_r02 (12), round-3 additions,
 # then round-1-only greens (35) — see VERDICT.md round 2, "Next round" #2
 _CHECK_FIRST = [
-    "bm25_sharded", "complete_suggest",
+    "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
     "packed_sequences_dist", "stratified_sample_dist",
     "kmv_distinct_users_dist",
     "repetition_stats", "lm_scores", "bigram_pmi", "span_dedup",
@@ -1046,6 +1051,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "search_facets": facet_counts_oracle_sql(FLAGSHIP_QUERY),
         "more_like_this": more_like_this_oracle_sql(42, 10, max_terms=8),
         "span_near": near_oracle_sql("table scan", 6, 10),
+        "bm25_rescore_phrase": rescore_phrase_oracle_sql(
+            FLAGSHIP_QUERY, "hash join", 30, 2.0, 10
+        ),
         "spell_suggest": suggest_oracle_sql("soet", 2, 10),
         "complete_suggest": complete_oracle_sql("sc", 10),
         "bm25_boosted": bm25_boosted_oracle_sql(BOOSTS, 10),

@@ -1021,25 +1021,17 @@ class InvertedIndex:
             scored = scored.join(excl, "doc_id", "left_anti")
         return self._finish(scored, k)
 
-    def phrase_topk(
-        self, phrase_text: str, k: int = DEFAULT_TOP_K, lang: str | None = None
+    def _phrase_scored(
+        self, phrase_text: str, lang: str | None = None
     ) -> DataFrame:
-        """Exact phrase search over a positional index: docs containing the
-        phrase's tokens at consecutive offsets, BM25-scored on the PHRASE
-        frequency (phrase df drives the idf). Requires
-        ``build_index(with_positions=True)``.
-
-        Plan shape: the same partition-pruned block scan as a term query
-        (plus the ``poss`` blobs), shuffled once by segment so a doc's
-        postings for every phrase term co-locate; adjacency is verified in
-        a vectorized kernel via sorted-array membership; only (doc_id,
-        phrase_tf, dl) matches leave the kernel.
-        """
+        """Rounded (doc_id, score) for EVERY doc containing the exact
+        phrase (no top-k cut) — the match-set kernel shared by
+        :meth:`phrase_topk` and :meth:`rescore_phrase_topk`."""
         from smse_backend_spark.functions.tokenizer import tokenize_py
 
         if not self.meta["config"].get("with_positions"):
             raise ValueError(
-                "phrase_topk requires an index built with with_positions=True"
+                "phrase search requires an index built with with_positions=True"
             )
         terms = tokenize_py(phrase_text)  # ordered, duplicates preserved
         if not terms:
@@ -1065,17 +1057,94 @@ class InvertedIndex:
         if self._tomb_df is not None:
             matches = matches.join(self._tomb_df, "doc_id", "left_anti")
         # cache: the match set feeds both the phrase-df count and the
-        # scored top-k (it is tiny — only docs containing the full phrase)
+        # scored output (it is tiny — only docs containing the full phrase)
         matches = matches.cache()
         df_p = matches.count()
         if df_p == 0:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         idf = math.log(1.0 + (n - df_p + 0.5) / (df_p + 0.5))
+        return matches.select(
+            "doc_id",
+            F.round(
+                F.lit(idf) * _tf_norm(F.col("ptf"), F.col("dl"), avgdl), 6
+            ).alias("score"),
+        )
+
+    def phrase_topk(
+        self, phrase_text: str, k: int = DEFAULT_TOP_K, lang: str | None = None
+    ) -> DataFrame:
+        """Exact phrase search over a positional index: docs containing the
+        phrase's tokens at consecutive offsets, BM25-scored on the PHRASE
+        frequency (phrase df drives the idf). Requires
+        ``build_index(with_positions=True)``.
+
+        Plan shape: the same partition-pruned block scan as a term query
+        (plus the ``poss`` blobs), shuffled once by segment so a doc's
+        postings for every phrase term co-locate; adjacency is verified in
+        a vectorized kernel via sorted-array membership; only (doc_id,
+        phrase_tf, dl) matches leave the kernel.
+        """
         return (
-            matches.select(
+            self._phrase_scored(phrase_text, lang)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def rescore_phrase_topk(
+        self,
+        query_text: str,
+        phrase_text: str,
+        window_size: int = 30,
+        weight: float = 2.0,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``rescore`` API: re-rank the top ``window_size`` BM25 hits by
+        adding ``weight`` x the exact-phrase BM25 score (ES's default
+        ``total`` combine with query_weight=1). Docs outside the window
+        cannot enter the top-k — rescoring is a second, more expensive
+        pass over a small fixed window, never a corpus re-scan.
+
+        Scale shape: the base window is one postings decode ending in a
+        global top-w (w rows to the driver — same bounded-cursor
+        discipline as keyset pagination); the phrase pass decodes only
+        the phrase terms' positional postings and is pre-filtered to the
+        window's doc ids by a broadcast semi-join, so at most w phrase
+        rows survive; the final combine is a w-row broadcast join. The
+        combined score uses the half-up floor formula so Spark and the
+        DuckDB oracle round the identical double identically."""
+        base = self.scored_matches(query_text, lang)
+        rows = (
+            base.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(window_size))
+            .collect()
+        )
+        if not rows:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        win = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in rows],
+            "doc_id long, score double",
+        )
+        ph = self._phrase_scored(phrase_text, lang).withColumnRenamed(
+            "score", "pscore"
+        )
+        ids = F.broadcast(win.select("doc_id"))
+        ph_w = ph.join(ids, "doc_id")  # <= window_size survivors
+        return (
+            win.join(F.broadcast(ph_w), "doc_id", "left")
+            .select(
                 "doc_id",
-                F.round(
-                    F.lit(idf) * _tf_norm(F.col("ptf"), F.col("dl"), avgdl), 6
+                (
+                    F.floor(
+                        (
+                            F.col("score")
+                            + F.lit(float(weight))
+                            * F.coalesce(F.col("pscore"), F.lit(0.0))
+                        )
+                        * 1e6
+                        + F.lit(0.5)
+                    )
+                    / 1e6
                 ).alias("score"),
             )
             .orderBy(F.desc("score"), F.asc("doc_id"))

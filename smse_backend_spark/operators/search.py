@@ -979,6 +979,94 @@ LIMIT {k}
 """
 
 
+def rescore_phrase_oracle_sql(
+    query_text: str,
+    phrase_text: str,
+    window_size: int = 30,
+    weight: float = 2.0,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.rescore_phrase_topk``: the base
+    BM25 top-``window_size`` window (rounded like the engine's
+    ``scored_matches``) left-joined with the exact-phrase match scores
+    (rounded like ``phrase_topk``), combined as
+    ``base + weight * phrase`` through the half-up floor formula."""
+    from smse_backend_spark.functions.tokenizer import tokenize_py
+
+    terms = query_terms(query_text)
+    if not terms:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    pterms = tokenize_py(phrase_text)
+    if not pterms:
+        raise ValueError("rescore oracle needs a non-empty phrase")
+    L = len(pterms)
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    cond = " AND ".join(
+        f"toks[i + {j}] = '" + t.replace("'", "''") + "'"
+        for j, t in enumerate(pterms)
+    )
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    base_score = bm25_term_score_sql(
+        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
+    )
+    p_score = bm25_term_score_sql(
+        "h.ptf", idf_sql("dfp.df", "stats.n"), "h.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ({in_list})
+  GROUP BY doc_id, doc_len, term
+),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+win AS (
+  SELECT tf.doc_id AS doc_id, round(sum({base_score}), 6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {int(window_size)}
+),
+pm AS (
+  SELECT doc_id, doc_len,
+         CASE WHEN doc_len < {L} THEN 0 ELSE
+           len(list_filter(generate_series(1, len(toks) - {L - 1}),
+                           i -> {cond}))
+         END::BIGINT AS ptf
+  FROM dl
+),
+h AS (SELECT doc_id, doc_len, ptf FROM pm WHERE ptf > 0),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM h),
+ph AS (
+  SELECT h.doc_id AS doc_id, round({p_score}, 6) AS pscore
+  FROM h CROSS JOIN dfp CROSS JOIN stats
+)
+SELECT win.doc_id AS doc_id,
+       floor((win.score + {float(weight)} * coalesce(ph.pscore, 0.0)) * 1e6
+             + 0.5) / 1e6 AS score
+FROM win LEFT JOIN ph ON win.doc_id = ph.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_fuzzy_oracle_sql(
     term: str,
     max_edits: int = 1,

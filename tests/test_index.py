@@ -1016,3 +1016,39 @@ def test_complete_suggester_matches_recount(spark, corpus, index):
 
     with pytest.raises(ValueError, match="single analyzed token"):
         index.complete("two words")
+
+
+def test_rescore_phrase_vs_oracle(spark, pos_index, sf_smoke):
+    """rescore_phrase_topk == the composed DuckDB oracle (base window +
+    weighted phrase add, floor-formula final rounding)."""
+    import duckdb
+
+    from smse_backend_spark.operators.search import rescore_phrase_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    got = [(r["doc_id"], r["score"]) for r in pos_index.rescore_phrase_topk(
+        "hash join merge scan", "hash join", 30, 2.0, 10).collect()]
+    want = con.execute(rescore_phrase_oracle_sql(
+        "hash join merge scan", "hash join", 30, 2.0, 10)).fetchall()
+    assert got == [(d, s) for d, s in want] and len(got) == 10
+
+
+def test_rescore_only_reorders_within_window(pos_index):
+    """Rescored hits are a subset of the base window; phrase-matching docs
+    gain exactly weight*phrase_score; others keep their base score."""
+    base = {r["doc_id"]: r["score"]
+            for r in pos_index.bm25_topk("hash join merge scan", 30).collect()}
+    phrase = {r["doc_id"]: r["score"]
+              for r in pos_index.phrase_topk("hash join", 500).collect()}
+    got = pos_index.rescore_phrase_topk(
+        "hash join merge scan", "hash join", 30, 2.0, 10).collect()
+    assert {r["doc_id"] for r in got} <= set(base)
+    for r in got:
+        want = base[r["doc_id"]] + 2.0 * phrase.get(r["doc_id"], 0.0)
+        assert r["score"] == pytest.approx(want, abs=2e-6)
+    # at least one doc actually got boosted by the phrase
+    assert any(r["doc_id"] in phrase for r in got)
