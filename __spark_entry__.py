@@ -696,6 +696,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dictionary; only foreground docs are tokenized
         "significant_terms_indexed": lambda spark, sf: _indexed(spark, sf)
         .significant_terms(load_corpus(spark, sf), FLAGSHIP_QUERY, 15),
+        # ES histogram bucket agg over the match set, doc-values only
+        # (bucket = floor(n_chars/64)*64, min_doc_count=1)
+        "search_histogram": lambda spark, sf: _indexed(spark, sf)
+        .histogram_agg(FLAGSHIP_QUERY, 64),
+        # ES stats metric agg over the match set (count/min/max/sum/avg
+        # of the n_chars doc-value; avg via the shared floor formula)
+        "search_stats": lambda spark, sf: _indexed(spark, sf)
+        .stats_agg(FLAGSHIP_QUERY),
         # shard consolidation: two disjoint indexes merged, then queried
         "bm25_indexed_merged": lambda spark, sf: _merged_index(spark, sf)
         .bm25_topk(FLAGSHIP_QUERY, 10),
@@ -911,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # then round-1-only greens (35) — see VERDICT.md round 2, "Next round" #2
 _CHECK_FIRST = [
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
+    "search_histogram", "search_stats",
     "packed_sequences_dist", "stratified_sample_dist",
     "kmv_distinct_users_dist",
     "repetition_stats", "lm_scores", "bigram_pmi", "span_dedup",
@@ -1110,6 +1119,8 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             FLAGSHIP_QUERY, 10, window=3
         ),
         "significant_terms_indexed": AG.significant_terms_sql(FLAGSHIP_QUERY, 15),
+        "search_histogram": AG.histogram_agg_sql(FLAGSHIP_QUERY, 64),
+        "search_stats": AG.stats_agg_sql(FLAGSHIP_QUERY),
         "bm25_indexed_merged": bm25_scan_oracle_sql(
             FLAGSHIP_QUERY,
             table=f"(SELECT * FROM documents WHERE doc_id < {MERGE_CAP})",

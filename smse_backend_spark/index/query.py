@@ -1539,6 +1539,68 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def histogram_agg(
+        self,
+        query_text: str,
+        interval: int = 64,
+        field: str = "n_chars",
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``histogram`` bucket aggregation in query context: doc counts
+        per fixed-width bucket of a stored doc-value over the query's OR
+        match set. Bucket key = ``floor(value / interval) * interval`` (the
+        ES keying rule); empty buckets are omitted (``min_doc_count=1``).
+
+        Plan: the match set (doc_id only, from partition-pruned postings)
+        equi-joins the column-pruned doc-values read, then one partial-agg
+        count per bucket — the corpus is never touched and nothing wider
+        than (doc_id, value) shuffles.
+        """
+        matches = self.match_doc_ids(query_text, lang)
+        vals = self.doc_values([field])
+        bucket = (
+            F.floor(F.col(field) / F.lit(int(interval))) * int(interval)
+        ).cast("long")
+        return (
+            matches.join(vals, "doc_id")
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.asc("bucket"))
+        )
+
+    def stats_agg(
+        self,
+        query_text: str,
+        field: str = "n_chars",
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``stats`` metric aggregation in query context: one row of
+        (n_docs, min, max, sum, avg) of a stored doc-value over the match
+        set. All inputs are exact integers; the avg is the one double and
+        uses the shared half-up floor formula so Spark and DuckDB agree
+        bit-exactly."""
+        matches = self.match_doc_ids(query_text, lang)
+        vals = self.doc_values([field])
+        joined = matches.join(vals, "doc_id")
+        return joined.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(field).cast("long").alias("min_v"),
+            F.max(field).cast("long").alias("max_v"),
+            F.sum(field).cast("long").alias("sum_v"),
+            (
+                F.floor(
+                    (
+                        F.sum(field).cast("double")
+                        / F.count(F.lit(1)).cast("double")
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("avg_v"),
+        )
+
     def highlight_snippets(
         self,
         corpus: DataFrame,

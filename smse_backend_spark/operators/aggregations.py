@@ -298,3 +298,64 @@ def value_percentiles_sql(group: str = "event_type", col: str = "value",
         f"quantile_cont({col}, {p}) AS p{int(p * 100)}" for p in PCTLS
     )
     return f"SELECT {group}, count(*)::BIGINT AS n, {qs} FROM {table} GROUP BY {group}"
+
+
+def _match_set_cte(query_text: str, lang: str | None, table: str,
+                   content_col: str) -> str:
+    """Shared DuckDB CTE prefix producing ``m(doc_id)`` — the OR match set
+    of the analyzed query terms (the SQL twin of
+    ``InvertedIndex.match_doc_ids``)."""
+    terms = query_terms(query_text)
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM docs
+),
+m AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ({in_list})
+)"""
+
+
+def histogram_agg_sql(
+    query_text: str,
+    interval: int = 64,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.histogram_agg`` over the n_chars
+    doc-value (engine stores ``n_chars = length(content)`` at build —
+    ``index/build.py`` docvalues)."""
+    return f"""{_match_set_cte(query_text, lang, table, content_col)}
+SELECT (floor(length(d.{content_col})::DOUBLE / {int(interval)})::BIGINT
+        * {int(interval)}) AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM {table} d JOIN m USING (doc_id)
+GROUP BY bucket
+ORDER BY bucket ASC
+"""
+
+
+def stats_agg_sql(
+    query_text: str,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.stats_agg`` (n_chars doc-value):
+    count/min/max/sum exact integers; avg through the shared half-up
+    floor formula, written identically to the Spark side."""
+    return f"""{_match_set_cte(query_text, lang, table, content_col)}
+SELECT count(*)::BIGINT AS n_docs,
+       min(length(d.{content_col}))::BIGINT AS min_v,
+       max(length(d.{content_col}))::BIGINT AS max_v,
+       sum(length(d.{content_col}))::BIGINT AS sum_v,
+       floor((sum(length(d.{content_col}))::DOUBLE
+              / count(*)::DOUBLE) * 1e6 + 0.5) / 1e6 AS avg_v
+FROM {table} d JOIN m USING (doc_id)
+"""

@@ -152,3 +152,52 @@ def test_time_travel_doc_values_pruned(spark, corpus, tmp_path):
     a = rows(idx0.collapse_topk(Q, 10, "repo"))
     b = rows(S.collapse_topk(corpus.filter(F.col("doc_id") < 256), Q, 10, "repo"))
     assert a == b
+
+
+def test_histogram_agg_vs_oracle_and_hit_count(spark, dv_index, sf_smoke):
+    """Histogram buckets == the DuckDB twin; bucket counts sum to the
+    total hit count; keys are multiples of the interval."""
+    import duckdb
+
+    from smse_backend_spark.operators.aggregations import histogram_agg_sql
+
+    got = rows(dv_index.histogram_agg(Q, 64))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    want = con.execute(histogram_agg_sql(Q, 64)).fetchall()
+    assert got == [tuple(r) for r in want] and len(got) >= 2
+    assert all(b % 64 == 0 for b, _n in got)
+    n_hits = dv_index.count_matches(Q).collect()[0]["n_hits"]
+    assert sum(n for _b, n in got) == n_hits
+
+
+def test_stats_agg_vs_oracle_and_docvalues(spark, dv_index, sf_smoke):
+    """Stats row == the DuckDB twin, and min/max/sum recompute from the
+    raw doc-values join."""
+    import duckdb
+
+    from smse_backend_spark.operators.aggregations import stats_agg_sql
+
+    got = rows(dv_index.stats_agg(Q))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    want = con.execute(stats_agg_sql(Q)).fetchall()
+    assert got == [tuple(r) for r in want] and len(got) == 1
+    n, mn, mx, sm, avg = got[0]
+    raw = (
+        dv_index.match_doc_ids(Q)
+        .join(dv_index.doc_values(["n_chars"]), "doc_id")
+        .agg(
+            F.count(F.lit(1)), F.min("n_chars"), F.max("n_chars"),
+            F.sum("n_chars"),
+        )
+        .collect()[0]
+    )
+    assert (n, mn, mx, sm) == tuple(raw)
+    assert avg == pytest.approx(sm / n, abs=1e-6)
