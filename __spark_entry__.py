@@ -55,6 +55,7 @@ from smse_backend_spark.operators.search import (
     multi_field_bm25_scan,
     multi_field_oracle_sql,
     near_oracle_sql,
+    phrase_suggest_oracle_sql,
     query_terms,
     rescore_phrase_oracle_sql,
     suggest_oracle_sql,
@@ -577,6 +578,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by collection frequency (metadata-only, no posting decode)
         "complete_suggest": lambda spark, sf: _indexed(spark, sf)
         .complete("sc", 10),
+        # multi-word did-you-mean: per-token fuzzy dictionary candidates
+        # cross-producted, scored by the corpus bigram LM (ES phrase
+        # suggester, integer-count scoring)
+        "phrase_suggest": lambda spark, sf: _indexed(spark, sf)
+        .phrase_suggest(load_corpus(spark, sf), "bat ky", 2, 6, 10),
         # per-term boosts scale idf before scoring (term^boost)
         "bm25_boosted": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_boosted(BOOSTS, 10),
@@ -919,7 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # then round-1-only greens (35) — see VERDICT.md round 2, "Next round" #2
 _CHECK_FIRST = [
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
-    "search_histogram", "search_stats",
+    "search_histogram", "search_stats", "phrase_suggest",
     "packed_sequences_dist", "stratified_sample_dist",
     "kmv_distinct_users_dist",
     "repetition_stats", "lm_scores", "bigram_pmi", "span_dedup",
@@ -1065,6 +1071,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         ),
         "spell_suggest": suggest_oracle_sql("soet", 2, 10),
         "complete_suggest": complete_oracle_sql("sc", 10),
+        "phrase_suggest": phrase_suggest_oracle_sql("bat ky", 2, 6, 10),
         "bm25_boosted": bm25_boosted_oracle_sql(BOOSTS, 10),
         "bm25_synonyms": bm25_synonyms_oracle_sql(SYN_GROUPS, 10),
         "bm25_regex": bm25_regex_oracle_sql("sc[a-z]n|ha.h", 10),

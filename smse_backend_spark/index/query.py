@@ -1817,6 +1817,87 @@ class InvertedIndex:
             .limit(n)
         )
 
+    def phrase_suggest(
+        self,
+        corpus: DataFrame,
+        text: str,
+        max_edits: int = 1,
+        per_term: int = 8,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``phrase`` suggester (multi-word did-you-mean): each analyzed
+        input token generates dictionary candidates within Levenshtein
+        distance ``max_edits`` (ranked df desc / term asc, capped at
+        ``per_term`` — the same FuzzyQuery discipline as
+        :meth:`expand_fuzzy`); candidate phrases are the per-position
+        cross product, scored by the corpus bigram language model
+        (score = sum of adjacent-pair bigram counts, an exact integer —
+        the shingle-field LM that backs ES's suggester, without the
+        transcendental smoothing so both engines agree bit-exactly).
+        Total order (score desc, suggestion asc).
+
+        Scale shape: candidate generation is the bounded dictionary walk
+        (metadata only); the candidate-pair set (≤ ``per_term``² rows per
+        adjacent position) is broadcast against the corpus bigram
+        extraction, so only candidate pairs survive the explode — the
+        shuffle carries candidate counts, never the corpus. At 10^12 files
+        the bigram table is an index-time artifact (ES's shingle subfield);
+        here it is derived in the same job.
+        """
+        import itertools
+
+        from smse_backend_spark.functions.tokenizer import tokenize_col
+
+        toks = self._analyze(text)
+        out_schema = "suggestion string, score long"
+        if len(toks) < 2:
+            raise ValueError(
+                f"phrase_suggest needs >= 2 analyzed tokens, got {toks!r}"
+            )
+        cands = [
+            self.expand_fuzzy(t, max_edits, lang, per_term) for t in toks
+        ]
+        if any(not c for c in cands):
+            return self.spark.createDataFrame([], out_schema)
+        # (suggestion, position, a, b) for every adjacent pair of every
+        # candidate phrase — bounded by per_term**len(toks) * (len-1)
+        pair_rows = []
+        for combo in itertools.product(*cands):
+            s = " ".join(combo)
+            for i in range(len(combo) - 1):
+                pair_rows.append((s, i, combo[i], combo[i + 1]))
+        pairs = self.spark.createDataFrame(
+            pair_rows, "suggestion string, pos int, a string, b string"
+        )
+        need = F.broadcast(pairs.select("a", "b").distinct())
+        tcol = tokenize_col(F.col("content"))
+        adj = F.when(
+            F.size(tcol) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tcol) - 1),
+                lambda i: F.struct(
+                    F.element_at(tcol, i).alias("a"),
+                    F.element_at(tcol, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        src = corpus if lang is None else corpus.filter(F.col("lang") == lang)
+        bg = (
+            src.select(F.explode(adj).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .join(need, ["a", "b"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return (
+            pairs.join(F.broadcast(bg), ["a", "b"], "left")
+            .groupBy("suggestion")
+            .agg(F.sum(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("score"))
+            .orderBy(F.desc("score"), F.asc("suggestion"))
+            .limit(k)
+        )
+
     def _topk_for_terms(
         self,
         terms: list[str],

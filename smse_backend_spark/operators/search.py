@@ -1460,6 +1460,66 @@ ORDER BY dist ASC, df DESC, term ASC
 LIMIT {n}
 """
 
+def phrase_suggest_oracle_sql(
+    text: str,
+    max_edits: int = 1,
+    per_term: int = 8,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.phrase_suggest``: per-position
+    candidate sets from the corpus-derived dictionary (Levenshtein <=
+    ``max_edits``, ranked df desc / term asc, capped — identical to the
+    fuzzy-expansion oracle), cross-producted into candidate phrases and
+    scored by the corpus bigram counts (sum over adjacent pairs, exact
+    integer), ordered (score desc, suggestion asc)."""
+    toks = query_terms(text)
+    if len(toks) < 2:
+        raise ValueError(f"phrase-suggest oracle needs >= 2 tokens, got {toks!r}")
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toksql = tokenize_duckdb_sql(content_col)
+    cand_ctes = []
+    for i, t in enumerate(toks):
+        esc = t.replace("'", "''")
+        cand_ctes.append(f"""c{i} AS (
+  SELECT term FROM (
+    SELECT term, count(DISTINCT doc_id) AS df
+    FROM tok WHERE levenshtein(term, '{esc}') <= {int(max_edits)} GROUP BY term
+  ) ORDER BY df DESC, term ASC LIMIT {int(per_term)}
+)""")
+    sel = ", ".join(f"c{i}.term AS t{i}" for i in range(len(toks)))
+    src = " CROSS JOIN ".join(f"c{i}" for i in range(len(toks)))
+    sugg = " || ' ' || ".join(f"cand.t{i}" for i in range(len(toks)))
+    joins = "\n".join(
+        f"LEFT JOIN bg b{i} ON b{i}.a = cand.t{i} AND b{i}.b = cand.t{i + 1}"
+        for i in range(len(toks) - 1)
+    )
+    score = " + ".join(f"coalesce(b{i}.n, 0)" for i in range(len(toks) - 1))
+    ctes = ",\n".join(cand_ctes)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toksql} AS toks FROM {table} {where_lang}
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM docs
+),
+bg AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b, count(*)::BIGINT AS n
+  FROM docs, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2 GROUP BY 1, 2
+),
+{ctes},
+cand AS (SELECT {sel} FROM {src})
+SELECT {sugg} AS suggestion, ({score})::BIGINT AS score
+FROM cand
+{joins}
+ORDER BY score DESC, suggestion ASC
+LIMIT {k}
+"""
+
+
 def complete_oracle_sql(
     prefix: str,
     n: int = 10,

@@ -1052,3 +1052,35 @@ def test_rescore_only_reorders_within_window(pos_index):
         assert r["score"] == pytest.approx(want, abs=2e-6)
     # at least one doc actually got boosted by the phrase
     assert any(r["doc_id"] in phrase for r in got)
+
+
+def test_phrase_suggest_vs_oracle(spark, corpus, index, sf_smoke):
+    """phrase_suggest == the composed DuckDB oracle (per-position fuzzy
+    candidates x bigram-count LM), including zero-count candidates."""
+    import duckdb
+
+    from smse_backend_spark.operators.search import phrase_suggest_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    got = [tuple(r) for r in index.phrase_suggest(
+        corpus, "bat ky", 2, 6, 10).collect()]
+    want = [tuple(r) for r in con.execute(
+        phrase_suggest_oracle_sql("bat ky", 2, 6, 10)).fetchall()]
+    assert got == want and len(got) > 1
+    # scores are non-increasing, ties broken by suggestion asc
+    assert got == sorted(got, key=lambda r: (-r[1], r[0]))
+
+
+def test_phrase_suggest_corrects_typo(corpus, index):
+    """Single-edit typos of a frequent collocation rank the corrected
+    phrase first, scored by its corpus bigram count."""
+    got = index.phrase_suggest(corpus, "hsh joun", 1, 8, 5).collect()
+    assert got[0]["suggestion"] == "hash join"
+    assert got[0]["score"] > 0
+
+    with pytest.raises(ValueError, match=">= 2 analyzed tokens"):
+        index.phrase_suggest(corpus, "hash", 1, 8, 5)
