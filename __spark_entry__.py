@@ -402,33 +402,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
+    def _asof_index_path(spark: SparkSession, sf_dir: str) -> str:
+        from pyspark.sql import functions as FF
+
+        from smse_backend_spark.index.build import build_index
+
+        # dedicated deterministic index so batch 0 covers docs 0-255 at
+        # ANY sf (corpus capped at 768 docs, 3 single-segment batches) —
+        # the static oracle's doc_id < 256 boundary must not depend on
+        # the scale factor's batch split
+        if sf_dir not in _ASOF_CACHE:
+            import tempfile
+
+            out = tempfile.mkdtemp(prefix="smse_idx_asof_")
+            build_index(
+                spark,
+                load_corpus(spark, sf_dir).filter(FF.col("doc_id") < 768),
+                out, segment_size=256, n_buckets=8, block_size=64,
+                n_batches=3,
+            )
+            _ASOF_CACHE[sf_dir] = out
+        return _ASOF_CACHE[sf_dir]
+
     def _bm25_as_of(query: str, as_of: int):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            from pyspark.sql import functions as FF
-
-            from smse_backend_spark.index.build import build_index
             from smse_backend_spark.index.query import InvertedIndex
 
-            # dedicated deterministic index so batch 0 covers docs 0-255 at
-            # ANY sf (corpus capped at 768 docs, 3 single-segment batches) —
-            # the static oracle's doc_id < 256 boundary must not depend on
-            # the scale factor's batch split
-            if sf_dir not in _ASOF_CACHE:
-                import tempfile
-
-                out = tempfile.mkdtemp(prefix="smse_idx_asof_")
-                build_index(
-                    spark,
-                    load_corpus(spark, sf_dir).filter(FF.col("doc_id") < 768),
-                    out, segment_size=256, n_buckets=8, block_size=64,
-                    n_batches=3,
-                )
-                _ASOF_CACHE[sf_dir] = out
             return InvertedIndex(
-                spark, _ASOF_CACHE[sf_dir], as_of_batch=as_of
+                spark, _asof_index_path(spark, sf_dir), as_of_batch=as_of
             ).bm25_topk(query, 10)
 
         return run
+
+    def _lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from smse_backend_spark.index.query import lineage_partitions
+
+        return lineage_partitions(spark, _asof_index_path(spark, sf_dir))
 
     def _bm25_streamed(query: str):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,6 +883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).postings_stats(spark, _indexed(spark, sf).path).select(
             "lang", "n_postings", "n_terms"
         ),
+        # per-partition build lineage (batch manifests) as a queryable
+        # frame; oracle = from-scratch recount incl. the codec's
+        # ceil(postings/block_size) block-layout law
+        "index_lineage": _lineage,
         # doc-values histogram aggregation (docstats column-pruned read)
         "index_doclen_histogram": lambda spark, sf: __import__(
             "smse_backend_spark.index.query", fromlist=["doclen_histogram"]
@@ -925,7 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # then round-1-only greens (35) — see VERDICT.md round 2, "Next round" #2
 _CHECK_FIRST = [
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
-    "search_histogram", "search_stats", "phrase_suggest",
+    "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
     "packed_sequences_dist", "stratified_sample_dist",
     "kmv_distinct_users_dist",
     "repetition_stats", "lm_scores", "bigram_pmi", "span_dedup",
@@ -1194,6 +1207,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             "smse_backend_spark.index.query",
             fromlist=["postings_stats_oracle_sql"],
         ).postings_stats_oracle_sql(),
+        "index_lineage": __import__(
+            "smse_backend_spark.index.query",
+            fromlist=["lineage_partitions_oracle_sql"],
+        ).lineage_partitions_oracle_sql(),
         "packed_sequences_dist": __import__(
             "smse_backend_spark.operators.chunking", fromlist=["pack_chunks_sql"]
         ).pack_chunks_sql(32, 8, 256),

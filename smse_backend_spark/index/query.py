@@ -2309,3 +2309,81 @@ SELECT ((doc_len // {bucket}) * {bucket})::BIGINT AS bucket_lo,
        count(*)::BIGINT AS n_docs
 FROM dl GROUP BY 1
 """
+
+
+def lineage_partitions(spark, path: str) -> "DataFrame":
+    """The per-partition build lineage as a queryable DataFrame: one row
+    per (batch, lang, term_bucket) with the term range and term / block /
+    posting counts each batch manifest recorded at commit time
+    (``index/build.partition_stats`` — the target spec's "per-partition
+    lineage (partition id, term range, doc count, bytes)").
+
+    Metadata-only in the strictest sense: this reads the JSON manifests
+    (a few KB per batch, already on the driver for any resume decision);
+    no parquet footer, no posting blob. Every count must equal a
+    from-scratch recount of the corpus — that equality is the
+    checkpoint-integrity guarantee a resume relies on.
+    """
+    from smse_backend_spark.index import lineage as lin
+
+    rows = []
+    for m in lin.read_lineage(path):
+        for p in m.get("partitions", []):
+            rows.append((
+                int(m["batch_id"]), p["lang"], int(p["term_bucket"]),
+                p["term_range"][0], p["term_range"][1],
+                int(p["n_terms"]), int(p["n_blocks"]), int(p["n_postings"]),
+            ))
+    return spark.createDataFrame(
+        rows,
+        "batch int, lang string, term_bucket int, term_lo string, "
+        "term_hi string, n_terms long, n_blocks long, n_postings long",
+    ).orderBy("batch", "lang", "term_bucket")
+
+
+def lineage_partitions_oracle_sql(
+    cap: int = 768,
+    batch_docs: int = 256,
+    segment_size: int = 256,
+    block_size: int = 64,
+    n_buckets: int = 8,
+    table: str = "documents",
+) -> str:
+    """DuckDB recount twin of :func:`lineage_partitions` for an index
+    built over ``doc_id < cap`` with ``batch_docs`` docs per batch: batch
+    and segment are doc-id ranges, term_bucket replays the sha2-derived
+    bucket (``index/build.term_bucket_col``), and n_blocks replays the
+    codec's layout law — ceil(postings per (term, segment) / block_size).
+    """
+    from smse_backend_spark.functions.tokenizer import tokenize_duckdb_sql
+
+    toks = tokenize_duckdb_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang, {toks} AS toks FROM {table} WHERE doc_id < {cap}
+),
+dt AS (
+  SELECT DISTINCT doc_id, lang, unnest(toks) AS term FROM docs
+),
+ext AS (
+  SELECT (doc_id // {batch_docs})::INT AS batch, lang, term,
+         ((('0x' || substr(sha256(term), 1, 8))::UBIGINT)
+          % {n_buckets})::INT AS term_bucket,
+         doc_id // {segment_size} AS segment
+  FROM dt
+),
+bl AS (
+  SELECT batch, lang, term_bucket, term, segment,
+         count(*)::BIGINT AS np,
+         ceil(count(*)::DOUBLE / {block_size})::BIGINT AS nb
+  FROM ext GROUP BY 1, 2, 3, 4, 5
+)
+SELECT batch, lang, term_bucket,
+       min(term) AS term_lo, max(term) AS term_hi,
+       count(DISTINCT term)::BIGINT AS n_terms,
+       sum(nb)::BIGINT AS n_blocks,
+       sum(np)::BIGINT AS n_postings
+FROM bl
+GROUP BY 1, 2, 3
+ORDER BY batch, lang, term_bucket
+"""

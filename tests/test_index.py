@@ -1084,3 +1084,32 @@ def test_phrase_suggest_corrects_typo(corpus, index):
 
     with pytest.raises(ValueError, match=">= 2 analyzed tokens"):
         index.phrase_suggest(corpus, "hash", 1, 8, 5)
+
+
+def test_lineage_partitions_match_physical_index(spark, index):
+    """The per-partition lineage recorded in the batch manifests equals a
+    recount over the physical postings parquet — the checkpoint-integrity
+    guarantee a resume relies on."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index.query import lineage_partitions
+
+    lin = lineage_partitions(spark, index.path)
+    phys = (
+        spark.read.parquet(f"{index.path}/postings")
+        .groupBy("batch", "lang", "term_bucket")
+        .agg(
+            F.min("term").alias("term_lo"), F.max("term").alias("term_hi"),
+            F.countDistinct("term").alias("n_terms"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("n").cast("long").alias("n_postings"),
+        )
+    )
+    a = sorted(tuple(r) for r in lin.collect())
+    b = sorted(
+        (int(r["batch"]), r["lang"], int(r["term_bucket"]), r["term_lo"],
+         r["term_hi"], int(r["n_terms"]), int(r["n_blocks"]),
+         int(r["n_postings"]))
+        for r in phys.collect()
+    )
+    assert a == b and len(a) > 4
