@@ -222,6 +222,17 @@ def _sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded_bm25_topk(spark, [a, b], FLAGSHIP_QUERY, 10)
 
 
+def _sharded_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES shard-agg protocol: per-shard partial facet counts over each
+    shard's own match set, merged by summing at the coordinator."""
+    from smse_backend_spark.index.query import sharded_facet_counts
+
+    a, b, _m = _merged_shards(spark, sf_dir)
+    return sharded_facet_counts(
+        spark, [a, b], load_corpus(spark, sf_dir), FLAGSHIP_QUERY
+    )
+
+
 def _streamed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smse_backend_spark.streaming.events import streamed_rollup_df
 
@@ -726,6 +737,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # logical index (global stats merged coordinator-side, per-shard
         # posting decode, one global reduce) — never consolidated on disk
         "bm25_sharded": _sharded,
+        # distributed aggregation: per-shard partial facet counts merged
+        # at the coordinator (additive across disjoint doc spaces)
+        "sharded_facets": _sharded_facets,
         # hybrid retrieval: BM25 + cosine fused by reciprocal-rank fusion
         "hybrid_rrf": lambda spark, sf: HY.rrf_hybrid_topk(
             load_corpus(spark, sf), S.load_embeddings(spark, sf),
@@ -939,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CHECK_FIRST = [
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
+    "sharded_facets",
     "packed_sequences_dist", "stratified_sample_dist",
     "kmv_distinct_users_dist",
     "repetition_stats", "lm_scores", "bigram_pmi", "span_dedup",
@@ -1146,6 +1161,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             table=f"(SELECT * FROM documents WHERE doc_id < {MERGE_CAP})",
         ),
         "bm25_sharded": bm25_scan_oracle_sql(
+            FLAGSHIP_QUERY,
+            table=f"(SELECT * FROM documents WHERE doc_id < {MERGE_CAP})",
+        ),
+        "sharded_facets": facet_counts_oracle_sql(
             FLAGSHIP_QUERY,
             table=f"(SELECT * FROM documents WHERE doc_id < {MERGE_CAP})",
         ),

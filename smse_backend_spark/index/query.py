@@ -2229,6 +2229,48 @@ def sharded_bm25_topk(
     )
 
 
+def sharded_facet_counts(
+    spark: SparkSession,
+    paths: list[str],
+    corpus: DataFrame,
+    query_text: str,
+    facet_cols: tuple[str, ...] = ("lang", "repo"),
+    lang: str | None = None,
+) -> DataFrame:
+    """Distributed aggregation over shards — the ES shard-agg protocol
+    beside :func:`sharded_bm25_topk`'s ranked retrieval: each shard
+    computes its facet PARTIAL counts over its own match set (own
+    postings decode, own tombstones, join against the facet projection);
+    the coordinator merges by summing. Counts are additive across the
+    shards' disjoint doc-id spaces, so the merged result equals
+    ``facet_counts`` on the consolidated index exactly.
+
+    Scale shape: what crosses a shard boundary is one (facet values,
+    partial count) row per facet combination per shard — never doc ids,
+    never postings; the final merge is vocabulary-of-facets sized.
+    """
+    if not paths:
+        raise ValueError("need at least one shard path")
+    shards = [InvertedIndex(spark, p) for p in paths]
+    facets = corpus.select("doc_id", *facet_cols)
+    parts = [
+        s.match_doc_ids(query_text, lang)
+        .join(facets, "doc_id")
+        .groupBy(*facet_cols)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        for s in shards
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    order = [F.desc("n_docs")] + [F.asc(c) for c in facet_cols]
+    return (
+        u.groupBy(*facet_cols)
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+        .orderBy(*order)
+    )
+
+
 def term_vectors_oracle_sql(doc_ids: list[int], table: str = "documents") -> str:
     """DuckDB twin of :meth:`InvertedIndex.term_vectors`: tf by re-
     tokenizing the requested docs, df as the corpus-wide distinct-doc

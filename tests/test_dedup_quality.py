@@ -15,14 +15,18 @@ from smse_backend_spark.operators import dedup as D
 def docs_small(spark, sf_smoke):
     d = spark.read.parquet(f"{sf_smoke}/documents.parquet").cache()
     d.count()
-    return d
+    yield d
+    # unpersist so the cached full-width relation doesn't get substituted
+    # into later modules' plans (it would defeat column-pruning asserts)
+    d.unpersist()
 
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_correct):
     d = spark.read.parquet(f"{sf_correct}/documents.parquet").cache()
     d.count()
-    return d
+    yield d
+    d.unpersist()
 
 
 @pytest.fixture(scope="module")

@@ -1113,3 +1113,16 @@ def test_lineage_partitions_match_physical_index(spark, index):
         for r in phys.collect()
     )
     assert a == b and len(a) > 4
+
+
+def test_sharded_facets_equals_one_index_facets(spark, corpus, index,
+                                                shard_paths):
+    """Per-shard partial facet counts merged at the coordinator == the
+    one-index facet aggregation (counts additive across disjoint shards)."""
+    from smse_backend_spark.index.query import sharded_facet_counts
+
+    got = [tuple(r) for r in sharded_facet_counts(
+        spark, shard_paths, corpus, "hash join merge scan").collect()]
+    want = [tuple(r) for r in index.facet_counts(
+        corpus, "hash join merge scan").collect()]
+    assert got == want and len(got) > 2

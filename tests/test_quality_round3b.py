@@ -17,7 +17,10 @@ from smse_backend_spark.operators import sampling as SA
 def docs(spark, sf_smoke):
     d = spark.read.parquet(f"{sf_smoke}/documents.parquet").cache()
     d.count()
-    return d
+    yield d
+    # unpersist so the cached full-width relation doesn't get substituted
+    # into later modules' plans (it would defeat column-pruning asserts)
+    d.unpersist()
 
 
 @pytest.fixture(scope="module")
