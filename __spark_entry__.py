@@ -346,6 +346,29 @@ def _stem_indexed(spark: SparkSession, sf_dir: str):
     return InvertedIndex(spark, _STEM_INDEX_CACHE[sf_dir])
 
 
+_SYN_INDEX_CACHE: dict[str, str] = {}
+# code-search synonym contract: merge ⇒ join (one pooled relevance space
+# for the two operator spellings), tbl ⇒ table (abbreviation fold)
+SYN_MAP = {"merge": "join", "tbl": "table"}
+
+
+def _syn_indexed(spark: SparkSession, sf_dir: str):
+    """Index built with the index-time synonym analyzer (tokens folded to
+    the group's canonical term; query terms folded by the recorded map)."""
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+
+    if sf_dir not in _SYN_INDEX_CACHE:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="smse_index_syn_")
+        build_index(spark, load_corpus(spark, sf_dir), out,
+                    segment_size=256, n_buckets=8, block_size=64,
+                    n_batches=2, analyzer="synonym", synonyms=SYN_MAP)
+        _SYN_INDEX_CACHE[sf_dir] = out
+    return InvertedIndex(spark, _SYN_INDEX_CACHE[sf_dir])
+
+
 def _field_indexes(spark: SparkSession, sf_dir: str):
     """{field: InvertedIndex} for the fielded index entries: the normal
     content index plus a second index over the path field (path tokens
@@ -628,6 +651,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stemmed term space, query terms stemmed via the recorded config
         "bm25_indexed_stemmed": lambda spark, sf: _stem_indexed(spark, sf)
         .bm25_topk("tables scans windows merges", 10),
+        # index-time synonym analyzer: merge⇒join / tbl⇒table folded at
+        # build, so a group scores as ONE term with pooled tf/df
+        "bm25_indexed_synonym": lambda spark, sf: _syn_indexed(spark, sf)
+        .bm25_topk(FLAGSHIP_QUERY, 10),
         # keyset pagination: page 2 strictly after page 1's (score, doc_id)
         "bm25_search_after": lambda spark, sf: bm25_search_after(
             load_corpus(spark, sf), FLAGSHIP_QUERY, 10
@@ -953,7 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CHECK_FIRST = [
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
-    "sharded_facets",
+    "sharded_facets", "bm25_indexed_synonym",
     "packed_sequences_dist", "stratified_sample_dist",
     "kmv_distinct_users_dist",
     "repetition_stats", "lm_scores", "bigram_pmi", "span_dedup",
@@ -1114,6 +1141,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         ),
         "bm25_indexed_stemmed": bm25_scan_oracle_sql(
             "tables scans windows merges", 10, stem=True
+        ),
+        "bm25_indexed_synonym": bm25_scan_oracle_sql(
+            FLAGSHIP_QUERY, 10, synonyms=SYN_MAP
         ),
         "bm25_search_after": search_after_oracle_sql(FLAGSHIP_QUERY, 10),
         "search_collapse": collapse_oracle_sql(FLAGSHIP_QUERY, 10, "source"),

@@ -91,7 +91,8 @@ def tokenize_col(content: Column | str) -> Column:
     )
 
 
-def term_counts_df(df, content: str = "content", analyzer: str = "standard"):
+def term_counts_df(df, content: str = "content", analyzer: str = "standard",
+                   synonyms: dict[str, str] | None = None):
     """All-JVM per-document term frequencies: (doc_id, content[, lang])
     -> (doc_id, term, tf, doc_len[, lang]) — the zero-Python twin of
     :func:`term_counts_map_in_pandas` (lockstep-tested row-equal;
@@ -128,6 +129,8 @@ def term_counts_df(df, content: str = "content", analyzer: str = "standard"):
     toks = tokenize_col(c)
     if analyzer == "stem":
         toks = stem_col(toks)
+    elif analyzer == "synonym":
+        toks = synonym_col(toks, synonyms or {})
     staged = (
         df.select(
             "doc_id", *extra, F.array_sort(toks).alias("s")
@@ -424,3 +427,34 @@ def stem_duckdb_sql(toks_expr: str) -> str:
         "THEN substr(t, 1, length(t) - 1) "
         "ELSE t END)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Synonym analyzer (Lucene SynonymGraphFilter, contract flavor): tokens are
+# folded to their group's canonical term at INDEX time, so a group scores as
+# one term with pooled tf/df. 1:1 token mapping — doc_len is unchanged, like
+# the stemmer. Three lockstep impls, same discipline as the stemmer above.
+# ---------------------------------------------------------------------------
+
+def synonym_py(t: str, synonyms: dict[str, str]) -> str:
+    return synonyms.get(t, t)
+
+
+def synonym_col(toks: Column, synonyms: dict[str, str]) -> Column:
+    """array<string> -> array<string>, each token folded through the
+    synonym map (missing keys pass through); pure Column algebra."""
+    if not synonyms:
+        return toks
+    m = F.create_map(*[F.lit(x) for kv in sorted(synonyms.items()) for x in kv])
+    return F.transform(toks, lambda t: F.coalesce(F.element_at(m, t), t))
+
+
+def synonym_duckdb_sql(toks_expr: str, synonyms: dict[str, str]) -> str:
+    """DuckDB twin of :func:`synonym_col` over a list<varchar> expression."""
+    if not synonyms:
+        return toks_expr
+    whens = " ".join(
+        "WHEN '{}' THEN '{}'".format(k.replace("'", "''"), v.replace("'", "''"))
+        for k, v in sorted(synonyms.items())
+    )
+    return f"list_transform({toks_expr}, t -> CASE t {whens} ELSE t END)"

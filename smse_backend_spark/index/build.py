@@ -350,6 +350,7 @@ def build_index(
     snapshot_id: str | None = None,
     with_positions: bool = False,
     analyzer: str = "standard",
+    synonyms: dict[str, str] | None = None,
     docvalues: tuple[str, ...] | list[str] = (),
 ) -> dict:
     """Build (or resume) the index from a corpus (doc_id, lang, content).
@@ -366,12 +367,16 @@ def build_index(
     positions roughly double posting bytes and add a list-agg to the
     tokenize kernel.
 
-    ``analyzer``: ``"standard"`` (default) or ``"stem"`` — the Harman
+    ``analyzer``: ``"standard"`` (default), ``"stem"`` — the Harman
     S-stemmer applied at INDEX time (Lucene per-field-analyzer style):
     postings are stored in stemmed term space, doc_len stays the raw
     token count, and the recorded config makes ``InvertedIndex`` stem
-    query terms to match. Positional builds don't support it (phrase
-    adjacency over stemmed tokens is ambiguous).
+    query terms to match — or ``"synonym"`` with a ``synonyms`` map
+    (Lucene SynonymGraphFilter, contract flavor): tokens fold to their
+    group's canonical term, so a group scores as ONE term with pooled
+    tf/df, and the recorded map folds query terms identically.
+    Positional builds support neither (adjacency over folded tokens is
+    ambiguous).
 
     Batches partition the doc-id space; each batch commits postings +
     docstats + a lineage row atomically-enough (data first, lineage JSON
@@ -381,10 +386,14 @@ def build_index(
     from smse_backend_spark.session import ensure_pyfiles
 
     ensure_pyfiles(spark)
-    if analyzer not in ("standard", "stem"):
+    if analyzer not in ("standard", "stem", "synonym"):
         raise ValueError(f"unknown analyzer {analyzer!r}")
-    if analyzer == "stem" and with_positions:
-        raise NotImplementedError("stemmed positional index not supported")
+    if analyzer in ("stem", "synonym") and with_positions:
+        raise NotImplementedError(f"{analyzer} positional index not supported")
+    if analyzer == "synonym" and not synonyms:
+        raise ValueError("analyzer='synonym' requires a non-empty synonyms map")
+    if analyzer != "synonym":
+        synonyms = None
     if known_max_doc is not None:
         min_doc, max_doc = 0, known_max_doc
     else:
@@ -431,7 +440,7 @@ def build_index(
         _build_batch(
             spark, corpus, out_dir, b, seg_lo, seg_hi, segment_size,
             n_buckets, block_size, input_partitions, snapshot,
-            with_positions, analyzer, tuple(docvalues),
+            with_positions, analyzer, tuple(docvalues), synonyms,
         )
         built += 1
     return finalize(
@@ -439,7 +448,8 @@ def build_index(
         {"segment_size": segment_size, "n_buckets": n_buckets,
          "block_size": block_size, "n_batches": n_batches,
          "corpus_snapshot": snapshot, "with_positions": with_positions,
-         "analyzer": analyzer, "docvalues": list(docvalues)},
+         "analyzer": analyzer, "synonyms": synonyms,
+         "docvalues": list(docvalues)},
     )
 
 
@@ -458,7 +468,7 @@ def corpus_snapshot(corpus: DataFrame) -> str | None:
 def _build_batch(
     spark, corpus, out_dir, batch_id, seg_lo, seg_hi, segment_size,
     n_buckets, block_size, input_partitions, snapshot=None,
-    with_positions=False, analyzer="standard", docvalues=(),
+    with_positions=False, analyzer="standard", docvalues=(), synonyms=None,
 ) -> None:
     lo_doc, hi_doc = seg_lo * segment_size, seg_hi * segment_size
     part = corpus.filter((F.col("doc_id") >= lo_doc) & (F.col("doc_id") < hi_doc))
@@ -526,7 +536,10 @@ def _build_batch(
         )
 
         out_schema = BLOCKS_SCHEMA
-        if os.environ.get("SMSE_TOKENIZE_IMPL", "column") == "pandas":
+        # the synonym analyzer has no Arrow kernel — its fold is a pure
+        # map literal, so the JVM path is used regardless of the knob
+        if (os.environ.get("SMSE_TOKENIZE_IMPL", "column") == "pandas"
+                and analyzer != "synonym"):
             kernel = (
                 stemmed_term_counts_map_in_pandas
                 if analyzer == "stem"
@@ -537,7 +550,8 @@ def _build_batch(
             )
         else:
             tc = term_counts_df(
-                part.select("doc_id", "content", "lang"), analyzer=analyzer
+                part.select("doc_id", "content", "lang"), analyzer=analyzer,
+                synonyms=synonyms,
             )
     tc = (
         tc

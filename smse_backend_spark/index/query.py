@@ -396,6 +396,7 @@ class InvertedIndex:
         self._tomb_bcast = None  # sc.broadcast of the sorted id array
         self._tomb_df: DataFrame | None = None  # join fallback (big sets)
         self.analyzer = self.meta.get("config", {}).get("analyzer", "standard")
+        self.synonyms = self.meta.get("config", {}).get("synonyms") or {}
 
     def _analyze(self, query_text: str) -> list[str]:
         """Query terms in the INDEX's term space: the recorded index-time
@@ -406,6 +407,8 @@ class InvertedIndex:
         terms = query_terms(query_text)
         if self.analyzer == "stem":
             terms = sorted({stem_py(t) for t in terms})
+        elif self.analyzer == "synonym":
+            terms = sorted({self.synonyms.get(t, t) for t in terms})
         return terms
 
     # -- soft deletes ------------------------------------------------------
@@ -587,6 +590,8 @@ class InvertedIndex:
         tree = parse_bool_query(query_text)
         if self.analyzer == "stem":
             tree = map_terms(tree, stem_py)
+        elif self.analyzer == "synonym":
+            tree = map_terms(tree, lambda t: self.synonyms.get(t, t))
         terms = sorted(all_terms(tree))
         pos = sorted(positive_terms(tree))
         n, avgdl = self.corpus_stats(lang)

@@ -30,6 +30,7 @@ from smse_backend_spark.functions.tokenizer import (
     stem_col,
     stem_duckdb_sql,
     stem_py,
+    synonym_duckdb_sql,
     tokenize_col,
     tokenize_duckdb_sql,
     tokenize_py,
@@ -680,6 +681,7 @@ def bm25_scan_oracle_sql(
     exclude_where: str | None = None,
     min_match: int | None = None,
     stem: bool = False,
+    synonyms: dict[str, str] | None = None,
 ) -> str:
     """DuckDB SQL computing the identical result (same tokenizer, same math).
 
@@ -692,10 +694,15 @@ def bm25_scan_oracle_sql(
     ``min_match``: HAVING >= this many matched distinct terms per doc
     (the minimum-should-match / conjunctive twin; scoring unchanged).
 
-    ``stem``: Harman S-stemmer analyzer over doc tokens and query terms."""
+    ``stem``: Harman S-stemmer analyzer over doc tokens and query terms.
+
+    ``synonyms``: index-time synonym fold over doc tokens and query
+    terms (the ``analyzer="synonym"`` twin)."""
     terms = query_terms(query_text)
     if stem:
         terms = sorted({stem_py(t) for t in terms})
+    if synonyms:
+        terms = sorted({synonyms.get(t, t) for t in terms})
     if not terms:
         return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
@@ -703,6 +710,8 @@ def bm25_scan_oracle_sql(
     toks = tokenize_duckdb_sql(content_col)
     if stem:
         toks = stem_duckdb_sql(toks)
+    if synonyms:
+        toks = synonym_duckdb_sql(toks, synonyms)
     score = bm25_term_score_sql(
         "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
     )

@@ -1126,3 +1126,48 @@ def test_sharded_facets_equals_one_index_facets(spark, corpus, index,
     want = [tuple(r) for r in index.facet_counts(
         corpus, "hash join merge scan").collect()]
     assert got == want and len(got) > 2
+
+
+def test_synonym_index_folds_groups(spark, sf_smoke):
+    """analyzer="synonym" pools the group into ONE term (merge => join):
+    build-time fold == the DuckDB synonym oracle; the reopened handle
+    folds query terms via the recorded map; positions are refused."""
+    import tempfile
+
+    import duckdb
+
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+    from smse_backend_spark.operators.search import bm25_scan_oracle_sql
+
+    syn = {"merge": "join", "tbl": "table"}
+    corpus = load_corpus(spark, sf_smoke)
+    out = tempfile.mkdtemp(prefix="smse_idx_syn_")
+    build_index(spark, corpus, out, segment_size=256, n_buckets=8,
+                block_size=64, n_batches=2, analyzer="synonym", synonyms=syn)
+    idx = InvertedIndex(spark, out)
+    assert idx.analyzer == "synonym" and idx.synonyms == syn
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    for q in ["hash join merge scan", "merge", "tbl scan"]:
+        got = [(r["doc_id"], r["score"]) for r in idx.bm25_topk(q, 10).collect()]
+        want = con.execute(
+            bm25_scan_oracle_sql(q, 10, synonyms=syn)
+        ).fetchall()
+        assert got == [(d, s) for d, s in want], q
+    # the folded group is ONE term: querying either spelling is identical
+    a = [tuple(r) for r in idx.bm25_topk("merge", 10).collect()]
+    b = [tuple(r) for r in idx.bm25_topk("join", 10).collect()]
+    assert a == b and a
+    # dictionary holds only the canonical term
+    assert idx.term_df(["merge", "join"]) .get("merge") is None
+
+    with pytest.raises(NotImplementedError, match="synonym positional"):
+        build_index(spark, corpus, tempfile.mkdtemp(), analyzer="synonym",
+                    synonyms=syn, with_positions=True)
+    with pytest.raises(ValueError, match="non-empty synonyms"):
+        build_index(spark, corpus, tempfile.mkdtemp(), analyzer="synonym")
