@@ -306,7 +306,7 @@ def _indexed(spark: SparkSession, sf_dir: str):
         out = tempfile.mkdtemp(prefix="smse_index_")
         build_index(spark, load_corpus(spark, sf_dir), out,
                     segment_size=256, n_buckets=8, block_size=64, n_batches=2,
-                    docvalues=("repo", "n_chars"))
+                    docvalues=("repo", "n_chars"), sort_field="n_chars")
         _INDEX_CACHE[sf_dir] = out
     return InvertedIndex(spark, _INDEX_CACHE[sf_dir])
 
@@ -757,6 +757,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of the n_chars doc-value; avg via the shared floor formula)
         "search_stats": lambda spark, sf: _indexed(spark, sf)
         .stats_agg(FLAGSHIP_QUERY),
+        # Lucene index sorting: match-all top-k by a doc-value served
+        # from the sorted projection with an exact histogram threshold —
+        # the scan reads ~k rows, never the corpus
+        "browse_by_size": lambda spark, sf: _indexed(spark, sf)
+        .browse_topk(25),
         # shard consolidation: two disjoint indexes merged, then queried
         "bm25_indexed_merged": lambda spark, sf: _merged_index(spark, sf)
         .bm25_topk(FLAGSHIP_QUERY, 10),
@@ -980,7 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CHECK_FIRST = [
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
-    "sharded_facets", "bm25_indexed_synonym",
+    "sharded_facets", "bm25_indexed_synonym", "browse_by_size",
     "packed_sequences_dist", "stratified_sample_dist",
     "kmv_distinct_users_dist",
     "repetition_stats", "lm_scores", "bigram_pmi", "span_dedup",
@@ -1186,6 +1191,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "significant_terms_indexed": AG.significant_terms_sql(FLAGSHIP_QUERY, 15),
         "search_histogram": AG.histogram_agg_sql(FLAGSHIP_QUERY, 64),
         "search_stats": AG.stats_agg_sql(FLAGSHIP_QUERY),
+        "browse_by_size": (
+            "SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id ASC LIMIT 25"
+        ),
         "bm25_indexed_merged": bm25_scan_oracle_sql(
             FLAGSHIP_QUERY,
             table=f"(SELECT * FROM documents WHERE doc_id < {MERGE_CAP})",

@@ -352,6 +352,7 @@ def build_index(
     analyzer: str = "standard",
     synonyms: dict[str, str] | None = None,
     docvalues: tuple[str, ...] | list[str] = (),
+    sort_field: str | None = None,
 ) -> dict:
     """Build (or resume) the index from a corpus (doc_id, lang, content).
 
@@ -392,6 +393,12 @@ def build_index(
         raise NotImplementedError(f"{analyzer} positional index not supported")
     if analyzer == "synonym" and not synonyms:
         raise ValueError("analyzer='synonym' requires a non-empty synonyms map")
+    if sort_field is not None and sort_field != "doc_len" \
+            and sort_field not in docvalues:
+        raise ValueError(
+            f"sort_field {sort_field!r} must be 'doc_len' or a stored "
+            f"docvalue {sorted(docvalues)}"
+        )
     if analyzer != "synonym":
         synonyms = None
     if known_max_doc is not None:
@@ -449,7 +456,7 @@ def build_index(
          "block_size": block_size, "n_batches": n_batches,
          "corpus_snapshot": snapshot, "with_positions": with_positions,
          "analyzer": analyzer, "synonyms": synonyms,
-         "docvalues": list(docvalues)},
+         "docvalues": list(docvalues), "sort_field": sort_field},
     )
 
 
@@ -1033,6 +1040,40 @@ def finalize(spark: SparkSession, out_dir: str, config: dict) -> dict:
         .collect()
     }
     lineage_rows = lin.read_lineage(out_dir)
+    sort_hist = None
+    sfld = config.get("sort_field")
+    if sfld:
+        # Lucene index-sorting analog: a (doc_id, field) projection
+        # range-partitioned and sorted DESC by the field, so a ">= T"
+        # predicate prunes whole files/row groups at read time; plus an
+        # exact descending histogram (equi-width boundaries, exact
+        # cumulative counts) in meta so the query side can pick the
+        # tightest provably-sufficient threshold without any scan.
+        dv = spark.read.parquet(f"{out_dir}/docstats").select("doc_id", sfld)
+        n_docs_total = sum(r.get("n_docs", 0) for r in lineage_rows)
+        nparts = max(1, min(32, n_docs_total // 4096 + 1))
+        (
+            dv.repartitionByRange(nparts, F.col(sfld).desc())
+            .sortWithinPartitions(F.col(sfld).desc(), F.col("doc_id").asc())
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/sorted_dv/{sfld}")
+        )
+        lo, hi = dv.agg(F.min(sfld), F.max(sfld)).first()
+        lo, hi = int(lo), int(hi)
+        m = 32
+        bounds = sorted(
+            {lo} | {lo + (hi - lo) * i // m for i in range(1, m + 1)},
+            reverse=True,
+        )
+        counts = dv.agg(*[
+            F.sum((F.col(sfld) >= b).cast("long")).alias(f"c{i}")
+            for i, b in enumerate(bounds)
+        ]).first()
+        sort_hist = {
+            "field": sfld,
+            "bounds": bounds,
+            "cum_counts": [int(counts[f"c{i}"]) for i in range(len(bounds))],
+        }
     meta = {
         "config": config,
         "n_terms": n_terms,
@@ -1041,6 +1082,7 @@ def finalize(spark: SparkSession, out_dir: str, config: dict) -> dict:
         "sum_dl": sum(v["sum_dl"] for v in per_lang.values()),
         "per_lang": per_lang,
         "batches": sorted(lin.committed_batches(out_dir)),
+        "sort_histogram": sort_hist,
     }
     lin.write_meta(out_dir, meta)
     return meta

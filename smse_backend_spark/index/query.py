@@ -1544,6 +1544,57 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def browse_topk(
+        self, k: int = DEFAULT_TOP_K, field: str | None = None
+    ) -> DataFrame:
+        """Early-terminated match-all sorted retrieval over an index built
+        with ``sort_field=...`` — the Lucene index-sorting analog ("browse
+        the corpus by newest/largest"). The build wrote a (doc_id, field)
+        projection range-partitioned and sorted DESC by the field, and an
+        EXACT descending histogram in meta; the query picks the tightest
+        boundary T whose recorded cumulative count covers k (plus the
+        tombstone count, so deletes can't starve the page) and scans with
+        ``field >= T`` — parquet row-group stats prune everything below
+        the threshold, so the scan is ~k rows, not the corpus. Exact by
+        construction: count(field >= T) >= k guarantees no doc below T
+        can reach the top k.
+
+        Returns (doc_id, <field>) in (field desc, doc_id asc) order."""
+        h = self.meta.get("sort_histogram")
+        if not h:
+            raise ValueError(
+                "browse_topk requires an index built with sort_field=..."
+            )
+        if field is not None and field != h["field"]:
+            raise ValueError(
+                f"index is sorted by {h['field']!r}, not {field!r}"
+            )
+        if self.as_of is not None:
+            raise ValueError(
+                "browse_topk uses the as-of-latest sorted projection — "
+                "time-travel browse is not supported"
+            )
+        field = h["field"]
+        self._load_tombs()
+        n_tombs = (
+            len(self._tomb_bcast.value) if self._tomb_bcast is not None
+            else (self._tomb_df.count() if self._tomb_df is not None else 0)
+        )
+        need = int(k) + int(n_tombs)
+        threshold = None
+        for b, c in zip(h["bounds"], h["cum_counts"]):
+            if c >= need:
+                threshold = int(b)
+                break
+        df = self.spark.read.parquet(f"{self.path}/sorted_dv/{field}")
+        if threshold is not None:
+            df = df.filter(F.col(field) >= threshold)
+        return (
+            self._live(df)
+            .orderBy(F.desc(field), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
     def histogram_agg(
         self,
         query_text: str,

@@ -201,3 +201,88 @@ def test_stats_agg_vs_oracle_and_docvalues(spark, dv_index, sf_smoke):
     )
     assert (n, mn, mx, sm) == tuple(raw)
     assert avg == pytest.approx(sm / n, abs=1e-6)
+
+
+@pytest.fixture(scope="module")
+def sorted_index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sortidx"))
+    build_index(
+        spark, corpus, out, segment_size=64, n_buckets=4, block_size=16,
+        n_batches=2, docvalues=("n_chars",), sort_field="n_chars",
+    )
+    return InvertedIndex(spark, out)
+
+
+def test_browse_topk_exact_and_pruned(spark, corpus, sorted_index):
+    """Index-sorting browse == full sort of the corpus projection; the
+    executed plan carries the histogram threshold as a pushed parquet
+    filter (row-group pruning — the early-termination mechanism)."""
+    from pyspark.sql import functions as F
+
+    got = rows(sorted_index.browse_topk(25))
+    want = rows(
+        corpus.select(
+            "doc_id", F.length("content").cast("long").alias("n_chars")
+        ).orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(25)
+    )
+    assert got == want and len(got) == 25
+    df = sorted_index.browse_topk(25)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(n_chars" in plan, plan[:2000]
+
+    with pytest.raises(ValueError, match="sorted by"):
+        sorted_index.browse_topk(5, field="doc_len")
+
+
+def test_browse_topk_survives_deletes_and_extend(spark, corpus, tmp_path):
+    """Deleting docs ranked inside the page cannot starve it (the
+    threshold covers k + tombstones), and an extend (which re-finalizes)
+    refreshes the sorted projection + histogram."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index import deletes
+    from smse_backend_spark.index.build import extend_index
+
+    out = str(tmp_path / "sidx")
+    half = corpus.filter(F.col("doc_id") < 256)
+    build_index(spark, half, out, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=1, docvalues=("n_chars",),
+                sort_field="n_chars")
+    ix = InvertedIndex(spark, out)
+    top = [r["doc_id"] for r in ix.browse_topk(10).collect()]
+    deletes.delete_docs(spark, out, top[:3])
+    survivors = rows(InvertedIndex(spark, out).browse_topk(10))
+    want = rows(
+        half.filter(~F.col("doc_id").isin(top[:3]))
+        .select("doc_id", F.length("content").cast("long").alias("n_chars"))
+        .orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(10)
+    )
+    assert survivors == want and len(survivors) == 10
+
+    extend_index(spark, corpus.filter(F.col("doc_id") >= 256), out)
+    got = rows(InvertedIndex(spark, out).browse_topk(10))
+    want = rows(
+        corpus.filter(~F.col("doc_id").isin(top[:3]))
+        .select("doc_id", F.length("content").cast("long").alias("n_chars"))
+        .orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(10)
+    )
+    assert got == want
+
+
+def test_sort_field_requires_stored_docvalue(spark, corpus, tmp_path):
+    with pytest.raises(ValueError, match="sort_field"):
+        build_index(spark, corpus, str(tmp_path / "bad"),
+                    sort_field="missing_col")
+    # an unsorted index refuses browse
+    with pytest.raises(ValueError, match="sort_field"):
+        InvertedIndex(
+            spark, build_and_path(spark, corpus, tmp_path)
+        ).browse_topk(5)
+
+
+def build_and_path(spark, corpus, tmp_path):
+    out = str(tmp_path / "plain")
+    build_index(spark, corpus, out, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=1)
+    return out
