@@ -610,6 +610,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span-near proximity over the positional index
         "span_near": lambda spark, sf: _pos_indexed(spark, sf)
         .near_topk("table scan", 6, 10),
+        # in-order span: picked occurrences strictly increasing in query
+        # order (Lucene SpanNearQuery in_order=true)
+        "span_near_ordered": lambda spark, sf: _pos_indexed(spark, sf)
+        .near_topk("table scan", 6, 10, in_order=True),
         # ES rescore window: top-30 BM25 hits re-ranked by adding 2x the
         # exact-phrase score — a bounded second pass, never a re-scan
         "bm25_rescore_phrase": lambda spark, sf: _pos_indexed(spark, sf)
@@ -986,6 +990,7 @@ _CHECK_FIRST = [
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
     "sharded_facets", "bm25_indexed_synonym", "browse_by_size",
+    "span_near_ordered",
     "packed_sequences_dist", "stratified_sample_dist",
     "kmv_distinct_users_dist",
     "repetition_stats", "lm_scores", "bigram_pmi", "span_dedup",
@@ -1126,6 +1131,8 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "search_facets": facet_counts_oracle_sql(FLAGSHIP_QUERY),
         "more_like_this": more_like_this_oracle_sql(42, 10, max_terms=8),
         "span_near": near_oracle_sql("table scan", 6, 10),
+        "span_near_ordered": near_oracle_sql("table scan", 6, 10,
+                                             in_order=True),
         "bm25_rescore_phrase": rescore_phrase_oracle_sql(
             FLAGSHIP_QUERY, "hash join", 30, 2.0, 10
         ),

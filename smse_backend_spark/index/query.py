@@ -298,16 +298,44 @@ def _min_cover_within(pos_lists: list[np.ndarray], window: int) -> bool:
         heads[lo_i] = pos_lists[lo_i][ptrs[lo_i]]
 
 
+def _ordered_cover_within(pos_lists: list[np.ndarray], window: int) -> bool:
+    """True iff strictly-increasing picks p_1 < ... < p_n (one per list,
+    lists in QUERY order) exist with p_n - p_1 <= window — the in-order
+    span (Lucene SpanNearQuery in_order=true). Greedy: for each start in
+    list 1, chain the smallest later position per following list — the
+    minimal chain for that start; pointers never rewind (chains are
+    monotone in the start), so the sweep is O(total positions)."""
+    if len(pos_lists) == 1:
+        return True
+    ptrs = [0] * len(pos_lists)
+    for p1 in pos_lists[0]:
+        prev = p1
+        for i in range(1, len(pos_lists)):
+            pl = pos_lists[i]
+            j = ptrs[i]
+            while j < len(pl) and pl[j] <= prev:
+                j += 1
+            ptrs[i] = j
+            if j >= len(pl):
+                return False
+            prev = pl[j]
+        if prev - p1 <= window:
+            return True
+    return False
+
+
 def _make_near_matcher(
     terms: list[str], window: int, idf: dict[str, float], avgdl: float,
-    tomb_b=None,
+    tomb_b=None, in_order: bool = False,
 ):
     """mapInPandas kernel for span-near (proximity) search: emits
     (doc_id, score) for docs where EVERY distinct term occurs and some
     choice of one occurrence per term spans at most ``window`` tokens
-    (max offset - min offset <= window). Score is the standard BM25 sum
-    over the terms' FULL doc tfs with global idf — proximity filters, it
-    never rescores (Lucene SpanNearQuery-as-filter discipline)."""
+    (max offset - min offset <= window; with ``in_order`` the picks must
+    additionally be strictly increasing in query order). Score is the
+    standard BM25 sum over the terms' FULL doc tfs with global idf —
+    proximity filters, it never rescores (Lucene SpanNearQuery-as-filter
+    discipline)."""
     uniq = sorted(set(terms))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -318,7 +346,11 @@ def _make_near_matcher(
         out_d, out_s = [], []
         for doc in cand_docs:
             pos_lists = [grouped[(doc, t)] for t in uniq]
-            if not _min_cover_within(pos_lists, window):
+            if in_order:
+                seq = [grouped[(doc, t)] for t in terms]
+                if not _ordered_cover_within(seq, window):
+                    continue
+            elif not _min_cover_within(pos_lists, window):
                 continue
             dl = float(dl_of[doc])
             score = 0.0
@@ -1162,10 +1194,13 @@ class InvertedIndex:
         window: int,
         k: int = DEFAULT_TOP_K,
         lang: str | None = None,
+        in_order: bool = False,
     ) -> DataFrame:
         """Span-near (proximity) search over a positional index: docs where
         every distinct query term occurs AND some choice of one occurrence
-        per term spans at most ``window`` tokens. Proximity is a filter;
+        per term spans at most ``window`` tokens (``in_order=True`` adds
+        Lucene's SpanNearQuery order constraint: the picked occurrences
+        must be strictly increasing in query order). Proximity is a filter;
         scoring stays the standard BM25 sum (global idf, full doc tf) over
         the query terms — so results are the conjunctive-query scores
         restricted to proximity-satisfying docs.
@@ -1200,7 +1235,8 @@ class InvertedIndex:
         ).repartition(nparts, "segment")
         self._load_tombs()
         matches = blocks.mapInPandas(
-            _make_near_matcher(terms, window, idf, avgdl, self._tomb_bcast),
+            _make_near_matcher(terms, window, idf, avgdl, self._tomb_bcast,
+                               in_order),
             "doc_id long, score double",
         )
         if self._tomb_df is not None:

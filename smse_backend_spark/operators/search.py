@@ -1373,11 +1373,13 @@ def near_oracle_sql(
     lang: str | None = None,
     table: str = "documents",
     content_col: str = "text",
+    in_order: bool = False,
 ) -> str:
     """DuckDB twin of ``InvertedIndex.near_topk``: docs where every distinct
     query term occurs and some choice of one occurrence per term spans at
-    most ``window`` tokens; scored as the conjunctive BM25 sum (global df,
-    full doc tf) restricted to the proximity match set."""
+    most ``window`` tokens (``in_order`` adds the strictly-increasing
+    query-order constraint); scored as the conjunctive BM25 sum (global
+    df, full doc tf) restricted to the proximity match set."""
     terms = query_terms(query_text)
     if not terms:
         return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
@@ -1402,6 +1404,11 @@ def near_oracle_sql(
         if len(terms) > 1
         else "TRUE"
     )
+    if in_order and len(terms) > 1:
+        chain = " AND ".join(
+            f"p{i}.p < p{i + 1}.p" for i in range(len(terms) - 1)
+        )
+        win = f"({win}) AND {chain}"
     return f"""
 WITH docs AS (
   SELECT doc_id, {toksql} AS toks FROM {table} {where_lang}

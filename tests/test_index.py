@@ -1171,3 +1171,46 @@ def test_synonym_index_folds_groups(spark, sf_smoke):
                     synonyms=syn, with_positions=True)
     with pytest.raises(ValueError, match="non-empty synonyms"):
         build_index(spark, corpus, tempfile.mkdtemp(), analyzer="synonym")
+
+
+def test_ordered_cover_unit():
+    """Greedy in-order span check: order constraint enforced, duplicate
+    lists need two distinct strictly-increasing picks."""
+    import numpy as np
+
+    from smse_backend_spark.index.query import _ordered_cover_within
+
+    a = [np.array([5]), np.array([2, 8])]
+    assert _ordered_cover_within(a, 3)       # 5 -> 8 spans 3
+    assert not _ordered_cover_within(a, 2)
+    b = [np.array([8]), np.array([2])]       # only reverse order exists
+    assert not _ordered_cover_within(b, 10)
+    c = [np.array([4, 9]), np.array([4, 9])]
+    assert _ordered_cover_within(c, 5)       # picks 4 < 9
+    assert not _ordered_cover_within(c, 4)
+
+
+def test_near_in_order_vs_oracle(spark, pos_index, sf_smoke):
+    """in_order=True == the ordered DuckDB twin, and its match set is a
+    subset of the unordered one."""
+    import duckdb
+
+    from smse_backend_spark.operators.search import near_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    got = [tuple(r) for r in
+           pos_index.near_topk("table scan", 6, 10, in_order=True).collect()]
+    want = [tuple(r) for r in con.execute(
+        near_oracle_sql("table scan", 6, 10, in_order=True)).fetchall()]
+    assert got == want and len(got) == 10
+    ordered_all = {r["doc_id"] for r in
+                   pos_index.near_topk("table scan", 6, 10_000,
+                                       in_order=True).collect()}
+    unordered_all = {r["doc_id"] for r in
+                     pos_index.near_topk("table scan", 6, 10_000).collect()}
+    assert ordered_all <= unordered_all
+    assert ordered_all != unordered_all  # the constraint actually bites
