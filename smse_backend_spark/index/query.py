@@ -1693,6 +1693,23 @@ class InvertedIndex:
             ).alias("avg_v"),
         )
 
+    def cardinality_agg(
+        self,
+        query_text: str,
+        field: str = "repo",
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``cardinality`` metric aggregation in query context: one row
+        ``(n_distinct)`` — distinct values of a stored doc-value over the
+        match set. Exact here (countDistinct — one extra shuffle keyed on
+        the value); at 10^12 docs you'd swap in the mergeable KMV sketch
+        from ``operators/sampling.py`` exactly as ES swaps in HLL."""
+        matches = self.match_doc_ids(query_text, lang)
+        vals = self.doc_values([field])
+        return matches.join(vals, "doc_id").agg(
+            F.countDistinct(field).cast("long").alias("n_distinct")
+        )
+
     def highlight_snippets(
         self,
         corpus: DataFrame,

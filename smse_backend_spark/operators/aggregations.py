@@ -359,3 +359,18 @@ SELECT count(*)::BIGINT AS n_docs,
               / count(*)::DOUBLE) * 1e6 + 0.5) / 1e6 AS avg_v
 FROM {table} d JOIN m USING (doc_id)
 """
+
+
+def cardinality_agg_sql(
+    query_text: str,
+    field: str = "source",
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.cardinality_agg`` (the documents
+    column backing the stored doc-value — ``source`` backs ``repo``)."""
+    return f"""{_match_set_cte(query_text, lang, table, content_col)}
+SELECT count(DISTINCT d.{field})::BIGINT AS n_distinct
+FROM {table} d JOIN m USING (doc_id)
+"""

@@ -286,3 +286,25 @@ def build_and_path(spark, corpus, tmp_path):
     build_index(spark, corpus, out, segment_size=64, n_buckets=4,
                 block_size=16, n_batches=1)
     return out
+
+
+def test_cardinality_agg_vs_oracle(spark, dv_index, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.aggregations import cardinality_agg_sql
+
+    got = rows(dv_index.cardinality_agg(Q))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    want = con.execute(cardinality_agg_sql(Q)).fetchall()
+    assert got == [tuple(r) for r in want]
+    # distinct count recomputes from the raw join
+    raw = (
+        dv_index.match_doc_ids(Q)
+        .join(dv_index.doc_values(["repo"]), "doc_id")
+        .select("repo").distinct().count()
+    )
+    assert got[0][0] == raw > 1
