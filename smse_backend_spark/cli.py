@@ -57,6 +57,8 @@ def cmd_build(args) -> None:
         block_size=args.block_size, n_batches=args.n_batches,
         with_positions=args.with_positions,
         analyzer=args.analyzer,
+        docvalues=tuple(args.docvalues.split(",")) if args.docvalues else (),
+        sort_field=args.sort_field,
     )
     print(json.dumps(meta))
 
@@ -117,6 +119,34 @@ def cmd_suggest(args) -> None:
     print(json.dumps(
         [{"term": r["term"], "df": r["df"], "dist": r["dist"]} for r in rows]
     ))
+
+
+def cmd_browse(args) -> None:
+    """Early-terminated match-all sorted retrieval (requires an index
+    built with sort_field=...)."""
+    from smse_backend_spark.index.query import InvertedIndex
+
+    spark = _spark(args)
+    rows = InvertedIndex(spark, args.index).browse_topk(args.k).collect()
+    print(json.dumps([dict(zip(r.__fields__, r)) for r in rows]))
+
+
+def cmd_aggs(args) -> None:
+    """Query-context aggregations over the match set from doc-values:
+    histogram | stats | cardinality | facets-free histogram buckets."""
+    from smse_backend_spark.index.query import InvertedIndex
+
+    spark = _spark(args)
+    idx = InvertedIndex(spark, args.index)
+    if args.agg == "histogram":
+        rows = idx.histogram_agg(args.text, args.interval, lang=args.lang)
+    elif args.agg == "stats":
+        rows = idx.stats_agg(args.text, lang=args.lang)
+    elif args.agg == "cardinality":
+        rows = idx.cardinality_agg(args.text, lang=args.lang)
+    else:
+        raise SystemExit(f"unknown agg {args.agg!r}")
+    print(json.dumps([dict(zip(r.__fields__, r)) for r in rows.collect()]))
 
 
 def cmd_merge(args) -> None:
@@ -301,6 +331,12 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--analyzer", default="standard",
                    choices=["standard", "stem"],
                    help="index-time analyzer (stem = Harman S-stemmer)")
+    b.add_argument("--docvalues", default="",
+                   help="comma-separated extra per-doc columns to store "
+                        "columnar (Lucene doc-values); 'n_chars' is derived")
+    b.add_argument("--sort-field", default=None,
+                   help="write the index-sorted projection + histogram for "
+                        "early-terminated browse (doc_len or a docvalue)")
     b.add_argument("--with-positions", action="store_true",
                    help="store token positions (enables phrase queries)")
     b.add_argument("--master")
@@ -339,6 +375,22 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--lang")
     g.add_argument("--master")
     g.set_defaults(fn=cmd_suggest)
+
+    br = sub.add_parser("browse", help="sorted match-all top-k (index sort)")
+    br.add_argument("--index", required=True)
+    br.add_argument("--k", type=int, default=10)
+    br.add_argument("--master")
+    br.set_defaults(fn=cmd_browse)
+
+    ag = sub.add_parser("aggs", help="query-context aggregations (doc-values)")
+    ag.add_argument("--index", required=True)
+    ag.add_argument("--text", required=True)
+    ag.add_argument("--agg", choices=["histogram", "stats", "cardinality"],
+                    default="stats")
+    ag.add_argument("--interval", type=int, default=64)
+    ag.add_argument("--lang")
+    ag.add_argument("--master")
+    ag.set_defaults(fn=cmd_aggs)
 
     mg = sub.add_parser(
         "merge", help="merge disjoint same-config indexes into one"

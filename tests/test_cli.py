@@ -256,3 +256,35 @@ def test_spark_submit_py_files_deployment(tmp_path, spark, sf_smoke):
         .bm25_topk("hash join merge scan", 10).collect()
     ]
     assert hits == want and len(hits) == 10
+
+
+def test_cli_browse_and_aggs(tmp_path, spark, sf_smoke, capsys):
+    out = str(tmp_path / "sorted_idx")
+    cli.main([
+        "build", "--corpus", sf_smoke, "--out", out,
+        "--segment-size", "256", "--n-buckets", "8", "--n-batches", "2",
+        "--docvalues", "repo,n_chars", "--sort-field", "n_chars",
+        "--master", "local[4]",
+    ])
+    capsys.readouterr()
+    cli.main(["browse", "--index", out, "--k", "5", "--master", "local[4]"])
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rows) == 5
+    sizes = [r["n_chars"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+
+    cli.main(["aggs", "--index", out, "--text", "hash join merge scan",
+              "--agg", "stats", "--master", "local[4]"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])[0]
+    assert st["n_docs"] > 0 and st["min_v"] <= st["max_v"]
+
+    cli.main(["aggs", "--index", out, "--text", "hash join merge scan",
+              "--agg", "histogram", "--interval", "64",
+              "--master", "local[4]"])
+    buckets = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(b["n_docs"] for b in buckets) == st["n_docs"]
+
+    cli.main(["aggs", "--index", out, "--text", "hash join merge scan",
+              "--agg", "cardinality", "--master", "local[4]"])
+    card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])[0]
+    assert 0 < card["n_distinct"] <= st["n_docs"]
