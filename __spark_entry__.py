@@ -761,6 +761,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of the n_chars doc-value; avg via the shared floor formula)
         "search_stats": lambda spark, sf: _indexed(spark, sf)
         .stats_agg(FLAGSHIP_QUERY),
+        # ES percentiles metric agg (exact): doc-value distribution of
+        # the match set (Spark percentile == DuckDB quantile_cont)
+        "search_percentiles": lambda spark, sf: _indexed(spark, sf)
+        .percentiles_agg(FLAGSHIP_QUERY),
         # ES cardinality metric agg: distinct repos over the match set
         # (exact countDistinct; KMV sketch is the documented 10^12 swap)
         "search_cardinality": lambda spark, sf: _indexed(spark, sf)
@@ -994,7 +998,7 @@ _CHECK_FIRST = [
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
     "sharded_facets", "bm25_indexed_synonym", "browse_by_size",
-    "span_near_ordered", "search_cardinality",
+    "span_near_ordered", "search_cardinality", "search_percentiles",
     "packed_sequences_dist", "stratified_sample_dist",
     "kmv_distinct_users_dist",
     "repetition_stats", "lm_scores", "bigram_pmi", "span_dedup",
@@ -1203,6 +1207,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "search_histogram": AG.histogram_agg_sql(FLAGSHIP_QUERY, 64),
         "search_stats": AG.stats_agg_sql(FLAGSHIP_QUERY),
         "search_cardinality": AG.cardinality_agg_sql(FLAGSHIP_QUERY),
+        "search_percentiles": AG.search_percentiles_sql(FLAGSHIP_QUERY),
         "browse_by_size": (
             "SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id ASC LIMIT 25"

@@ -1710,6 +1710,27 @@ class InvertedIndex:
             F.countDistinct(field).cast("long").alias("n_distinct")
         )
 
+    def percentiles_agg(
+        self,
+        query_text: str,
+        field: str = "n_chars",
+        lang: str | None = None,
+        pctls: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    ) -> DataFrame:
+        """ES ``percentiles`` metric aggregation in query context (exact
+        flavor): one row of exact linear-interpolation percentiles of a
+        stored doc-value over the match set. Spark's ``percentile`` and
+        DuckDB's ``quantile_cont`` share the interpolation definition
+        (rank = (n-1)p, linear between neighbors) — bit-identical on
+        integer inputs, no rounding shim (same evidence as
+        ``operators.aggregations.value_percentiles``)."""
+        matches = self.match_doc_ids(query_text, lang)
+        vals = self.doc_values([field])
+        aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+            F.percentile(field, p).alias(f"p{int(p * 100)}") for p in pctls
+        ]
+        return matches.join(vals, "doc_id").agg(*aggs)
+
     def highlight_snippets(
         self,
         corpus: DataFrame,

@@ -374,3 +374,23 @@ def cardinality_agg_sql(
 SELECT count(DISTINCT d.{field})::BIGINT AS n_distinct
 FROM {table} d JOIN m USING (doc_id)
 """
+
+
+def search_percentiles_sql(
+    query_text: str,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+    pctls: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB twin of ``InvertedIndex.percentiles_agg`` over the n_chars
+    doc-value (``quantile_cont`` == Spark ``percentile`` bit-identically
+    on integer inputs)."""
+    qs = ", ".join(
+        f"quantile_cont(length(d.{content_col}), {p}) AS p{int(p * 100)}"
+        for p in pctls
+    )
+    return f"""{_match_set_cte(query_text, lang, table, content_col)}
+SELECT count(*)::BIGINT AS n_docs, {qs}
+FROM {table} d JOIN m USING (doc_id)
+"""

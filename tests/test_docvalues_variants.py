@@ -308,3 +308,22 @@ def test_cardinality_agg_vs_oracle(spark, dv_index, sf_smoke):
         .select("repo").distinct().count()
     )
     assert got[0][0] == raw > 1
+
+
+def test_percentiles_agg_vs_oracle(spark, dv_index, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.aggregations import (
+        search_percentiles_sql,
+    )
+
+    got = rows(dv_index.percentiles_agg(Q))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    want = con.execute(search_percentiles_sql(Q)).fetchall()
+    assert got == [tuple(r) for r in want] and len(got) == 1
+    n, p25, p50, p90, p99 = got[0]
+    assert n > 0 and p25 <= p50 <= p90 <= p99
