@@ -1214,3 +1214,40 @@ def test_near_in_order_vs_oracle(spark, pos_index, sf_smoke):
                      pos_index.near_topk("table scan", 6, 10_000).collect()}
     assert ordered_all <= unordered_all
     assert ordered_all != unordered_all  # the constraint actually bites
+
+
+def test_cover_kernels_match_bruteforce():
+    """Property: the greedy ordered sweep and the k-pointer min-cover both
+    equal exhaustive search over all pick combinations."""
+    import itertools
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from smse_backend_spark.index.query import (
+        _min_cover_within,
+        _ordered_cover_within,
+    )
+
+    lists = st.lists(
+        st.lists(st.integers(0, 40), min_size=1, max_size=5).map(
+            lambda xs: np.array(sorted(set(xs)), dtype=np.int64)
+        ),
+        min_size=1, max_size=4,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(lists, st.integers(0, 12))
+    def run(pls, w):
+        combos = list(itertools.product(*[list(p) for p in pls]))
+        brute_any = any(max(c) - min(c) <= w for c in combos)
+        brute_ord = any(
+            all(c[i] < c[i + 1] for i in range(len(c) - 1))
+            and c[-1] - c[0] <= w
+            for c in combos
+        )
+        assert _min_cover_within(pls, w) == brute_any
+        assert _ordered_cover_within(pls, w) == brute_ord
+
+    run()
