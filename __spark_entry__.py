@@ -306,7 +306,8 @@ def _indexed(spark: SparkSession, sf_dir: str):
         out = tempfile.mkdtemp(prefix="smse_index_")
         build_index(spark, load_corpus(spark, sf_dir), out,
                     segment_size=256, n_buckets=8, block_size=64, n_batches=2,
-                    docvalues=("repo", "n_chars"), sort_field="n_chars")
+                    docvalues=("repo", "n_chars"), sort_field="n_chars",
+                    shingles=True)
         _INDEX_CACHE[sf_dir] = out
     return InvertedIndex(spark, _INDEX_CACHE[sf_dir])
 
@@ -630,6 +631,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # suggester, integer-count scoring)
         "phrase_suggest": lambda spark, sf: _indexed(spark, sf)
         .phrase_suggest(load_corpus(spark, sf), "bat ky", 2, 6, 10),
+        # same suggester served ENTIRELY from the index: bigrams from the
+        # build-time shingle model, candidates from the dictionary — no
+        # corpus scan at query time (ES shingle subfield)
+        "phrase_suggest_indexed": lambda spark, sf: _indexed(spark, sf)
+        .phrase_suggest(None, "bat ky", 2, 6, 10),
         # per-term boosts scale idf before scoring (term^boost)
         "bm25_boosted": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_boosted(BOOSTS, 10),
@@ -999,6 +1005,7 @@ _CHECK_FIRST = [
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
     "sharded_facets", "bm25_indexed_synonym", "browse_by_size",
     "span_near_ordered", "search_cardinality", "search_percentiles",
+    "phrase_suggest_indexed",
     "packed_sequences_dist", "stratified_sample_dist",
     "kmv_distinct_users_dist",
     "repetition_stats", "lm_scores", "bigram_pmi", "span_dedup",
@@ -1147,6 +1154,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "spell_suggest": suggest_oracle_sql("soet", 2, 10),
         "complete_suggest": complete_oracle_sql("sc", 10),
         "phrase_suggest": phrase_suggest_oracle_sql("bat ky", 2, 6, 10),
+        "phrase_suggest_indexed": phrase_suggest_oracle_sql(
+            "bat ky", 2, 6, 10
+        ),
         "bm25_boosted": bm25_boosted_oracle_sql(BOOSTS, 10),
         "bm25_synonyms": bm25_synonyms_oracle_sql(SYN_GROUPS, 10),
         "bm25_regex": bm25_regex_oracle_sql("sc[a-z]n|ha.h", 10),

@@ -353,6 +353,7 @@ def build_index(
     synonyms: dict[str, str] | None = None,
     docvalues: tuple[str, ...] | list[str] = (),
     sort_field: str | None = None,
+    shingles: bool = False,
 ) -> dict:
     """Build (or resume) the index from a corpus (doc_id, lang, content).
 
@@ -447,7 +448,7 @@ def build_index(
         _build_batch(
             spark, corpus, out_dir, b, seg_lo, seg_hi, segment_size,
             n_buckets, block_size, input_partitions, snapshot,
-            with_positions, analyzer, tuple(docvalues), synonyms,
+            with_positions, analyzer, tuple(docvalues), synonyms, shingles,
         )
         built += 1
     return finalize(
@@ -456,7 +457,8 @@ def build_index(
          "block_size": block_size, "n_batches": n_batches,
          "corpus_snapshot": snapshot, "with_positions": with_positions,
          "analyzer": analyzer, "synonyms": synonyms,
-         "docvalues": list(docvalues), "sort_field": sort_field},
+         "docvalues": list(docvalues), "sort_field": sort_field,
+         "shingles": bool(shingles)},
     )
 
 
@@ -476,6 +478,7 @@ def _build_batch(
     spark, corpus, out_dir, batch_id, seg_lo, seg_hi, segment_size,
     n_buckets, block_size, input_partitions, snapshot=None,
     with_positions=False, analyzer="standard", docvalues=(), synonyms=None,
+    shingles=False,
 ) -> None:
     lo_doc, hi_doc = seg_lo * segment_size, seg_hi * segment_size
     part = corpus.filter((F.col("doc_id") >= lo_doc) & (F.col("doc_id") < hi_doc))
@@ -516,6 +519,34 @@ def _build_batch(
         .observe(obs_docs, F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("sum_dl"))
     )
     docstats.write.mode("overwrite").parquet(f"{out_dir}/docstats/batch={batch_id}")
+
+    if shingles:
+        # index-time bigram (shingle) model — the ES shingle-subfield
+        # analog that lets the phrase suggester run without a corpus
+        # scan at query time. One extra agg over the batch slice: pairs
+        # are built in-row (JVM transform), so only (lang, a, b) count
+        # rows shuffle — vocabulary-bounded, never corpus-bounded.
+        from smse_backend_spark.functions.tokenizer import tokenize_col
+
+        tcol = tokenize_col(F.col("content"))
+        adj = F.when(
+            F.size(tcol) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tcol) - 1),
+                lambda i: F.struct(
+                    F.element_at(tcol, i).alias("a"),
+                    F.element_at(tcol, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        (
+            part.select("lang", F.explode(adj).alias("p"))
+            .select("lang", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .groupBy("lang", "a", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/shingles/batch={batch_id}")
+        )
 
     # posting pass: Arrow-vectorized tokenize+tf (the token stream never
     # shuffles — only distinct (doc, term) pairs leave the Python worker;
@@ -685,6 +716,8 @@ def extend_index(
         snapshot, bool(cfg.get("with_positions", False)),
         cfg.get("analyzer", "standard"),
         tuple(cfg.get("docvalues", ())),
+        cfg.get("synonyms"),
+        bool(cfg.get("shingles", False)),
     )
     return finalize(
         spark, out_dir, {**cfg, "n_batches": next_batch + 1},
@@ -837,6 +870,25 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str) -> dict:
             "tombstones_applied": deletes.tombstone_count(src_dir),
         }
 
+    if cfg.get("shingles"):
+        # the bigram LM is corpus-derived; a physical-delete compaction
+        # cannot subtract the deleted docs' pairs from it — refuse rather
+        # than silently carry stale counts (rebuild from the corpus to
+        # compact a shingled index with tombstones)
+        if deletes.tombstone_count(src_dir):
+            raise ValueError(
+                "cannot compact a shingled index with tombstones — the "
+                "bigram model cannot drop deleted docs' pairs; rebuild "
+                "from the corpus instead"
+            )
+        (
+            spark.read.parquet(f"{src_dir}/shingles")
+            .groupBy("lang", "a", "b")
+            .agg(F.sum("n").alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{dst_dir}/shingles/batch=0")
+        )
+
     snaps = {r.get("corpus_snapshot") for r in rows}
     snapshot = snaps.pop() if len(snaps) == 1 else None
     lin.commit_batch(
@@ -952,7 +1004,7 @@ def merge_indexes(
         return (
             int(cfg["segment_size"]), int(cfg["n_buckets"]),
             int(cfg["block_size"]), bool(cfg.get("with_positions", False)),
-            tuple(cfg.get("docvalues", ())),
+            tuple(cfg.get("docvalues", ())), bool(cfg.get("shingles", False)),
         )
 
     if len({_key(m["config"]) for m in metas}) != 1:
@@ -987,7 +1039,7 @@ def merge_indexes(
     for s, rows in zip(src_dirs, all_rows):
         for r in rows:
             b = r["batch_id"]
-            for sub in ("postings", "docstats"):
+            for sub in ("postings", "docstats", "shingles"):
                 src_p = os.path.join(s, sub, f"batch={b}")
                 if os.path.isdir(src_p):
                     shutil.copytree(

@@ -1947,9 +1947,26 @@ class InvertedIndex:
             .limit(n)
         )
 
+    def bigram_counts(self, lang: str | None = None) -> DataFrame:
+        """(a, b, n) adjacent-pair counts from the index's stored shingle
+        model (``build_index(shingles=True)`` — the ES shingle-subfield
+        analog). Honors time travel via batch partition pruning. Note:
+        soft-deleted docs' pairs remain counted until a corpus rebuild
+        (compaction refuses to carry a tombstoned shingle model)."""
+        if not self.meta["config"].get("shingles"):
+            raise ValueError(
+                "bigram_counts requires an index built with shingles=True"
+            )
+        df = self.spark.read.parquet(f"{self.path}/shingles")
+        if self.as_of is not None:
+            df = df.filter(F.col("batch") <= self.as_of)
+        if lang is not None:
+            df = df.filter(F.col("lang") == lang)
+        return df.groupBy("a", "b").agg(F.sum("n").cast("long").alias("n"))
+
     def phrase_suggest(
         self,
-        corpus: DataFrame,
+        corpus: DataFrame | None,
         text: str,
         max_edits: int = 1,
         per_term: int = 8,
@@ -1969,11 +1986,13 @@ class InvertedIndex:
 
         Scale shape: candidate generation is the bounded dictionary walk
         (metadata only); the candidate-pair set (≤ ``per_term``² rows per
-        adjacent position) is broadcast against the corpus bigram
-        extraction, so only candidate pairs survive the explode — the
-        shuffle carries candidate counts, never the corpus. At 10^12 files
-        the bigram table is an index-time artifact (ES's shingle subfield);
-        here it is derived in the same job.
+        adjacent position) is broadcast against the bigram source, so only
+        candidate pairs survive — the shuffle carries candidate counts,
+        never the corpus. With ``corpus=None`` the bigram source is the
+        INDEX-TIME shingle model (``build_index(shingles=True)`` — the ES
+        shingle subfield), so no corpus scan happens at query time at all;
+        passing a corpus derives the same table in-job (exactly equal —
+        asserted in tests).
         """
         import itertools
 
@@ -2001,25 +2020,43 @@ class InvertedIndex:
             pair_rows, "suggestion string, pos int, a string, b string"
         )
         need = F.broadcast(pairs.select("a", "b").distinct())
-        tcol = tokenize_col(F.col("content"))
-        adj = F.when(
-            F.size(tcol) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(tcol) - 1),
-                lambda i: F.struct(
-                    F.element_at(tcol, i).alias("a"),
-                    F.element_at(tcol, i + 1).alias("b"),
+        if corpus is None:
+            if not self.meta["config"].get("shingles"):
+                raise ValueError(
+                    "phrase_suggest(corpus=None) requires an index built "
+                    "with shingles=True"
+                )
+            raw = self.spark.read.parquet(f"{self.path}/shingles")
+            if lang is not None:
+                raw = raw.filter(F.col("lang") == lang)
+            bg = (
+                raw.join(need, ["a", "b"])
+                .groupBy("a", "b")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        else:
+            tcol = tokenize_col(F.col("content"))
+            adj = F.when(
+                F.size(tcol) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tcol) - 1),
+                    lambda i: F.struct(
+                        F.element_at(tcol, i).alias("a"),
+                        F.element_at(tcol, i + 1).alias("b"),
+                    ),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-        src = corpus if lang is None else corpus.filter(F.col("lang") == lang)
-        bg = (
-            src.select(F.explode(adj).alias("p"))
-            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .join(need, ["a", "b"])
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            src = (
+                corpus if lang is None
+                else corpus.filter(F.col("lang") == lang)
+            )
+            bg = (
+                src.select(F.explode(adj).alias("p"))
+                .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .join(need, ["a", "b"])
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
         return (
             pairs.join(F.broadcast(bg), ["a", "b"], "left")
             .groupBy("suggestion")

@@ -1251,3 +1251,87 @@ def test_cover_kernels_match_bruteforce():
         assert _ordered_cover_within(pls, w) == brute_ord
 
     run()
+
+
+def test_shingle_model_matches_corpus_and_lifecycle(spark, corpus, tmp_path):
+    """Stored shingle model == corpus-derived bigram counts; extend adds
+    the increment's pairs; shingle-served phrase_suggest == corpus-served;
+    compact refuses with tombstones, carries the model otherwise."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index import deletes
+    from smse_backend_spark.index.build import compact_index, extend_index
+
+    out = str(tmp_path / "shidx")
+    half = corpus.filter(F.col("doc_id") < 256)
+    build_index(spark, half, out, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=1, shingles=True)
+    ix = InvertedIndex(spark, out)
+
+    def corpus_bigrams(c):
+        from smse_backend_spark.functions.tokenizer import tokenize_col
+
+        t = tokenize_col(F.col("content"))
+        adj = F.when(F.size(t) >= 2, F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(F.element_at(t, i).alias("a"),
+                               F.element_at(t, i + 1).alias("b")))
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        return {
+            (r["a"], r["b"]): r["n"]
+            for r in c.select(F.explode(adj).alias("p"))
+            .select("p.a", "p.b").groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    stored = {(r["a"], r["b"]): r["n"] for r in ix.bigram_counts().collect()}
+    assert stored == corpus_bigrams(half)
+
+    extend_index(spark, corpus.filter(F.col("doc_id") >= 256), out)
+    ix2 = InvertedIndex(spark, out)
+    stored2 = {(r["a"], r["b"]): r["n"] for r in ix2.bigram_counts().collect()}
+    assert stored2 == corpus_bigrams(corpus)
+
+    # shingle-served suggester == corpus-served (same candidates, same LM)
+    a = [tuple(r) for r in ix2.phrase_suggest(None, "bat ky", 2, 6, 10).collect()]
+    b = [tuple(r) for r in ix2.phrase_suggest(corpus, "bat ky", 2, 6, 10).collect()]
+    assert a == b and len(a) > 1
+
+    # compact carries the aggregated model
+    dst = str(tmp_path / "shidx_c")
+    compact_index(spark, out, dst)
+    ixc = InvertedIndex(spark, dst)
+    assert {(r["a"], r["b"]): r["n"]
+            for r in ixc.bigram_counts().collect()} == stored2
+
+    # ... but refuses when tombstones exist (LM can't drop deleted pairs)
+    deletes.delete_docs(spark, out, [1, 2])
+    with pytest.raises(ValueError, match="shingled index with tombstones"):
+        compact_index(spark, out, str(tmp_path / "shidx_c2"))
+
+
+def test_extend_preserves_synonym_analyzer(spark, corpus, tmp_path):
+    """Regression: extend_index must thread the synonym map through to the
+    increment's build — an unfolded increment would silently split the
+    group's postings across term spaces."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index.build import extend_index
+
+    syn = {"merge": "join"}
+    out = str(tmp_path / "synext")
+    build_index(spark, corpus.filter(F.col("doc_id") < 256), out,
+                segment_size=64, n_buckets=4, block_size=16, n_batches=1,
+                analyzer="synonym", synonyms=syn)
+    extend_index(spark, corpus.filter(F.col("doc_id") >= 256), out)
+    ix = InvertedIndex(spark, out)
+    # the raw spelling must not exist anywhere in the extended term space
+    assert ix.term_df(["merge", "join"]).get("merge") is None
+    # and folded queries still match the full-build twin
+    full = str(tmp_path / "synfull")
+    build_index(spark, corpus, full, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=1, analyzer="synonym", synonyms=syn)
+    a = [tuple(r) for r in ix.bm25_topk("merge scan", 10).collect()]
+    b = [tuple(r) for r in InvertedIndex(spark, full)
+         .bm25_topk("merge scan", 10).collect()]
+    assert a == b and a
