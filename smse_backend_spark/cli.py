@@ -59,6 +59,8 @@ def cmd_build(args) -> None:
         analyzer=args.analyzer,
         docvalues=tuple(args.docvalues.split(",")) if args.docvalues else (),
         sort_field=args.sort_field,
+        shingles=args.shingles,
+        synonyms=json.loads(args.synonyms) if args.synonyms else None,
     )
     print(json.dumps(meta))
 
@@ -329,8 +331,15 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--n-batches", type=int, default=4)
     b.add_argument("--analyzer", default="standard",
-                   choices=["standard", "stem"],
-                   help="index-time analyzer (stem = Harman S-stemmer)")
+                   choices=["standard", "stem", "synonym"],
+                   help="index-time analyzer (stem = Harman S-stemmer; "
+                        "synonym needs --synonyms)")
+    b.add_argument("--synonyms", default="",
+                   help='JSON map for --analyzer synonym, e.g. '
+                        '\'{"merge": "join"}\'')
+    b.add_argument("--shingles", action="store_true",
+                   help="store the index-time bigram (shingle) model for "
+                        "corpus-scan-free phrase suggestions")
     b.add_argument("--docvalues", default="",
                    help="comma-separated extra per-doc columns to store "
                         "columnar (Lucene doc-values); 'n_chars' is derived")

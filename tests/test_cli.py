@@ -288,3 +288,24 @@ def test_cli_browse_and_aggs(tmp_path, spark, sf_smoke, capsys):
               "--agg", "cardinality", "--master", "local[4]"])
     card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])[0]
     assert 0 < card["n_distinct"] <= st["n_docs"]
+
+
+def test_cli_build_synonym_shingles(tmp_path, spark, sf_smoke, capsys):
+    out = str(tmp_path / "syn_idx")
+    cli.main([
+        "build", "--corpus", sf_smoke, "--out", out,
+        "--segment-size", "256", "--n-buckets", "8", "--n-batches", "1",
+        "--analyzer", "synonym", "--synonyms", '{"merge": "join"}',
+        "--shingles", "--master", "local[4]",
+    ])
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["config"]["synonyms"] == {"merge": "join"}
+    assert meta["config"]["shingles"] is True
+
+    cli.main(["query", "--index", out, "--text", "merge",
+              "--master", "local[4]"])
+    hits_m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    cli.main(["query", "--index", out, "--text", "join",
+              "--master", "local[4]"])
+    hits_j = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits_m == hits_j and hits_m
