@@ -222,6 +222,16 @@ def _sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded_bm25_topk(spark, [a, b], FLAGSHIP_QUERY, 10)
 
 
+def _browse_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 of the sorted browse: page 1's last (n_chars, doc_id) row is
+    the keyset cursor (the bounded-cursor discipline — 25 rows to the
+    driver, never an OFFSET)."""
+    ix = _indexed(spark, sf_dir)
+    page1 = ix.browse_topk(25).collect()
+    cur = (page1[-1]["n_chars"], page1[-1]["doc_id"])
+    return ix.browse_after(cur, 25)
+
+
 def _sharded_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES shard-agg protocol: per-shard partial facet counts over each
     shard's own match set, merged by summing at the coordinator."""
@@ -780,6 +790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the scan reads ~k rows, never the corpus
         "browse_by_size": lambda spark, sf: _indexed(spark, sf)
         .browse_topk(25),
+        # page 2 of the sorted browse via keyset cursor — both sides of
+        # the sorted projection prune (no OFFSET)
+        "browse_after": _browse_page2,
         # shard consolidation: two disjoint indexes merged, then queried
         "bm25_indexed_merged": lambda spark, sf: _merged_index(spark, sf)
         .bm25_topk(FLAGSHIP_QUERY, 10),
@@ -1005,7 +1018,7 @@ _CHECK_FIRST = [
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
     "sharded_facets", "bm25_indexed_synonym", "browse_by_size",
     "span_near_ordered", "search_cardinality", "search_percentiles",
-    "phrase_suggest_indexed",
+    "phrase_suggest_indexed", "browse_after",
     "packed_sequences_dist", "stratified_sample_dist",
     "kmv_distinct_users_dist",
     "repetition_stats", "lm_scores", "bigram_pmi", "span_dedup",
@@ -1221,6 +1234,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "browse_by_size": (
             "SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id ASC LIMIT 25"
+        ),
+        "browse_after": (
+            "SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id ASC LIMIT 25 OFFSET 25"
         ),
         "bm25_indexed_merged": bm25_scan_oracle_sql(
             FLAGSHIP_QUERY,

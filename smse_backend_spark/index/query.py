@@ -1631,6 +1631,69 @@ class InvertedIndex:
             .limit(int(k))
         )
 
+    def browse_after(
+        self,
+        cursor: tuple[int, int] | None,
+        k: int = DEFAULT_TOP_K,
+        field: str | None = None,
+    ) -> DataFrame:
+        """Keyset pagination over the index-sorted projection: the k rows
+        strictly after the (field_value, doc_id) cursor in (field desc,
+        doc_id asc) order. ``cursor=None`` is page 1 (= browse_topk).
+
+        Early termination holds on BOTH sides: rows above the cursor are
+        cut by the pushed ``field <= cursor`` predicate (row groups above
+        prune), and the scan floor T comes from the exact histogram — the
+        tightest bound where the guaranteed count strictly below the
+        cursor value (cum(T) - cum(largest bound <= cursor), a lower
+        bound since cum is counted at bounds) covers k + tombstones. Deep
+        pages therefore stay ~k-row scans — no OFFSET, ever."""
+        if cursor is None:
+            return self.browse_topk(k, field)
+        h = self.meta.get("sort_histogram")
+        if not h:
+            raise ValueError(
+                "browse_after requires an index built with sort_field=..."
+            )
+        if field is not None and field != h["field"]:
+            raise ValueError(
+                f"index is sorted by {h['field']!r}, not {field!r}"
+            )
+        field = h["field"]
+        cv, cd = int(cursor[0]), int(cursor[1])
+        self._load_tombs()
+        n_tombs = (
+            len(self._tomb_bcast.value) if self._tomb_bcast is not None
+            else (self._tomb_df.count() if self._tomb_df is not None else 0)
+        )
+        need = int(k) + int(n_tombs)
+        # count(field >= cv) <= cum(largest bound <= cv); so
+        # count(T <= field < cv) >= cum(T) - that upper bound
+        ub_at_cv = None
+        for b, c in zip(h["bounds"], h["cum_counts"]):
+            if b <= cv:
+                ub_at_cv = c
+                break
+        threshold = None
+        if ub_at_cv is not None:
+            for b, c in zip(h["bounds"], h["cum_counts"]):
+                if b <= cv and c - ub_at_cv >= need:
+                    threshold = int(b)
+                    break
+        df = self.spark.read.parquet(f"{self.path}/sorted_dv/{field}")
+        df = df.filter(F.col(field) <= cv)
+        if threshold is not None:
+            df = df.filter(F.col(field) >= threshold)
+        df = df.filter(
+            (F.col(field) < cv)
+            | ((F.col(field) == cv) & (F.col("doc_id") > cd))
+        )
+        return (
+            self._live(df)
+            .orderBy(F.desc(field), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
     def histogram_agg(
         self,
         query_text: str,

@@ -327,3 +327,26 @@ def test_percentiles_agg_vs_oracle(spark, dv_index, sf_smoke):
     assert got == [tuple(r) for r in want] and len(got) == 1
     n, p25, p50, p90, p99 = got[0]
     assert n > 0 and p25 <= p50 <= p90 <= p99
+
+
+def test_browse_after_pages_partition_the_full_sort(spark, corpus,
+                                                    sorted_index):
+    """Successive browse_after pages == consecutive slices of the full
+    sort; both cursor sides carry pushed predicates on the projection."""
+    from pyspark.sql import functions as F
+
+    want = rows(
+        corpus.select(
+            "doc_id", F.length("content").cast("long").alias("n_chars")
+        ).orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(45)
+    )
+    p1 = rows(sorted_index.browse_topk(15))
+    cur = (p1[-1][1], p1[-1][0])
+    p2 = rows(sorted_index.browse_after(cur, 15))
+    cur2 = (p2[-1][1], p2[-1][0])
+    p3 = rows(sorted_index.browse_after(cur2, 15))
+    assert p1 + p2 + p3 == want
+    df = sorted_index.browse_after(cur, 15)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LessThanOrEqual(n_chars" in plan, plan[:1500]
