@@ -793,6 +793,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # page 2 of the sorted browse via keyset cursor — both sides of
         # the sorted projection prune (no OFFSET)
         "browse_after": _browse_page2,
+        # ascending direction served by the same projection (two-sided
+        # exact histogram picks the ceiling instead of the floor)
+        "browse_smallest": lambda spark, sf: _indexed(spark, sf)
+        .browse_topk(25, descending=False),
         # shard consolidation: two disjoint indexes merged, then queried
         "bm25_indexed_merged": lambda spark, sf: _merged_index(spark, sf)
         .bm25_topk(FLAGSHIP_QUERY, 10),
@@ -1018,7 +1022,7 @@ _CHECK_FIRST = [
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
     "sharded_facets", "bm25_indexed_synonym", "browse_by_size",
     "span_near_ordered", "search_cardinality", "search_percentiles",
-    "phrase_suggest_indexed", "browse_after",
+    "phrase_suggest_indexed", "browse_after", "browse_smallest",
     "packed_sequences_dist", "stratified_sample_dist",
     "kmv_distinct_users_dist",
     "repetition_stats", "lm_scores", "bigram_pmi", "span_dedup",
@@ -1238,6 +1242,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "browse_after": (
             "SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id ASC LIMIT 25 OFFSET 25"
+        ),
+        "browse_smallest": (
+            "SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents "
+            "ORDER BY n_chars ASC, doc_id ASC LIMIT 25"
         ),
         "bm25_indexed_merged": bm25_scan_oracle_sql(
             FLAGSHIP_QUERY,

@@ -1117,14 +1117,27 @@ def finalize(spark: SparkSession, out_dir: str, config: dict) -> dict:
             {lo} | {lo + (hi - lo) * i // m for i in range(1, m + 1)},
             reverse=True,
         )
-        counts = dv.agg(*[
-            F.sum((F.col(sfld) >= b).cast("long")).alias(f"c{i}")
-            for i, b in enumerate(bounds)
-        ]).first()
+        hi_b = sorted({hi} | set(bounds), reverse=True)
+        counts = dv.agg(
+            *[
+                F.sum((F.col(sfld) >= b).cast("long")).alias(f"c{i}")
+                for i, b in enumerate(bounds)
+            ],
+            *[
+                F.sum((F.col(sfld) <= b).cast("long")).alias(f"le{i}")
+                for i, b in enumerate(hi_b)
+            ],
+        ).first()
         sort_hist = {
             "field": sfld,
             "bounds": bounds,
             "cum_counts": [int(counts[f"c{i}"]) for i in range(len(bounds))],
+            # ascending direction: count(field <= b) at each bound (bounds
+            # include the max so a full-range asc scan has a cap too)
+            "bounds_asc": hi_b,
+            "cum_counts_le": [
+                int(counts[f"le{i}"]) for i in range(len(hi_b))
+            ],
         }
     meta = {
         "config": config,

@@ -1581,7 +1581,8 @@ class InvertedIndex:
         )
 
     def browse_topk(
-        self, k: int = DEFAULT_TOP_K, field: str | None = None
+        self, k: int = DEFAULT_TOP_K, field: str | None = None,
+        descending: bool = True,
     ) -> DataFrame:
         """Early-terminated match-all sorted retrieval over an index built
         with ``sort_field=...`` — the Lucene index-sorting analog ("browse
@@ -1617,19 +1618,33 @@ class InvertedIndex:
             else (self._tomb_df.count() if self._tomb_df is not None else 0)
         )
         need = int(k) + int(n_tombs)
-        threshold = None
-        for b, c in zip(h["bounds"], h["cum_counts"]):
-            if c >= need:
-                threshold = int(b)
-                break
         df = self.spark.read.parquet(f"{self.path}/sorted_dv/{field}")
-        if threshold is not None:
-            df = df.filter(F.col(field) >= threshold)
-        return (
-            self._live(df)
-            .orderBy(F.desc(field), F.asc("doc_id"))
-            .limit(int(k))
-        )
+        if descending:
+            threshold = None
+            for b, c in zip(h["bounds"], h["cum_counts"]):
+                if c >= need:
+                    threshold = int(b)
+                    break
+            if threshold is not None:
+                df = df.filter(F.col(field) >= threshold)
+            order = [F.desc(field), F.asc("doc_id")]
+        else:
+            if "bounds_asc" not in h:
+                raise ValueError(
+                    "ascending browse needs the two-sided histogram — "
+                    "rebuild (or re-finalize) this index"
+                )
+            threshold = None
+            for b, c in zip(
+                reversed(h["bounds_asc"]), reversed(h["cum_counts_le"])
+            ):
+                if c >= need:
+                    threshold = int(b)
+                    break
+            if threshold is not None:
+                df = df.filter(F.col(field) <= threshold)
+            order = [F.asc(field), F.asc("doc_id")]
+        return self._live(df).orderBy(*order).limit(int(k))
 
     def browse_after(
         self,

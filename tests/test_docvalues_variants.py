@@ -350,3 +350,21 @@ def test_browse_after_pages_partition_the_full_sort(spark, corpus,
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LessThanOrEqual(n_chars" in plan, plan[:1500]
+
+
+def test_browse_ascending(spark, corpus, sorted_index):
+    """Ascending browse == full asc sort; the ceiling threshold reaches the
+    scan as a pushed LessThanOrEqual; old one-sided indexes refuse."""
+    from pyspark.sql import functions as F
+
+    got = rows(sorted_index.browse_topk(20, descending=False))
+    want = rows(
+        corpus.select(
+            "doc_id", F.length("content").cast("long").alias("n_chars")
+        ).orderBy(F.asc("n_chars"), F.asc("doc_id")).limit(20)
+    )
+    assert got == want and len(got) == 20
+    df = sorted_index.browse_topk(20, descending=False)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LessThanOrEqual(n_chars" in plan, plan[:1500]
