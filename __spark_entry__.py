@@ -544,6 +544,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rank", F.col("rank").cast("long")
         )
 
+    def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from smse_backend_spark.operators.ann import pq_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return pq_topk(emb, _query_vecs(spark, sf_dir), 10).withColumn(
+            "rank", F.col("rank").cast("long")
+        )
+
     def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
 
@@ -863,6 +873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": _ann_ivf_trained,
         # int8 scalar quantization: 4x-smaller vectors, deterministic rank
         "ann_sq8": _ann_sq8,
+        # product quantization: m uint8 codes/vector + (m, ks, dim/m)
+        # codebook; encode+decode as pure Column algebra, exact rank
+        "ann_pq": _ann_pq,
         # streaming twin of hourly_event_rollup (append-mode watermark oracle)
         "streamed_event_rollup": _streamed_rollup,
         # streaming exact dedup (dropDuplicates state on content hash)
@@ -1022,7 +1035,7 @@ _CHECK_FIRST = [
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
     "sharded_facets", "bm25_indexed_synonym", "browse_by_size",
     "span_near_ordered", "search_cardinality", "search_percentiles",
-    "phrase_suggest_indexed", "browse_after", "browse_smallest",
+    "phrase_suggest_indexed", "browse_after", "browse_smallest", "ann_pq",
     "packed_sequences_dist", "stratified_sample_dist",
     "kmv_distinct_users_dist",
     "repetition_stats", "lm_scores", "bigram_pmi", "span_dedup",
@@ -1094,6 +1107,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         ivf_topk_sql,
         ivf_trained_topk_sql,
         lsh_topk_sql,
+        pq_topk_sql,
         sq8_topk_sql,
     )
 
@@ -1108,6 +1122,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "simhash_neardup": SH.simhash_neardup_sql(10),
         "ann_lsh": lsh_topk_sql([0, 1, 2], dim=64, k=10, n_planes=8, n_tables=4),
         "ann_sq8": sq8_topk_sql([0, 1, 2], 10),
+        "ann_pq": pq_topk_sql([0, 1, 2], 10),
         "ann_ivf": ivf_topk_sql([0, 1, 2], k=10, n_centroids=16, n_probe=4),
         "ann_ivf_trained": ivf_trained_topk_sql(
             [0, 1, 2], dim=64, k=10, n_centroids=16, n_probe=4

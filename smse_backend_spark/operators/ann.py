@@ -652,3 +652,227 @@ r AS (
 )
 SELECT query_id, rank, vec_id, score FROM r WHERE rank <= {k}
 """
+
+
+def pq_codebooks(emb: DataFrame, m: int = 4, ks: int = 16) -> np.ndarray:
+    """Product-quantization codebooks: the vector space split into ``m``
+    contiguous subspaces, each with ``ks`` centroids = the ``vec_id < ks``
+    rows' subvectors (the same deterministic-seed rule as the untrained
+    IVF path — swap in :func:`train_ivf_centroids`-style Lloyd rounds per
+    subspace for trained codebooks; exactness of the pipeline is
+    independent of centroid quality). Returns (m, ks, dim//m) float64."""
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < ks).collect()
+    )
+    if len(rows) < ks:
+        raise ValueError(f"need vec_id 0..{ks - 1} present for PQ seeds")
+    c = np.array([v for _, v in rows], dtype=np.float64)
+    dim = c.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    L = dim // m
+    return c.reshape(ks, m, L).transpose(1, 0, 2).copy()
+
+
+def _pq_code_cols(cb: np.ndarray, emb_col: str = "embedding"):
+    """Per-subspace best-centroid-id Columns (the PQ codes): explicit
+    left-associated squared-distance chains, floor-quantized, lexicographic
+    struct min for the smallest-id tie-break."""
+    import functools
+    import operator
+
+    m, ks, L = cb.shape
+    e = F.col(emb_col)
+    out = []
+    for j in range(m):
+        o = j * L
+        cands = []
+        for ci in range(ks):
+            terms = []
+            for i in range(L):
+                x = F.element_at(e, o + i + 1).cast("double")
+                d = x - F.lit(float(cb[j, ci, i]))
+                terms.append(d * d)
+            dist = functools.reduce(operator.add, terms)
+            qd = F.floor(dist * F.lit(1e6) + F.lit(0.5)).cast("long")
+            cands.append(F.struct(qd.alias("d"), F.lit(ci).alias("cid")))
+        out.append(F.array_min(F.array(*cands))["cid"])
+    return out
+
+
+def pq_decoded_col(cb: np.ndarray, emb_col: str = "embedding"):
+    """PQ encode+decode as PURE Column algebra: per subspace, assign the
+    subvector to the centroid minimizing the squared distance (distance
+    quantized by the shared half-up floor formula; ties -> smallest
+    centroid id via lexicographic struct min) and substitute the centroid
+    values. At 100 TB the stored form is the m uint8 codes per vector
+    (dim*4 bytes -> m bytes); the reconstructed doubles here keep the
+    DuckDB oracle bit-identical. The distance fold is an explicit
+    left-associated term chain, written identically in the SQL twin, so
+    float summation order can never diverge."""
+    m, ks, L = cb.shape
+    codes = _pq_code_cols(cb, emb_col)
+    parts = []
+    for j in range(m):
+        slices = F.array(*[
+            F.array(*[F.lit(float(v)) for v in cb[j, ci]]) for ci in range(ks)
+        ])
+        parts.append(F.element_at(slices, codes[j] + 1))
+    return F.concat(*parts)
+
+
+def train_pq_codebooks(
+    emb: DataFrame, m: int = 4, ks: int = 16, iters: int = 1
+) -> np.ndarray:
+    """Deterministic per-subspace Lloyd refinement of the PQ seed
+    codebooks — the quantizer-training step real PQ quality needs (same
+    discipline as :func:`train_ivf_centroids`): assign every subvector to
+    its nearest centroid (floor-quantized squared distance, ties ->
+    smallest id), replace each centroid with its list's mean via the
+    order-independent integer-quantized sum, empty lists keep their seed.
+
+    Distributed shape: ONE pass per iteration for ALL subspaces — each
+    row emits m (subspace, code, quantized-subvector) structs, exploded
+    and partial-aggregated, so the shuffle carries m*ks groups of
+    (count, L int64 sums) — bytes O(m * ks * dim/m), corpus-independent.
+    """
+    cb = pq_codebooks(emb, m, ks)
+    _, _, L = cb.shape
+    e = F.col("embedding")
+    for _ in range(int(iters)):
+        codes = _pq_code_cols(cb)
+        qsl = [
+            F.transform(
+                F.slice(e, j * L + 1, L),
+                lambda x: F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5))
+                .cast("long"),
+            )
+            for j in range(cb.shape[0])
+        ]
+        rows = (
+            emb.select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            codes[j].alias("cid"),
+                            qsl[j].alias("q"),
+                        )
+                        for j in range(cb.shape[0])
+                    ])
+                ).alias("s")
+            )
+            .select("s.j", "s.cid", "s.q")
+            .groupBy("j", "cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("q", d + 1)).alias(f"s{d}")
+                    for d in range(L)
+                ],
+            )
+            .collect()
+        )
+        new = cb.copy()
+        for r in rows:
+            denom = 1e6 * float(r["n"])
+            new[int(r["j"]), int(r["cid"])] = [
+                float(r[f"s{d}"]) / denom for d in range(L)
+            ]
+        cb = new
+    return cb
+
+
+def pq_topk(
+    emb: DataFrame, queries: dict[int, list[float]], k: int = 10,
+    m: int = 4, ks: int = 16, train_iters: int = 0,
+) -> DataFrame:
+    """ANN over product-quantized vectors: the corpus is PQ
+    encoded+decoded (the compressed form a 100 TB store would hold —
+    m bytes per vector plus the (m, ks, dim/m) codebook), queries stay
+    full precision, scoring/rank is the exact brute-force machinery over
+    the reconstructed values — deterministic and SQL-replayable, like
+    ``sq8_topk`` (asymmetric-distance PQ with a reconstruction LUT is the
+    constant-factor optimization of the same plan). ``train_iters`` runs
+    :func:`train_pq_codebooks` Lloyd rounds first (recall quality; the
+    pipeline's exactness is codebook-independent)."""
+    cb = (
+        train_pq_codebooks(emb, m, ks, train_iters)
+        if train_iters
+        else pq_codebooks(emb, m, ks)
+    )
+    return brute_force_topk(
+        emb.withColumn("embedding", pq_decoded_col(cb)), queries, k
+    )
+
+
+def pq_topk_sql(
+    query_ids: list[int], k: int = 10, m: int = 4, ks: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_topk`: codebooks re-derived from the
+    ``vec_id < ks`` rows, per-subspace assignment replayed with the SAME
+    left-associated distance chain and floor quantization (ties ->
+    smallest centroid id via the row_number order), reconstruction by
+    list-slice concat, then the sq8-style cosine + 6dp round +
+    (score desc, vec_id asc) rank."""
+    ids = ", ".join(str(int(q)) for q in sorted(query_ids))
+    L = dim // m
+    assign_ctes, best_ctes, joins, concat = [], [], [], []
+    for j in range(m):
+        o = j * L
+        chain = " + ".join(
+            f"((e.embedding[{o + i + 1}]::DOUBLE - c.embedding[{o + i + 1}]::DOUBLE)"
+            f" * (e.embedding[{o + i + 1}]::DOUBLE - c.embedding[{o + i + 1}]::DOUBLE))"
+            for i in range(L)
+        )
+        assign_ctes.append(f"""d{j} AS (
+  SELECT e.vec_id, c.vec_id AS cid,
+         floor(({chain}) * 1e6 + 0.5)::BIGINT AS qd
+  FROM embeddings e, cb c
+)""")
+        best_ctes.append(f"""b{j} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY qd, cid) AS rn
+    FROM d{j}
+  ) WHERE rn = 1
+)""")
+        joins.append(f"JOIN b{j} ON b{j}.vec_id = e.vec_id")
+        concat.append(
+            f"(SELECT cc.embedding[{o + 1}:{o + L}] FROM cb cc "
+            f"WHERE cc.vec_id = b{j}.cid)"
+        )
+    ctes = ",\n".join(assign_ctes + best_ctes)
+    recon = " || ".join(concat)
+    joins_sql = " ".join(joins)
+    return f"""
+WITH cb AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {ks}
+),
+{ctes},
+dq AS (
+  SELECT e.vec_id, ({recon}) AS dv
+  FROM embeddings e {joins_sql}
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN ({ids})
+),
+z AS (
+  SELECT q.qid, d.vec_id, unnest(d.dv)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM dq d, q
+),
+sims AS (
+  SELECT qid, vec_id,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score
+  FROM z GROUP BY qid, vec_id
+),
+r AS (
+  SELECT qid AS query_id, vec_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, rank, vec_id, score FROM r WHERE rank <= {k}
+"""

@@ -272,3 +272,59 @@ def test_sq8_vs_duckdb_and_recall(spark, sf_smoke):
         by_q_sq8.setdefault(qid, set()).add(vid)
     for qid, ex in by_q_exact.items():
         assert len(by_q_sq8[qid] & ex) >= 8, (qid, by_q_sq8[qid], ex)
+
+
+def test_pq_vs_duckdb_and_recall(spark, sf_smoke):
+    """Product-quantized ANN == its SQL twin exactly; every reconstructed
+    vector is a concatenation of codebook slices; PQ at m=4/ks=16 keeps
+    reasonable recall@10 vs full precision on the synthetic embeddings."""
+    import duckdb
+
+    from smse_backend_spark.operators.ann import (
+        brute_force_topk,
+        pq_codebooks,
+        pq_decoded_col,
+        pq_topk,
+        pq_topk_sql,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id in (0, 1, 2)").collect()
+    }
+    got = [tuple(r) for r in pq_topk(emb, qvecs, 10).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"create view embeddings as select * from '{sf_smoke}/embeddings.parquet'"
+    )
+    want = [tuple(w) for w in con.execute(pq_topk_sql([0, 1, 2], 10)).fetchall()]
+    assert sorted(got) == sorted(want)
+
+    # structural: each decoded subvector is exactly one codebook slice
+    cb = pq_codebooks(emb, 4, 16)
+    m, ks, L = cb.shape
+    dec = emb.select("vec_id", pq_decoded_col(cb).alias("d")).limit(20).collect()
+    for r in dec:
+        v = np.asarray(r["d"])
+        for j in range(m):
+            sub = v[j * L:(j + 1) * L]
+            assert any(np.array_equal(sub, cb[j, ci]) for ci in range(ks)), (
+                r["vec_id"], j)
+
+    exact = brute_force_topk(emb, qvecs, 10).collect()
+    by_q_exact = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    by_q_pq = {}
+    for qid, _rank, vid, _s in got:
+        by_q_pq.setdefault(qid, set()).add(vid)
+    # PQ at m=4/ks=16 over these near-random synthetic embeddings is
+    # very lossy (measured recall@10 sums ~12/30 across configs), so
+    # assert the robust properties: the query's own vector (cosine 1.0)
+    # survives quantization into its top-10, and aggregate overlap with
+    # the exact top-10s clears a margin below the measured 12.
+    for qid in by_q_exact:
+        assert qid in by_q_pq[qid], (qid, by_q_pq[qid])
+    total = sum(len(by_q_pq[q] & by_q_exact[q]) for q in by_q_exact)
+    assert total >= 8, {q: by_q_pq[q] & by_q_exact[q] for q in by_q_exact}
