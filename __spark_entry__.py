@@ -587,6 +587,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_lang": _bm25("batch stream spark window", lang="en"),
         "bm25_topk_hot": _bm25("the row data", k=20),
         "bm25_indexed": _bm25_indexed(FLAGSHIP_QUERY),
+        # Dirichlet-smoothed LM similarity (Lucene LMDirichletSimilarity):
+        # the pluggable second ranking function, scan + index-served
+        "lm_dirichlet": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.lmsim", fromlist=["x"]
+        ).lm_dirichlet_scan(load_corpus(spark, sf), FLAGSHIP_QUERY, 10),
+        "lm_dirichlet_indexed": lambda spark, sf: _indexed(spark, sf)
+        .lm_dirichlet_topk(FLAGSHIP_QUERY, 10),
         "bm25_batch": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_batch(BATCH_QUERIES, 10)
         .withColumn("rank", F.col("rank").cast("long")),
@@ -1031,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # never driver-checked as of CORRECTNESS_r02 (12), round-3 additions,
 # then round-1-only greens (35) — see VERDICT.md round 2, "Next round" #2
 _CHECK_FIRST = [
+    "lm_dirichlet", "lm_dirichlet_indexed",
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
     "sharded_facets", "bm25_indexed_synonym", "browse_by_size",
@@ -1103,6 +1111,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
 """
 
     from smse_backend_spark.operators import simhash as SH
+    from smse_backend_spark.operators.lmsim import lm_dirichlet_oracle_sql
     from smse_backend_spark.operators.ann import (
         ivf_topk_sql,
         ivf_trained_topk_sql,
@@ -1138,6 +1147,8 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25_topk_lang": bm25_scan_oracle_sql("batch stream spark window", lang="en"),
         "bm25_topk_hot": bm25_scan_oracle_sql("the row data", k=20),
         "bm25_indexed": bm25_scan_oracle_sql(FLAGSHIP_QUERY),
+        "lm_dirichlet": lm_dirichlet_oracle_sql(FLAGSHIP_QUERY, 10),
+        "lm_dirichlet_indexed": lm_dirichlet_oracle_sql(FLAGSHIP_QUERY, 10),
         "bm25_batch": "\nUNION ALL\n".join(
             f"SELECT {qid} AS query_id, "
             "row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, "

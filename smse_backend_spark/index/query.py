@@ -538,6 +538,97 @@ class InvertedIndex:
             for t, df in self.term_df(terms, lang).items()
         }
 
+    def term_cf(self, terms: list[str], lang: str | None = None) -> dict[str, int]:
+        """Collection frequency (total occurrences) per term — the
+        dictionary's ``cf`` column (driver cache or pruned read); under
+        time travel, summed from the pruned blocks' ``block_sum_tf``."""
+        if self.as_of is not None:
+            return {
+                r["term"]: int(r["cf"])
+                for r in self._blocks(terms, lang)
+                .groupBy("term").agg(F.sum("block_sum_tf").alias("cf"))
+                .collect()
+            }
+        if self.meta.get("n_terms", 1 << 62) <= self.DICT_CACHE_MAX_TERMS:
+            self._ensure_dict_cache()
+            if lang is None:
+                out: dict[str, int] = {}
+                for (_lg, t), cf in self._cf_cache.items():
+                    if t in terms:
+                        out[t] = out.get(t, 0) + cf
+                return out
+            return {
+                t: self._cf_cache[(lang, t)]
+                for t in terms
+                if (lang, t) in self._cf_cache
+            }
+        d = self.spark.read.parquet(f"{self.path}/dictionary").filter(
+            F.col("term").isin(terms)
+        )
+        if lang is not None:
+            d = d.filter(F.col("lang") == lang)
+        return {
+            r["term"]: int(r["cf"])
+            for r in d.groupBy("term").agg(F.sum("cf").alias("cf")).collect()
+        }
+
+    def _sum_dl(self, lang: str | None = None) -> int:
+        """Exact total token count of the (possibly lang-restricted,
+        possibly time-traveled) corpus — the integer, not n*avgdl."""
+        if self.as_of is not None:
+            if lang is None:
+                return sum(r["sum_dl"] for r in self._as_of_rows)
+            return sum(
+                r["per_lang"].get(lang, {"sum_dl": 0})["sum_dl"]
+                for r in self._as_of_rows
+            )
+        if lang is None:
+            return int(self.meta["sum_dl"])
+        return int(self.meta["per_lang"].get(lang, {"sum_dl": 0})["sum_dl"])
+
+    def lm_dirichlet_topk(
+        self,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+        mu: float = 2000.0,
+    ) -> DataFrame:
+        """Dirichlet-smoothed LM top-k served from posting blocks — the
+        same math as ``operators.lmsim.lm_dirichlet_scan`` (Lucene
+        LMDirichletSimilarity) with cf from the dictionary and T from the
+        build-time lineage stats, so the corpus is never scanned. The
+        per-term ``mu * p(t|C)`` constants are computed driver-side from
+        the SAME integers the scan path aggregates, hence bit-identical;
+        contributions are floor-quantized then clamped then integer-summed
+        (order-independent)."""
+        from smse_backend_spark.operators.lmsim import lm_contrib_col
+
+        terms = self._analyze(query_text)
+        cfs = self.term_cf(terms, lang) if terms else {}
+        if not cfs:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        t_plus_1 = float(self._sum_dl(lang)) + 1.0
+        mup = {
+            t: float(mu) * ((float(cf) + 1.0) / t_plus_1)
+            for t, cf in cfs.items()
+        }
+        mup_df = F.broadcast(
+            self.spark.createDataFrame(
+                sorted(mup.items()), "term string, mup double"
+            )
+        )
+        decoded = self._decoded(self._blocks(sorted(mup), lang))
+        return (
+            decoded.join(mup_df, "term")
+            .withColumn(
+                "cq", lm_contrib_col(F.col("tf"), F.col("dl"), F.col("mup"), mu)
+            )
+            .groupBy("doc_id")
+            .agg((F.sum("cq").cast("double") / F.lit(1e6)).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     # -- scans ------------------------------------------------------------
 
     def _blocks(self, terms: list[str], lang: str | None) -> DataFrame:
