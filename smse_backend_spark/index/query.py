@@ -1830,6 +1830,48 @@ class InvertedIndex:
             .orderBy(F.asc("bucket"))
         )
 
+    def composite_agg(
+        self,
+        query_text: str,
+        interval: int = 64,
+        size: int = 10,
+        after: tuple[str, int] | None = None,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``composite`` bucket aggregation in query context: buckets
+        keyed by (terms(repo), histogram(n_chars, interval)), returned in
+        ascending key order a PAGE at a time with after-key resume —
+        Elasticsearch's designed-for-scale agg pagination (top-N terms
+        aggs must hold every bucket; composite streams them in key order,
+        which is exactly what a 10^12-doc bucket walk needs).
+
+        Plan: match set (partition-pruned postings) equi-joins the
+        column-pruned doc-values read; the after-key predicate references
+        only grouping keys, so Catalyst applies it BEFORE the aggregation
+        (pages get cheaper as the walk advances), and the ascending-key
+        page cut is a ``TakeOrderedAndProject`` — no full bucket list is
+        ever materialized."""
+        matches = self.match_doc_ids(query_text, lang)
+        vals = self.doc_values(["repo", "n_chars"])
+        bucket = (
+            F.floor(F.col("n_chars") / F.lit(int(interval))) * int(interval)
+        ).cast("long")
+        keyed = matches.join(vals, "doc_id").select(
+            "repo", bucket.alias("bucket")
+        )
+        if after is not None:
+            a_repo, a_bucket = after
+            keyed = keyed.filter(
+                (F.col("repo") > a_repo)
+                | ((F.col("repo") == a_repo) & (F.col("bucket") > int(a_bucket)))
+            )
+        return (
+            keyed.groupBy("repo", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.asc("repo"), F.asc("bucket"))
+            .limit(int(size))
+        )
+
     def stats_agg(
         self,
         query_text: str,

@@ -341,6 +341,39 @@ ORDER BY bucket ASC
 """
 
 
+def composite_agg_sql(
+    query_text: str,
+    interval: int = 64,
+    size: int = 10,
+    after: tuple[str, int] | None = None,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.composite_agg``: buckets keyed by
+    (source, n_chars histogram), after-key filter on the keys, ascending
+    key order, one page."""
+    bucket = (
+        f"(floor(length(d.{content_col})::DOUBLE / {int(interval)})::BIGINT"
+        f" * {int(interval)})"
+    )
+    where_after = ""
+    if after is not None:
+        a_repo = after[0].replace("'", "''")
+        where_after = (
+            f"WHERE (d.source > '{a_repo}' OR "
+            f"(d.source = '{a_repo}' AND {bucket} > {int(after[1])}))"
+        )
+    return f"""{_match_set_cte(query_text, lang, table, content_col)}
+SELECT d.source AS repo, {bucket} AS bucket, count(*)::BIGINT AS n_docs
+FROM {table} d JOIN m USING (doc_id)
+{where_after}
+GROUP BY repo, bucket
+ORDER BY repo ASC, bucket ASC
+LIMIT {int(size)}
+"""
+
+
 def stats_agg_sql(
     query_text: str,
     lang: str | None = None,

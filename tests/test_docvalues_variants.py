@@ -368,3 +368,38 @@ def test_browse_ascending(spark, corpus, sorted_index):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LessThanOrEqual(n_chars" in plan, plan[:1500]
+
+
+def test_composite_agg_vs_oracle_and_pagination(spark, dv_index, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.aggregations import composite_agg_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    page1 = rows(dv_index.composite_agg(Q, 256, 12))
+    want1 = [
+        tuple(r) for r in con.execute(composite_agg_sql(Q, 256, 12)).fetchall()
+    ]
+    assert page1 == want1 and len(page1) == 12
+    after = (page1[-1][0], page1[-1][1])
+    page2 = rows(dv_index.composite_agg(Q, 256, 12, after=after))
+    want2 = [
+        tuple(r)
+        for r in con.execute(composite_agg_sql(Q, 256, 12, after=after)).fetchall()
+    ]
+    assert page2 == want2
+    # walking ALL pages with after-keys reconstructs the unpaged bucket
+    # list exactly, with no gaps/overlaps (the ES composite invariant)
+    full = rows(dv_index.composite_agg(Q, 256, 10_000))
+    walked, cursor = [], None
+    while True:
+        pg = rows(dv_index.composite_agg(Q, 256, 7, after=cursor))
+        if not pg:
+            break
+        walked.extend(pg)
+        cursor = (pg[-1][0], pg[-1][1])
+    assert walked == full and len(full) > 12
