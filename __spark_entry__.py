@@ -802,6 +802,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (exact countDistinct; KMV sketch is the documented 10^12 swap)
         "search_cardinality": lambda spark, sf: _indexed(spark, sf)
         .cardinality_agg(FLAGSHIP_QUERY),
+        # ES terms agg with sub-aggregations ordered BY a sub-agg:
+        # per-repo (n_docs, max_score, avg_score), avg_score desc
+        "search_terms_stats": lambda spark, sf: _indexed(spark, sf)
+        .terms_stats_agg(FLAGSHIP_QUERY, "repo", 10),
         # ES composite bucket agg: (terms(repo), histogram(n_chars))
         # keys in ascending order, one page at a time; the scale-path
         # agg pagination (after-key resume below)
@@ -1046,7 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # then round-1-only greens (35) — see VERDICT.md round 2, "Next round" #2
 _CHECK_FIRST = [
     "lm_dirichlet", "lm_dirichlet_indexed",
-    "search_composite", "search_composite_after",
+    "search_composite", "search_composite_after", "search_terms_stats",
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
     "sharded_facets", "bm25_indexed_synonym", "browse_by_size",
@@ -1268,6 +1272,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "search_histogram": AG.histogram_agg_sql(FLAGSHIP_QUERY, 64),
         "search_stats": AG.stats_agg_sql(FLAGSHIP_QUERY),
         "search_cardinality": AG.cardinality_agg_sql(FLAGSHIP_QUERY),
+        "search_terms_stats": AG.terms_stats_agg_sql(FLAGSHIP_QUERY, 10),
         "search_composite": AG.composite_agg_sql(FLAGSHIP_QUERY, 256, 12),
         "search_composite_after": AG.composite_agg_sql(
             FLAGSHIP_QUERY, 256, 12, after=("src12", 256)

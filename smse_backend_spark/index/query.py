@@ -1872,6 +1872,49 @@ class InvertedIndex:
             .limit(int(size))
         )
 
+    def terms_stats_agg(
+        self,
+        query_text: str,
+        field: str = "repo",
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``terms`` bucket aggregation with sub-aggregations, ordered
+        BY a sub-aggregation: per ``field`` bucket over the query's match
+        set, (n_docs, max_score, avg_score), buckets ranked
+        (avg_score desc, key asc) — the "which repos match best on
+        average" analytics shape ({"order": {"avg_score": "desc"}} in ES).
+
+        Determinism: per-doc 6dp scores are converted to integer micro
+        units (``round(score * 1e6)`` — exact, scores have <= 6dp), summed
+        as integers (order-independent), and the bucket average is one
+        identically-parenthesized floor-half-up expression on both
+        engines. Plan: scored match set (postings only) equi-joins the
+        column-pruned doc-values read; one partial-agg per bucket; top-k
+        buckets via ``TakeOrderedAndProject``."""
+        scored = self.scored_matches(query_text, lang)
+        vals = self.doc_values([field])
+        micro = F.round(F.col("score") * F.lit(1e6)).cast("long")
+        return (
+            scored.join(vals, "doc_id")
+            .select(F.col(field), micro.alias("m"), F.col("score"))
+            .groupBy(field)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.max("score").alias("max_score"),
+                (
+                    F.floor(
+                        F.sum("m").cast("double")
+                        / F.count(F.lit(1)).cast("double")
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1e6)
+                ).alias("avg_score"),
+            )
+            .orderBy(F.desc("avg_score"), F.asc(field))
+            .limit(int(k))
+        )
+
     def stats_agg(
         self,
         query_text: str,

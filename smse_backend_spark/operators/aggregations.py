@@ -374,6 +374,36 @@ LIMIT {int(size)}
 """
 
 
+def terms_stats_agg_sql(
+    query_text: str,
+    k: int = 10,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.terms_stats_agg`` (source backs the
+    ``repo`` doc-value): per-doc scores from the BM25 scan twin, micro-unit
+    integer sums, the identical floor-half-up bucket average."""
+    from smse_backend_spark.operators.search import bm25_scan_oracle_sql
+
+    scores = bm25_scan_oracle_sql(
+        query_text, k=1_000_000_000, lang=lang, table=table,
+        content_col=content_col,
+    )
+    return f"""
+WITH s AS ({scores})
+SELECT d.source AS repo,
+       count(*)::BIGINT AS n_docs,
+       max(s.score) AS max_score,
+       floor(sum(round(s.score * 1e6)::BIGINT)::DOUBLE
+             / count(*)::DOUBLE + 0.5) / 1e6 AS avg_score
+FROM s JOIN {table} d USING (doc_id)
+GROUP BY repo
+ORDER BY avg_score DESC, repo ASC
+LIMIT {int(k)}
+"""
+
+
 def stats_agg_sql(
     query_text: str,
     lang: str | None = None,

@@ -403,3 +403,24 @@ def test_composite_agg_vs_oracle_and_pagination(spark, dv_index, sf_smoke):
         walked.extend(pg)
         cursor = (pg[-1][0], pg[-1][1])
     assert walked == full and len(full) > 12
+
+
+def test_terms_stats_agg_vs_oracle(spark, dv_index, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.aggregations import terms_stats_agg_sql
+
+    got = rows(dv_index.terms_stats_agg(Q, "repo", 10))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(terms_stats_agg_sql(Q, 10)).fetchall()]
+    assert got == want and len(got) == 10
+    # sub-agg order invariant: buckets descend by avg_score, key breaks ties
+    avgs = [r[3] for r in got]
+    assert avgs == sorted(avgs, reverse=True)
+    # per-bucket invariants: max >= avg > 0, n_docs >= 1
+    for _repo, n, mx, av in got:
+        assert n >= 1 and mx >= av > 0
