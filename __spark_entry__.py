@@ -479,6 +479,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
+    def _pit_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PIT pagination: keyset page 2 on the as-of-batch-0 snapshot."""
+        from smse_backend_spark.index.query import InvertedIndex
+
+        idx = InvertedIndex(
+            spark, _asof_index_path(spark, sf_dir), as_of_batch=0
+        )
+        page1 = idx.bm25_topk_after(FLAGSHIP_QUERY, None, 10).collect()
+        if len(page1) < 10:
+            return spark.createDataFrame([], "doc_id long, score double")
+        last = page1[-1]
+        return idx.bm25_topk_after(
+            FLAGSHIP_QUERY, (last["score"], last["doc_id"]), 10
+        )
+
     def _lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         from smse_backend_spark.index.query import lineage_partitions
 
@@ -610,6 +625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time travel: query the index as of batch 0 (docs 0-255) —
         # historical stats from lineage, df from pruned block metadata
         "bm25_indexed_as_of": _bm25_as_of(FLAGSHIP_QUERY, 0),
+        # ES point-in-time pagination (PIT / Lucene searcher pinning):
+        # keyset page 2 against the index AS OF batch 0 — the snapshot
+        # cannot shift under the cursor while later batches commit
+        "bm25_pit_page2": _pit_page2,
         # prefix (wildcard) search: dictionary expansion, OR-scored
         "bm25_prefix": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_prefix("wi", 10, max_expansions=16),
@@ -961,6 +980,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": lambda spark, sf: __import__(
             "smse_backend_spark.operators.sampling", fromlist=["corpus_sample"]
         ).corpus_sample(_docs(spark, sf), 0.1),
+        # quality-bucket mixture sampling (deterministic DCLM-style
+        # importance sampling: per-quintile keep-rates)
+        "quality_weighted_sample": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.sampling",
+            fromlist=["quality_weighted_sample"],
+        ).quality_weighted_sample(_docs(spark, sf)),
         "kmv_distinct_users": lambda spark, sf: __import__(
             "smse_backend_spark.operators.sampling", fromlist=["kmv_distinct"]
         ).kmv_distinct(
@@ -1051,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CHECK_FIRST = [
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
+    "quality_weighted_sample", "bm25_pit_page2",
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
     "sharded_facets", "bm25_indexed_synonym", "browse_by_size",
@@ -1348,6 +1374,14 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             "smse_backend_spark.operators.sampling",
             fromlist=["corpus_sample_sql"],
         ).corpus_sample_sql(0.1),
+        "quality_weighted_sample": __import__(
+            "smse_backend_spark.operators.sampling",
+            fromlist=["quality_weighted_sample_sql"],
+        ).quality_weighted_sample_sql(),
+        "bm25_pit_page2": search_after_oracle_sql(
+            FLAGSHIP_QUERY, 10,
+            table="(SELECT * FROM documents WHERE doc_id < 256)",
+        ),
         "kmv_distinct_users": __import__(
             "smse_backend_spark.operators.sampling",
             fromlist=["kmv_distinct_sql"],

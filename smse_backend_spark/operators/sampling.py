@@ -105,6 +105,66 @@ WHERE {_hash_u60_sql("doc_id", SAMPLE_SALT)} < {thr}
 """
 
 
+# --- quality-weighted (bucket-mixture) sample --------------------------------
+
+QWEIGHT_SALT = "-qweight-v1"
+
+# keep-rate per quality quintile: heavy downsample of the low-quality
+# tail, keep everything in the top bucket (the DCLM / FineWeb-style
+# quality-mixture recipe, made deterministic)
+QWEIGHT_RATES: tuple[float, ...] = (0.02, 0.1, 0.3, 0.7, 1.0)
+
+
+def quality_weighted_sample(
+    docs: DataFrame, rates: tuple[float, ...] = QWEIGHT_RATES
+) -> DataFrame:
+    """(doc_id, bucket, quality): importance sampling by quality — each
+    doc's quality score (already 6dp-quantized, cross-engine exact) maps
+    to a quintile bucket, and the doc is kept iff its hash falls under
+    the bucket's keep-rate. Same no-shuffle/no-seed membership rule as
+    ``corpus_sample``, but the threshold is bucket-dependent — the
+    quality-mixture sampling step of modern pretraining recipes
+    (quality classifier -> per-bucket rates), fully reproducible: adding
+    docs never flips existing decisions.
+
+    Scale shape: map-only (tokenize + hash + integer compare per row);
+    thresholds are driver-computed integer literals, so there is no float
+    boundary ambiguity cross-engine.
+    """
+    from smse_backend_spark.functions.text_quality import quality_scores
+
+    if len(rates) != 5:
+        raise ValueError("rates must give one keep-rate per quintile")
+    thrs = [int(r * TWO60) for r in rates]
+    q = quality_scores(docs)
+    bucket = F.least(F.floor(F.col("quality") * 5).cast("long"), F.lit(4))
+    thr = F.element_at(
+        F.array(*[F.lit(t) for t in thrs]), bucket.cast("int") + 1
+    )
+    return (
+        q.select("doc_id", bucket.alias("bucket"), "quality")
+        .filter(hash_u60(F.col("doc_id"), QWEIGHT_SALT) < thr)
+    )
+
+
+def quality_weighted_sample_sql(
+    rates: tuple[float, ...] = QWEIGHT_RATES, table: str = "documents"
+) -> str:
+    from smse_backend_spark.functions.text_quality import quality_scores_sql
+
+    thrs = [int(r * TWO60) for r in rates]
+    cases = " ".join(
+        f"WHEN {b} THEN {t}" for b, t in enumerate(thrs)
+    )
+    h = _hash_u60_sql("doc_id", QWEIGHT_SALT)
+    return f"""
+WITH q AS ({quality_scores_sql()})
+SELECT doc_id, least(floor(quality * 5)::BIGINT, 4) AS bucket, quality
+FROM q
+WHERE {h} < (CASE least(floor(quality * 5)::BIGINT, 4) {cases} END)
+"""
+
+
 # --- stratified (per-group quota) sample ------------------------------------
 
 STRATA_SALT = "-strata-v1"

@@ -282,3 +282,49 @@ def test_curation_pipeline_composes_stages(spark, sf_smoke, con):
     assert got == manual
     assert {r[1] for r in got} == {d for d in keep_ids
                                    if d in {r[1] for r in got}}
+
+
+def test_quality_weighted_sample_matches_duckdb(spark, sf_smoke, con):
+    from smse_backend_spark.operators.sampling import (
+        quality_weighted_sample,
+        quality_weighted_sample_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    got = sorted(map(tuple, quality_weighted_sample(docs).collect()))
+    want = sorted(map(tuple, con.execute(quality_weighted_sample_sql()).fetchall()))
+    assert got == want and len(got) > 0
+    # mixture property: keep-rate rises with the bucket (checked against
+    # the full per-bucket population, loose bounds at smoke scale)
+    from smse_backend_spark.functions.text_quality import quality_scores
+
+    pop = (
+        quality_scores(docs)
+        .select(
+            F.least(F.floor(F.col("quality") * 5).cast("long"), F.lit(4))
+            .alias("bucket")
+        )
+        .groupBy("bucket").count().collect()
+    )
+    pop_by = {r["bucket"]: r["count"] for r in pop}
+    kept_by: dict[int, int] = {}
+    for _d, b, _q in got:
+        kept_by[b] = kept_by.get(b, 0) + 1
+    # top bucket keeps everything (rate 1.0)
+    if 4 in pop_by:
+        assert kept_by.get(4, 0) == pop_by[4]
+    # bottom bucket keeps far less than the top, when populated enough
+    if pop_by.get(0, 0) >= 50:
+        assert kept_by.get(0, 0) / pop_by[0] < 0.2
+
+
+def test_quality_weighted_sample_stable_under_growth(spark, sf_smoke):
+    from smse_backend_spark.operators.sampling import quality_weighted_sample
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    full = {r["doc_id"] for r in quality_weighted_sample(docs).collect()}
+    half_docs = docs.filter(F.col("doc_id") < 250)
+    half = {r["doc_id"] for r in quality_weighted_sample(half_docs).collect()}
+    # membership decisions are per-row: the subset's picks are exactly the
+    # full run's picks restricted to the subset
+    assert half == {d for d in full if d < 250}
