@@ -96,6 +96,7 @@ BATCH_QUERIES: dict[int, str] = {
 }
 
 _INDEX_CACHE: dict[str, str] = {}
+_UPSERT_CACHE: dict[str, str] = {}
 _DELETED_CACHE: dict[str, tuple[str, str]] = {}
 _ASOF_CACHE: dict[str, str] = {}
 _STREAMIDX_CACHE: dict[str, str] = {}
@@ -494,6 +495,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             FLAGSHIP_QUERY, (last["score"], last["doc_id"]), 10
         )
 
+    def _upsert_index_path(spark: SparkSession, sf_dir: str) -> str:
+        """Index exercising the ES update-API lifecycle (Lucene semantics:
+        an update IS delete+add under a fresh internal doc id): build over
+        docs 0-511, then 'update' every doc with doc_id % 10 == 3 by
+        tombstoning the old version and extending with the new content
+        under doc_id + 512 (above every committed segment). Corpus capped
+        at 512 docs so the static oracle is sf-independent."""
+        from pyspark.sql import functions as FF
+
+        from smse_backend_spark.index.build import build_index, extend_index
+        from smse_backend_spark.index.deletes import delete_docs
+
+        if sf_dir not in _UPSERT_CACHE:
+            import tempfile
+
+            out = tempfile.mkdtemp(prefix="smse_idx_upsert_")
+            base = load_corpus(spark, sf_dir).filter(FF.col("doc_id") < 512)
+            build_index(spark, base, out, segment_size=256, n_buckets=8,
+                        block_size=64, n_batches=2)
+            upd = (
+                base.filter(FF.col("doc_id") % 10 == 3)
+                .withColumn("doc_id", FF.col("doc_id") + 512)
+                .withColumn(
+                    "content",
+                    FF.concat(FF.col("content"),
+                              FF.lit(" refactored hash join kernel")),
+                )
+                .withColumn("content_sha256", FF.sha2(FF.col("content"), 256))
+            )
+            delete_docs(spark, out, list(range(3, 512, 10)))
+            extend_index(spark, upd, out)
+            _UPSERT_CACHE[sf_dir] = out
+        return _UPSERT_CACHE[sf_dir]
+
+    def _bm25_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from smse_backend_spark.index.query import InvertedIndex
+
+        return InvertedIndex(spark, _upsert_index_path(spark, sf_dir)).bm25_topk(
+            FLAGSHIP_QUERY, 10
+        )
+
     def _lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         from smse_backend_spark.index.query import lineage_partitions
 
@@ -629,6 +671,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keyset page 2 against the index AS OF batch 0 — the snapshot
         # cannot shift under the cursor while later batches commit
         "bm25_pit_page2": _pit_page2,
+        # ES update API (Lucene delete+add): every doc_id%10==3 doc is
+        # re-indexed with appended content under a fresh doc id; old
+        # versions are tombstoned (still count into stats, Lucene-style)
+        "bm25_indexed_upsert": _bm25_upsert,
         # prefix (wildcard) search: dictionary expansion, OR-scored
         "bm25_prefix": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_prefix("wi", 10, max_expansions=16),
@@ -1076,7 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CHECK_FIRST = [
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
-    "quality_weighted_sample", "bm25_pit_page2",
+    "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
     "sharded_facets", "bm25_indexed_synonym", "browse_by_size",
@@ -1381,6 +1427,19 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25_pit_page2": search_after_oracle_sql(
             FLAGSHIP_QUERY, 10,
             table="(SELECT * FROM documents WHERE doc_id < 256)",
+        ),
+        # upsert twin: the union corpus (512 originals + 51 new versions)
+        # carries the stats — Lucene soft-delete semantics — while the
+        # tombstoned old versions are excluded from results only
+        "bm25_indexed_upsert": bm25_scan_oracle_sql(
+            FLAGSHIP_QUERY,
+            table=(
+                "(SELECT doc_id, text, lang FROM documents WHERE doc_id < 512"
+                " UNION ALL"
+                " SELECT doc_id + 512, text || ' refactored hash join kernel',"
+                " lang FROM documents WHERE doc_id < 512 AND doc_id % 10 = 3)"
+            ),
+            exclude_where="NOT (tf.doc_id < 512 AND tf.doc_id % 10 = 3)",
         ),
         "kmv_distinct_users": __import__(
             "smse_backend_spark.operators.sampling",

@@ -204,3 +204,47 @@ def test_tombstone_filter_plan_is_broadcast_anti_join(spark, soft_deleted):
     df = idx.bm25_topk("hash join merge scan", 10, mode="exhaustive")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+
+
+def test_upsert_lifecycle_delete_plus_add(spark, sf_smoke, tmp_path):
+    """ES update semantics (Lucene delete+add): after tombstoning the old
+    versions and extending with re-written content under fresh ids, search
+    must (a) never return an old version, (b) surface updated docs on the
+    terms their new content added, (c) keep stats Lucene-style (old
+    versions still count until compaction)."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.index.build import build_index, extend_index
+    from smse_backend_spark.index.deletes import delete_docs
+    from smse_backend_spark.index.query import InvertedIndex
+
+    out = str(tmp_path / "upsert")
+    base = load_corpus(spark, sf_smoke).filter(F.col("doc_id") < 512)
+    build_index(spark, base, out, segment_size=256, n_buckets=8,
+                block_size=64, n_batches=2)
+    old_ids = list(range(3, 512, 10))
+    upd = (
+        base.filter(F.col("doc_id") % 10 == 3)
+        .withColumn("doc_id", F.col("doc_id") + 512)
+        .withColumn(
+            "content",
+            F.concat(F.col("content"), F.lit(" zzupsertmarker zzupsertmarker")),
+        )
+        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    )
+    delete_docs(spark, out, old_ids)
+    extend_index(spark, upd, out)
+    idx = InvertedIndex(spark, out)
+
+    hits = idx.bm25_topk("zzupsertmarker", 10).collect()
+    assert len(hits) == 10
+    assert all(r["doc_id"] >= 512 for r in hits)  # only new versions match
+    # a generic query never returns a tombstoned old version
+    generic = idx.bm25_topk("hash join merge scan", 20).collect()
+    assert not ({r["doc_id"] for r in generic} & set(old_ids))
+    # Lucene stat semantics: n_docs counts old versions until compaction
+    n, _ = idx.corpus_stats()
+    n_base = base.count()
+    n_updated = base.filter(F.col("doc_id") % 10 == 3).count()
+    assert n == n_base + n_updated
