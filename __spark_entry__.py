@@ -55,6 +55,7 @@ from smse_backend_spark.operators.search import (
     multi_field_bm25_scan,
     multi_field_oracle_sql,
     near_oracle_sql,
+    phrase_prefix_oracle_sql,
     phrase_suggest_oracle_sql,
     query_terms,
     rescore_phrase_oracle_sql,
@@ -684,6 +685,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact phrase search over the positional index
         "bm25_phrase": lambda spark, sf: _pos_indexed(spark, sf)
         .phrase_topk("table scan", 10),
+        # ES match_phrase_prefix (search-as-you-type): last token expanded
+        # from the dictionary, blended window frequency, one idf
+        "bm25_phrase_prefix": lambda spark, sf: _pos_indexed(spark, sf)
+        .phrase_prefix_topk("hash jo", 10),
         # MUST_NOT filter: excluded docs dropped, global stats unchanged
         "bm25_must_not": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_filtered(FLAGSHIP_QUERY, must_not=["window"]),
@@ -1123,6 +1128,7 @@ _CHECK_FIRST = [
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
+    "bm25_phrase_prefix",
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
     "sharded_facets", "bm25_indexed_synonym", "browse_by_size",
@@ -1258,6 +1264,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25_prefix": bm25_prefix_oracle_sql("wi", 10, max_expansions=16),
         "bm25_fuzzy": bm25_fuzzy_oracle_sql("dat", 2, 10),
         "bm25_phrase": bm25_phrase_oracle_sql("table scan", 10),
+        "bm25_phrase_prefix": phrase_prefix_oracle_sql("hash jo", 10),
         "bm25_must_not": bm25_scan_oracle_sql(
             FLAGSHIP_QUERY,
             exclude_where="tf.doc_id NOT IN "

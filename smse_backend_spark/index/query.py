@@ -1149,27 +1149,19 @@ class InvertedIndex:
             scored = scored.join(excl, "doc_id", "left_anti")
         return self._finish(scored, k)
 
-    def _phrase_scored(
-        self, phrase_text: str, lang: str | None = None
-    ) -> DataFrame:
-        """Rounded (doc_id, score) for EVERY doc containing the exact
-        phrase (no top-k cut) — the match-set kernel shared by
-        :meth:`phrase_topk` and :meth:`rescore_phrase_topk`."""
-        from smse_backend_spark.functions.tokenizer import tokenize_py
-
+    def _phrase_matches(
+        self, terms: list[str], lang: str | None = None
+    ) -> DataFrame | None:
+        """Raw exact-phrase match set (doc_id, ptf, dl) for an ordered
+        term list, or ``None`` when a term is absent from the dictionary
+        (no doc can match). Shared by phrase, rescore, and phrase-prefix."""
         if not self.meta["config"].get("with_positions"):
             raise ValueError(
                 "phrase search requires an index built with with_positions=True"
             )
-        terms = tokenize_py(phrase_text)  # ordered, duplicates preserved
-        if not terms:
-            return self.spark.createDataFrame([], RESULT_SCHEMA)
-        n, avgdl = self.corpus_stats(lang)
-        if not n:
-            return self.spark.createDataFrame([], RESULT_SCHEMA)
         dfs = self.term_df(sorted(set(terms)), lang)
         if any(t not in dfs for t in terms):
-            return self.spark.createDataFrame([], RESULT_SCHEMA)
+            return None
         nparts = int(
             min(1024, max(self.spark.sparkContext.defaultParallelism,
                           sum(dfs.values()) // 200_000 + 1))
@@ -1184,6 +1176,25 @@ class InvertedIndex:
         )
         if self._tomb_df is not None:
             matches = matches.join(self._tomb_df, "doc_id", "left_anti")
+        return matches
+
+    def _phrase_scored(
+        self, phrase_text: str, lang: str | None = None
+    ) -> DataFrame:
+        """Rounded (doc_id, score) for EVERY doc containing the exact
+        phrase (no top-k cut) — the match-set kernel shared by
+        :meth:`phrase_topk` and :meth:`rescore_phrase_topk`."""
+        from smse_backend_spark.functions.tokenizer import tokenize_py
+
+        terms = tokenize_py(phrase_text)  # ordered, duplicates preserved
+        if not terms:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        n, avgdl = self.corpus_stats(lang)
+        if not n:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        matches = self._phrase_matches(terms, lang)
+        if matches is None:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
         # cache: the match set feeds both the phrase-df count and the
         # scored output (it is tiny — only docs containing the full phrase)
         matches = matches.cache()
@@ -1214,6 +1225,67 @@ class InvertedIndex:
         """
         return (
             self._phrase_scored(phrase_text, lang)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def phrase_prefix_topk(
+        self,
+        phrase_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+        max_expansions: int = 8,
+    ) -> DataFrame:
+        """ES ``match_phrase_prefix`` (search-as-you-type): the last token
+        is a prefix, expanded from the term dictionary (df desc, term asc,
+        capped at ``max_expansions`` — Lucene's multi-term discipline);
+        a doc matches if the fixed tokens are immediately followed by ANY
+        expansion. Blended frequency = the total count of such windows
+        (expansions are distinct terms, so per-expansion phrase counts
+        partition the windows and their sum is exact); blended df = docs
+        matching any expansion; one idf over the blend — the multi-term
+        "synonym at the last position" model.
+
+        Scale shape: the dictionary walk never touches postings; each
+        expansion's match set is the same partition-pruned positional
+        kernel as :meth:`phrase_topk` (bounded by ``max_expansions``,
+        typically <= 8 in search-as-you-type); the union is tiny (only
+        full-phrase matches leave the kernels)."""
+        from smse_backend_spark.functions.tokenizer import tokenize_py
+
+        terms = tokenize_py(phrase_text)
+        if not terms:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        fixed, prefix = terms[:-1], terms[-1]
+        n, avgdl = self.corpus_stats(lang)
+        if not n:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        mats = []
+        for e in self.expand_prefix(prefix, lang, max_expansions):
+            m = self._phrase_matches(fixed + [e], lang)
+            if m is not None:
+                mats.append(m)
+        if not mats:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        allm = mats[0]
+        for m in mats[1:]:
+            allm = allm.unionByName(m)
+        agg = (
+            allm.groupBy("doc_id")
+            .agg(F.sum("ptf").alias("ptf"), F.max("dl").alias("dl"))
+            .cache()
+        )
+        df_p = agg.count()
+        if df_p == 0:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        idf = math.log(1.0 + (n - df_p + 0.5) / (df_p + 0.5))
+        return (
+            agg.select(
+                "doc_id",
+                F.round(
+                    F.lit(idf) * _tf_norm(F.col("ptf"), F.col("dl"), avgdl), 6
+                ).alias("score"),
+            )
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )

@@ -988,6 +988,73 @@ LIMIT {k}
 """
 
 
+def phrase_prefix_oracle_sql(
+    phrase_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    max_expansions: int = 8,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.phrase_prefix_topk``: the last-token
+    expansions re-derived from the corpus (df desc, term asc, capped —
+    identical to the engine's dictionary walk), windows counted where the
+    fixed tokens are followed by any expansion, blended df -> one idf."""
+    from smse_backend_spark.functions.tokenizer import tokenize_py
+
+    terms = tokenize_py(phrase_text)
+    if not terms:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    fixed, prefix = terms[:-1], terms[-1]
+    L = len(terms)
+    conds = [
+        f"toks[i + {j}] = '" + t.replace("'", "''") + "'"
+        for j, t in enumerate(fixed)
+    ]
+    conds.append(f"list_contains(expl.terms, toks[i + {L - 1}])")
+    cond = " AND ".join(conds)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    pre = prefix.replace("'", "''")
+    score = bm25_term_score_sql(
+        "h.ptf", idf_sql("dfp.df", "stats.n"), "h.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM dl
+),
+exp AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM tok WHERE starts_with(term, '{pre}') GROUP BY term
+  ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}
+),
+expl AS (SELECT list(term) AS terms FROM exp),
+pm AS (
+  SELECT dl.doc_id, dl.doc_len,
+         CASE WHEN dl.doc_len < {L} THEN 0 ELSE
+           len(list_filter(generate_series(1, len(dl.toks) - {L - 1}),
+                           i -> {cond}))
+         END::BIGINT AS ptf
+  FROM dl CROSS JOIN expl
+),
+h AS (SELECT doc_id, doc_len, ptf FROM pm WHERE ptf > 0),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM h)
+SELECT h.doc_id AS doc_id, round({score}, 6) AS score
+FROM h CROSS JOIN dfp CROSS JOIN stats
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def rescore_phrase_oracle_sql(
     query_text: str,
     phrase_text: str,

@@ -1335,3 +1335,33 @@ def test_extend_preserves_synonym_analyzer(spark, corpus, tmp_path):
     b = [tuple(r) for r in InvertedIndex(spark, full)
          .bm25_topk("merge scan", 10).collect()]
     assert a == b and a
+
+
+def test_phrase_prefix_vs_oracle(spark, pos_index, sf_smoke):
+    """ES match_phrase_prefix: engine == SQL twin across fixed+prefix,
+    prefix-only, lang-restricted, and no-expansion shapes; and the blend
+    covers every single-expansion phrase's match set."""
+    import duckdb
+
+    from smse_backend_spark.operators.search import phrase_prefix_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    nonzero = 0
+    for q, lang in [("hash jo", None), ("table sc", None), ("wi", None),
+                    ("merge so", "en"), ("zzqqxx", None)]:
+        got = [(r["doc_id"], r["score"])
+               for r in pos_index.phrase_prefix_topk(q, 10, lang).collect()]
+        want = [tuple(r) for r in
+                con.execute(phrase_prefix_oracle_sql(q, 10, lang)).fetchall()]
+        assert got == want, (q, lang, got[:3], want[:3])
+        nonzero += bool(got)
+    assert nonzero >= 3
+    # blend-coverage invariant: every doc matching the expanded exact
+    # phrase "hash join" must appear in the "hash jo" blended match set
+    exact = {r["doc_id"] for r in pos_index.phrase_topk("hash join", 1000).collect()}
+    blended = {r["doc_id"]
+               for r in pos_index.phrase_prefix_topk("hash jo", 1000).collect()}
+    assert exact and exact <= blended
