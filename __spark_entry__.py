@@ -55,6 +55,7 @@ from smse_backend_spark.operators.search import (
     multi_field_bm25_scan,
     multi_field_oracle_sql,
     near_oracle_sql,
+    boosting_oracle_sql,
     phrase_prefix_oracle_sql,
     phrase_suggest_oracle_sql,
     query_terms,
@@ -692,6 +693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MUST_NOT filter: excluded docs dropped, global stats unchanged
         "bm25_must_not": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_filtered(FLAGSHIP_QUERY, must_not=["window"]),
+        # ES boosting query: negative matches demoted (x0.5), not excluded
+        "bm25_boosting": lambda spark, sf: _indexed(spark, sf)
+        .bm25_topk_boosting(FLAGSHIP_QUERY, ["window"], 0.5),
         # conjunctive AND + minimum-should-match: filter, never a rescore
         "bm25_conjunctive": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_msm(FLAGSHIP_QUERY, None, 10),
@@ -1128,7 +1132,7 @@ _CHECK_FIRST = [
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
-    "bm25_phrase_prefix",
+    "bm25_phrase_prefix", "bm25_boosting",
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
     "sharded_facets", "bm25_indexed_synonym", "browse_by_size",
@@ -1265,6 +1269,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25_fuzzy": bm25_fuzzy_oracle_sql("dat", 2, 10),
         "bm25_phrase": bm25_phrase_oracle_sql("table scan", 10),
         "bm25_phrase_prefix": phrase_prefix_oracle_sql("hash jo", 10),
+        "bm25_boosting": boosting_oracle_sql(FLAGSHIP_QUERY, ["window"], 0.5),
         "bm25_must_not": bm25_scan_oracle_sql(
             FLAGSHIP_QUERY,
             exclude_where="tf.doc_id NOT IN "

@@ -1149,6 +1149,61 @@ class InvertedIndex:
             scored = scored.join(excl, "doc_id", "left_anti")
         return self._finish(scored, k)
 
+    def bm25_topk_boosting(
+        self,
+        query_text: str,
+        negative: list[str] | tuple[str, ...],
+        negative_boost: float = 0.5,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES/Lucene ``boosting`` query: docs matching any NEGATIVE term
+        are demoted (score x ``negative_boost``), not excluded — the
+        soft counterpart of MUST_NOT. Stats stay global; the negative
+        side never contributes to scoring, only to the multiplier.
+
+        Plan: the normal scoring pass plus one decode of the negative
+        terms' partition-pruned postings reduced to a distinct doc set,
+        LEFT-joined before the top-k cut; the final value goes through
+        the shared half-up floor formula (written identically in the
+        DuckDB twin) AFTER the multiplier, so demoted and undemoted
+        scores round in one discipline."""
+        terms = self._analyze(query_text)
+        neg_terms = sorted({t for raw in negative for t in self._analyze(raw)})
+        n, avgdl = self.corpus_stats(lang)
+        dfs = self.term_df(terms, lang) if terms and n else {}
+        idf = {
+            t: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for t, df in dfs.items()
+        }
+        if not idf:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        scored = self._score(self._blocks(sorted(idf), lang), idf, avgdl)
+        factor = F.lit(1.0)
+        if neg_terms:
+            neg = (
+                self._blocks(neg_terms, lang)
+                .select("term", "first_doc", "gaps", "tfs", "dls")
+                .mapInPandas(_decode_map, DECODED_SCHEMA)
+                .select("doc_id")
+                .distinct()
+                .withColumn("neg", F.lit(1))
+            )
+            scored = scored.join(neg, "doc_id", "left")
+            factor = F.when(
+                F.col("neg").isNotNull(), F.lit(float(negative_boost))
+            ).otherwise(F.lit(1.0))
+        return (
+            scored.select(
+                "doc_id",
+                (
+                    F.floor((F.col("score") * factor) * 1e6 + F.lit(0.5)) / 1e6
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def _phrase_matches(
         self, terms: list[str], lang: str | None = None
     ) -> DataFrame | None:

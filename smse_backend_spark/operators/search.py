@@ -988,6 +988,71 @@ LIMIT {k}
 """
 
 
+def boosting_oracle_sql(
+    query_text: str,
+    negative: list[str] | tuple[str, ...],
+    negative_boost: float = 0.5,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.bm25_topk_boosting``: unrounded BM25
+    sum, negative-match multiplier, then the shared half-up floor formula
+    — written identically to the Spark side."""
+    terms = query_terms(query_text)
+    if not terms:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    neg_terms = sorted({t for raw in negative for t in query_terms(raw)})
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    neg_list = ", ".join("'" + t.replace("'", "''") + "'" for t in neg_terms)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
+    )
+    nb = repr(float(negative_boost))
+    neg_cte = (
+        f"neg AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({neg_list}))"
+        if neg_terms
+        else "neg AS (SELECT doc_id FROM docs WHERE false)"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ({in_list})
+  GROUP BY doc_id, doc_len, term
+),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+s AS (
+  SELECT tf.doc_id AS doc_id, sum({score}) AS raw
+  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+{neg_cte}
+SELECT s.doc_id AS doc_id,
+       floor((s.raw * (CASE WHEN neg.doc_id IS NOT NULL THEN {nb}
+                            ELSE 1.0 END)) * 1e6 + 0.5) / 1e6 AS score
+FROM s LEFT JOIN neg USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def phrase_prefix_oracle_sql(
     phrase_text: str,
     k: int = DEFAULT_TOP_K,

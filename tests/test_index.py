@@ -1365,3 +1365,39 @@ def test_phrase_prefix_vs_oracle(spark, pos_index, sf_smoke):
     blended = {r["doc_id"]
                for r in pos_index.phrase_prefix_topk("hash jo", 1000).collect()}
     assert exact and exact <= blended
+
+
+def test_boosting_query_vs_oracle(spark, index, sf_smoke):
+    """ES boosting query: negative matches are demoted by the factor, not
+    excluded; engine == SQL twin; a demoted doc's score is exactly
+    factor x its undemoted BM25 score (through the floor formula)."""
+    import duckdb
+
+    from smse_backend_spark.operators.search import boosting_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    q, neg = "hash join merge scan", ["window"]
+    got = [(r["doc_id"], r["score"])
+           for r in index.bm25_topk_boosting(q, neg, 0.5, 10).collect()]
+    want = [tuple(r) for r in
+            con.execute(boosting_oracle_sql(q, neg, 0.5, 10)).fetchall()]
+    assert got == want and len(got) == 10
+    # demote-not-exclude: some doc matching 'window' may still appear;
+    # every match set doc survives (same count as an unboosted run)
+    all_boost = index.bm25_topk_boosting(q, neg, 0.5, 100_000).count()
+    all_plain = index.scored_matches(q).count()
+    assert all_boost == all_plain
+    # factor law on a known demoted doc: find one doc matching both
+    import math
+
+    demoted = {r["doc_id"] for r in index.match_doc_ids("window").collect()}
+    plain = {r["doc_id"]: r["score"]
+             for r in index.scored_matches(q).collect()}
+    raw = {r["doc_id"]: r["score"]
+           for r in index.bm25_topk_boosting(q, neg, 0.5, 100_000).collect()}
+    hit = next(d for d in raw if d in demoted and d in plain)
+    # plain is rounded 6dp; compare loosely against factor x plain
+    assert abs(raw[hit] - 0.5 * plain[hit]) < 1e-5
