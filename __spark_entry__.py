@@ -1035,6 +1035,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": lambda spark, sf: __import__(
             "smse_backend_spark.operators.sampling", fromlist=["corpus_sample"]
         ).corpus_sample(_docs(spark, sf), 0.1),
+        # token-budget mixture planner: per-source rates hitting target
+        # domain weights with max retention (binding source keeps rate 1)
+        "mixture_plan": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.sampling",
+            fromlist=["mixture_plan"],
+        ).mixture_plan(
+            _docs(spark, sf),
+            __import__(
+                "smse_backend_spark.operators.sampling",
+                fromlist=["default_mixture_targets"],
+            ).default_mixture_targets(),
+        ),
         # quality-bucket mixture sampling (deterministic DCLM-style
         # importance sampling: per-quintile keep-rates)
         "quality_weighted_sample": lambda spark, sf: __import__(
@@ -1132,7 +1144,7 @@ _CHECK_FIRST = [
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
-    "bm25_phrase_prefix", "bm25_boosting",
+    "bm25_phrase_prefix", "bm25_boosting", "mixture_plan",
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
     "sharded_facets", "bm25_indexed_synonym", "browse_by_size",
@@ -1436,6 +1448,12 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             "smse_backend_spark.operators.sampling",
             fromlist=["quality_weighted_sample_sql"],
         ).quality_weighted_sample_sql(),
+        "mixture_plan": (lambda S: S.mixture_plan_sql(
+            S.default_mixture_targets()
+        ))(__import__(
+            "smse_backend_spark.operators.sampling",
+            fromlist=["mixture_plan_sql"],
+        )),
         "bm25_pit_page2": search_after_oracle_sql(
             FLAGSHIP_QUERY, 10,
             table="(SELECT * FROM documents WHERE doc_id < 256)",

@@ -165,6 +165,111 @@ WHERE {h} < (CASE least(floor(quality * 5)::BIGINT, 4) {cases} END)
 """
 
 
+# --- token-budget mixture planner -------------------------------------------
+
+
+def default_mixture_targets(sources: list[str] | None = None) -> dict[str, float]:
+    """Deterministic non-uniform target weights for the contract entry:
+    raw weight 1 + (source ordinal % 3), normalized to sum 1. Stands in
+    for the hand-tuned per-domain weights of a real pretraining recipe."""
+    srcs = sources if sources is not None else [f"src{i}" for i in range(20)]
+    raw = {s: 1.0 + (i % 3) for i, s in enumerate(sorted(srcs))}
+    tot = sum(raw.values())
+    return {s: w / tot for s, w in raw.items()}
+
+
+def mixture_plan(docs: DataFrame, targets: dict[str, float]) -> DataFrame:
+    """(source, n_docs, n_tokens, rate, plan_tokens): per-source sampling
+    rates achieving a target token mixture with MAXIMUM data retention —
+    the mixture-planning step of pretraining recipes (Dolma/DCLM-style
+    domain weights). The binding source (scarcest relative to its target)
+    keeps rate 1.0; every other source is downsampled so realized tokens
+    are proportional to the targets: ``rate_s = min(1, w_s * C /
+    tokens_s)`` with ``C = min_s tokens_s / w_s``.
+
+    Determinism: C is a driver scalar from exact integer aggregates;
+    every per-row expression is identically parenthesized in the SQL
+    twin, rates are floor-quantized at 1e-6, and plan_tokens uses the
+    QUANTIZED rate — integer outputs all the way.
+
+    Scale shape: one tokenize+count aggregation (source-keyed, partial
+    aggs), a broadcast join against the tiny target table, one scalar
+    collect — the 10^12-row cost is the corpus scan, nothing else.
+    Sources without a target weight are dropped (inner join), matching
+    recipes that exclude unlisted domains."""
+    from smse_backend_spark.functions.tokenizer import doc_len_col
+
+    spark = docs.sparkSession
+    t_df = F.broadcast(
+        spark.createDataFrame(
+            sorted((s, float(w)) for s, w in targets.items()),
+            "source string, w double",
+        )
+    )
+    per = (
+        docs.select("source", doc_len_col(F.col("text")).alias("ntok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+    )
+    j = per.join(t_df, "source")
+    c = j.agg(
+        F.min(F.col("n_tokens").cast("double") / F.col("w"))
+    ).first()[0]
+    if c is None:
+        return spark.createDataFrame(
+            [], "source string, n_docs long, n_tokens long, rate double, "
+                "plan_tokens long"
+        )
+    rate_raw = F.least(
+        F.lit(1.0),
+        (F.col("w") * F.lit(float(c))) / F.col("n_tokens").cast("double"),
+    )
+    rate_q = F.floor(rate_raw * 1e6 + F.lit(0.5)) / 1e6
+    return (
+        j.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            rate_q.alias("rate"),
+            F.floor(rate_q * F.col("n_tokens").cast("double"))
+            .cast("long")
+            .alias("plan_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_plan_sql(
+    targets: dict[str, float], table: str = "documents"
+) -> str:
+    from smse_backend_spark.functions.tokenizer import tokenize_duckdb_sql
+
+    values = ", ".join(
+        "('" + s.replace("'", "''") + f"', {float(w)!r})"
+        for s, w in sorted(targets.items())
+    )
+    toks = tokenize_duckdb_sql("text")
+    rate = "floor(least(1.0, (j.w * c.c) / j.n_tokens::DOUBLE) * 1e6 + 0.5) / 1e6"
+    return f"""
+WITH tok AS (SELECT source, len({toks}) AS ntok FROM {table}),
+per AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens
+  FROM tok GROUP BY source
+),
+t(source, w) AS (VALUES {values}),
+j AS (SELECT per.source, n_docs, n_tokens, t.w FROM per JOIN t ON t.source = per.source),
+c AS (SELECT min(n_tokens::DOUBLE / w) AS c FROM j)
+SELECT j.source AS source, j.n_docs AS n_docs, j.n_tokens AS n_tokens,
+       {rate} AS rate,
+       floor(({rate}) * j.n_tokens::DOUBLE)::BIGINT AS plan_tokens
+FROM j CROSS JOIN c
+ORDER BY source
+"""
+
+
 # --- stratified (per-group quota) sample ------------------------------------
 
 STRATA_SALT = "-strata-v1"

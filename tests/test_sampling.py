@@ -328,3 +328,27 @@ def test_quality_weighted_sample_stable_under_growth(spark, sf_smoke):
     # membership decisions are per-row: the subset's picks are exactly the
     # full run's picks restricted to the subset
     assert half == {d for d in full if d < 250}
+
+
+def test_mixture_plan_matches_duckdb_and_mixture_law(spark, sf_smoke, con):
+    from smse_backend_spark.operators.sampling import (
+        default_mixture_targets,
+        mixture_plan,
+        mixture_plan_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    targets = default_mixture_targets()
+    got = [tuple(r) for r in mixture_plan(docs, targets).collect()]
+    want = [tuple(r) for r in con.execute(mixture_plan_sql(targets)).fetchall()]
+    assert got == want and len(got) == 20
+    # max-retention law: exactly >=1 binding source at rate 1.0, all rates in (0, 1]
+    rates = {r[0]: r[3] for r in got}
+    assert max(rates.values()) == 1.0 and min(rates.values()) > 0
+    # realized tokens track the targets: for non-binding sources,
+    # plan_tokens/target is constant (= C) within quantization slack
+    ratios = [r[4] / targets[r[0]] for r in got if r[3] < 1.0]
+    # plan_tokens floors to whole tokens, so each ratio may deviate by up
+    # to ~1/w plus the 1e-6 rate quantization
+    slack = 2.0 / min(targets.values()) + 1e-6 * max(r[2] for r in got)
+    assert ratios and (max(ratios) - min(ratios)) <= slack
