@@ -914,6 +914,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_corpus(spark, sf), S.load_embeddings(spark, sf),
             FLAGSHIP_QUERY, 0, 10,
         ),
+        # score-aware hybrid: convex combination of min-max-normalized
+        # BM25 + cosine lists (the linear fusion beside RRF)
+        "hybrid_linear": lambda spark, sf: HY.linear_hybrid_topk(
+            load_corpus(spark, sf), S.load_embeddings(spark, sf),
+            FLAGSHIP_QUERY, 0, 10, alpha=0.7,
+        ),
         # reference vector-search semantics
         "cosine_topk": _emb(lambda e: S.cosine_topk(e, 0, 10)),
         "cosine_topk_modality": _emb(lambda e: S.cosine_topk(e, 7, 5, "text")),
@@ -1144,7 +1150,7 @@ _CHECK_FIRST = [
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
-    "bm25_phrase_prefix", "bm25_boosting", "mixture_plan",
+    "bm25_phrase_prefix", "bm25_boosting", "mixture_plan", "hybrid_linear",
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
     "sharded_facets", "bm25_indexed_synonym", "browse_by_size",
@@ -1399,6 +1405,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             table=f"(SELECT * FROM documents WHERE doc_id < {MERGE_CAP})",
         ),
         "hybrid_rrf": HY.rrf_hybrid_sql(FLAGSHIP_QUERY, 0, 10),
+        "hybrid_linear": HY.linear_hybrid_sql(FLAGSHIP_QUERY, 0, 10, alpha=0.7),
         "cosine_topk": S.cosine_topk_sql(0, 10),
         "cosine_topk_modality": S.cosine_topk_sql(7, 5, "text"),
         "cosine_topk_user": S.cosine_topk_sql(11, 10, None, 2),
