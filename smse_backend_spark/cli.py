@@ -85,6 +85,16 @@ def cmd_query(args) -> None:
     elif args.fuzzy is not None:
         out = idx.bm25_topk_fuzzy(args.text, args.fuzzy, args.k, args.lang,
                                   args.max_expansions, mode=args.mode)
+    elif args.phrase_prefix:
+        out = idx.phrase_prefix_topk(args.text, args.k, args.lang,
+                                     min(args.max_expansions, 64))
+    elif args.boosting:
+        out = idx.bm25_topk_boosting(
+            args.text, args.boosting.split(","), args.negative_boost,
+            args.k, args.lang,
+        )
+    elif args.similarity == "lm":
+        out = idx.lm_dirichlet_topk(args.text, args.k, args.lang, mu=args.mu)
     else:
         out = idx.bm25_topk(args.text, args.k, args.lang, mode=args.mode)
     rows = out.collect()
@@ -146,6 +156,17 @@ def cmd_aggs(args) -> None:
         rows = idx.stats_agg(args.text, lang=args.lang)
     elif args.agg == "cardinality":
         rows = idx.cardinality_agg(args.text, lang=args.lang)
+    elif args.agg == "percentiles":
+        rows = idx.percentiles_agg(args.text, lang=args.lang)
+    elif args.agg == "composite":
+        after = None
+        if args.after:
+            repo, _, bucket = args.after.rpartition(":")
+            after = (repo, int(bucket))
+        rows = idx.composite_agg(args.text, args.interval, args.size,
+                                 after=after, lang=args.lang)
+    elif args.agg == "terms_stats":
+        rows = idx.terms_stats_agg(args.text, k=args.size, lang=args.lang)
     else:
         raise SystemExit(f"unknown agg {args.agg!r}")
     print(json.dumps([dict(zip(r.__fields__, r)) for r in rows.collect()]))
@@ -369,6 +390,17 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--near", type=int, metavar="WINDOW",
                    help="proximity: all terms within this token window "
                         "(needs --with-positions index)")
+    q.add_argument("--phrase-prefix", action="store_true",
+                   help="match_phrase_prefix: last token expanded from the "
+                        "dictionary (search-as-you-type)")
+    q.add_argument("--boosting", metavar="NEG_TERMS",
+                   help="comma-separated negative terms: matching docs are "
+                        "demoted by --negative-boost, not excluded")
+    q.add_argument("--negative-boost", type=float, default=0.5)
+    q.add_argument("--similarity", choices=("bm25", "lm"), default="bm25",
+                   help="ranking function: BM25 or Dirichlet-smoothed LM")
+    q.add_argument("--mu", type=float, default=2000.0,
+                   help="Dirichlet smoothing parameter (with --similarity lm)")
     q.add_argument("--min-match", type=int,
                    help="docs must match at least this many query terms")
     q.add_argument("--all-terms", action="store_true",
@@ -394,9 +426,15 @@ def main(argv: list[str] | None = None) -> None:
     ag = sub.add_parser("aggs", help="query-context aggregations (doc-values)")
     ag.add_argument("--index", required=True)
     ag.add_argument("--text", required=True)
-    ag.add_argument("--agg", choices=["histogram", "stats", "cardinality"],
+    ag.add_argument("--agg", choices=["histogram", "stats", "cardinality",
+                                      "percentiles", "composite",
+                                      "terms_stats"],
                     default="stats")
     ag.add_argument("--interval", type=int, default=64)
+    ag.add_argument("--size", type=int, default=10,
+                    help="composite: buckets per page; terms_stats: top-k")
+    ag.add_argument("--after", metavar="REPO:BUCKET",
+                    help="composite: resume after this (repo, bucket) key")
     ag.add_argument("--lang")
     ag.add_argument("--master")
     ag.set_defaults(fn=cmd_aggs)

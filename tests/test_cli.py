@@ -309,3 +309,55 @@ def test_cli_build_synonym_shingles(tmp_path, spark, sf_smoke, capsys):
               "--master", "local[4]"])
     hits_j = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert hits_m == hits_j and hits_m
+
+
+def test_cli_lm_boosting_composite(tmp_path, spark, sf_smoke, capsys):
+    """New query/aggs surfaces: LM similarity, boosting query, composite
+    and terms_stats aggregations, and phrase-prefix on a positional build."""
+    out = str(tmp_path / "idx")
+    cli.main([
+        "build", "--corpus", sf_smoke, "--out", out,
+        "--segment-size", "256", "--n-buckets", "8", "--n-batches", "2",
+        "--docvalues", "repo,n_chars", "--with-positions",
+        "--master", "local[4]",
+    ])
+    capsys.readouterr()
+
+    cli.main(["query", "--index", out, "--text", "hash join merge scan",
+              "--similarity", "lm", "--mu", "2000", "--master", "local[4]"])
+    lm_hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(lm_hits) == 10 and all(h["score"] >= 0 for h in lm_hits)
+
+    cli.main(["query", "--index", out, "--text", "hash join merge scan",
+              "--boosting", "window", "--negative-boost", "0.5",
+              "--master", "local[4]"])
+    b_hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(b_hits) == 10
+
+    cli.main(["query", "--index", out, "--text", "hash jo",
+              "--phrase-prefix", "--master", "local[4]"])
+    pp_hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pp_hits and all(h["score"] > 0 for h in pp_hits)
+
+    cli.main(["aggs", "--index", out, "--text", "hash join merge scan",
+              "--agg", "composite", "--interval", "256", "--size", "5",
+              "--master", "local[4]"])
+    page1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(page1) == 5
+    last = page1[-1]
+    cli.main(["aggs", "--index", out, "--text", "hash join merge scan",
+              "--agg", "composite", "--interval", "256", "--size", "5",
+              "--after", f"{last['repo']}:{last['bucket']}",
+              "--master", "local[4]"])
+    page2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    keys1 = [(b["repo"], b["bucket"]) for b in page1]
+    keys2 = [(b["repo"], b["bucket"]) for b in page2]
+    assert keys2 and not (set(keys1) & set(keys2))
+    assert min(keys2) > max(keys1)
+
+    cli.main(["aggs", "--index", out, "--text", "hash join merge scan",
+              "--agg", "terms_stats", "--size", "5", "--master", "local[4]"])
+    ts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(ts) == 5
+    avgs = [b["avg_score"] for b in ts]
+    assert avgs == sorted(avgs, reverse=True)
