@@ -143,3 +143,39 @@ def test_contract_entries_have_no_row_python_udfs(spark, sf_smoke):
             continue
         plan = plan_of(qs[name](spark, sf_smoke))
         assert "BatchEvalPython" not in plan, f"{name} has a row-UDF stage"
+
+
+# -- final-session ops ------------------------------------------------------
+
+def test_lm_dirichlet_index_path_never_reads_corpus(index):
+    """The LM similarity serves entirely from postings + dictionary +
+    lineage stats: the plan must not contain a documents/corpus scan —
+    only the postings parquet read."""
+    plan = plan_of(index.lm_dirichlet_topk(Q, 10))
+    assert "documents.parquet" not in plan
+    assert "postings" in plan
+    assert "TakeOrderedAndProject" in plan
+    # the per-term mu*p constants join must be broadcast (tiny frame)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_composite_after_key_filter_applies_before_aggregate(spark, corpus,
+                                                             tmp_path_factory):
+    """The after-key predicate references only grouping keys, so Catalyst
+    must push it below the aggregation — later composite pages aggregate
+    strictly fewer rows. Guard: in the executed plan string the Filter on
+    the key columns appears BELOW (after, in print order) the first
+    HashAggregate, i.e. on its input side."""
+    out = str(tmp_path_factory.mktemp("planidx_dv"))
+    build_index(spark, corpus, out, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=2, docvalues=("repo", "n_chars"))
+    idx = InvertedIndex(spark, out)
+    plan = plan_of(idx.composite_agg(Q, 256, 5, after=("src12", 256)))
+    agg_pos = plan.find("HashAggregate")
+    filt_pos = plan.find("Filter (repo")
+    if filt_pos == -1:
+        # column naming may differ; find any filter mentioning repo > src12
+        filt_pos = plan.find("src12")
+    assert agg_pos != -1 and filt_pos != -1
+    assert filt_pos > agg_pos, "after-key filter did not push below the agg"
+    assert "TakeOrderedAndProject" in plan
