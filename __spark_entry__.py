@@ -99,6 +99,7 @@ BATCH_QUERIES: dict[int, str] = {
 
 _INDEX_CACHE: dict[str, str] = {}
 _UPSERT_CACHE: dict[str, str] = {}
+_DBQ_CACHE: dict[str, str] = {}
 _DELETED_CACHE: dict[str, tuple[str, str]] = {}
 _ASOF_CACHE: dict[str, str] = {}
 _STREAMIDX_CACHE: dict[str, str] = {}
@@ -482,6 +483,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
+    def _dbq_index_path(spark: SparkSession, sf_dir: str) -> str:
+        """Index for the ES _delete_by_query lifecycle entry: build over
+        docs 0-511, then tombstone the whole match set of the query
+        'window' in ONE DataFrame-driven commit (no driver id list)."""
+        from pyspark.sql import functions as FF
+
+        from smse_backend_spark.index.build import build_index
+        from smse_backend_spark.index.query import InvertedIndex
+
+        if sf_dir not in _DBQ_CACHE:
+            import tempfile
+
+            out = tempfile.mkdtemp(prefix="smse_idx_dbq_")
+            build_index(
+                spark, load_corpus(spark, sf_dir).filter(FF.col("doc_id") < 512),
+                out, segment_size=256, n_buckets=8, block_size=64, n_batches=2,
+            )
+            InvertedIndex(spark, out).delete_by_query("window")
+            _DBQ_CACHE[sf_dir] = out
+        return _DBQ_CACHE[sf_dir]
+
+    def _bm25_after_dbq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from smse_backend_spark.index.query import InvertedIndex
+
+        return InvertedIndex(spark, _dbq_index_path(spark, sf_dir)).bm25_topk(
+            FLAGSHIP_QUERY, 10
+        )
+
     def _pit_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
         """PIT pagination: keyset page 2 on the as-of-batch-0 snapshot."""
         from smse_backend_spark.index.query import InvertedIndex
@@ -677,6 +706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-indexed with appended content under a fresh doc id; old
         # versions are tombstoned (still count into stats, Lucene-style)
         "bm25_indexed_upsert": _bm25_upsert,
+        # ES _delete_by_query: the query's whole match set tombstoned in
+        # one DataFrame-driven commit; stats stay Lucene-soft
+        "bm25_delete_by_query": _bm25_after_dbq,
         # prefix (wildcard) search: dictionary expansion, OR-scored
         "bm25_prefix": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_prefix("wi", 10, max_expansions=16),
@@ -1151,6 +1183,7 @@ _CHECK_FIRST = [
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
     "bm25_phrase_prefix", "bm25_boosting", "mixture_plan", "hybrid_linear",
+    "bm25_delete_by_query",
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
     "sharded_facets", "bm25_indexed_synonym", "browse_by_size",
@@ -1464,6 +1497,17 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25_pit_page2": search_after_oracle_sql(
             FLAGSHIP_QUERY, 10,
             table="(SELECT * FROM documents WHERE doc_id < 256)",
+        ),
+        # delete_by_query twin: stats over the full 512-doc corpus
+        # (Lucene soft-delete), docs matching 'window' excluded from
+        # results only — the exclusion set re-derived inside the oracle
+        "bm25_delete_by_query": bm25_scan_oracle_sql(
+            FLAGSHIP_QUERY,
+            table="(SELECT doc_id, text, lang FROM documents WHERE doc_id < 512)",
+            exclude_where=(
+                "tf.doc_id NOT IN (SELECT tok.doc_id FROM tok "
+                "WHERE tok.term = 'window')"
+            ),
         ),
         # upsert twin: the union corpus (512 originals + 51 new versions)
         # carries the stats — Lucene soft-delete semantics — while the

@@ -1149,6 +1149,28 @@ class InvertedIndex:
             scored = scored.join(excl, "doc_id", "left_anti")
         return self._finish(scored, k)
 
+    def delete_by_query(
+        self, query_text: str, lang: str | None = None
+    ) -> dict:
+        """ES ``_delete_by_query``: tombstone every live doc matching the
+        query (OR semantics, the same match set ``match_doc_ids`` serves).
+        Soft-delete semantics follow Lucene: stats keep counting the
+        deleted docs until compaction. Returns the tombstone commit row.
+
+        Scale shape: the match set is a doc_id-only frame decoded from
+        partition-pruned postings and handed to ``delete_docs`` AS a
+        DataFrame — no driver materialization of the id list, so a query
+        matching billions of docs commits without collecting them."""
+        from smse_backend_spark.index.deletes import delete_docs
+
+        ids = self.match_doc_ids(query_text, lang)
+        row = delete_docs(self.spark, self.path, ids)
+        # this handle's tombstone cache is stale now — reload lazily
+        self._tomb_loaded = False
+        self._tomb_bcast = None
+        self._tomb_df = None
+        return row
+
     def bm25_topk_boosting(
         self,
         query_text: str,

@@ -248,3 +248,32 @@ def test_upsert_lifecycle_delete_plus_add(spark, sf_smoke, tmp_path):
     n_base = base.count()
     n_updated = base.filter(F.col("doc_id") % 10 == 3).count()
     assert n == n_base + n_updated
+
+
+def test_delete_by_query_lifecycle(spark, sf_smoke, tmp_path):
+    """ES _delete_by_query: the query's whole match set is tombstoned in
+    one DataFrame-driven commit; matching docs vanish from every query,
+    stats keep counting them (Lucene soft semantics)."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+
+    out = str(tmp_path / "dbq")
+    base = load_corpus(spark, sf_smoke).filter(F.col("doc_id") < 512)
+    build_index(spark, base, out, segment_size=256, n_buckets=8,
+                block_size=64, n_batches=2)
+    idx = InvertedIndex(spark, out)
+    victims = {r["doc_id"] for r in idx.match_doc_ids("window").collect()}
+    assert victims
+    row = idx.delete_by_query("window")
+    assert row["n_deleted"] == len(victims)
+    # matching docs are gone from the deleting query and any other query
+    assert idx.count_matches("window").first()["n_hits"] == 0
+    survivors = {r["doc_id"]
+                 for r in idx.bm25_topk("hash join merge scan", 1000).collect()}
+    assert survivors and not (survivors & victims)
+    # Lucene soft-delete stats: n unchanged until compaction
+    n, _ = idx.corpus_stats()
+    assert n == base.count()
