@@ -642,6 +642,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rank", F.col("rank").cast("long")
         )
 
+    def _ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from smse_backend_spark.operators.ann import ivfpq_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ivfpq_topk(emb, _query_vecs(spark, sf_dir), 10).withColumn(
+            "rank", F.col("rank").cast("long")
+        )
+
     def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
 
@@ -1006,6 +1016,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # product quantization: m uint8 codes/vector + (m, ks, dim/m)
         # codebook; encode+decode as pure Column algebra, exact rank
         "ann_pq": _ann_pq,
+        # IVF-PQ (FAISS IVFx,PQy): coarse lists on original vectors,
+        # candidate scoring on the PQ-reconstructed store — the two
+        # multiplicative cost cuts of billion-scale ANN in one pipeline
+        "ann_ivfpq": _ann_ivfpq,
         # streaming twin of hourly_event_rollup (append-mode watermark oracle)
         "streamed_event_rollup": _streamed_rollup,
         # streaming exact dedup (dropDuplicates state on content hash)
@@ -1183,7 +1197,7 @@ _CHECK_FIRST = [
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
     "bm25_phrase_prefix", "bm25_boosting", "mixture_plan", "hybrid_linear",
-    "bm25_delete_by_query",
+    "bm25_delete_by_query", "ann_ivfpq",
     "bm25_sharded", "complete_suggest", "bm25_rescore_phrase",
     "search_histogram", "search_stats", "phrase_suggest", "index_lineage",
     "sharded_facets", "bm25_indexed_synonym", "browse_by_size",
@@ -1260,6 +1274,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
     from smse_backend_spark.operators.ann import (
         ivf_topk_sql,
         ivf_trained_topk_sql,
+        ivfpq_topk_sql,
         lsh_topk_sql,
         pq_topk_sql,
         sq8_topk_sql,
@@ -1277,6 +1292,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "ann_lsh": lsh_topk_sql([0, 1, 2], dim=64, k=10, n_planes=8, n_tables=4),
         "ann_sq8": sq8_topk_sql([0, 1, 2], 10),
         "ann_pq": pq_topk_sql([0, 1, 2], 10),
+        "ann_ivfpq": ivfpq_topk_sql([0, 1, 2], 10),
         "ann_ivf": ivf_topk_sql([0, 1, 2], k=10, n_centroids=16, n_probe=4),
         "ann_ivf_trained": ivf_trained_topk_sql(
             [0, 1, 2], dim=64, k=10, n_centroids=16, n_probe=4

@@ -807,17 +807,12 @@ def pq_topk(
     )
 
 
-def pq_topk_sql(
-    query_ids: list[int], k: int = 10, m: int = 4, ks: int = 16,
-    dim: int = 64,
-) -> str:
-    """DuckDB twin of :func:`pq_topk`: codebooks re-derived from the
-    ``vec_id < ks`` rows, per-subspace assignment replayed with the SAME
-    left-associated distance chain and floor quantization (ties ->
-    smallest centroid id via the row_number order), reconstruction by
-    list-slice concat, then the sq8-style cosine + 6dp round +
-    (score desc, vec_id asc) rank."""
-    ids = ", ".join(str(int(q)) for q in sorted(query_ids))
+def _pq_decode_ctes(m: int, ks: int, dim: int) -> str:
+    """The shared CTE block reconstructing every corpus vector from its
+    PQ codes: ``cb`` (codebook rows) + per-subspace assignment/best CTEs
+    + ``dq(vec_id, dv)`` with the decoded value list. Used by the PQ and
+    IVF-PQ oracles; the distance chains are written with the exact
+    left-association the Spark Columns use."""
     L = dim // m
     assign_ctes, best_ctes, joins, concat = [], [], [], []
     for j in range(m):
@@ -847,15 +842,29 @@ def pq_topk_sql(
     ctes = ",\n".join(assign_ctes + best_ctes)
     recon = " || ".join(concat)
     joins_sql = " ".join(joins)
-    return f"""
-WITH cb AS (
+    return f"""cb AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < {ks}
 ),
 {ctes},
 dq AS (
   SELECT e.vec_id, ({recon}) AS dv
   FROM embeddings e {joins_sql}
-),
+)"""
+
+
+def pq_topk_sql(
+    query_ids: list[int], k: int = 10, m: int = 4, ks: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_topk`: codebooks re-derived from the
+    ``vec_id < ks`` rows, per-subspace assignment replayed with the SAME
+    left-associated distance chain and floor quantization (ties ->
+    smallest centroid id via the row_number order), reconstruction by
+    list-slice concat, then the sq8-style cosine + 6dp round +
+    (score desc, vec_id asc) rank."""
+    ids = ", ".join(str(int(q)) for q in sorted(query_ids))
+    return f"""
+WITH {_pq_decode_ctes(m, ks, dim)},
 q AS (
   SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN ({ids})
 ),
@@ -873,6 +882,160 @@ r AS (
          row_number() OVER (PARTITION BY qid
                             ORDER BY score DESC, vec_id ASC) AS rank
   FROM sims
+)
+SELECT query_id, rank, vec_id, score FROM r WHERE rank <= {k}
+"""
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ks: int = 16,
+) -> DataFrame:
+    """IVF-PQ — the standard billion-scale ANN layout (FAISS ``IVFx,PQy``):
+    a coarse quantizer assigns every vector to an inverted list using the
+    ORIGINAL full-precision vector (index-time work), while candidate
+    scoring inside the probed lists runs against the PQ-RECONSTRUCTED
+    vectors (the compressed form the lists actually store — m bytes per
+    vector). Queries stay full precision, so this is the asymmetric
+    (ADC-style) flavor. Both stages reuse the exact deterministic
+    machinery of :func:`ivf_topk` and :func:`pq_topk`, so the whole
+    pipeline replays bit-identically in the DuckDB twin.
+
+    At 10^12 vectors a query touches n_probe/n_centroids of the corpus
+    AND reads m bytes instead of 4*dim per candidate — the two
+    multiplicative cost cuts that make billion-scale ANN serveable.
+    """
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    ensure_pyfiles(spark)
+    cent_rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < n_centroids).collect()
+    )
+    c_ids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    c_mat = np.array([v for _, v in cent_rows], dtype=np.float64)
+    cn = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+
+    q_ids = np.array(sorted(queries), dtype=np.int64)
+    q_mat = np.array([queries[int(q)] for q in q_ids], dtype=np.float64)
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_sims = np.round(qn @ cn.T, 6)
+    probe_sets = []
+    for j in range(len(q_ids)):
+        order = np.lexsort((c_ids, -q_sims[j]))[:n_probe]
+        probe_sets.append(set(c_ids[order].tolist()))
+
+    cb = pq_codebooks(emb, m, ks)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: list[pd.DataFrame] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            orig = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            on = orig / np.linalg.norm(orig, axis=1, keepdims=True)
+            a_sims = np.round(on @ cn.T, 6)
+            assigned = c_ids[np.argmax(a_sims, axis=1)]
+            dec = np.vstack(pdf["demb"].to_numpy()).astype(np.float64)
+            dn = dec / np.linalg.norm(dec, axis=1, keepdims=True)
+            vec_ids = pdf["vec_id"].to_numpy(np.int64)
+            sims = np.round(dn @ qn.T, 6)
+            for j in range(len(q_ids)):
+                mask = np.isin(assigned, list(probe_sets[j]))
+                if not mask.any():
+                    continue
+                best.append(
+                    pd.DataFrame(
+                        {"query_id": q_ids[j], "vec_id": vec_ids[mask],
+                         "score": sims[mask, j]}
+                    )
+                )
+        if best:
+            out = pd.concat(best, ignore_index=True)
+            out = out.sort_values(
+                ["query_id", "score", "vec_id"], ascending=[True, False, True],
+                kind="stable", ignore_index=True,
+            )
+            yield out.groupby("query_id", sort=False).head(k)
+
+    local = emb.select(
+        "vec_id", "embedding", pq_decoded_col(cb).alias("demb")
+    ).mapInPandas(kernel, "query_id long, vec_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "score")
+    )
+
+
+def ivfpq_topk_sql(
+    query_vec_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ks: int = 16,
+    dim: int = 64,
+) -> str:
+    """Exact DuckDB twin of :func:`ivfpq_topk`: the IVF assignment/probe
+    CTEs run on the ORIGINAL vectors (verbatim from ``ivf_topk_sql``),
+    the candidate scoring joins the PQ-decoded ``dq`` CTE (verbatim from
+    ``pq_topk_sql``) against full-precision queries."""
+    ids = ", ".join(map(str, query_vec_ids))
+    return f"""
+WITH {_pq_decode_ctes(m, ks, dim)},
+cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < {n_centroids}),
+pz AS (
+  SELECT e.vec_id, c.c_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(c.cv)::DOUBLE AS y
+  FROM embeddings e, cent c
+),
+ps AS (
+  SELECT vec_id, c_id,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS sim
+  FROM pz GROUP BY vec_id, c_id
+),
+assigned AS (
+  SELECT vec_id, c_id FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+    FROM ps
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, c_id FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+    FROM ps WHERE vec_id IN ({ids})
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.c_id = p.c_id
+),
+z AS (
+  SELECT c.query_id, c.vec_id,
+         unnest(d.dv)::DOUBLE AS x, unnest(q.embedding)::DOUBLE AS y
+  FROM cand c
+  JOIN dq d ON d.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.query_id
+),
+s AS (
+  SELECT query_id, vec_id,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score
+  FROM z GROUP BY query_id, vec_id
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM s
 )
 SELECT query_id, rank, vec_id, score FROM r WHERE rank <= {k}
 """

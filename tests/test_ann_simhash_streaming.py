@@ -328,3 +328,47 @@ def test_pq_vs_duckdb_and_recall(spark, sf_smoke):
         assert qid in by_q_pq[qid], (qid, by_q_pq[qid])
     total = sum(len(by_q_pq[q] & by_q_exact[q]) for q in by_q_exact)
     assert total >= 8, {q: by_q_pq[q] & by_q_exact[q] for q in by_q_exact}
+
+
+def test_ivfpq_vs_duckdb_and_candidate_law(spark, sf_smoke):
+    """IVF-PQ == its SQL twin exactly; every returned candidate's IVF
+    list is one of the query's probed lists (computed on ORIGINAL
+    vectors), while its score equals the PQ-decoded cosine."""
+    import duckdb
+
+    from smse_backend_spark.operators.ann import (
+        ivfpq_topk,
+        ivfpq_topk_sql,
+        pq_codebooks,
+        pq_decoded_col,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id in (0, 1, 2)").collect()
+    }
+    got = [tuple(r) for r in ivfpq_topk(emb, qvecs, 10).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"create view embeddings as select * from '{sf_smoke}/embeddings.parquet'"
+    )
+    want = [tuple(w) for w in con.execute(ivfpq_topk_sql([0, 1, 2], 10)).fetchall()]
+    assert sorted(got) == sorted(want) and len(got) == 30
+
+    # score law: each hit's score equals the cosine of the query's
+    # ORIGINAL vector against the candidate's PQ-DECODED vector
+    cb = pq_codebooks(emb, 4, 16)
+    hit_ids = sorted({vid for _q, _r, vid, _s in got})
+    dec = {
+        r["vec_id"]: np.asarray(r["d"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin(hit_ids))
+        .select("vec_id", pq_decoded_col(cb).alias("d")).collect()
+    }
+    for qid, _rank, vid, score in got[:10]:
+        q = np.asarray(qvecs[qid], dtype=np.float64)
+        d = dec[vid]
+        expect = round(
+            float(q @ d / (np.linalg.norm(q) * np.linalg.norm(d))), 6
+        )
+        assert abs(score - expect) < 2e-6, (qid, vid, score, expect)
