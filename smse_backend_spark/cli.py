@@ -271,6 +271,43 @@ def cmd_search(args) -> None:
     print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
 
 
+def cmd_ann(args) -> None:
+    """ANN search as a spark-submit job over an embeddings parquet
+    (columns ``vec_id, embedding``): query vectors are rows named by
+    ``--query-ids``; writes (query_id, rank, vec_id, score) to ``--out``
+    and prints a one-line JSON summary. Modes map to the engine's ANN
+    family: exact brute force, hyperplane LSH, IVF (optionally trained),
+    PQ, and IVF-PQ."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.operators import ann as A
+
+    spark = _spark(args)
+    emb = spark.read.parquet(args.emb)
+    qids = [int(x) for x in args.query_ids.split(",")]
+    rows = emb.filter(F.col("vec_id").isin(qids)).collect()
+    queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    missing = sorted(set(qids) - set(queries))
+    if missing:
+        raise SystemExit(f"query vec_ids not in {args.emb}: {missing}")
+    if args.mode == "brute":
+        out = A.brute_force_topk(emb, queries, args.k)
+    elif args.mode == "lsh":
+        out = A.lsh_topk(emb, queries, args.k)
+    elif args.mode == "ivf":
+        out = A.ivf_topk(emb, queries, args.k, args.n_centroids,
+                         args.n_probe, train_iters=args.train_iters)
+    elif args.mode == "pq":
+        out = A.pq_topk(emb, queries, args.k, args.m, args.ks,
+                        train_iters=args.train_iters)
+    else:  # ivfpq
+        out = A.ivfpq_topk(emb, queries, args.k, args.n_centroids,
+                           args.n_probe, args.m, args.ks)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"mode": args.mode, "rows": n, "out": args.out}))
+
+
 def cmd_dedup(args) -> None:
     """Training-data dedup as a spark-submit job over a documents parquet
     (columns ``doc_id, text[, lang, source]``): writes the survivor view or
@@ -496,6 +533,25 @@ def main(argv: list[str] | None = None) -> None:
                     help="with --fields: pooled BM25F combine")
     sr.add_argument("--master")
     sr.set_defaults(fn=cmd_search)
+
+    an = sub.add_parser("ann", help="ANN top-k over an embeddings parquet")
+    an.add_argument("--emb", required=True)
+    an.add_argument("--out", required=True)
+    an.add_argument("--query-ids", required=True,
+                    help="comma-separated vec_ids used as query vectors")
+    an.add_argument("--mode", default="brute",
+                    choices=["brute", "lsh", "ivf", "pq", "ivfpq"])
+    an.add_argument("--k", type=int, default=10)
+    an.add_argument("--n-centroids", type=int, default=16)
+    an.add_argument("--n-probe", type=int, default=4)
+    an.add_argument("--m", type=int, default=4,
+                    help="PQ subspaces (pq/ivfpq)")
+    an.add_argument("--ks", type=int, default=16,
+                    help="PQ centroids per subspace (pq/ivfpq)")
+    an.add_argument("--train-iters", type=int, default=0,
+                    help="Lloyd rounds for ivf/pq centroid training")
+    an.add_argument("--master")
+    an.set_defaults(fn=cmd_ann)
 
     d = sub.add_parser("dedup", help="exact/near-dup over a documents parquet")
     d.add_argument("--docs", required=True)

@@ -361,3 +361,36 @@ def test_cli_lm_boosting_composite(tmp_path, spark, sf_smoke, capsys):
     assert len(ts) == 5
     avgs = [b["avg_score"] for b in ts]
     assert avgs == sorted(avgs, reverse=True)
+
+
+def test_cli_ann_modes(tmp_path, spark, sf_smoke, capsys):
+    """ann subcommand: brute == the brute_force_topk operator; ivfpq runs
+    end-to-end and keeps the (query_id, rank, vec_id, score) shape."""
+    out1 = str(tmp_path / "ann_brute")
+    cli.main(["ann", "--emb", f"{sf_smoke}/embeddings.parquet",
+              "--out", out1, "--query-ids", "0,1", "--mode", "brute",
+              "--master", "local[4]"])
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["rows"] == 20
+    got = sorted(map(tuple, spark.read.parquet(out1).collect()))
+    from smse_backend_spark.operators.ann import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qv = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+          for r in emb.filter("vec_id in (0, 1)").collect()}
+    want = sorted(map(tuple, brute_force_topk(emb, qv, 10).collect()))
+    assert got == want
+
+    out2 = str(tmp_path / "ann_ivfpq")
+    cli.main(["ann", "--emb", f"{sf_smoke}/embeddings.parquet",
+              "--out", out2, "--query-ids", "0", "--mode", "ivfpq",
+              "--master", "local[4]"])
+    meta2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta2["rows"] == 10
+    rows = spark.read.parquet(out2).collect()
+    assert sorted(r["rank"] for r in rows) == list(range(1, 11))
+
+    with pytest.raises(SystemExit, match="not in"):
+        cli.main(["ann", "--emb", f"{sf_smoke}/embeddings.parquet",
+                  "--out", str(tmp_path / "x"), "--query-ids", "999999",
+                  "--master", "local[4]"])
