@@ -1111,6 +1111,12 @@ def finalize(spark: SparkSession, out_dir: str, config: dict) -> dict:
             .parquet(f"{out_dir}/sorted_dv/{sfld}")
         )
         lo, hi = dv.agg(F.min(sfld), F.max(sfld)).first()
+        if lo is None or hi is None:
+            # empty corpus (or a lang-filtered build with zero docs): no
+            # projection rows were written and there is nothing to bin —
+            # skip the histogram instead of TypeError-ing on int(None).
+            sfld = None
+    if sfld:
         lo, hi = int(lo), int(hi)
         m = 32
         bounds = sorted(

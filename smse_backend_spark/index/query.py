@@ -443,6 +443,22 @@ class InvertedIndex:
             terms = sorted({self.synonyms.get(t, t) for t in terms})
         return terms
 
+    def _analyze_seq(self, query_text: str) -> list[str]:
+        """Query tokens in the index's term space with ORDER AND
+        DUPLICATES PRESERVED — each raw token folded through the
+        index-time analyzer individually. The sequence form that
+        position-sensitive consumers (phrase_suggest, span order)
+        need; :meth:`_analyze` is the sorted/deduped set form BM25
+        scoring uses."""
+        from smse_backend_spark.functions.tokenizer import stem_py, tokenize_py
+
+        toks = tokenize_py(query_text)
+        if self.analyzer == "stem":
+            toks = [stem_py(t) for t in toks]
+        elif self.analyzer == "synonym":
+            toks = [self.synonyms.get(t, t) for t in toks]
+        return toks
+
     # -- soft deletes ------------------------------------------------------
 
     def _load_tombs(self) -> None:
@@ -1453,7 +1469,13 @@ class InvertedIndex:
             raise ValueError(
                 "near_topk requires an index built with with_positions=True"
             )
-        terms = query_terms(query_text)
+        from smse_backend_spark.functions.tokenizer import tokenize_py
+
+        # the in-order constraint is over the QUERY's token sequence —
+        # order and duplicates preserved (Lucene SpanNearQuery clause
+        # order), NOT the sorted/deduped BM25 term set.
+        seq = tokenize_py(query_text)
+        terms = sorted(set(seq))
         if not terms:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         n, avgdl = self.corpus_stats(lang)
@@ -1475,8 +1497,8 @@ class InvertedIndex:
         ).repartition(nparts, "segment")
         self._load_tombs()
         matches = blocks.mapInPandas(
-            _make_near_matcher(terms, window, idf, avgdl, self._tomb_bcast,
-                               in_order),
+            _make_near_matcher(seq if in_order else terms, window, idf,
+                               avgdl, self._tomb_bcast, in_order),
             "doc_id long, score double",
         )
         if self._tomb_df is not None:
@@ -2389,40 +2411,54 @@ class InvertedIndex:
 
         Scale shape: candidate generation is the bounded dictionary walk
         (metadata only); the candidate-pair set (≤ ``per_term``² rows per
-        adjacent position) is broadcast against the bigram source, so only
-        candidate pairs survive — the shuffle carries candidate counts,
-        never the corpus. With ``corpus=None`` the bigram source is the
-        INDEX-TIME shingle model (``build_index(shingles=True)`` — the ES
-        shingle subfield), so no corpus scan happens at query time at all;
-        passing a corpus derives the same table in-job (exactly equal —
-        asserted in tests).
+        adjacent position, NEVER the phrase cross product) is broadcast
+        against the bigram source, so only candidate pairs survive — the
+        shuffle carries candidate counts, never the corpus. The phrase
+        cross product itself (``per_term``^tokens rows) is built as a
+        DISTRIBUTED fold of broadcast joins over per-position candidate
+        frames — the driver materializes only the ≤ ``per_term``²·(L-1)
+        scored pairs, and the token count is capped at ``max_tokens``
+        (the ES phrase-suggester gram-size discipline) so the fold's
+        final frame stays bounded. With ``corpus=None`` the bigram
+        source is the INDEX-TIME shingle model
+        (``build_index(shingles=True)`` — the ES shingle subfield), so
+        no corpus scan happens at query time at all; passing a corpus
+        derives the same table in-job (exactly equal — asserted in
+        tests).
         """
-        import itertools
-
         from smse_backend_spark.functions.tokenizer import tokenize_col
 
-        toks = self._analyze(text)
+        max_tokens = 6
+        toks = self._analyze_seq(text)
         out_schema = "suggestion string, score long"
         if len(toks) < 2:
             raise ValueError(
                 f"phrase_suggest needs >= 2 analyzed tokens, got {toks!r}"
+            )
+        if len(toks) > max_tokens:
+            raise ValueError(
+                f"phrase_suggest caps the input at {max_tokens} analyzed "
+                f"tokens (candidate space is per_term^tokens), got "
+                f"{len(toks)}"
             )
         cands = [
             self.expand_fuzzy(t, max_edits, lang, per_term) for t in toks
         ]
         if any(not c for c in cands):
             return self.spark.createDataFrame([], out_schema)
-        # (suggestion, position, a, b) for every adjacent pair of every
-        # candidate phrase — bounded by per_term**len(toks) * (len-1)
-        pair_rows = []
-        for combo in itertools.product(*cands):
-            s = " ".join(combo)
-            for i in range(len(combo) - 1):
-                pair_rows.append((s, i, combo[i], combo[i + 1]))
-        pairs = self.spark.createDataFrame(
-            pair_rows, "suggestion string, pos int, a string, b string"
+        # distinct adjacent-position candidate pairs — Σᵢ ≤ per_term²
+        # rows, independent of the phrase cross-product size
+        need_rows = sorted(
+            {
+                (a, b)
+                for i in range(len(cands) - 1)
+                for a in cands[i]
+                for b in cands[i + 1]
+            }
         )
-        need = F.broadcast(pairs.select("a", "b").distinct())
+        need = F.broadcast(
+            self.spark.createDataFrame(need_rows, "a string, b string")
+        )
         if corpus is None:
             if not self.meta["config"].get("shingles"):
                 raise ValueError(
@@ -2460,10 +2496,37 @@ class InvertedIndex:
                 .groupBy("a", "b")
                 .agg(F.count(F.lit(1)).alias("n"))
             )
+        # the pair LM fits the driver by construction (≤ per_term²·(L-1)
+        # rows) — collect it once and ship each position's scored pair
+        # table as a broadcast literal (the repo's driver-side-constant
+        # discipline), then FOLD: each step extends every partial phrase
+        # by one position via a broadcast hash join, so the per_term^L
+        # phrase set only ever exists distributed across executors.
+        bg_n = {(r["a"], r["b"]): int(r["n"]) for r in bg.collect()}
+        phrases = self.spark.createDataFrame(
+            [(c, c, 0) for c in cands[0]],
+            "suggestion string, last string, score long",
+        )
+        for i in range(1, len(cands)):
+            step = F.broadcast(
+                self.spark.createDataFrame(
+                    [
+                        (a, b, bg_n.get((a, b), 0))
+                        for a in cands[i - 1]
+                        for b in cands[i]
+                    ],
+                    "a string, b string, n long",
+                )
+            )
+            phrases = phrases.join(
+                step, phrases["last"] == step["a"]
+            ).select(
+                F.concat_ws(" ", "suggestion", "b").alias("suggestion"),
+                F.col("b").alias("last"),
+                (F.col("score") + F.col("n")).alias("score"),
+            )
         return (
-            pairs.join(F.broadcast(bg), ["a", "b"], "left")
-            .groupBy("suggestion")
-            .agg(F.sum(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("score"))
+            phrases.select("suggestion", F.col("score").cast("long").alias("score"))
             .orderBy(F.desc("score"), F.asc("suggestion"))
             .limit(k)
         )

@@ -996,18 +996,36 @@ def boosting_oracle_sql(
     lang: str | None = None,
     table: str = "documents",
     content_col: str = "text",
+    stem: bool = False,
+    synonyms: dict[str, str] | None = None,
 ) -> str:
     """DuckDB twin of ``InvertedIndex.bm25_topk_boosting``: unrounded BM25
     sum, negative-match multiplier, then the shared half-up floor formula
-    — written identically to the Spark side."""
-    terms = query_terms(query_text)
+    — written identically to the Spark side.
+
+    ``stem`` / ``synonyms`` fold doc tokens AND both term lists through
+    the index analyzer, exactly as the engine's ``_analyze`` does for
+    positive and negative terms alike (the engine folds negatives too)."""
+
+    def _fold(ts: list[str]) -> list[str]:
+        if stem:
+            ts = sorted({stem_py(t) for t in ts})
+        if synonyms:
+            ts = sorted({synonyms.get(t, t) for t in ts})
+        return ts
+
+    terms = _fold(query_terms(query_text))
     if not terms:
         return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
-    neg_terms = sorted({t for raw in negative for t in query_terms(raw)})
+    neg_terms = _fold(sorted({t for raw in negative for t in query_terms(raw)}))
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     neg_list = ", ".join("'" + t.replace("'", "''") + "'" for t in neg_terms)
     where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
     toks = tokenize_duckdb_sql(content_col)
+    if stem:
+        toks = stem_duckdb_sql(toks)
+    if synonyms:
+        toks = synonym_duckdb_sql(toks, synonyms)
     score = bm25_term_score_sql(
         "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
     )
@@ -1515,6 +1533,10 @@ def near_oracle_sql(
     terms = query_terms(query_text)
     if not terms:
         return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    # in-order spans constrain the QUERY token sequence (order and
+    # duplicates preserved — Lucene SpanNearQuery clause order); the
+    # unordered window picks one occurrence per DISTINCT term.
+    pos_terms = tokenize_py(query_text) if in_order else terms
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
     toksql = tokenize_duckdb_sql(content_col)
@@ -1527,18 +1549,20 @@ def near_oracle_sql(
                                     j -> toks[j] = '{t.replace("'", "''")}')) AS p
   FROM dl
 )"""
-        for i, t in enumerate(terms)
+        for i, t in enumerate(pos_terms)
     )
-    join_chain = " ".join(f"JOIN p{i} USING (doc_id)" for i in range(1, len(terms)))
-    ps = ", ".join(f"p{i}.p" for i in range(len(terms)))
+    join_chain = " ".join(
+        f"JOIN p{i} USING (doc_id)" for i in range(1, len(pos_terms))
+    )
+    ps = ", ".join(f"p{i}.p" for i in range(len(pos_terms)))
     win = (
         f"greatest({ps}) - least({ps}) <= {window}"
-        if len(terms) > 1
+        if len(pos_terms) > 1
         else "TRUE"
     )
-    if in_order and len(terms) > 1:
+    if in_order and len(pos_terms) > 1:
         chain = " AND ".join(
-            f"p{i}.p < p{i + 1}.p" for i in range(len(terms) - 1)
+            f"p{i}.p < p{i + 1}.p" for i in range(len(pos_terms) - 1)
         )
         win = f"({win}) AND {chain}"
     return f"""
@@ -1622,10 +1646,15 @@ def phrase_suggest_oracle_sql(
     ``max_edits``, ranked df desc / term asc, capped — identical to the
     fuzzy-expansion oracle), cross-producted into candidate phrases and
     scored by the corpus bigram counts (sum over adjacent pairs, exact
-    integer), ordered (score desc, suggestion asc)."""
-    toks = query_terms(text)
+    integer), ordered (score desc, suggestion asc). Token order and
+    duplicates are PRESERVED (positions are positions — the engine's
+    ``_analyze_seq`` discipline), and the input is capped at 6 tokens
+    like the engine."""
+    toks = tokenize_py(text)
     if len(toks) < 2:
         raise ValueError(f"phrase-suggest oracle needs >= 2 tokens, got {toks!r}")
+    if len(toks) > 6:
+        raise ValueError(f"phrase-suggest oracle caps at 6 tokens, got {len(toks)}")
     where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
     toksql = tokenize_duckdb_sql(content_col)
     cand_ctes = []

@@ -1401,3 +1401,102 @@ def test_boosting_query_vs_oracle(spark, index, sf_smoke):
     hit = next(d for d in raw if d in demoted and d in plain)
     # plain is rounded 6dp; compare loosely against factor x plain
     assert abs(raw[hit] - 0.5 * plain[hit]) < 1e-5
+
+
+def test_near_in_order_follows_query_order(spark, tmp_path):
+    """Regression (r3 ADVICE): in_order must enforce the QUERY token
+    sequence, not the alphabetically sorted term set. Query 'zebra alpha'
+    (reverse-alphabetical on purpose) must match the doc where zebra
+    PRECEDES alpha and reject the doc with only the opposite order —
+    under the old sorted-terms bug the verdicts were exactly flipped."""
+    rows = [
+        (1, "en", "zebra then some alpha tail pad"),
+        (2, "en", "alpha then some zebra tail pad"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, lang string, content string")
+    out = str(tmp_path / "idx_order")
+    build_index(spark, corpus, out, segment_size=8, n_buckets=2,
+                block_size=8, n_batches=1, with_positions=True)
+    ix = InvertedIndex(spark, out)
+    got = {r["doc_id"] for r in
+           ix.near_topk("zebra alpha", 5, 10, in_order=True).collect()}
+    assert got == {1}
+    # unordered near still admits both
+    both = {r["doc_id"] for r in
+            ix.near_topk("zebra alpha", 5, 10).collect()}
+    assert both == {1, 2}
+    # duplicate query tokens demand two increasing occurrences
+    dup = {r["doc_id"] for r in
+           ix.near_topk("alpha alpha", 5, 10, in_order=True).collect()}
+    assert dup == set()
+
+
+def test_near_in_order_oracle_follows_query_order(spark, tmp_path):
+    """The DuckDB twin applies the same query-order chain."""
+    import duckdb
+
+    from smse_backend_spark.operators.search import near_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'en', 'zebra then some alpha tail pad'), "
+        "(2, 'en', 'alpha then some zebra tail pad')) t(doc_id, lang, text)"
+    )
+    got = {r[0] for r in con.execute(
+        near_oracle_sql("zebra alpha", 5, 10, in_order=True)).fetchall()}
+    assert got == {1}
+    both = {r[0] for r in con.execute(
+        near_oracle_sql("zebra alpha", 5, 10)).fetchall()}
+    assert both == {1, 2}
+
+
+def test_phrase_suggest_follows_query_order(spark, corpus, index, sf_smoke):
+    """Regression (r3 ADVICE): suggestions keep the input token order —
+    'ky bat' (reverse-sorted input) must yield candidates for 'ky' in
+    position 0, not alphabetize into 'bat'-first phrases; the oracle
+    agrees; and the old masking input 'bat ky' stays green."""
+    import duckdb
+
+    from smse_backend_spark.operators.search import phrase_suggest_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    got = [tuple(r) for r in index.phrase_suggest(
+        corpus, "ky bat", 2, 6, 10).collect()]
+    want = [tuple(r) for r in con.execute(
+        phrase_suggest_oracle_sql("ky bat", 2, 6, 10)).fetchall()]
+    assert got == want and len(got) > 1
+    fwd = [tuple(r) for r in index.phrase_suggest(
+        corpus, "bat ky", 2, 6, 10).collect()]
+    # order genuinely matters: the two directions disagree
+    assert [s for s, _ in got] != [s for s, _ in fwd]
+    # position-0 words of 'ky bat' suggestions are 'ky'-ish candidates,
+    # i.e. the reverse of the position-0 words of 'bat ky' suggestions
+    assert {s.split()[0] for s, _ in got} & {s.split()[1] for s, _ in fwd}
+    with pytest.raises(ValueError, match="caps the input"):
+        index.phrase_suggest(corpus, "a1 b2 c3 d4 e5 f6 g7", 1, 4, 5)
+
+
+def test_sort_field_build_survives_null_field(spark, tmp_path):
+    """Regression (r3 ADVICE): finalize's histogram does int(min)/int(max)
+    on the sort_field aggregates; when the docvalue column is entirely
+    NULL those are None and the build used to TypeError. It must finalize
+    with sort_histogram = None instead (a fully empty corpus is rejected
+    earlier by design, so the all-NULL column is the reachable case)."""
+    rows = [(1, "en", "alpha beta", None), (2, "en", "beta gamma", None)]
+    c = spark.createDataFrame(
+        rows, "doc_id long, lang string, content string, stars long"
+    )
+    out = str(tmp_path / "idx_null_sf")
+    meta = build_index(spark, c, out, segment_size=8, n_buckets=2,
+                       block_size=8, n_batches=1, docvalues=("stars",),
+                       sort_field="stars")
+    assert meta["n_docs"] == 2
+    assert meta["sort_histogram"] is None
+    # and the index still answers queries
+    ix = InvertedIndex(spark, out)
+    assert ix.bm25_topk("beta", 10).count() == 2
