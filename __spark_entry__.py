@@ -29,12 +29,16 @@ from smse_backend_spark.operators.search import (
     bm25f_scan,
     collapse_oracle_sql,
     collapse_topk,
+    cross_fields_bm25_scan,
+    cross_fields_oracle_sql,
     dis_max_bm25_scan,
     dis_max_oracle_sql,
     facet_top_hits,
     facet_top_hits_oracle_sql,
     function_score_oracle_sql,
     function_score_topk,
+    rank_feature_oracle_sql,
+    rank_feature_topk,
     search_after_oracle_sql,
     sort_by_field_oracle_sql,
     sort_by_field_topk,
@@ -796,6 +800,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_dismax": lambda spark, sf: dis_max_bm25_scan(
             load_corpus(spark, sf), MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 0.3, 10
         ),
+        # cross_fields: term-centric blended-df stats, per-term field max —
+        # the "query terms split across fields" multi_match mode
+        "bm25_cross_fields": lambda spark, sf: cross_fields_bm25_scan(
+            load_corpus(spark, sf), MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 10
+        ),
         # analyzer variant: Harman S-stemmer folds plurals on both sides
         "bm25_stemmed": lambda spark, sf: bm25_topk_scan(
             load_corpus(spark, sf), "tables scans windows merges", 10, stem=True
@@ -860,6 +869,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score": lambda spark, sf: function_score_topk(
             load_corpus(spark, sf), FLAGSHIP_QUERY, 140, 80, 10
         ),
+        # rank_feature: saturation boost from a static signal ADDED to BM25
+        "rank_feature": lambda spark, sf: rank_feature_topk(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, 120, 2.0, 10
+        ),
         # has_child: repos ranked by summed relevance of matching docs
         "repo_search": lambda spark, sf: AG.repo_topk(
             load_corpus(spark, sf), FLAGSHIP_QUERY, 10, "sum"
@@ -894,6 +907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .sort_by_field_topk(FLAGSHIP_QUERY, 10),
         "function_score_indexed": lambda spark, sf: _indexed(spark, sf)
         .function_score_topk(FLAGSHIP_QUERY, 140, 80, 10),
+        "rank_feature_indexed": lambda spark, sf: _indexed(spark, sf)
+        .rank_feature_topk(FLAGSHIP_QUERY, 120, 2.0, 10),
         # top-k + rarest-term order from the index; corpus read only for
         # the k hit docs (doc-id-pruned) to cut snippet text
         "search_highlight_indexed": lambda spark, sf: _indexed(spark, sf)
@@ -1372,6 +1387,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25_dismax": dis_max_oracle_sql(
             MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 0.3, 10
         ),
+        "bm25_cross_fields": cross_fields_oracle_sql(
+            MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 10
+        ),
         "bm25_stemmed": bm25_scan_oracle_sql(
             "tables scans windows merges", 10, stem=True
         ),
@@ -1400,6 +1418,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "percolate": AG.percolate_sql(PERCOLATE_QUERIES, 200),
         "streamed_percolate": AG.percolate_sql(PERCOLATE_QUERIES, 200),
         "function_score": function_score_oracle_sql(FLAGSHIP_QUERY, 140, 80, 10),
+        "rank_feature": rank_feature_oracle_sql(FLAGSHIP_QUERY, 120, 2.0, 10),
         "repo_search": AG.repo_topk_sql(FLAGSHIP_QUERY, 10, "sum"),
         "boolean_query": boolean_query_oracle_sql(BOOL_QUERY, 10),
         "boolean_query_indexed": boolean_query_oracle_sql(BOOL_QUERY, 10),
@@ -1415,6 +1434,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "sort_by_field_indexed": sort_by_field_oracle_sql(FLAGSHIP_QUERY, 10),
         "function_score_indexed": function_score_oracle_sql(
             FLAGSHIP_QUERY, 140, 80, 10
+        ),
+        "rank_feature_indexed": rank_feature_oracle_sql(
+            FLAGSHIP_QUERY, 120, 2.0, 10
         ),
         "search_highlight_indexed": highlight_snippets_oracle_sql(
             FLAGSHIP_QUERY, 10, window=3

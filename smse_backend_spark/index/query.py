@@ -1842,6 +1842,38 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def rank_feature_topk(
+        self,
+        query_text: str,
+        pivot: int = 120,
+        boost: float = 2.0,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+        field: str = "n_chars",
+    ) -> DataFrame:
+        """ES ``rank_feature`` (saturation) on the index path — the static
+        signal comes from the stored doc-values column, so the corpus is
+        never read. Rank-identical to
+        ``operators.search.rank_feature_topk``:
+
+            sat(x) = x / (x + pivot)
+            final  = floor((bm25 + boost * sat) * 1e6 + 0.5) / 1e6
+        """
+        scored = self.scored_matches(query_text, lang)
+        vals = self.doc_values([field]).withColumnRenamed(field, "x")
+        sat = F.col("x").cast("double") / (F.col("x") + F.lit(pivot)).cast("double")
+        blended = F.col("score") + F.lit(float(boost)) * sat
+        return (
+            scored.join(vals, "doc_id")
+            .select(
+                "doc_id",
+                (F.floor(blended * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                .alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def browse_topk(
         self, k: int = DEFAULT_TOP_K, field: str | None = None,
         descending: bool = True,

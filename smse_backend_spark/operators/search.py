@@ -422,6 +422,123 @@ def bm25f_scan(
     )
 
 
+def cross_fields_bm25_scan(
+    corpus: DataFrame,
+    query_text: str,
+    field_weights: dict[str, float] | None = None,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``multi_match type=cross_fields`` (term-centric blended-stats
+    retrieval): each query term is looked up in EVERY field, the per-field
+    saturated tf components are combined with MAX (a per-term dis-max —
+    the term matched, whichever field carried it), and the idf uses
+    BLENDED document frequency df~(t) = max over fields of df_f(t)
+    (Lucene BlendedTermQuery's stat blend):
+
+        score(d) = sum_t idf(df~(t)) * max_f [ w_f * sat(tf_f, dl_f, avgdl_f) ]
+
+    Completes the fielded family: ``multi_field`` sums saturated
+    per-field scores (field-centric), ``dis_max`` maxes WHOLE-query field
+    scores, ``bm25f`` pools raw tf before saturation; cross_fields is the
+    right shape when a query's terms are SPLIT across fields ("first
+    name in one field, last name in the other" — ES's canonical example)
+    because each term needs to match somewhere, not every field to match
+    everything.
+
+    Scale shape: identical to the other fielded scans — one stacked
+    tokenize pass, per-(field,term) df is vocabulary-bounded and
+    broadcast, per-term blend is a tiny driver-free groupBy, and the
+    top-k is a TakeOrderedAndProject.
+    """
+    if field_weights is None:
+        field_weights = {"content": 1.0, "path": 2.0}
+    terms = query_terms(query_text)
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    if not terms or not field_weights:
+        return _empty_scores(corpus)
+    base = _stacked_fields(corpus, sorted(field_weights))
+    stats = {
+        r["field"]: (float(r["n"]), float(r["avgdl"]))
+        for r in base.groupBy("field")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
+        .collect()
+    }
+    if not stats:
+        return _empty_scores(corpus)
+    n_docs = next(iter(stats.values()))[0]  # identical across fields
+    avgdl_c = F.coalesce(
+        *[F.when(F.col("field") == f, F.lit(a)) for f, (_n, a) in stats.items()]
+    )
+    w_c = _field_weight_col(field_weights)
+    tf = (
+        base.select("doc_id", "field", "doc_len", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "field", "doc_len", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # blended df: max over fields — vocabulary-bounded, broadcasts
+    df_b = (
+        tf.groupBy("field", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .groupBy("term")
+        .agg(F.max("df").cast("double").alias("df"))
+    )
+    sat = bm25_term_score_col(
+        F.col("tf"), F.lit(1.0), F.col("doc_len"), avgdl_c
+    )
+    per_term = (
+        tf.withColumn("wsat", w_c * sat)
+        .groupBy("doc_id", "term")
+        .agg(F.max("wsat").alias("msat"))
+    )
+    return (
+        per_term.join(F.broadcast(df_b), "term")
+        .withColumn("contrib", idf_col(F.col("df"), n_docs) * F.col("msat"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def cross_fields_oracle_sql(
+    query_text: str,
+    field_weights: dict[str, float] | None = None,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`cross_fields_bm25_scan`: per-term MAX of
+    weighted saturated per-field components, idf over the blended
+    (max-over-fields) df, same rounding."""
+    if field_weights is None:
+        field_weights = {"content": 1.0, "path": 2.0}
+    cte = _fielded_cte_sql(query_text, field_weights, lang, table, content_col)
+    if cte is None:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    sat = bm25_term_score_sql("tf.tf", "1.0", "tf.doc_len", "stats.avgdl")
+    return f"""{cte},
+dfb AS (
+  SELECT term, max(df) AS df FROM dfq GROUP BY term
+),
+n1 AS (SELECT max(n) AS n FROM stats),
+pt AS (
+  SELECT tf.doc_id AS doc_id, tf.term AS term, max(w.wt * ({sat})) AS msat
+  FROM tf JOIN stats USING (field) JOIN w USING (field)
+  GROUP BY tf.doc_id, tf.term
+)
+SELECT pt.doc_id AS doc_id,
+       round(sum({idf_sql("dfb.df", "n1.n")} * pt.msat), 6) AS score
+FROM pt JOIN dfb USING (term) CROSS JOIN n1
+GROUP BY pt.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def sort_by_field_topk(
     corpus: DataFrame,
     query_text: str,
@@ -518,6 +635,71 @@ SELECT s.doc_id AS doc_id,
        round(s.score * greatest(0.0,
              1.0 - abs(length(d.{content_col}) - {origin}) / {float(scale)!r}), 6)
          AS score
+FROM scored s JOIN {table} d USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def rank_feature_topk(
+    corpus: DataFrame,
+    query_text: str,
+    pivot: int = 120,
+    boost: float = 2.0,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``rank_feature`` query (saturation function) blended into the
+    BM25 should-clause sum — the static-signal boost every search engine
+    ships (pagerank, stars, freshness; content length stands in here):
+
+        sat(x) = x / (x + pivot)          (ES's default saturation)
+        final  = floor((bm25 + boost * sat) * 1e6 + 0.5) / 1e6
+
+    Unlike ``function_score`` (a multiplier over the query score), a
+    rank_feature clause ADDS a bounded contribution, so a zero-feature
+    doc keeps its full text score. Exact cross-engine: x and pivot are
+    integers, so sat is one double division; the blend uses the shared
+    half-up floor formula.
+
+    Scale shape: the feature join is (doc_id, x) against the match set —
+    column-pruned, never the corpus text; the add-then-round happens
+    before the top-k cut (TakeOrderedAndProject).
+    """
+    scored = bm25_scored_scan(corpus, query_text, lang).select("doc_id", "score")
+    vals = corpus.select("doc_id", F.length("content").cast("long").alias("x"))
+    sat = F.col("x").cast("double") / (F.col("x") + F.lit(pivot)).cast("double")
+    blended = F.col("score") + F.lit(float(boost)) * sat
+    return (
+        scored.join(vals, "doc_id")
+        .select(
+            "doc_id",
+            (F.floor(blended * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def rank_feature_oracle_sql(
+    query_text: str,
+    pivot: int = 120,
+    boost: float = 2.0,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`rank_feature_topk` (same saturation, same
+    floor formula)."""
+    scored = bm25_scan_oracle_sql(query_text, _ALL_ROWS, lang, table, content_col)
+    return f"""
+WITH scored AS ({scored})
+SELECT s.doc_id AS doc_id,
+       floor((s.score + {float(boost)!r} *
+              (length(d.{content_col})::DOUBLE
+               / (length(d.{content_col}) + {int(pivot)})::DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS score
 FROM scored s JOIN {table} d USING (doc_id)
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}

@@ -256,3 +256,64 @@ def test_highlight_snippets_vs_oracle(corpus, sf_smoke):
         want = [tuple(r) for r in
                 con.execute(highlight_snippets_oracle_sql(q, k, window=w)).fetchall()]
         assert got == want, (q, k, w, got[:2], want[:2])
+
+
+@pytest.mark.parametrize(
+    "query,weights,lang",
+    [
+        ("py f42 hash join", None, None),            # terms split across fields
+        ("hash join merge scan", None, None),        # content-only hits
+        ("src window", {"content": 1.0, "path": 3.0}, "en"),
+        ("nonexistentterm", None, None),
+    ],
+)
+def test_cross_fields_vs_duckdb(corpus, sf_smoke, query, weights, lang):
+    """cross_fields (blended df, per-term field max) == DuckDB twin."""
+    from smse_backend_spark.operators.search import (
+        cross_fields_bm25_scan,
+        cross_fields_oracle_sql,
+    )
+
+    want = _con(sf_smoke).execute(
+        cross_fields_oracle_sql(query, weights, 10, lang)).fetchall()
+    got = [
+        (r["doc_id"], r["score"])
+        for r in cross_fields_bm25_scan(corpus, query, weights, 10, lang).collect()
+    ]
+    assert got == [tuple(w) for w in want], (got, want)
+
+
+def test_cross_fields_is_term_centric(corpus, spark):
+    """Semantics pin: a term matching BOTH fields contributes once (max)
+    under cross_fields, twice (sum) under multi_field. On the real corpus
+    no token overlaps content and path (the law is vacuous there — match
+    sets must still agree), so the double-dip is pinned on a crafted
+    frame where 'alpha' sits in both fields of doc 1 with equal
+    field-local and blended df."""
+    from smse_backend_spark.operators.search import (
+        cross_fields_bm25_scan,
+        multi_field_bm25_scan,
+    )
+
+    q = "py f42 hash join"
+    wts = {"content": 1.0, "path": 2.0}
+    cf = {r["doc_id"]: r["score"]
+          for r in cross_fields_bm25_scan(corpus, q, wts, 10_000).collect()}
+    mf = {r["doc_id"]: r["score"]
+          for r in multi_field_bm25_scan(corpus, q, wts, 10_000).collect()}
+    assert set(cf) == set(mf)  # same match set: a term anywhere matches
+
+    tiny = spark.createDataFrame(
+        [
+            (1, "alpha beta pad pad", "alpha/x.py"),
+            (2, "beta gamma pad pad", "delta/y.py"),
+            (3, "gamma delta pad pad", "omega/z.py"),
+        ],
+        "doc_id long, content string, path string",
+    )
+    cf2 = {r["doc_id"]: r["score"]
+           for r in cross_fields_bm25_scan(tiny, "alpha beta", wts, 10).collect()}
+    mf2 = {r["doc_id"]: r["score"]
+           for r in multi_field_bm25_scan(tiny, "alpha beta", wts, 10).collect()}
+    assert cf2[1] < mf2[1] - 1e-9  # alpha double-dips only in the sum
+    assert cf2[2] == pytest.approx(mf2[2], abs=2e-6)  # single-field hits agree

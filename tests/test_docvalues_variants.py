@@ -424,3 +424,9 @@ def test_terms_stats_agg_vs_oracle(spark, dv_index, sf_smoke):
     # per-bucket invariants: max >= avg > 0, n_docs >= 1
     for _repo, n, mx, av in got:
         assert n >= 1 and mx >= av > 0
+
+
+def test_rank_feature_rank_identity(corpus, dv_index):
+    a = rows(dv_index.rank_feature_topk(Q, 120, 2.0, 10))
+    b = rows(S.rank_feature_topk(corpus, Q, 120, 2.0, 10))
+    assert a == b

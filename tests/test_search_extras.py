@@ -226,3 +226,20 @@ def test_range_filter_keeps_global_stats(corpus):
     assert ranged, "range filter swallowed the whole match set"
     for d, s in ranged:
         assert full[d] == s
+
+
+def test_rank_feature_vs_duckdb(corpus, con):
+    from smse_backend_spark.operators.search import (
+        rank_feature_oracle_sql,
+        rank_feature_topk,
+    )
+
+    q = "hash join merge scan"
+    got = [tuple(r) for r in rank_feature_topk(corpus, q, 120, 2.0, 10).collect()]
+    want = [tuple(w) for w in
+            con.execute(rank_feature_oracle_sql(q, 120, 2.0, 10)).fetchall()]
+    assert got == want
+    # additive, bounded: every score sits in (bm25, bm25 + boost]
+    full = dict((r["doc_id"], r["score"])
+                for r in bm25_topk_scan(corpus, q, 1000).collect())
+    assert all(full[d] < s <= full[d] + 2.0 + 1e-9 for d, s in got)
