@@ -666,6 +666,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, _query_vecs(spark, sf_dir), 10, n_centroids=16, n_probe=4
         ).withColumn("rank", F.col("rank").cast("long"))
 
+    def _ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from smse_backend_spark.operators.ann import ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ivf_topk(
+            emb, _query_vecs(spark, sf_dir), 10, n_centroids=16, n_probe=4,
+            filter_label=3,
+        ).withColumn("rank", F.col("rank").cast("long"))
+
     def _ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
 
@@ -1024,6 +1035,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": _ann_brute,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
+        # filtered ANN: metadata predicate pre-filters the candidate
+        # stream; the IVF index stays full-corpus (never fewer than k
+        # eligible hits post-cut)
+        "ann_ivf_filtered": _ann_ivf_filtered,
         # IVF after one deterministic Lloyd round (integer-quantized means)
         "ann_ivf_trained": _ann_ivf_trained,
         # int8 scalar quantization: 4x-smaller vectors, deterministic rank
@@ -1172,6 +1187,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_scores": lambda spark, sf: Q.lm_unigram_scores(_docs(spark, sf)),
         # collocation mining: top adjacent pairs by PMI at min support
         "bigram_pmi": lambda spark, sf: Q.bigram_pmi(_docs(spark, sf), 5, 30),
+        # TextRank keyword extraction: 5 quantized PageRank iterations
+        # over the weighted bigram co-occurrence graph
+        "textrank_keywords": lambda spark, sf: Q.textrank_keywords(
+            _docs(spark, sf), 20, 5
+        ),
         # substring-level dedup coverage (Lee et al. 2021): tokens inside
         # 8-grams shared with another doc
         "span_dedup": lambda spark, sf: Q.span_dedup_coverage(_docs(spark, sf), 8),
@@ -1309,6 +1329,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "ann_pq": pq_topk_sql([0, 1, 2], 10),
         "ann_ivfpq": ivfpq_topk_sql([0, 1, 2], 10),
         "ann_ivf": ivf_topk_sql([0, 1, 2], k=10, n_centroids=16, n_probe=4),
+        "ann_ivf_filtered": ivf_topk_sql(
+            [0, 1, 2], k=10, n_centroids=16, n_probe=4, filter_label=3
+        ),
         "ann_ivf_trained": ivf_trained_topk_sql(
             [0, 1, 2], dim=64, k=10, n_centroids=16, n_probe=4
         ),
@@ -1597,6 +1620,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "repetition_stats": Q.repetition_stats_sql(),
         "lm_scores": Q.lm_unigram_scores_sql(),
         "bigram_pmi": Q.bigram_pmi_sql(5, 30),
+        "textrank_keywords": Q.textrank_keywords_sql(20, 5),
         "span_dedup": Q.span_dedup_coverage_sql(8),
         "stratified_sample": __import__(
             "smse_backend_spark.operators.sampling",

@@ -631,3 +631,132 @@ p AS (
 SELECT bigram, count(*)::BIGINT AS n FROM p
 GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT {k}
 """
+
+def textrank_keywords(
+    docs: DataFrame,
+    k: int = 20,
+    iters: int = 5,
+    damping: float = 0.85,
+    lang: str | None = None,
+) -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau 2004):
+    PageRank over the undirected adjacent-token co-occurrence graph,
+    weighted by bigram count —
+
+        PR'(v) = (1 - d) + d * sum_u  PR(u) * w(u,v) / wdeg(u)
+
+    run ``iters`` fixed iterations from PR = 1.0, quantizing each
+    iteration's scores to 1e-9 with the shared half-up floor formula so
+    every iteration's INPUT is bit-identical across engines (the
+    dup-clusters discipline: deterministic fixpoint loops quantize
+    between rounds). Returns the top-k (term, score) by (score desc,
+    term asc).
+
+    Scale shape: the edge list is vocabulary-bounded, NOT corpus-bounded
+    — one tokenize pass builds (a, b, n) counts with map-side partial
+    aggregation, the union with the reversed direction doubles rows but
+    not the shuffle class, and each iteration is one broadcast-scale
+    join + groupBy over edges. Isolated tokens (single-token docs) never
+    enter the graph on either engine. On a real cluster, checkpoint the
+    rank frame every few iterations to truncate lineage (the
+    ``dup_clusters`` note applies verbatim).
+    """
+    src = docs if lang is None else docs.filter(F.col("lang") == lang)
+    toks = tokenize_col(F.col("text"))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bg = (
+        src.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    edges = (
+        bg.select("a", "b", "n")
+        .unionByName(bg.select(F.col("b").alias("a"), F.col("a").alias("b"), "n"))
+        .groupBy("a", "b")
+        .agg(F.sum("n").alias("w"))
+        .cache()
+    )
+    deg = edges.groupBy("a").agg(F.sum("w").alias("wdeg"))
+    pr = deg.select(F.col("a").alias("term"), F.lit(1.0).alias("pr"))
+    d = float(damping)
+    for _ in range(int(iters)):
+        contrib = (
+            edges.join(pr, edges["a"] == pr["term"])
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("term"),
+                (F.col("pr") * F.col("w") / F.col("wdeg")).alias("c"),
+            )
+        )
+        nxt = contrib.groupBy("term").agg(
+            (F.lit(1.0 - d) + F.lit(d) * F.sum("c")).alias("raw")
+        )
+        pr = nxt.select(
+            "term",
+            (F.floor(F.col("raw") * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9))
+            .alias("pr"),
+        )
+    return (
+        pr.select("term", F.col("pr").alias("score"))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def textrank_keywords_sql(
+    k: int = 20,
+    iters: int = 5,
+    damping: float = 0.85,
+    lang: str | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`textrank_keywords`: the same undirected
+    weighted bigram graph and ``iters`` unrolled PageRank iterations with
+    the identical 1e-9 quantization between rounds."""
+    toks = tokenize_duckdb_sql("text")
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    d = float(damping)
+    prev = "pr0"
+    iter_ctes = []
+    for i in range(1, int(iters) + 1):
+        iter_ctes.append(f"""pr{i} AS (
+  SELECT e.b AS term,
+         floor(({1.0 - d!r} + {d!r} * sum(p.pr * e.w / g.wdeg)) * 1e9 + 0.5)
+           / 1e9 AS pr
+  FROM edges e JOIN {prev} p ON p.term = e.a JOIN deg g ON g.a = e.a
+  GROUP BY e.b
+)""")
+        prev = f"pr{i}"
+    chain = ",\n".join(iter_ctes)
+    return f"""
+WITH t AS (SELECT {toks} AS toks FROM {table} {where_lang}),
+p AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+bg AS (SELECT a, b, count(*)::DOUBLE AS n FROM p GROUP BY a, b),
+edges AS (
+  SELECT a, b, sum(n) AS w FROM (
+    SELECT a, b, n FROM bg
+    UNION ALL
+    SELECT b AS a, a AS b, n FROM bg
+  ) GROUP BY a, b
+),
+deg AS (SELECT a, sum(w) AS wdeg FROM edges GROUP BY a),
+pr0 AS (SELECT a AS term, 1.0 AS pr FROM deg),
+{chain}
+SELECT term, pr AS score FROM {prev}
+ORDER BY score DESC, term ASC
+LIMIT {k}
+"""

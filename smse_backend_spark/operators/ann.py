@@ -270,6 +270,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     train_iters: int = 0,
+    filter_label: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: vectors are assigned to their nearest centroid
     (inverted lists); a query probes only its ``n_probe`` nearest lists and
@@ -284,6 +285,16 @@ def ivf_topk(
     by the DuckDB oracle (integer-quantized means). Assignment and probe
     selection round cosines to 6 dp and tie-break on centroid id, so both
     engines pick identical lists.
+
+    ``filter_label``: filtered ANN (the metadata-constrained search every
+    vector store ships). PRE-FILTER semantics: the attribute predicate
+    prunes the candidate stream BEFORE re-rank, while the index
+    (centroids) stays the one trained on the full corpus — so a filtered
+    query returns exactly the probed-list vectors satisfying the
+    predicate, never fewer than k because eligible neighbors were
+    post-filtered away after the cut. At scale the predicate is a
+    parquet pushed filter on the candidate scan (a column prune, not a
+    second pass).
     """
     from pyspark.sql import Window
 
@@ -341,7 +352,12 @@ def ivf_topk(
             )
             yield out.groupby("query_id", sort=False).head(k)
 
-    local = emb.select("vec_id", "embedding").mapInPandas(
+    cand_src = emb
+    if filter_label is not None:
+        # pushed down to the parquet scan — the filtered stream is the
+        # only thing the kernel ever sees
+        cand_src = emb.filter(F.col("label") == int(filter_label))
+    local = cand_src.select("vec_id", "embedding").mapInPandas(
         kernel, "query_id long, vec_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
@@ -357,11 +373,22 @@ def ivf_topk_sql(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    filter_label: int | None = None,
 ) -> str:
     """Exact DuckDB oracle for :func:`ivf_topk` (queries are rows of
     ``embeddings``; centroids are the deterministic ``vec_id < n_centroids``
-    rows, so the full assignment/probe/re-rank is SQL-replayable)."""
+    rows, so the full assignment/probe/re-rank is SQL-replayable).
+    ``filter_label`` mirrors the engine's pre-filter: the candidate set is
+    restricted before re-rank; assignment/probing stay full-corpus."""
     ids = ", ".join(map(str, query_vec_ids))
+    label_pred = (
+        f" AND lf.label = {int(filter_label)}" if filter_label is not None else ""
+    )
+    label_join = (
+        "JOIN embeddings lf ON lf.vec_id = a.vec_id"
+        if filter_label is not None
+        else ""
+    )
     return f"""
 WITH cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < {n_centroids}),
 pz AS (
@@ -390,7 +417,8 @@ probes AS (
 ),
 cand AS (
   SELECT p.query_id, a.vec_id
-  FROM probes p JOIN assigned a ON a.c_id = p.c_id
+  FROM probes p JOIN assigned a ON a.c_id = p.c_id {label_join}
+  WHERE TRUE{label_pred}
 ),
 z AS (
   SELECT c.query_id, c.vec_id,

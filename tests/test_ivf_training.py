@@ -117,3 +117,34 @@ def test_trained_matches_duckdb_oracle(spark, sf_smoke):
         )
     )
     assert got == want
+
+
+def test_filtered_ivf_vs_oracle_and_predicate(spark, sf_smoke):
+    """Filtered ANN: engine == DuckDB twin; every hit satisfies the
+    predicate; hits are a sub-ranking of the unfiltered candidate set
+    (pre-filter prunes candidates, never rescores)."""
+    from smse_backend_spark.operators.ann import ivf_topk_sql
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qrows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    got = sorted(tuple(r) for r in
+                 ivf_topk(emb, qrows, 10, 16, 4, filter_label=3).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_smoke}/embeddings.parquet'"
+    )
+    want = sorted(tuple(w) for w in con.execute(
+        ivf_topk_sql([0, 1, 2], 10, 16, 4, filter_label=3)).fetchall())
+    assert got == want and got
+    labels = {
+        int(r["vec_id"]): int(r["label"])
+        for r in emb.select("vec_id", "label").collect()
+    }
+    assert all(labels[v] == 3 for _q, _rk, v, _s in got)
+    # sub-ranking: each hit's score equals its unfiltered candidate score
+    full = {(q, v): s for q, _rk, v, s in
+            ivf_topk(emb, qrows, 10_000, 16, 4).collect()}
+    assert all((q, v) in full and full[(q, v)] == s for q, _rk, v, s in got)

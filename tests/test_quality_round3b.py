@@ -124,3 +124,21 @@ def test_stratified_sample_quota_and_stability(docs):
     assert {(r["doc_id"], r["lang"]) for r in again} == {
         (r["doc_id"], r["lang"]) for r in out
     }
+
+
+def test_textrank_oracle(docs, con):
+    _cmp(Q.textrank_keywords(docs, 20, 5), con, Q.textrank_keywords_sql(20, 5))
+
+
+def test_textrank_hub_ranks_first(spark):
+    """A term adjacent to everything (the hub) must out-rank leaf terms;
+    scores stay in PageRank's (1-d, ...) band and are 1e-9-quantized."""
+    rows = [
+        (1, "hub alpha hub beta hub gamma hub delta", "en"),
+        (2, "alpha hub beta hub", "en"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = [(r["term"], r["score"]) for r in Q.textrank_keywords(d, 10, 5).collect()]
+    assert got[0][0] == "hub"
+    assert all(s > 0.15 - 1e-12 for _t, s in got)
+    assert all(abs(s * 1e9 - round(s * 1e9)) < 1e-3 for _t, s in got)
