@@ -220,6 +220,48 @@ def _merged_index(spark: SparkSession, sf_dir: str):
     return InvertedIndex(spark, _merged_shards(spark, sf_dir)[2])
 
 
+_ROUTED_CACHE: dict[str, list[str]] = {}
+
+
+def _routed_shards(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Three shard indexes over the capped corpus with docs PLACED by the
+    routing hash of their repo (docvalues carry the routing field) — the
+    ES custom-routing deployment the routed-query entry searches."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import route_shard
+
+    if sf_dir not in _ROUTED_CACHE:
+        import tempfile
+
+        corpus = load_corpus(spark, sf_dir).filter(F.col("doc_id") < MERGE_CAP)
+        repos = [r["repo"] for r in corpus.select("repo").distinct().collect()]
+        owner = {rp: route_shard(rp, 3) for rp in repos}
+        paths = []
+        for sid in range(3):
+            mine = [rp for rp, o in owner.items() if o == sid]
+            out = tempfile.mkdtemp(prefix=f"smse_idx_rt{sid}_")
+            build_index(
+                spark, corpus.filter(F.col("repo").isin(mine)), out,
+                segment_size=64, n_buckets=4, block_size=32, n_batches=1,
+                docvalues=("repo",),
+            )
+            paths.append(out)
+        _ROUTED_CACHE[sf_dir] = paths
+    return _ROUTED_CACHE[sf_dir]
+
+
+def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing value 'src7' hashes to one shard; only that shard's
+    postings are decoded; stats stay global (metadata merge)."""
+    from smse_backend_spark.index.query import routed_bm25_topk
+
+    return routed_bm25_topk(
+        spark, _routed_shards(spark, sf_dir), FLAGSHIP_QUERY, "src7", 10
+    )
+
+
 def _sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME two half-corpus shards queried as one logical index by the
     coordinator protocol (global stats merged from metadata, per-shard
@@ -974,6 +1016,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # logical index (global stats merged coordinator-side, per-shard
         # posting decode, one global reduce) — never consolidated on disk
         "bm25_sharded": _sharded,
+        # custom routing: the value's owning shard answers alone; global
+        # idf from the metadata-only coordinator merge
+        "bm25_routed": _routed,
         # distributed aggregation: per-shard partial facet counts merged
         # at the coordinator (additive across disjoint doc spaces)
         "sharded_facets": _sharded_facets,
@@ -1489,6 +1534,14 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25_indexed_merged": bm25_scan_oracle_sql(
             FLAGSHIP_QUERY,
             table=f"(SELECT * FROM documents WHERE doc_id < {MERGE_CAP})",
+        ),
+        "bm25_routed": bm25_scan_oracle_sql(
+            FLAGSHIP_QUERY,
+            table=f"(SELECT * FROM documents WHERE doc_id < {MERGE_CAP})",
+            exclude_where=(
+                f"tf.doc_id IN (SELECT doc_id FROM documents "
+                f"WHERE doc_id < {MERGE_CAP} AND source = 'src7')"
+            ),
         ),
         "bm25_sharded": bm25_scan_oracle_sql(
             FLAGSHIP_QUERY,

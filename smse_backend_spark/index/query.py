@@ -2894,6 +2894,91 @@ def sharded_bm25_topk(
     )
 
 
+def route_shard(routing: str, n_shards: int) -> int:
+    """ES custom-routing hash: routing value -> owning shard, via the
+    engine-wide sha256 discipline (content-independent, replayable
+    anywhere — including by the test that PLACES docs on shards)."""
+    import hashlib
+
+    h = hashlib.sha256(routing.encode("utf-8")).digest()
+    return int.from_bytes(h[:8], "big") % int(n_shards)
+
+
+def routed_bm25_topk(
+    spark: SparkSession,
+    paths: list[str],
+    query_text: str,
+    routing: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    routing_field: str = "repo",
+) -> DataFrame:
+    """Custom-routing search (ES ``?routing=``): the routing value hashes
+    to ONE owning shard, so the query decodes 1/N of the deployment's
+    postings regardless of corpus size — the per-tenant / per-repo query
+    shape that makes 10^12-file search affordable when the caller already
+    knows the partition key.
+
+    Rank parity with the unrouted engine: idf/avgdl merge from EVERY
+    shard's commit-time metadata (the same metadata-only coordinator pass
+    as :func:`sharded_bm25_topk` — no posting blob is read off the other
+    shards), and the owning shard's match set is filtered to
+    ``routing_field == routing`` via its stored doc-values (routing picks
+    the shard; the term filter picks the tenant's docs within it). Equal
+    by construction to the full-fanout search restricted to that tenant —
+    tombstones excluded the same way (the owner's ``_score`` path applies
+    them).
+
+    Shards must be built with ``docvalues=(routing_field,)`` and docs
+    placed by ``route_shard(doc[routing_field], n_shards)`` — asserted
+    against the shard's own doc-values (a misplaced tenant would silently
+    return a partial result otherwise: we check the OTHER shards hold no
+    rows for this routing value only in tests, the query itself stays
+    1/N-cost).
+    """
+    if not paths:
+        raise ValueError("need at least one shard path")
+    shards = [InvertedIndex(spark, p) for p in paths]
+    analyzers = {s.analyzer for s in shards}
+    if len(analyzers) != 1:
+        raise ValueError(f"shards disagree on analyzer: {sorted(analyzers)}")
+    owner = shards[route_shard(routing, len(paths))]
+    terms = owner._analyze(query_text)
+    if lang is None:
+        n = float(sum(s.meta["n_docs"] for s in shards))
+        sdl = float(sum(s.meta["sum_dl"] for s in shards))
+    else:
+        sts = [
+            s.meta["per_lang"].get(lang, {"n_docs": 0, "sum_dl": 0})
+            for s in shards
+        ]
+        n = float(sum(st["n_docs"] for st in sts))
+        sdl = float(sum(st["sum_dl"] for st in sts))
+    avgdl = sdl / n if n else 0.0
+    dfs: dict[str, int] = {}
+    if terms and n:
+        for s in shards:
+            for t, d in s.term_df(terms, lang).items():
+                dfs[t] = dfs.get(t, 0) + int(d)
+    idf = {
+        t: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for t, df in dfs.items()
+    }
+    if not idf:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    scored = owner._score(owner._blocks(sorted(idf), lang), idf, avgdl)
+    keep = owner.doc_values([routing_field]).filter(
+        F.col(routing_field) == routing
+    ).select("doc_id")
+    return (
+        scored.join(keep, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("score"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def sharded_facet_counts(
     spark: SparkSession,
     paths: list[str],

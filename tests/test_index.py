@@ -1500,3 +1500,48 @@ def test_sort_field_build_survives_null_field(spark, tmp_path):
     # and the index still answers queries
     ix = InvertedIndex(spark, out)
     assert ix.bm25_topk("beta", 10).count() == 2
+
+
+def test_routed_query_matches_filtered_fanout(spark, corpus, tmp_path):
+    """Custom routing: the owning shard alone (global metadata-merged
+    stats) == the full coordinator fan-out restricted to the routing
+    value; placement is exclusive (no other shard holds the tenant)."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index.query import (
+        route_shard,
+        routed_bm25_topk,
+        sharded_bm25_topk,
+    )
+
+    capped = corpus.filter(F.col("doc_id") < 300)
+    repos = [r["repo"] for r in capped.select("repo").distinct().collect()]
+    owner = {rp: route_shard(rp, 3) for rp in repos}
+    assert len(set(owner.values())) > 1  # the hash actually spreads
+    paths = []
+    for sid in range(3):
+        mine = [rp for rp, o in owner.items() if o == sid]
+        out = str(tmp_path / f"rt{sid}")
+        build_index(spark, capped.filter(F.col("repo").isin(mine)), out,
+                    segment_size=64, n_buckets=4, block_size=32,
+                    n_batches=1, docvalues=("repo",))
+        paths.append(out)
+    routing = repos[0]
+    got = [tuple(r) for r in
+           routed_bm25_topk(spark, paths, "hash join merge scan",
+                            routing, 10).collect()]
+    assert got
+    # fan-out reference: all shards, then restrict to the tenant's docs
+    tenant = {r["doc_id"] for r in
+              capped.filter(F.col("repo") == routing).select("doc_id").collect()}
+    fan = [(r["doc_id"], r["score"]) for r in
+           sharded_bm25_topk(spark, paths, "hash join merge scan",
+                             1_000_000).collect() if r["doc_id"] in tenant]
+    assert got == fan[:10]
+    # exclusive placement: no other shard's doc-values hold this repo
+    for sid, p in enumerate(paths):
+        if sid == route_shard(routing, 3):
+            continue
+        other = InvertedIndex(spark, p)
+        assert other.doc_values(["repo"]).filter(
+            F.col("repo") == routing).count() == 0
