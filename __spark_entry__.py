@@ -1270,9 +1270,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# never driver-checked as of CORRECTNESS_r02 (12), round-3 additions,
-# then round-1-only greens (35) — see VERDICT.md round 2, "Next round" #2
+# round-4 additions lead (never driver-checked), then the round-2/3
+# never-checked tail and round-1-only greens — see VERDICT.md
 _CHECK_FIRST = [
+    "rank_feature", "rank_feature_indexed", "bm25_cross_fields",
+    "ann_ivf_filtered", "textrank_keywords", "bm25_routed",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
