@@ -908,6 +908,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed_range": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_range(FLAGSHIP_QUERY, 20, 40, 10),
         # ES significant-terms aggregation (JLH) over the OR match set
+        # diversified sampler: per-repo cap on the match set, facet over
+        # the bounded sample (ES diversified_sampler + sub-agg)
+        "search_diversified": lambda spark, sf: AG.diversified_sample_facets(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, "repo", 3, "lang"
+        ),
+        # long-tail vocabulary: terms in <= 5% of docs (ES rare_terms,
+        # corpus-relative cutoff so "rare" survives scale-up)
+        "rare_terms": lambda spark, sf: AG.rare_terms(
+            load_corpus(spark, sf), 0.05, 30
+        ),
+        # the same from the index dictionary alone (no postings/corpus)
+        "rare_terms_indexed": lambda spark, sf: _indexed(spark, sf)
+        .rare_terms(0.05, 30),
         "significant_terms": lambda spark, sf: AG.significant_terms(
             load_corpus(spark, sf), FLAGSHIP_QUERY, 15
         ),
@@ -1275,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CHECK_FIRST = [
     "rank_feature", "rank_feature_indexed", "bm25_cross_fields",
     "ann_ivf_filtered", "textrank_keywords", "bm25_routed",
+    "search_diversified", "rare_terms", "rare_terms_indexed",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1484,6 +1498,11 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25_indexed_range": bm25_scan_oracle_sql(
             FLAGSHIP_QUERY, 10, exclude_where="tf.doc_len BETWEEN 20 AND 40"
         ),
+        "search_diversified": AG.diversified_sample_facets_sql(
+            FLAGSHIP_QUERY, "source", 3, "lang"
+        ),
+        "rare_terms": AG.rare_terms_sql(0.05, 30),
+        "rare_terms_indexed": AG.rare_terms_sql(0.05, 30),
         "significant_terms": AG.significant_terms_sql(FLAGSHIP_QUERY, 15),
         "percolate": AG.percolate_sql(PERCOLATE_QUERIES, 200),
         "streamed_percolate": AG.percolate_sql(PERCOLATE_QUERIES, 200),

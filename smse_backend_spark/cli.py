@@ -73,7 +73,11 @@ def cmd_query(args) -> None:
     if args.phrase:
         out = idx.phrase_topk(args.text, args.k, args.lang)
     elif args.near is not None:
-        out = idx.near_topk(args.text, args.near, args.k, args.lang)
+        out = idx.near_topk(args.text, args.near, args.k, args.lang,
+                            in_order=args.in_order)
+    elif args.rank_feature is not None:
+        out = idx.rank_feature_topk(args.text, args.rank_feature,
+                                    args.boost, args.k, args.lang)
     elif args.min_match is not None or args.all_terms:
         out = idx.bm25_topk_msm(
             args.text, None if args.all_terms else args.min_match,
@@ -296,7 +300,8 @@ def cmd_ann(args) -> None:
         out = A.lsh_topk(emb, queries, args.k)
     elif args.mode == "ivf":
         out = A.ivf_topk(emb, queries, args.k, args.n_centroids,
-                         args.n_probe, train_iters=args.train_iters)
+                         args.n_probe, train_iters=args.train_iters,
+                         filter_label=args.filter_label)
     elif args.mode == "pq":
         out = A.pq_topk(emb, queries, args.k, args.m, args.ks,
                         train_iters=args.train_iters)
@@ -424,6 +429,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="treat --text as one term; expand within this "
                         "Levenshtein distance (typo-tolerant search)")
     q.add_argument("--max-expansions", type=int, default=64)
+    q.add_argument("--in-order", action="store_true",
+                   help="with --near: picks must follow query token order")
+    q.add_argument("--rank-feature", type=int, metavar="PIVOT",
+                   help="add boost*x/(x+PIVOT) from the n_chars doc-value")
+    q.add_argument("--boost", type=float, default=2.0,
+                   help="rank-feature clause weight")
     q.add_argument("--near", type=int, metavar="WINDOW",
                    help="proximity: all terms within this token window "
                         "(needs --with-positions index)")
@@ -550,6 +561,8 @@ def main(argv: list[str] | None = None) -> None:
                     help="PQ centroids per subspace (pq/ivfpq)")
     an.add_argument("--train-iters", type=int, default=0,
                     help="Lloyd rounds for ivf/pq centroid training")
+    an.add_argument("--filter-label", type=int, default=None,
+                    help="ivf: metadata pre-filter on the label column")
     an.add_argument("--master")
     an.set_defaults(fn=cmd_ann)
 

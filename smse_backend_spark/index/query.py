@@ -2404,6 +2404,50 @@ class InvertedIndex:
             .limit(n)
         )
 
+    def rare_terms(
+        self,
+        max_doc_frac: float = 0.05,
+        k: int = 30,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``rare_terms`` from the DICTIONARY alone — no posting blob,
+        no corpus: df per term is already a dictionary column (summed
+        across langs when unfiltered). The long-tail twin of
+        :meth:`complete`'s cf ranking; equals
+        ``operators.aggregations.rare_terms`` over the same corpus.
+
+        Not time-travel-aware (the dictionary is as-of-latest; historical
+        df would need the pruned block metadata — refuse rather than
+        silently answer from the wrong snapshot)."""
+        if self.as_of is not None:
+            raise ValueError(
+                "rare_terms reads the as-of-latest dictionary — "
+                "time-travel rare_terms is not supported"
+            )
+        n, _ = self.corpus_stats(lang)
+        cut = int(math.ceil(float(max_doc_frac) * n))
+        out_schema = "term string, df long"
+        if self.meta.get("n_terms", 1 << 62) <= self.DICT_CACHE_MAX_TERMS:
+            self._ensure_dict_cache()
+            agg: dict[str, int] = {}
+            for (lg, t), df in self._dict_cache.items():
+                if lang is None or lg == lang:
+                    agg[t] = agg.get(t, 0) + int(df)
+            rows = sorted(
+                ((t, df) for t, df in agg.items() if df <= cut),
+                key=lambda kv: (kv[1], kv[0]),
+            )[:k]
+            return self.spark.createDataFrame(rows, out_schema)
+        d = self.spark.read.parquet(f"{self.path}/dictionary")
+        if lang is not None:
+            d = d.filter(F.col("lang") == lang)
+        return (
+            d.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+            .filter(F.col("df") <= cut)
+            .orderBy(F.asc("df"), F.asc("term"))
+            .limit(k)
+        )
+
     def bigram_counts(self, lang: str | None = None) -> DataFrame:
         """(a, b, n) adjacent-pair counts from the index's stored shingle
         model (``build_index(shingles=True)`` — the ES shingle-subfield

@@ -457,3 +457,133 @@ def search_percentiles_sql(
 SELECT count(*)::BIGINT AS n_docs, {qs}
 FROM {table} d JOIN m USING (doc_id)
 """
+
+def diversified_sample_facets(
+    corpus: DataFrame,
+    query_text: str,
+    dedup_field: str = "repo",
+    shard_size: int = 3,
+    facet: str = "lang",
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``diversified_sampler`` aggregation: cap the scored match set to
+    the best ``shard_size`` hits PER ``dedup_field`` value (score desc,
+    doc_id asc — the de-duplication that stops one dominant repo from
+    swamping a downstream agg), then run the sub-aggregation (a ``facet``
+    terms count) over the diversified sample. Returns
+    (``facet``, n) ordered (n desc, value asc).
+
+    Scale shape: the per-key cap is a bounded window over (doc_id, score,
+    key) — the match set, never the corpus text; the sub-agg input is
+    <= shard_size x |keys| rows by construction, so everything after the
+    cap is metadata-sized regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    from smse_backend_spark.operators.search import bm25_scored_scan
+
+    scored = bm25_scored_scan(corpus, query_text, lang).select("doc_id", "score")
+    attrs = corpus.select("doc_id", dedup_field, facet)
+    w = Window.partitionBy(dedup_field).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    sample = (
+        scored.join(attrs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(shard_size))
+    )
+    return (
+        sample.groupBy(facet)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc(facet))
+    )
+
+
+def diversified_sample_facets_sql(
+    query_text: str,
+    dedup_field: str = "source",
+    shard_size: int = 3,
+    facet: str = "lang",
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`diversified_sample_facets` (``dedup_field``
+    in the raw table's column names — ``source`` is the corpus ``repo``)."""
+    from smse_backend_spark.operators.search import _ALL_ROWS, bm25_scan_oracle_sql
+
+    scored = bm25_scan_oracle_sql(query_text, _ALL_ROWS, lang, table, content_col)
+    return f"""
+WITH scored AS ({scored}),
+ranked AS (
+  SELECT d.{facet} AS fv,
+         row_number() OVER (PARTITION BY d.{dedup_field}
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN {table} d USING (doc_id)
+)
+SELECT fv AS {facet}, count(*)::BIGINT AS n
+FROM ranked WHERE rn <= {int(shard_size)}
+GROUP BY fv
+ORDER BY n DESC, {facet} ASC
+"""
+
+
+def rare_terms(
+    corpus: DataFrame,
+    max_doc_frac: float = 0.05,
+    k: int = 30,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation: the LONG-TAIL complement of the terms
+    agg — vocabulary terms whose document frequency is at most
+    ``ceil(max_doc_frac * N)`` docs, ordered (df asc, term asc), capped.
+    The signal behind typo mining, index-bloat audits and stop-criteria
+    for fuzzy expansion. ES's knob is an absolute ``max_doc_count``; the
+    contract form is corpus-relative so "rare" means the same thing at
+    every scale factor (pass the absolute count as ``max_doc_frac = c/N``
+    when needed).
+
+    Scale shape: one distinct-(doc, term) aggregation (the index build's
+    shuffle unit) then a df filter — the output is vocabulary-bounded.
+    On a built index this is a DICTIONARY-ONLY read
+    (:meth:`InvertedIndex.rare_terms`): no postings, no corpus.
+    """
+    import math
+
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    cut = int(math.ceil(float(max_doc_frac) * corpus.count()))
+    return (
+        _doc_terms(corpus)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") <= cut)
+        .orderBy(F.asc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def rare_terms_sql(
+    max_doc_frac: float = 0.05,
+    k: int = 30,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`rare_terms` (same ceil(frac*N) cutoff)."""
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+cut AS (SELECT ceil({float(max_doc_frac)!r} * count(*))::BIGINT AS c FROM docs),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM docs
+)
+SELECT term, count(*)::BIGINT AS df
+FROM tok GROUP BY term
+HAVING count(*) <= (SELECT c FROM cut)
+ORDER BY df ASC, term ASC
+LIMIT {k}
+"""

@@ -243,3 +243,53 @@ def test_rank_feature_vs_duckdb(corpus, con):
     full = dict((r["doc_id"], r["score"])
                 for r in bm25_topk_scan(corpus, q, 1000).collect())
     assert all(full[d] < s <= full[d] + 2.0 + 1e-9 for d, s in got)
+
+
+def test_diversified_sample_facets_vs_duckdb(corpus, con):
+    from smse_backend_spark.operators.aggregations import (
+        diversified_sample_facets,
+        diversified_sample_facets_sql,
+    )
+
+    q = "hash join merge scan"
+    got = [tuple(r) for r in
+           diversified_sample_facets(corpus, q, "repo", 3, "lang").collect()]
+    want = [tuple(w) for w in con.execute(
+        diversified_sample_facets_sql(q, "source", 3, "lang")).fetchall()]
+    assert got == want and got
+    # the cap binds: no facet bucket can exceed shard_size * n_repos
+    n_repos = corpus.select("repo").distinct().count()
+    assert all(n <= 3 * n_repos for _v, n in got)
+    # and the diversified counts differ from the undiversified facet
+    # counts (some repo had > shard_size matches)
+    from smse_backend_spark.operators.search import bm25_scored_scan
+
+    full = bm25_scored_scan(corpus, q).select("doc_id") \
+        .join(corpus.select("doc_id", "lang"), "doc_id") \
+        .groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in full} != dict(got)
+
+
+def test_rare_terms_vs_duckdb_and_index(corpus, con, spark, tmp_path):
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+    from smse_backend_spark.operators.aggregations import (
+        rare_terms,
+        rare_terms_sql,
+    )
+
+    got = [tuple(r) for r in rare_terms(corpus, 0.05, 30).collect()]
+    want = [tuple(w) for w in con.execute(rare_terms_sql(0.05, 30)).fetchall()]
+    assert got == want and got
+    cut = -(-corpus.count() * 5 // 100)
+    assert all(df <= cut for _t, df in got)
+    # index path: dictionary-only read equals the scan
+    out = str(tmp_path / "rareidx")
+    build_index(spark, corpus, out, segment_size=256, n_buckets=4,
+                block_size=64, n_batches=1)
+    ix = InvertedIndex(spark, out)
+    assert [tuple(r) for r in ix.rare_terms(0.05, 30).collect()] == got
+    # big-vocabulary fallback path (cache disabled) agrees too
+    ix2 = InvertedIndex(spark, out)
+    ix2.meta["n_terms"] = ix2.DICT_CACHE_MAX_TERMS + 1
+    assert [tuple(r) for r in ix2.rare_terms(0.05, 30).collect()] == got
