@@ -16,6 +16,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from smse_backend_spark.corpus import load_corpus
 from smse_backend_spark.operators import aggregations as AG
+from smse_backend_spark.operators import querystring as QS
 from smse_backend_spark.operators.boolquery import (
     boolean_query_oracle_sql,
     boolean_query_topk,
@@ -91,6 +92,11 @@ FLAGSHIP_QUERY = "hash join merge scan"
 
 # boolean-DSL contract query: AND/OR composition with a MUST_NOT clause
 BOOL_QUERY = "hash AND (join OR merge) AND NOT window"
+
+# simple_query_string contract queries: phrase | grouped AND + prefix, and
+# an OR-default list with an attached must_not clause
+SQS_QUERY = '"table scan" | (hash + join) merg*'
+SQS_QUERY_OR = "hash window -join"
 
 # fixed query batch for the batch-kernel contract entry (one DataFrame job
 # scores them all; the oracle is the per-query scan SQL unioned)
@@ -950,6 +956,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same DSL evaluated from posting blocks alone (no corpus scan)
         "boolean_query_indexed": lambda spark, sf: _indexed(spark, sf)
         .boolean_topk(BOOL_QUERY, 10),
+        # ES simple_query_string: phrases, grouping, prefix, | and + ops
+        "simple_query_string": lambda spark, sf: QS.simple_query_string_topk(
+            load_corpus(spark, sf), SQS_QUERY, 10
+        ),
+        # OR-default clause list with an attached must_not (- clause)
+        "simple_query_string_or": lambda spark, sf:
+        QS.simple_query_string_topk(
+            load_corpus(spark, sf), SQS_QUERY_OR, 10,
+            default_operator="or",
+        ),
         # per-(doc,term) BM25 contribution rows for the top-k (explain())
         "score_explain": lambda spark, sf: _indexed(spark, sf)
         .explain_scores(FLAGSHIP_QUERY, 10),
@@ -1289,6 +1305,7 @@ _CHECK_FIRST = [
     "rank_feature", "rank_feature_indexed", "bm25_cross_fields",
     "ann_ivf_filtered", "textrank_keywords", "bm25_routed",
     "search_diversified", "rare_terms", "rare_terms_indexed",
+    "simple_query_string", "simple_query_string_or",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1511,6 +1528,12 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "repo_search": AG.repo_topk_sql(FLAGSHIP_QUERY, 10, "sum"),
         "boolean_query": boolean_query_oracle_sql(BOOL_QUERY, 10),
         "boolean_query_indexed": boolean_query_oracle_sql(BOOL_QUERY, 10),
+        "simple_query_string": QS.simple_query_string_oracle_sql(
+            SQS_QUERY, 10
+        ),
+        "simple_query_string_or": QS.simple_query_string_oracle_sql(
+            SQS_QUERY_OR, 10, default_operator="or"
+        ),
         "score_explain": explain_scores_oracle_sql(FLAGSHIP_QUERY, 10),
         "search_highlight": highlight_snippets_oracle_sql(
             FLAGSHIP_QUERY, 10, window=3
