@@ -927,6 +927,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same from the index dictionary alone (no postings/corpus)
         "rare_terms_indexed": lambda spark, sf: _indexed(spark, sf)
         .rare_terms(0.05, 30),
+        # compound-key terms agg: buckets keyed by (lang, repo) pairs
+        "multi_terms": lambda spark, sf: AG.multi_terms(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, ("lang", "repo"), 10
+        ),
+        # named-filter co-occurrence matrix (ES adjacency_matrix)
+        "adjacency_matrix": lambda spark, sf: AG.adjacency_matrix(
+            load_corpus(spark, sf),
+            {"h": "hash", "j": "join", "w": "window"},
+        ),
+        # two-field moment matrix over the match set (ES matrix_stats)
+        "matrix_stats": lambda spark, sf: AG.matrix_stats(
+            load_corpus(spark, sf), FLAGSHIP_QUERY
+        ),
         "significant_terms": lambda spark, sf: AG.significant_terms(
             load_corpus(spark, sf), FLAGSHIP_QUERY, 15
         ),
@@ -1306,6 +1319,7 @@ _CHECK_FIRST = [
     "ann_ivf_filtered", "textrank_keywords", "bm25_routed",
     "search_diversified", "rare_terms", "rare_terms_indexed",
     "simple_query_string", "simple_query_string_or",
+    "multi_terms", "adjacency_matrix", "matrix_stats",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1520,6 +1534,13 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         ),
         "rare_terms": AG.rare_terms_sql(0.05, 30),
         "rare_terms_indexed": AG.rare_terms_sql(0.05, 30),
+        "multi_terms": AG.multi_terms_sql(
+            FLAGSHIP_QUERY, ("lang", "source"), ("lang", "repo"), 10
+        ),
+        "adjacency_matrix": AG.adjacency_matrix_sql(
+            {"h": "hash", "j": "join", "w": "window"}
+        ),
+        "matrix_stats": AG.matrix_stats_sql(FLAGSHIP_QUERY),
         "significant_terms": AG.significant_terms_sql(FLAGSHIP_QUERY, 15),
         "percolate": AG.percolate_sql(PERCOLATE_QUERIES, 200),
         "streamed_percolate": AG.percolate_sql(PERCOLATE_QUERIES, 200),

@@ -18,7 +18,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from smse_backend_spark.functions.tokenizer import tokenize_col, tokenize_duckdb_sql
+from smse_backend_spark.functions.tokenizer import (
+    doc_len_col,
+    tokenize_col,
+    tokenize_duckdb_sql,
+)
 from smse_backend_spark.operators.search import query_terms
 
 
@@ -586,4 +590,259 @@ FROM tok GROUP BY term
 HAVING count(*) <= (SELECT c FROM cut)
 ORDER BY df ASC, term ASC
 LIMIT {k}
+"""
+
+
+def _match_flag_col(terms: list[str]):
+    """Boolean Column: doc's token array overlaps the analyzed terms."""
+    return F.arrays_overlap(
+        tokenize_col("content"), F.array(*[F.lit(t) for t in terms])
+    )
+
+
+def multi_terms(
+    corpus: DataFrame,
+    query_text: str,
+    fields: tuple[str, str] = ("lang", "repo"),
+    k: int = 10,
+) -> DataFrame:
+    """ES ``multi_terms`` aggregation: buckets keyed by a COMPOUND key
+    (here two doc-values) over the query's OR match set, ordered by
+    doc_count desc then key asc, top-k. The compound-key twin of the
+    plain terms agg — what "facet by (lang, repo) pairs" actually needs
+    (a nested terms agg would rank each level independently).
+
+    Scale shape: the match flag is per-row Column algebra on the scan
+    (no explode); the groupBy shuffles only (key fields, 1) pairs with
+    map-side partial counts; top-k is a ``TakeOrderedAndProject``.
+    """
+    terms = query_terms(query_text)
+    if not terms:
+        return corpus.select(
+            *[F.col(f) for f in fields],
+            F.lit(0).cast("long").alias("n_docs"),
+        ).limit(0)
+    return (
+        corpus.filter(_match_flag_col(terms))
+        .groupBy(*fields)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), *[F.asc(f) for f in fields])
+        .limit(k)
+    )
+
+
+def multi_terms_sql(
+    query_text: str,
+    fields: tuple[str, str] = ("lang", "source"),
+    out_fields: tuple[str, str] = ("lang", "repo"),
+    k: int = 10,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`multi_terms` (raw-table column names in
+    ``fields``, engine names in ``out_fields``)."""
+    sel = ", ".join(
+        f"d.{f} AS {o}" for f, o in zip(fields, out_fields)
+    )
+    order = ", ".join(f"{o} ASC" for o in out_fields)
+    return f"""{_match_set_cte(query_text, lang, table, content_col)}
+SELECT {sel}, count(*)::BIGINT AS n_docs
+FROM {table} d JOIN m USING (doc_id)
+GROUP BY {", ".join(out_fields)}
+ORDER BY n_docs DESC, {order}
+LIMIT {int(k)}
+"""
+
+
+def adjacency_matrix(
+    corpus: DataFrame,
+    filters: dict[str, str],
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: named term filters; one bucket
+    per filter and per pairwise intersection (key ``a&b`` with names in
+    ascending order, exactly ES's key format), zero-count buckets dropped,
+    ordered by key. The co-occurrence matrix behind "users who matched A
+    also matched B" dashboards.
+
+    Scale shape: ONE corpus scan computes every filter's boolean as
+    Column algebra; a single aggregate row sums all |F| + C(|F|,2)
+    indicator products (map-side partials, one row crosses the wire);
+    the bucket rows are unpivoted from that row driver-free via
+    ``stack``. Nothing corpus-sized shuffles.
+    """
+    names = sorted(filters)
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    flags = corpus.select(
+        *[
+            _match_flag_col(query_terms(filters[nm]))
+            .cast("long")
+            .alias(f"f_{i}")
+            for i, nm in enumerate(names)
+        ]
+    )
+    aggs = []
+    keys = []
+    for i, nm in enumerate(names):
+        aggs.append(F.sum(F.col(f"f_{i}")).alias(f"c{len(keys)}"))
+        keys.append(nm)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            aggs.append(
+                F.sum(F.col(f"f_{i}") * F.col(f"f_{j}")).alias(f"c{len(keys)}")
+            )
+            keys.append(f"{names[i]}&{names[j]}")
+    row = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{k}', c{i}" for i, k in enumerate(keys)
+    )
+    return (
+        row.selectExpr(
+            f"stack({len(keys)}, {stack_args}) AS (key, doc_count)"
+        )
+        .filter(F.col("doc_count") > 0)
+        .select("key", F.col("doc_count").cast("long").alias("doc_count"))
+        .orderBy(F.asc("key"))
+    )
+
+
+def adjacency_matrix_sql(
+    filters: dict[str, str],
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`adjacency_matrix` — same one-row aggregate,
+    same key naming, unpivoted via UNION ALL."""
+    names = sorted(filters)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+
+    def _overlap(q: str) -> str:
+        in_list = ", ".join(
+            "'" + t.replace("'", "''") + "'" for t in query_terms(q)
+        )
+        return f"(len(list_filter(toks, x -> x IN ({in_list}))) > 0)::BIGINT"
+
+    flag_cols = ",\n         ".join(
+        f"{_overlap(filters[nm])} AS f_{i}" for i, nm in enumerate(names)
+    )
+    sums = []
+    keys = []
+    for i, nm in enumerate(names):
+        sums.append(f"sum(f_{i})::BIGINT AS c{len(keys)}")
+        keys.append(nm)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            sums.append(f"sum(f_{i} * f_{j})::BIGINT AS c{len(keys)}")
+            keys.append(f"{names[i]}&{names[j]}")
+    unpivot = "\nUNION ALL\n".join(
+        f"SELECT '{k}' AS key, c{i} AS doc_count FROM agg"
+        for i, k in enumerate(keys)
+    )
+    return f"""
+WITH docs AS (
+  SELECT {toks} AS toks FROM {table} {where_lang}
+),
+flags AS (
+  SELECT {flag_cols} FROM docs
+),
+agg AS (
+  SELECT {", ".join(sums)} FROM flags
+)
+SELECT key, doc_count FROM ({unpivot})
+WHERE doc_count > 0
+ORDER BY key ASC
+"""
+
+
+def matrix_stats(
+    corpus: DataFrame,
+    query_text: str,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``matrix_stats`` aggregation over two numeric doc-values —
+    here x = n_chars (stored length) and y = token count — computed on
+    the query's OR match set: count, means, population variances,
+    covariance and Pearson correlation.
+
+    Determinism: the five moment sums (Σx, Σy, Σx², Σy², Σxy) are EXACT
+    integer aggregates; every derived stat is the identical double
+    formula over those integers on both engines, then 6 dp rounded. On a
+    real 10^12-row cluster the squared sums need a 128-bit accumulator
+    (Spark: sum of DECIMAL(38,0)) — at contract scales int64 has > 6
+    orders of headroom, so the cheaper long sum is used.
+
+    Scale shape: per-row flag + two int columns on the scan, one
+    aggregate row out — map-side partials, constant network traffic.
+    """
+    terms = query_terms(query_text)
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    x = F.length(F.col("content")).cast("long")
+    y = doc_len_col("content").cast("long")
+    m = corpus.filter(_match_flag_col(terms)).select(
+        x.alias("x"), y.alias("y")
+    )
+    row = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = (sxx - sx * sx / n) / n
+    var_y = (syy - sy * sy / n) / n
+    cov = (sxy - sx * sy / n) / n
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    return row.select(
+        F.col("n"),
+        r6(sx / n).alias("mean_x"),
+        r6(sy / n).alias("mean_y"),
+        r6(var_x).alias("var_x"),
+        r6(var_y).alias("var_y"),
+        r6(cov).alias("cov_xy"),
+        r6(cov / F.sqrt(var_x * var_y)).alias("corr_xy"),
+    )
+
+
+def matrix_stats_sql(
+    query_text: str,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`matrix_stats` — identical integer moment
+    sums and double formulas."""
+    return f"""{_match_set_cte(query_text, lang, table, content_col)},
+xy AS (
+  SELECT length(d.{content_col})::BIGINT AS x,
+         len({tokenize_duckdb_sql("d." + content_col)})::BIGINT AS y
+  FROM {table} d JOIN m USING (doc_id)
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+         sum(x * y)::BIGINT AS sxy
+  FROM xy
+)
+SELECT n,
+       round(sx::DOUBLE / n, 6) AS mean_x,
+       round(sy::DOUBLE / n, 6) AS mean_y,
+       round((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / n, 6) AS var_x,
+       round((syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n) / n, 6) AS var_y,
+       round((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n) / n, 6) AS cov_xy,
+       round(((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n) / n)
+             / sqrt(((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / n)
+                    * ((syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n) / n)),
+             6) AS corr_xy
+FROM agg
 """

@@ -293,3 +293,58 @@ def test_rare_terms_vs_duckdb_and_index(corpus, con, spark, tmp_path):
     ix2 = InvertedIndex(spark, out)
     ix2.meta["n_terms"] = ix2.DICT_CACHE_MAX_TERMS + 1
     assert [tuple(r) for r in ix2.rare_terms(0.05, 30).collect()] == got
+
+
+def test_multi_terms_vs_duckdb(corpus, con):
+    from smse_backend_spark.operators.aggregations import (
+        multi_terms,
+        multi_terms_sql,
+    )
+
+    q = "hash join merge scan"
+    got = [tuple(r) for r in
+           multi_terms(corpus, q, ("lang", "repo"), 10).collect()]
+    want = [tuple(w) for w in con.execute(
+        multi_terms_sql(q, ("lang", "source"), ("lang", "repo"), 10)
+    ).fetchall()]
+    assert got == want and got
+    # compound keys are unique and counts are descending
+    assert len({(l, r) for l, r, _n in got}) == len(got)
+    assert [n for *_k, n in got] == sorted(
+        (n for *_k, n in got), reverse=True)
+
+
+def test_adjacency_matrix_vs_duckdb(corpus, con):
+    from smse_backend_spark.operators.aggregations import (
+        adjacency_matrix,
+        adjacency_matrix_sql,
+    )
+
+    filters = {"h": "hash", "j": "join", "zz": "nonexistentterm"}
+    got = [tuple(r) for r in adjacency_matrix(corpus, filters).collect()]
+    want = [tuple(w) for w in
+            con.execute(adjacency_matrix_sql(filters)).fetchall()]
+    assert got == want and got
+    d = dict(got)
+    # ES invariants: intersection <= each side; empty filter drops out
+    assert d["h&j"] <= min(d["h"], d["j"])
+    assert "zz" not in d and "j&zz" not in d and "h&zz" not in d
+
+
+def test_matrix_stats_vs_duckdb(corpus, con):
+    import math
+
+    from smse_backend_spark.operators.aggregations import (
+        matrix_stats,
+        matrix_stats_sql,
+    )
+
+    q = "hash join"
+    got = [tuple(r) for r in matrix_stats(corpus, q).collect()]
+    want = [tuple(w) for w in con.execute(matrix_stats_sql(q)).fetchall()]
+    assert got == want and len(got) == 1
+    n, mx, my, vx, vy, cov, corr = got[0]
+    assert n > 0 and vx > 0 and vy > 0
+    # chars per token is ~bounded, so x and y are strongly correlated
+    assert 0.5 < corr <= 1.0
+    assert abs(corr - cov / math.sqrt(vx * vy)) < 1e-5
