@@ -36,10 +36,16 @@ from smse_backend_spark.operators.search import (
     dis_max_oracle_sql,
     facet_top_hits,
     facet_top_hits_oracle_sql,
+    distance_feature_oracle_sql,
+    distance_feature_topk,
     function_score_oracle_sql,
     function_score_topk,
+    pinned_oracle_sql,
+    pinned_topk,
     rank_feature_oracle_sql,
     rank_feature_topk,
+    terms_set_oracle_sql,
+    terms_set_topk,
     search_after_oracle_sql,
     sort_by_field_oracle_sql,
     sort_by_field_topk,
@@ -958,6 +964,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_feature": lambda spark, sf: rank_feature_topk(
             load_corpus(spark, sf), FLAGSHIP_QUERY, 120, 2.0, 10
         ),
+        # distance_feature: additive proximity boost toward an origin
+        "distance_feature": lambda spark, sf: distance_feature_topk(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, 200, 50, 2.0, 10
+        ),
+        # pinned query: editorial promotions lead, organic BM25 follows
+        "search_pinned": lambda spark, sf: pinned_topk(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, [7, 3], 10
+        ),
+        # terms_set: per-doc minimum_should_match from a doc-value field
+        "terms_set": lambda spark, sf: terms_set_topk(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, 150, 10
+        ),
         # has_child: repos ranked by summed relevance of matching docs
         "repo_search": lambda spark, sf: AG.repo_topk(
             load_corpus(spark, sf), FLAGSHIP_QUERY, 10, "sum"
@@ -1320,6 +1338,7 @@ _CHECK_FIRST = [
     "search_diversified", "rare_terms", "rare_terms_indexed",
     "simple_query_string", "simple_query_string_or",
     "multi_terms", "adjacency_matrix", "matrix_stats",
+    "distance_feature", "search_pinned", "terms_set",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1546,6 +1565,11 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "streamed_percolate": AG.percolate_sql(PERCOLATE_QUERIES, 200),
         "function_score": function_score_oracle_sql(FLAGSHIP_QUERY, 140, 80, 10),
         "rank_feature": rank_feature_oracle_sql(FLAGSHIP_QUERY, 120, 2.0, 10),
+        "distance_feature": distance_feature_oracle_sql(
+            FLAGSHIP_QUERY, 200, 50, 2.0, 10
+        ),
+        "search_pinned": pinned_oracle_sql(FLAGSHIP_QUERY, [7, 3], 10),
+        "terms_set": terms_set_oracle_sql(FLAGSHIP_QUERY, 150, 10),
         "repo_search": AG.repo_topk_sql(FLAGSHIP_QUERY, 10, "sum"),
         "boolean_query": boolean_query_oracle_sql(BOOL_QUERY, 10),
         "boolean_query_indexed": boolean_query_oracle_sql(BOOL_QUERY, 10),

@@ -864,6 +864,7 @@ def bm25_scan_oracle_sql(
     min_match: int | None = None,
     stem: bool = False,
     synonyms: dict[str, str] | None = None,
+    with_nmatch: bool = False,
 ) -> str:
     """DuckDB SQL computing the identical result (same tokenizer, same math).
 
@@ -918,7 +919,8 @@ tf AS (
 dfq AS (
   SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
 )
-SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score
+SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score{
+    ", count(*)::BIGINT AS nmatch" if with_nmatch else ""}
 FROM tf JOIN dfq USING (term) CROSS JOIN stats
 {f"WHERE {exclude_where}" if exclude_where else ""}
 GROUP BY tf.doc_id
@@ -2279,4 +2281,214 @@ FROM tf JOIN dfq USING (term) CROSS JOIN stats
 GROUP BY tf.doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
+"""
+
+
+def pinned_topk(
+    corpus: DataFrame,
+    query_text: str,
+    pinned_ids: list[int],
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``pinned`` query: editorially promoted docs rank first, in the
+    given order, ahead of the organic BM25 results — the merchandising /
+    "official docs first" primitive. Pinned docs appear whether or not
+    they match the text query (ES semantics), but only if they exist in
+    the (lang-filtered) corpus; organic results exclude them.
+
+    Scores follow ES's trick of synthetic descending sentinels for the
+    pinned block: 1e9 - position (ES uses 1.7014122e38 - rank; any value
+    above every possible BM25 score works and keeps (score desc, doc_id)
+    a total order).
+
+    Scale shape: the pinned list is a broadcast literal frame joined
+    against the column-pruned doc_id projection (existence check); the
+    organic side is the standard scan minus an isin filter. One union,
+    one TakeOrderedAndProject.
+    """
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    spark = corpus.sparkSession
+    pinned_df = spark.createDataFrame(
+        [(int(d), 1e9 - i) for i, d in enumerate(pinned_ids)],
+        "doc_id long, score double",
+    )
+    present = corpus.select("doc_id").join(F.broadcast(pinned_df), "doc_id")
+    organic = (
+        bm25_scored_scan(corpus, query_text)
+        .filter(~F.col("doc_id").isin([int(d) for d in pinned_ids]))
+        .select("doc_id", "score")
+    )
+    return (
+        present.select("doc_id", "score")
+        .unionByName(organic)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def pinned_oracle_sql(
+    query_text: str,
+    pinned_ids: list[int],
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`pinned_topk` (same sentinel scores)."""
+    ids = ", ".join(str(int(d)) for d in pinned_ids)
+    vals = ", ".join(
+        f"({int(d)}, {1e9 - i!r})" for i, d in enumerate(pinned_ids)
+    )
+    where_lang = f"AND d.lang = '{lang}'" if lang is not None else ""
+    scored = bm25_scan_oracle_sql(
+        query_text, _ALL_ROWS, lang, table, content_col,
+        exclude_where=f"tf.doc_id NOT IN ({ids})",
+    )
+    return f"""
+WITH organic AS ({scored}),
+pinned AS (
+  SELECT v.doc_id, v.score
+  FROM (VALUES {vals}) v(doc_id, score)
+  JOIN {table} d ON d.doc_id = v.doc_id {where_lang}
+)
+SELECT doc_id, score FROM (
+  SELECT doc_id, score FROM pinned
+  UNION ALL
+  SELECT doc_id, score FROM organic
+)
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
+def distance_feature_topk(
+    corpus: DataFrame,
+    query_text: str,
+    origin: int = 200,
+    pivot: int = 50,
+    boost: float = 2.0,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``distance_feature`` query: an ADDITIVE proximity boost toward
+    an origin on a numeric doc-value (recency / geo stand-in: content
+    length):
+
+        dist  = |x - origin|
+        final = floor((bm25 + boost * pivot / (pivot + dist)) * 1e6
+                      + 0.5) / 1e6
+
+    The additive cousin of ``function_score``'s multiplicative decay and
+    of ``rank_feature``'s saturation — a doc at the origin gains the full
+    ``boost``, one ``pivot`` away gains ``boost/2``. x, origin, pivot are
+    integers, so the feature is one double division (exact cross-engine).
+
+    Scale shape: identical to :func:`rank_feature_topk` — a column-pruned
+    (doc_id, x) join against the match set, blend before the top-k cut.
+    """
+    scored = bm25_scored_scan(corpus, query_text, lang).select("doc_id", "score")
+    vals = corpus.select("doc_id", F.length("content").cast("long").alias("x"))
+    dist = F.abs(F.col("x") - F.lit(int(origin)))
+    feat = F.lit(float(boost)) * (
+        F.lit(int(pivot)).cast("double") / (F.lit(int(pivot)) + dist).cast("double")
+    )
+    blended = F.col("score") + feat
+    return (
+        scored.join(vals, "doc_id")
+        .select(
+            "doc_id",
+            (F.floor(blended * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def distance_feature_oracle_sql(
+    query_text: str,
+    origin: int = 200,
+    pivot: int = 50,
+    boost: float = 2.0,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`distance_feature_topk`."""
+    scored = bm25_scan_oracle_sql(query_text, _ALL_ROWS, lang, table, content_col)
+    return f"""
+WITH scored AS ({scored})
+SELECT s.doc_id AS doc_id,
+       floor((s.score + {float(boost)!r} *
+              ({int(pivot)}::DOUBLE
+               / ({int(pivot)} + abs(length(d.{content_col}) - {int(origin)}))::DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS score
+FROM scored s JOIN {table} d USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
+def terms_set_topk(
+    corpus: DataFrame,
+    query_text: str,
+    chars_per_required: int = 150,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``terms_set`` query: a doc matches when it contains at least
+    ``required(doc)`` of the query terms, where the requirement comes
+    from a PER-DOC numeric field (ES ``minimum_should_match_field``) —
+    unlike ``minimum_should_match``, which is one global constant. Here
+    the field is derived from the stored length doc-value:
+
+        required(doc) = least(|terms|, 1 + n_chars // chars_per_required)
+
+    (longer docs must match more terms — the anti-keyword-stuffing use
+    ES documents). Scoring is the standard BM25 sum of matched terms.
+
+    Scale shape: ``bm25_scored_scan`` already carries nmatch; the
+    requirement is a column-pruned (doc_id, x) join + one integer
+    compare — no new aggregation.
+    """
+    n_terms = len(query_terms(query_text))
+    scored = bm25_scored_scan(corpus, query_text, lang)
+    vals = corpus.select("doc_id", F.length("content").cast("long").alias("x"))
+    required = F.least(
+        F.lit(n_terms).cast("long"),
+        F.lit(1) + (F.col("x") / F.lit(int(chars_per_required))).cast("long"),
+    )
+    return (
+        scored.join(vals, "doc_id")
+        .filter(F.col("nmatch") >= required)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def terms_set_oracle_sql(
+    query_text: str,
+    chars_per_required: int = 150,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`terms_set_topk` (same floor division — Spark
+    long division truncates, so the SQL uses // semantics via floor)."""
+    n_terms = len(query_terms(query_text))
+    scored = bm25_scan_oracle_sql(
+        query_text, _ALL_ROWS, lang, table, content_col, with_nmatch=True
+    )
+    return f"""
+WITH scored AS ({scored})
+SELECT s.doc_id AS doc_id, s.score AS score
+FROM scored s JOIN {table} d USING (doc_id)
+WHERE s.nmatch >= least({n_terms},
+                        1 + length(d.{content_col}) // {int(chars_per_required)})
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
 """

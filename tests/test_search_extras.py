@@ -348,3 +348,65 @@ def test_matrix_stats_vs_duckdb(corpus, con):
     # chars per token is ~bounded, so x and y are strongly correlated
     assert 0.5 < corr <= 1.0
     assert abs(corr - cov / math.sqrt(vx * vy)) < 1e-5
+
+
+def test_pinned_vs_duckdb(corpus, con):
+    from smse_backend_spark.operators.search import (
+        pinned_oracle_sql,
+        pinned_topk,
+    )
+
+    q = "hash join"
+    pins = [7, 3, 999999999]  # last one doesn't exist -> dropped
+    got = [tuple(r) for r in pinned_topk(corpus, q, pins, 10).collect()]
+    want = [tuple(w) for w in
+            con.execute(pinned_oracle_sql(q, pins, 10)).fetchall()]
+    assert got == want and got
+    # pinned docs lead in list order; organic follow by BM25
+    assert [d for d, _s in got[:2]] == [7, 3]
+    assert all(s < 1e8 for _d, s in got[2:])
+    # organic block never repeats a pinned doc
+    assert not {7, 3} & {d for d, _s in got[2:]}
+
+
+def test_distance_feature_vs_duckdb(corpus, con):
+    from smse_backend_spark.operators.search import (
+        bm25_topk_scan,
+        distance_feature_oracle_sql,
+        distance_feature_topk,
+    )
+
+    q = "hash join"
+    got = [tuple(r) for r in
+           distance_feature_topk(corpus, q, 200, 50, 2.0, 10).collect()]
+    want = [tuple(w) for w in con.execute(
+        distance_feature_oracle_sql(q, 200, 50, 2.0, 10)).fetchall()]
+    assert got == want and got
+    # additive and bounded: base < final <= base + boost
+    full = dict((r["doc_id"], r["score"])
+                for r in bm25_topk_scan(corpus, q, 1000).collect())
+    assert all(full[d] < s <= full[d] + 2.0 + 1e-9 for d, s in got)
+
+
+def test_terms_set_vs_duckdb(corpus, con):
+    from smse_backend_spark.operators.search import (
+        terms_set_oracle_sql,
+        terms_set_topk,
+    )
+
+    q = "hash join merge scan"
+    got = [tuple(r) for r in
+           terms_set_topk(corpus, q, 150, 1000).collect()]
+    want = [tuple(w) for w in
+            con.execute(terms_set_oracle_sql(q, 150, 1000)).fetchall()]
+    assert got == want and got
+    # stricter than OR (some doc fails its per-doc requirement), looser
+    # than pure AND (some short doc matches with < all terms)
+    from smse_backend_spark.operators.search import bm25_topk_scan
+
+    or_set = {r["doc_id"] for r in bm25_topk_scan(corpus, q, 10**6).collect()}
+    and_set = {r["doc_id"] for r in
+               bm25_topk_scan(corpus, q, 10**6, min_match=4).collect()}
+    ts_set = {d for d, _s in got}
+    assert and_set <= ts_set <= or_set
+    assert ts_set != or_set
