@@ -44,6 +44,8 @@ from smse_backend_spark.operators.search import (
     pinned_topk,
     rank_feature_oracle_sql,
     rank_feature_topk,
+    match_bool_prefix_oracle_sql,
+    span_first_oracle_sql,
     terms_set_oracle_sql,
     terms_set_topk,
     search_after_oracle_sql,
@@ -797,6 +799,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact phrase search over the positional index
         "bm25_phrase": lambda spark, sf: _pos_indexed(spark, sf)
         .phrase_topk("table scan", 10),
+        # Lucene WildcardQuery: * and ? compiled onto the regex path
+        "bm25_wildcard": lambda spark, sf: _indexed(spark, sf)
+        .bm25_topk_wildcard("m?rg*", 10),
+        # ES match_bool_prefix: leading terms OR'd, last token expanded —
+        # no adjacency (the unordered search-as-you-type query)
+        "bm25_bool_prefix": lambda spark, sf: _indexed(spark, sf)
+        .bm25_topk_bool_prefix("hash jo", 10, max_expansions=16),
+        # Lucene SpanFirstQuery: term within the first N token positions
+        "span_first": lambda spark, sf: _pos_indexed(spark, sf)
+        .span_first_topk("table", 5, 10),
         # ES match_phrase_prefix (search-as-you-type): last token expanded
         # from the dictionary, blended window frequency, one idf
         "bm25_phrase_prefix": lambda spark, sf: _pos_indexed(spark, sf)
@@ -1339,6 +1351,7 @@ _CHECK_FIRST = [
     "simple_query_string", "simple_query_string_or",
     "multi_terms", "adjacency_matrix", "matrix_stats",
     "distance_feature", "search_pinned", "terms_set",
+    "bm25_wildcard", "bm25_bool_prefix", "span_first",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1383,6 +1396,7 @@ _CHECK_FIRST = [
 
 def oracle_sql() -> dict[str, str]:
     from smse_backend_spark.functions import text_quality as Q
+    from smse_backend_spark.index.query import wildcard_to_regex
     from smse_backend_spark.operators import dedup as D
     from smse_backend_spark.operators import history as H
     from smse_backend_spark.operators import hybrid as HY
@@ -1484,6 +1498,13 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25_prefix": bm25_prefix_oracle_sql("wi", 10, max_expansions=16),
         "bm25_fuzzy": bm25_fuzzy_oracle_sql("dat", 2, 10),
         "bm25_phrase": bm25_phrase_oracle_sql("table scan", 10),
+        "bm25_wildcard": bm25_regex_oracle_sql(
+            wildcard_to_regex("m?rg*"), 10
+        ),
+        "bm25_bool_prefix": match_bool_prefix_oracle_sql(
+            "hash jo", 10, max_expansions=16
+        ),
+        "span_first": span_first_oracle_sql("table", 5, 10),
         "bm25_phrase_prefix": phrase_prefix_oracle_sql("hash jo", 10),
         "bm25_boosting": boosting_oracle_sql(FLAGSHIP_QUERY, ["window"], 0.5),
         "bm25_must_not": bm25_scan_oracle_sql(

@@ -370,6 +370,44 @@ def _make_near_matcher(
     return kernel
 
 
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene wildcard syntax -> anchored-regex subset: ``*`` = ``.*``,
+    ``?`` = ``.``, everything else literal (escaped). The output stays
+    RE2-compatible, so Python ``re``, JVM ``rlike`` and DuckDB
+    ``regexp_full_match`` all agree on it."""
+    import re as _re
+
+    return "".join(
+        ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+        for c in pattern
+    )
+
+
+def _make_span_first_matcher(term: str, end: int, tomb_b=None):
+    """mapInPandas kernel: positional blocks for ONE term -> (doc_id,
+    stf, dl) where stf counts occurrences at token offset < ``end``
+    (Lucene SpanFirstQuery); docs with no qualifying occurrence never
+    leave the kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grouped, dl_of = _decode_positional_rows(batches, tomb_b)
+        out = {"doc_id": [], "stf": [], "dl": []}
+        if grouped is not None:
+            for (doc, t), pos in grouped.items():
+                if t != term:
+                    continue
+                stf = int((pos < end).sum())
+                if stf > 0:
+                    out["doc_id"].append(doc)
+                    out["stf"].append(stf)
+                    out["dl"].append(dl_of[doc])
+        yield pd.DataFrame(out).astype(
+            {"doc_id": "int64", "stf": "int64", "dl": "int64"}
+        )
+
+    return kernel
+
+
 def _tf_norm(tf_col, dl_col, avgdl: float):
     d = tf_col.cast("double")
     return d * (K1 + 1.0) / (d + K1 * (1.0 - B + B * dl_col.cast("double") / avgdl))
@@ -977,6 +1015,105 @@ class InvertedIndex:
         return self._topk_for_terms(
             self.expand_regex(pattern, lang, max_expansions), k, lang, mode
         )
+
+    def bm25_topk_wildcard(
+        self,
+        pattern: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+        max_expansions: int = 64,
+        mode: str = "auto",
+    ) -> DataFrame:
+        """Lucene WildcardQuery: ``*`` = any run, ``?`` = one char —
+        compiled to the anchored-regex subset and expanded against the
+        dictionary with the same (df desc, term asc, capped) discipline
+        as every other multi-term rewrite. Everything after translation
+        IS the regex path, so the wildcard family inherits its plan
+        shape (dictionary walk only, posting blobs untouched until the
+        final OR scoring) and its DuckDB oracle."""
+        return self.bm25_topk_regex(
+            wildcard_to_regex(pattern), k, lang, max_expansions, mode
+        )
+
+    def bm25_topk_bool_prefix(
+        self,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+        max_expansions: int = 16,
+        mode: str = "auto",
+    ) -> DataFrame:
+        """ES ``match_bool_prefix`` (the query behind search-as-you-type
+        boxes when term ORDER doesn't matter): every token but the last
+        is a normal OR term; the LAST token is a prefix whose dictionary
+        expansions join the OR — unlike ``phrase_prefix_topk`` there is
+        no adjacency requirement, so a half-typed word still matches
+        docs using the words far apart. Scoring: plain BM25 sum, each
+        term (fixed or expanded) with its own idf."""
+        seq = self._analyze_seq(query_text)
+        if not seq:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        expansions = self.expand_prefix(seq[-1], lang, max_expansions)
+        terms = sorted(set(seq[:-1]) | set(expansions))
+        return self._topk_for_terms(terms, k, lang, mode)
+
+    def span_first_topk(
+        self,
+        term_text: str,
+        end: int,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Lucene SpanFirstQuery over a single term: the term must occur
+        within the first ``end`` token positions (titles, shebang lines,
+        license headers — where leading occurrence means aboutness).
+        Scored like the other span queries: tf = the number of qualifying
+        (position < end) occurrences, df = docs with >= 1 such span
+        driving a single idf, BM25 normalization against the FULL doc
+        length. Requires ``build_index(with_positions=True)``.
+
+        Plan shape: the phrase kernel's partition-pruned positional block
+        scan for ONE term — decode, count positions below the boundary,
+        emit only qualifying (doc_id, stf, dl) rows; the tiny match set
+        is cached for the df count exactly like :meth:`_phrase_scored`.
+        """
+        if not self.meta["config"].get("with_positions"):
+            raise ValueError(
+                "span_first requires an index built with with_positions=True"
+            )
+        toks = self._analyze(term_text)
+        if len(toks) != 1:
+            raise ValueError(
+                f"span_first takes exactly one term, got {toks!r}"
+            )
+        t = toks[0]
+        n, avgdl = self.corpus_stats(lang)
+        if not n:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        if t not in self.term_df([t], lang):
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        blocks = self._blocks([t], lang).select(
+            "segment", "term", "first_doc", "gaps", "tfs", "dls", "poss"
+        )
+        self._load_tombs()
+        matches = blocks.mapInPandas(
+            _make_span_first_matcher(t, int(end), self._tomb_bcast),
+            "doc_id long, stf long, dl long",
+        )
+        if self._tomb_df is not None:
+            matches = matches.join(self._tomb_df, "doc_id", "left_anti")
+        matches = matches.cache()
+        df_sf = matches.count()
+        if df_sf == 0:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        idf = math.log(1.0 + (n - df_sf + 0.5) / (df_sf + 0.5))
+        scored = matches.select(
+            "doc_id",
+            F.round(
+                F.lit(idf) * _tf_norm(F.col("stf"), F.col("dl"), avgdl), 6
+            ).alias("score"),
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def bm25_topk_msm(
         self,

@@ -2492,3 +2492,116 @@ WHERE s.nmatch >= least({n_terms},
 ORDER BY score DESC, doc_id ASC
 LIMIT {int(k)}
 """
+
+
+def match_bool_prefix_oracle_sql(
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    max_expansions: int = 16,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.bm25_topk_bool_prefix``: the last
+    analyzed token's expansion set (starts_with, df desc / term asc,
+    capped — identical to the dictionary by construction) UNIONed with
+    the fixed leading terms, scored as a plain BM25 OR."""
+    seq = tokenize_py(query_text)
+    if not seq:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    fixed, last = seq[:-1], seq[-1]
+    esc = last.replace("'", "''")
+    fixed_sel = (
+        "SELECT unnest(["
+        + ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(fixed)))
+        + "]) AS term"
+        if fixed
+        else "SELECT term FROM (VALUES ('')) v(term) WHERE false"
+    )
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+exp AS (
+  SELECT term FROM (
+    SELECT term, count(DISTINCT doc_id) AS df
+    FROM tok WHERE starts_with(term, '{esc}') GROUP BY term
+  ) ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}
+),
+qterms AS (
+  SELECT term FROM exp UNION {fixed_sel}
+),
+tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok JOIN qterms USING (term)
+  GROUP BY doc_id, doc_len, term
+),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
+def span_first_oracle_sql(
+    term_text: str,
+    end: int,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.span_first_topk``: span tf counted
+    over the first ``end`` tokens, span df drives a single idf, BM25
+    normalization against the FULL doc length — the
+    :func:`bm25_phrase_oracle_sql` pattern with the boundary check in
+    place of adjacency."""
+    terms = tokenize_py(term_text)
+    if len(terms) != 1:
+        raise ValueError(f"span_first takes exactly one term, got {terms!r}")
+    t = terms[0].replace("'", "''")
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "h.stf", idf_sql("dfp.df", "stats.n"), "h.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+sm AS (
+  SELECT doc_id, doc_len,
+         len(list_filter(toks[1:{int(end)}], x -> x = '{t}'))::BIGINT AS stf
+  FROM dl
+),
+h AS (SELECT doc_id, doc_len, stf FROM sm WHERE stf > 0),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM h)
+SELECT h.doc_id AS doc_id, round({score}, 6) AS score
+FROM h CROSS JOIN dfp CROSS JOIN stats
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""

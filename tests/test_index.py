@@ -1545,3 +1545,57 @@ def test_routed_query_matches_filtered_fanout(spark, corpus, tmp_path):
         other = InvertedIndex(spark, p)
         assert other.doc_values(["repo"]).filter(
             F.col("repo") == routing).count() == 0
+
+
+def test_wildcard_vs_regex_and_oracle(index, spark, oracle_con):
+    from smse_backend_spark.index.query import wildcard_to_regex
+    from smse_backend_spark.operators.search import bm25_regex_oracle_sql
+
+    assert wildcard_to_regex("m?rg*") == "m.rg.*"
+    assert wildcard_to_regex("a+b") == r"a\+b"
+    ix = index
+    got = [tuple(r) for r in ix.bm25_topk_wildcard("m?rg*", 10).collect()]
+    want = [tuple(w) for w in oracle_con.execute(
+        bm25_regex_oracle_sql("m.rg.*", 10)).fetchall()]
+    assert got == want and got
+    # '?' is exactly one char: 'mrge*' style zero-char match is excluded
+    exp = ix.expand_regex(wildcard_to_regex("m?rg*"))
+    assert "merge" in exp and all(t[0] == "m" and t[2:4] == "rg" for t in exp)
+
+
+def test_match_bool_prefix_vs_oracle(index, spark, oracle_con):
+    from smse_backend_spark.operators.search import (
+        match_bool_prefix_oracle_sql,
+    )
+
+    ix = index
+    got = [tuple(r) for r in
+           ix.bm25_topk_bool_prefix("hash jo", 10).collect()]
+    want = [tuple(w) for w in oracle_con.execute(
+        match_bool_prefix_oracle_sql("hash jo", 10)).fetchall()]
+    assert got == want and got
+    # unlike phrase_prefix there is NO adjacency requirement: the result
+    # equals the plain OR over {hash} + expansions("jo")
+    exp = ix.expand_prefix("jo", max_expansions=16)
+    assert "join" in exp
+    manual = [tuple(r) for r in ix._topk_for_terms(
+        sorted({"hash"} | set(exp)), 10, None, "auto").collect()]
+    assert got == manual
+
+
+def test_span_first_vs_oracle(pos_index, spark, oracle_con):
+    from smse_backend_spark.operators.search import span_first_oracle_sql
+
+    ix = pos_index
+    got = [tuple(r) for r in ix.span_first_topk("table", 5, 1000).collect()]
+    want = [tuple(w) for w in oracle_con.execute(
+        span_first_oracle_sql("table", 5, 1000)).fetchall()]
+    assert got == want and got
+    # boundary monotonicity: a wider window matches a superset of docs
+    wide = {r["doc_id"] for r in ix.span_first_topk("table", 50, 10**6).collect()}
+    assert {d for d, _s in got} <= wide and {d for d, _s in got} != wide
+    # boundary is strict: end=1 means the very first token only
+    first_tok = [tuple(r) for r in ix.span_first_topk("table", 1, 1000).collect()]
+    want1 = [tuple(w) for w in oracle_con.execute(
+        span_first_oracle_sql("table", 1, 1000)).fetchall()]
+    assert first_tok == want1
