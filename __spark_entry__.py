@@ -44,7 +44,11 @@ from smse_backend_spark.operators.search import (
     pinned_topk,
     rank_feature_oracle_sql,
     rank_feature_topk,
+    collapse_inner_hits,
+    collapse_inner_hits_oracle_sql,
     match_bool_prefix_oracle_sql,
+    random_score_oracle_sql,
+    random_score_topk,
     span_first_oracle_sql,
     terms_set_oracle_sql,
     terms_set_topk,
@@ -945,6 +949,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same from the index dictionary alone (no postings/corpus)
         "rare_terms_indexed": lambda spark, sf: _indexed(spark, sf)
         .rare_terms(0.05, 30),
+        # seeded reproducible random ordering of the match set
+        "random_score": lambda spark, sf: random_score_topk(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, 42, 10
+        ),
+        # collapse with inner_hits: top groups, each with its own top-3
+        "collapse_inner_hits": lambda spark, sf: collapse_inner_hits(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, 5, "repo", 3
+        ),
+        # significant terms over the top-50 sampled hits (ES significant_text)
+        "significant_text": lambda spark, sf: AG.significant_text(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, 50, 15
+        ),
         # compound-key terms agg: buckets keyed by (lang, repo) pairs
         "multi_terms": lambda spark, sf: AG.multi_terms(
             load_corpus(spark, sf), FLAGSHIP_QUERY, ("lang", "repo"), 10
@@ -1352,6 +1368,7 @@ _CHECK_FIRST = [
     "multi_terms", "adjacency_matrix", "matrix_stats",
     "distance_feature", "search_pinned", "terms_set",
     "bm25_wildcard", "bm25_bool_prefix", "span_first",
+    "random_score", "collapse_inner_hits", "significant_text",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1574,6 +1591,11 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         ),
         "rare_terms": AG.rare_terms_sql(0.05, 30),
         "rare_terms_indexed": AG.rare_terms_sql(0.05, 30),
+        "random_score": random_score_oracle_sql(FLAGSHIP_QUERY, 42, 10),
+        "collapse_inner_hits": collapse_inner_hits_oracle_sql(
+            FLAGSHIP_QUERY, 5, "source", 3
+        ),
+        "significant_text": AG.significant_text_sql(FLAGSHIP_QUERY, 50, 15),
         "multi_terms": AG.multi_terms_sql(
             FLAGSHIP_QUERY, ("lang", "source"), ("lang", "repo"), 10
         ),

@@ -846,3 +846,113 @@ SELECT n,
              6) AS corr_xy
 FROM agg
 """
+
+
+def significant_text(
+    corpus: DataFrame,
+    query_text: str,
+    sample_size: int = 50,
+    k: int = 20,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``significant_text`` aggregation: JLH-scored terms where the
+    FOREGROUND is the top-``sample_size`` hits by BM25 (ES runs it under
+    a ``sampler`` agg and re-tokenizes _source text on the fly), not the
+    whole match set — the "what words characterize the BEST results"
+    variant that stays cheap when a query matches half the corpus.
+    Same output shape and JLH expression as :func:`significant_terms`.
+
+    Scale shape: the sample cut is a TakeOrderedAndProject over the
+    scored match set (sample_size rows broadcast back); only the sampled
+    docs' tokens feed the foreground df agg; the background df agg is the
+    same vocabulary-bounded aggregate the index build pays.
+    """
+    from smse_backend_spark.operators.search import bm25_scored_scan
+
+    qterms = query_terms(query_text)
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    empty = corpus.select(
+        F.lit("").alias("term"), F.lit(0).cast("long").alias("fg_df"),
+        F.lit(0).cast("long").alias("bg_df"), F.lit(0.0).alias("score"),
+    ).limit(0)
+    if not qterms:
+        return empty
+    sample = (
+        bm25_scored_scan(corpus, query_text)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(sample_size))
+        .select("doc_id")
+    )
+    fg_n = sample.count()
+    bg_n = corpus.count()
+    if not fg_n:
+        return empty
+    toks = _doc_terms(corpus)
+    fg = toks.join(F.broadcast(sample), "doc_id").groupBy("term").agg(
+        F.count(F.lit(1)).alias("fg_df")
+    )
+    bg = toks.groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
+    fg_pct = F.col("fg_df").cast("double") / F.lit(float(fg_n))
+    bg_pct = F.col("bg_df").cast("double") / F.lit(float(bg_n))
+    return (
+        fg.join(bg, "term")
+        .withColumn("score", F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6))
+        .select("term", "fg_df", "bg_df", "score")
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def significant_text_sql(
+    query_text: str,
+    sample_size: int = 50,
+    k: int = 20,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`significant_text` (same top-N sample cut,
+    same JLH expression and parenthesization)."""
+    from smse_backend_spark.operators.search import (
+        _ALL_ROWS,
+        bm25_scan_oracle_sql,
+    )
+
+    scored = bm25_scan_oracle_sql(
+        query_text, _ALL_ROWS, lang, table, content_col
+    )
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    return f"""
+WITH dl AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM dl
+),
+scored AS ({scored}),
+m AS (
+  SELECT doc_id FROM scored
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {int(sample_size)}
+),
+nn AS (
+  SELECT (SELECT count(*) FROM m)::DOUBLE AS fg_n,
+         (SELECT count(*) FROM dl)::DOUBLE AS bg_n
+),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_df
+  FROM tok JOIN m USING (doc_id) GROUP BY term
+),
+bg AS (
+  SELECT term, count(*)::BIGINT AS bg_df FROM tok GROUP BY term
+)
+SELECT term, fg_df, bg_df,
+       round(((fg_df::DOUBLE / nn.fg_n) - (bg_df::DOUBLE / nn.bg_n))
+             * ((fg_df::DOUBLE / nn.fg_n) / (bg_df::DOUBLE / nn.bg_n)), 6)
+         AS score
+FROM fg JOIN bg USING (term) CROSS JOIN nn
+ORDER BY score DESC, term ASC
+LIMIT {int(k)}
+"""

@@ -2605,3 +2605,149 @@ FROM h CROSS JOIN dfp CROSS JOIN stats
 ORDER BY score DESC, doc_id ASC
 LIMIT {int(k)}
 """
+
+
+RANDOM_SCORE_SALT = "-random-score-v1-"
+_TWO60_F = float(1 << 60)
+
+
+def random_score_topk(
+    corpus: DataFrame,
+    query_text: str,
+    seed: int = 42,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``function_score`` + ``random_score`` with ``boost_mode:
+    replace`` — the "show me a random-but-reproducible page of matching
+    docs" query (relevance-free sampling UIs, A/B result shuffling).
+    Each matching doc draws a deterministic uniform score from
+    sha256(doc_id, seed) — unlike ``rand()`` the draw is stable across
+    runs, partitionings and engines, which is what ES's seeded
+    random_score promises (consistent scores for the same seed+doc).
+
+    Scale shape: map-only — match flag + hash per row, no shuffle before
+    the TakeOrderedAndProject cut.
+    """
+    from smse_backend_spark.operators.aggregations import _match_flag_col
+    from smse_backend_spark.operators.sampling import hash_u60
+
+    terms = query_terms(query_text)
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    if not terms:
+        return corpus.select(
+            "doc_id", F.lit(0.0).alias("score")
+        ).limit(0)
+    r = hash_u60(F.col("doc_id"), f"{RANDOM_SCORE_SALT}{int(seed)}")
+    return (
+        corpus.filter(_match_flag_col(terms))
+        .select(
+            "doc_id",
+            F.round(r.cast("double") / F.lit(_TWO60_F), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def random_score_oracle_sql(
+    query_text: str,
+    seed: int = 42,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`random_score_topk` (same sha-derived draw)."""
+    from smse_backend_spark.operators.aggregations import _match_set_cte
+    from smse_backend_spark.operators.sampling import _hash_u60_sql
+
+    h = _hash_u60_sql("m.doc_id", f"{RANDOM_SCORE_SALT}{int(seed)}")
+    return f"""{_match_set_cte(query_text, lang, table, content_col)}
+SELECT m.doc_id AS doc_id,
+       round({h}::DOUBLE / {_TWO60_F!r}, 6) AS score
+FROM m
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
+def collapse_inner_hits(
+    corpus: DataFrame,
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    collapse_col: str = "repo",
+    inner: int = 3,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``collapse`` with ``inner_hits``: the top-k GROUPS (ranked by
+    their best hit, like :func:`collapse_topk`) each carry their own
+    top-``inner`` hits — the "one card per repo, expandable" result page.
+    Returns (group_key, rn, doc_id, score) ordered by (group best score
+    desc, group_key asc, rn asc).
+
+    Scale shape: ONE window over the match set's (doc_id, score, key)
+    rows assigns in-group ranks; group leaders (rn = 1) cut to k via
+    TakeOrderedAndProject; inner hits re-join the leaders on the key —
+    at most shard_size×k rows after the cut. Document text never moves.
+    """
+    scored = bm25_scored_scan(corpus, query_text, lang).select("doc_id", "score")
+    keys = corpus.select("doc_id", F.col(collapse_col).alias("group_key"))
+    w = Window.partitionBy("group_key").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = (
+        scored.join(keys, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(inner))
+    )
+    leaders = (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "group_key",
+            F.col("score").alias("lead_score"),
+            F.col("doc_id").alias("lead_doc"),
+        )
+        .orderBy(F.desc("lead_score"), F.asc("lead_doc"))
+        .limit(k)
+    )
+    return (
+        ranked.join(F.broadcast(leaders), "group_key")
+        .select("group_key", F.col("rn").cast("long").alias("rn"),
+                "doc_id", "score")
+        .orderBy(F.desc("lead_score"), F.asc("lead_doc"), F.asc("rn"))
+        .drop("lead_score", "lead_doc")
+    )
+
+
+def collapse_inner_hits_oracle_sql(
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    collapse_col: str = "source",
+    inner: int = 3,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`collapse_inner_hits` (``collapse_col`` in
+    raw-table names — ``source`` backs ``repo``)."""
+    scored = bm25_scan_oracle_sql(query_text, _ALL_ROWS, lang, table, content_col)
+    return f"""
+WITH scored AS ({scored}),
+ranked AS (
+  SELECT d.{collapse_col} AS group_key, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.{collapse_col}
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN {table} d USING (doc_id)
+),
+leaders AS (
+  SELECT group_key, score AS lead_score, doc_id AS lead_doc
+  FROM ranked WHERE rn = 1
+  ORDER BY lead_score DESC, lead_doc ASC
+  LIMIT {int(k)}
+)
+SELECT r.group_key AS group_key, r.rn::BIGINT AS rn,
+       r.doc_id AS doc_id, r.score AS score
+FROM ranked r JOIN leaders l USING (group_key)
+WHERE r.rn <= {int(inner)}
+ORDER BY l.lead_score DESC, l.lead_doc ASC, r.rn ASC
+"""

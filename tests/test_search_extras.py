@@ -410,3 +410,71 @@ def test_terms_set_vs_duckdb(corpus, con):
     ts_set = {d for d, _s in got}
     assert and_set <= ts_set <= or_set
     assert ts_set != or_set
+
+
+def test_random_score_vs_duckdb(corpus, con):
+    from smse_backend_spark.operators.search import (
+        random_score_oracle_sql,
+        random_score_topk,
+    )
+
+    q = "hash join"
+    got42 = [tuple(r) for r in random_score_topk(corpus, q, 42, 10).collect()]
+    want42 = [tuple(w) for w in
+              con.execute(random_score_oracle_sql(q, 42, 10)).fetchall()]
+    assert got42 == want42 and len(got42) == 10
+    # reproducible per seed; a different seed reorders
+    again = [tuple(r) for r in random_score_topk(corpus, q, 42, 10).collect()]
+    assert again == got42
+    got7 = [tuple(r) for r in random_score_topk(corpus, q, 7, 10).collect()]
+    want7 = [tuple(w) for w in
+             con.execute(random_score_oracle_sql(q, 7, 10)).fetchall()]
+    assert got7 == want7 and got7 != got42
+    # scores are uniform draws in [0, 1)
+    assert all(0.0 <= s < 1.0 for _d, s in got42)
+
+
+def test_collapse_inner_hits_vs_duckdb(corpus, con):
+    from smse_backend_spark.operators.search import (
+        collapse_inner_hits,
+        collapse_inner_hits_oracle_sql,
+        collapse_topk,
+    )
+
+    q = "hash join merge scan"
+    got = [tuple(r) for r in
+           collapse_inner_hits(corpus, q, 5, "repo", 3).collect()]
+    want = [tuple(w) for w in con.execute(
+        collapse_inner_hits_oracle_sql(q, 5, "source", 3)).fetchall()]
+    assert got == want and got
+    # exactly the collapse_topk leaders, each with <= 3 inner hits
+    leaders = [(r["group_key"], r["doc_id"], r["score"])
+               for r in collapse_topk(corpus, q, 5, "repo").collect()]
+    got_leaders = [(g, d, s) for g, rn, d, s in got if rn == 1]
+    assert got_leaders == leaders
+    from collections import Counter
+
+    per_group = Counter(g for g, *_ in got)
+    assert all(1 <= n <= 3 for n in per_group.values())
+    assert len(per_group) == 5
+
+
+def test_significant_text_vs_duckdb(corpus, con):
+    from smse_backend_spark.operators.aggregations import (
+        significant_terms,
+        significant_text,
+        significant_text_sql,
+    )
+
+    q = "hash join"
+    got = [tuple(r) for r in significant_text(corpus, q, 50, 15).collect()]
+    want = [tuple(w) for w in
+            con.execute(significant_text_sql(q, 50, 15)).fetchall()]
+    assert got == want and got
+    # the sampled foreground is smaller than the full match set, so
+    # fg_df is capped by the sample and the ranking differs from the
+    # unsampled significant_terms
+    assert all(fg <= 50 for _t, fg, _bg, _s in got)
+    full = [tuple(r) for r in
+            significant_terms(corpus, q, 15).collect()]
+    assert got != full
