@@ -1216,6 +1216,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_customers": R.customers_without_big_orders,
         "window_latest_orders": R.latest_orders_per_customer,
         "hourly_event_rollup": R.hourly_event_rollup,
+        # the engine picks the interval from a rounding ladder so the
+        # trend chart stays ~target bars at any corpus scale
+        "auto_date_histogram": lambda spark, sf:
+        R.auto_date_histogram(spark, sf, 20),
         "event_props_extract": R.event_props_extract,
         # as-of join: each event attributed to the user's latest order at
         # event time (union + one shuffle + running-last window; no
@@ -1369,6 +1373,7 @@ _CHECK_FIRST = [
     "distance_feature", "search_pinned", "terms_set",
     "bm25_wildcard", "bm25_bool_prefix", "span_first",
     "random_score", "collapse_inner_hits", "significant_text",
+    "auto_date_histogram",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1702,6 +1707,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "anti_join_customers": R.customers_without_big_orders_sql(),
         "window_latest_orders": R.latest_orders_per_customer_sql(),
         "hourly_event_rollup": R.hourly_event_rollup_sql(),
+        "auto_date_histogram": R.auto_date_histogram_sql(20),
         "event_props_extract": R.event_props_extract_sql(),
         "events_asof_orders": R.events_asof_orders_sql(),
         "doc_chunks": __import__(

@@ -422,3 +422,96 @@ SELECT e.event_id, e.user_id, e.ts, b.o_orderkey, b.o_orderdate, b.o_totalprice
 FROM events e
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (event_id)
 """
+
+
+# ES auto_date_histogram rounding ladder (seconds) — minute up to week
+AUTO_HIST_LADDER = (60, 300, 600, 1800, 3600, 10800, 43200, 86400, 604800)
+
+
+def _auto_hist_interval(lo: int, hi: int, target_buckets: int) -> int:
+    """Smallest ladder interval whose bucket count fits the target —
+    the exact integer rule both engines apply (floor-divided bucket ids,
+    inclusive count)."""
+    for i in AUTO_HIST_LADDER:
+        if hi // i - lo // i + 1 <= target_buckets:
+            return i
+    return AUTO_HIST_LADDER[-1]
+
+
+def auto_date_histogram(
+    spark: SparkSession,
+    sf_dir: str,
+    target_buckets: int = 20,
+) -> DataFrame:
+    """ES ``auto_date_histogram``: the engine — not the user — picks the
+    interval, the smallest step from a fixed rounding ladder (minute →
+    week) that keeps the bucket count within ``target_buckets``. The agg
+    dashboards actually want ("show me the trend in ~20 bars") without
+    the caller knowing the data's time span; because the pick re-derives
+    from the data, the SAME query stays ~20 bars at every corpus scale.
+
+    Returns (bucket_start epoch-seconds, interval_sec, n, total_value)
+    ordered by bucket. Session timezone is pinned UTC, so Spark's
+    ``ts.cast(long)`` and DuckDB's ``epoch(ts)`` agree bit-for-bit.
+
+    Scale shape: one (min, max) aggregate — two integers to the driver —
+    then one map-side-combined groupBy on an integer bucket id. The
+    ladder walk is O(9) driver arithmetic; nothing re-scans.
+    """
+    e = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ: hop through TIMESTAMP (session tz pinned UTC)
+    # so the epoch equals DuckDB's epoch(ts) on the same naive value
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    row = e.agg(
+        F.min(epoch).alias("lo"), F.max(epoch).alias("hi")
+    ).first()
+    if row["lo"] is None:
+        return e.select(
+            F.lit(0).cast("long").alias("bucket_start"),
+            F.lit(0).cast("long").alias("interval_sec"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0.0).alias("total_value"),
+        ).limit(0)
+    iv = _auto_hist_interval(int(row["lo"]), int(row["hi"]), target_buckets)
+    bucket = (F.floor(epoch / F.lit(iv)) * F.lit(iv)).cast("long")
+    return (
+        e.groupBy(bucket.alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "bucket_start",
+            F.lit(iv).cast("long").alias("interval_sec"),
+            "n",
+            "total_value",
+        )
+        .orderBy("bucket_start")
+    )
+
+
+def auto_date_histogram_sql(target_buckets: int = 20) -> str:
+    """DuckDB twin of :func:`auto_date_histogram` — the interval pick is
+    re-derived IN SQL with the identical integer rule, so the static
+    oracle stays correct at every scale factor."""
+    cases = " ".join(
+        f"WHEN (hi // {i} - lo // {i} + 1) <= {int(target_buckets)} "
+        f"THEN {i}"
+        for i in AUTO_HIST_LADDER
+    )
+    return f"""
+WITH b AS (
+  SELECT min(epoch(ts))::BIGINT AS lo, max(epoch(ts))::BIGINT AS hi
+  FROM events
+),
+iv AS (
+  SELECT (CASE {cases} ELSE {AUTO_HIST_LADDER[-1]} END)::BIGINT AS i FROM b
+)
+SELECT (epoch(ts)::BIGINT // iv.i) * iv.i AS bucket_start,
+       iv.i AS interval_sec,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS total_value
+FROM events CROSS JOIN iv
+GROUP BY 1, 2
+ORDER BY bucket_start
+"""

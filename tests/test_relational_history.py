@@ -111,3 +111,28 @@ def test_shipping_priority_and_order_priority_vs_duckdb(spark, sf_smoke):
     want = [tuple(w) for w in
             con.execute(order_priority_counts_sql()).fetchall()]
     assert got == want and got
+
+
+def test_auto_date_histogram(spark, sf_correct, con):
+    _cmp(
+        R.auto_date_histogram(spark, sf_correct, 20),
+        con,
+        R.auto_date_histogram_sql(20),
+    )
+    got = R.auto_date_histogram(spark, sf_correct, 20).collect()
+    # the pick honors the target and uses a ladder step
+    assert 1 < len(got) <= 20
+    iv = got[0]["interval_sec"]
+    assert iv in R.AUTO_HIST_LADDER
+    # a looser target allows a finer interval (more, narrower buckets)
+    got40 = R.auto_date_histogram(spark, sf_correct, 40).collect()
+    _cmp(
+        R.auto_date_histogram(spark, sf_correct, 40),
+        con,
+        R.auto_date_histogram_sql(40),
+    )
+    assert len(got) < len(got40) <= 40 and got40[0]["interval_sec"] < iv
+    # buckets tile: starts are multiples of the interval, counts sum to N
+    assert all(r["bucket_start"] % iv == 0 for r in got)
+    n_events = sum(r["n"] for r in got)
+    assert n_events == spark.read.parquet(f"{sf_correct}/events.parquet").count()
