@@ -86,6 +86,15 @@ def cmd_query(args) -> None:
     elif args.prefix:
         out = idx.bm25_topk_prefix(args.text, args.k, args.lang,
                                    args.max_expansions, mode=args.mode)
+    elif args.wildcard:
+        out = idx.bm25_topk_wildcard(args.text, args.k, args.lang,
+                                     args.max_expansions, mode=args.mode)
+    elif args.bool_prefix:
+        out = idx.bm25_topk_bool_prefix(args.text, args.k, args.lang,
+                                        args.max_expansions, mode=args.mode)
+    elif args.span_first is not None:
+        out = idx.span_first_topk(args.text, args.span_first, args.k,
+                                  args.lang)
     elif args.fuzzy is not None:
         out = idx.bm25_topk_fuzzy(args.text, args.fuzzy, args.k, args.lang,
                                   args.max_expansions, mode=args.mode)
@@ -256,6 +265,24 @@ def cmd_search(args) -> None:
     corpus = load_corpus(spark, args.corpus)
     if args.bool_query:
         out = boolean_query_topk(corpus, args.text, args.k, args.lang)
+    elif args.simple_qs:
+        from smse_backend_spark.operators.querystring import (
+            simple_query_string_topk,
+        )
+
+        out = simple_query_string_topk(corpus, args.text, args.k,
+                                       args.lang, args.default_operator)
+    elif args.pin:
+        from smse_backend_spark.operators.search import pinned_topk
+
+        out = pinned_topk(corpus, args.text,
+                          [int(x) for x in args.pin.split(",")],
+                          args.k, args.lang)
+    elif args.random_seed is not None:
+        from smse_backend_spark.operators.search import random_score_topk
+
+        out = random_score_topk(corpus, args.text, args.random_seed,
+                                args.k, args.lang)
     elif args.fields:
         wts = {
             f: float(w)
@@ -425,6 +452,16 @@ def main(argv: list[str] | None = None) -> None:
                    help="exact phrase (needs --with-positions index)")
     q.add_argument("--prefix", action="store_true",
                    help="treat --text as a term prefix (wildcard search)")
+    q.add_argument("--wildcard", action="store_true",
+                   help="treat --text as a Lucene wildcard pattern "
+                        "(* = any run, ? = one char)")
+    q.add_argument("--bool-prefix", action="store_true", dest="bool_prefix",
+                   help="match_bool_prefix: last token prefix-expanded, "
+                        "no adjacency (unordered search-as-you-type)")
+    q.add_argument("--span-first", type=int, metavar="END",
+                   dest="span_first",
+                   help="term must occur within the first END token "
+                        "positions (needs --with-positions index)")
     q.add_argument("--fuzzy", type=int, metavar="MAX_EDITS",
                    help="treat --text as one term; expand within this "
                         "Levenshtein distance (typo-tolerant search)")
@@ -534,6 +571,17 @@ def main(argv: list[str] | None = None) -> None:
     sr.add_argument("--lang")
     sr.add_argument("--bool", action="store_true", dest="bool_query",
                     help="treat --text as a boolean query (AND/OR/NOT)")
+    sr.add_argument("--simple", action="store_true", dest="simple_qs",
+                    help="treat --text as ES simple_query_string "
+                         "(| + - \"phrase\" prefix* parens)")
+    sr.add_argument("--default-operator", choices=["and", "or"],
+                    default="and", help="with --simple: the operator "
+                    "bare whitespace means")
+    sr.add_argument("--pin", metavar="ID,ID,...",
+                    help="pinned query: these doc_ids rank first, in order")
+    sr.add_argument("--random-seed", type=int, metavar="SEED",
+                    help="seeded reproducible random ordering of the "
+                         "match set (ES random_score)")
     sr.add_argument("--stem", action="store_true",
                     help="Harman S-stemmer analyzer (plural folding)")
     sr.add_argument("--fields", metavar="F=W,...",

@@ -394,3 +394,41 @@ def test_cli_ann_modes(tmp_path, spark, sf_smoke, capsys):
         cli.main(["ann", "--emb", f"{sf_smoke}/embeddings.parquet",
                   "--out", str(tmp_path / "x"), "--query-ids", "999999",
                   "--master", "local[4]"])
+
+
+def test_cli_round4_query_and_search_flags(tmp_path, spark, sf_smoke, capsys):
+    """Round-4 session-2 surface: --wildcard/--bool-prefix/--span-first on
+    the index path; --simple/--pin/--random-seed on the scan path."""
+    out = str(tmp_path / "r4idx")
+    cli.main([
+        "build", "--corpus", sf_smoke, "--out", out, "--with-positions",
+        "--segment-size", "256", "--n-buckets", "8", "--n-batches", "1",
+        "--master", "local[4]",
+    ])
+    capsys.readouterr()
+
+    def run(argv):
+        cli.main(argv + ["--master", "local[4]"])
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    wc = run(["query", "--index", out, "--text", "m?rg*", "--wildcard"])
+    assert wc and all(h["score"] > 0 for h in wc)
+    bp = run(["query", "--index", out, "--text", "hash jo", "--bool-prefix"])
+    assert bp and all(h["score"] > 0 for h in bp)
+    sf1 = run(["query", "--index", out, "--text", "table",
+               "--span-first", "5"])
+    sf2 = run(["query", "--index", out, "--text", "table",
+               "--span-first", "50"])
+    assert sf1 and len(sf1) <= len(sf2)
+
+    sq = run(["search", "--corpus", sf_smoke,
+              "--text", '"table scan" | (hash + join) merg*', "--simple"])
+    assert sq and all(h["score"] > 0 for h in sq)
+    pinned = run(["search", "--corpus", sf_smoke, "--text", "hash join",
+                  "--pin", "7,3"])
+    assert [h["doc_id"] for h in pinned[:2]] == [7, 3]
+    r1 = run(["search", "--corpus", sf_smoke, "--text", "hash join",
+              "--random-seed", "42"])
+    r2 = run(["search", "--corpus", sf_smoke, "--text", "hash join",
+              "--random-seed", "42"])
+    assert r1 == r2 and all(0.0 <= h["score"] < 1.0 for h in r1)
