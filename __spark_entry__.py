@@ -1019,6 +1019,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_query_string": lambda spark, sf: QS.simple_query_string_topk(
             load_corpus(spark, sf), SQS_QUERY, 10
         ),
+        # the same DSL from postings + positional kernel + dictionary
+        # alone — no corpus scan; shares the scan twin's oracle
+        "simple_query_string_indexed": lambda spark, sf:
+        _pos_indexed(spark, sf).simple_query_string_topk(SQS_QUERY, 10),
         # OR-default clause list with an attached must_not (- clause)
         "simple_query_string_or": lambda spark, sf:
         QS.simple_query_string_topk(
@@ -1373,7 +1377,7 @@ _CHECK_FIRST = [
     "distance_feature", "search_pinned", "terms_set",
     "bm25_wildcard", "bm25_bool_prefix", "span_first",
     "random_score", "collapse_inner_hits", "significant_text",
-    "auto_date_histogram",
+    "auto_date_histogram", "simple_query_string_indexed",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1626,6 +1630,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         ),
         "simple_query_string_or": QS.simple_query_string_oracle_sql(
             SQS_QUERY_OR, 10, default_operator="or"
+        ),
+        "simple_query_string_indexed": QS.simple_query_string_oracle_sql(
+            SQS_QUERY, 10
         ),
         "score_explain": explain_scores_oracle_sql(FLAGSHIP_QUERY, 10),
         "search_highlight": highlight_snippets_oracle_sql(

@@ -1115,6 +1115,129 @@ class InvertedIndex:
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def simple_query_string_topk(
+        self,
+        q: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+        default_operator: str = "and",
+    ) -> DataFrame:
+        """ES ``simple_query_string`` served from the INDEX alone — no
+        corpus scan. Rank- and score-identical to the scan twin
+        (``operators.querystring.simple_query_string_topk``), so both
+        share one DuckDB oracle. Per-leaf per-doc tfs come from:
+
+        * TERM leaves — the decoded posting list;
+        * PREFIX leaves — the UNCAPPED dictionary expansion's postings
+          summed per doc (the scan counts every matching token, so the
+          usual multi-term expansion cap would silently change presence
+          semantics — the expansion here is dictionary-bounded, not
+          corpus-bounded, which is exactly why it can afford to be
+          uncapped);
+        * PHRASE leaves — the positional kernel's (doc, phrase_tf) match
+          set (requires ``with_positions=True`` when the query has a
+          phrase).
+
+        Plan shape: one partition-pruned block scan per leaf family, a
+        union of tiny (doc_id, leaf, tf, dl) match frames, ONE groupBy
+        pivot on doc_id, one integer stats row, constant-folded scoring —
+        the corpus text is never read.
+        """
+        from smse_backend_spark.operators.querystring import (
+            PhraseLeaf,
+            PrefixLeaf,
+            TermLeaf,
+            _can_assert_positive,
+            _pred_col,
+            collect_leaves,
+            parse_simple_query,
+        )
+
+        root = parse_simple_query(q, default_operator)
+        if not _can_assert_positive(root):
+            raise ValueError("pure-negative query matches nothing (Lucene "
+                             "MatchNoDocsQuery) — add a positive clause")
+        leaves, positive = collect_leaves(root)
+        n, avgdl = self.corpus_stats(lang)
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, leaf int, tf long, dl long"
+        )
+        if not n:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+
+        frames = [empty]
+        for i, leaf in enumerate(leaves):
+            if isinstance(leaf, TermLeaf):
+                terms = [leaf.term]
+            elif isinstance(leaf, PrefixLeaf):
+                # uncapped: presence must equal the scan's startswith
+                terms = self.expand_prefix(leaf.prefix, lang, 1 << 31)
+            else:
+                m = self._phrase_matches(list(leaf.terms), lang)
+                if m is not None:
+                    frames.append(
+                        m.select(
+                            "doc_id", F.lit(i).alias("leaf"),
+                            F.col("ptf").cast("long").alias("tf"),
+                            F.col("dl").cast("long").alias("dl"),
+                        )
+                    )
+                continue
+            if not terms or not self.term_df(terms, lang):
+                continue
+            dec = self._decoded(self._blocks(terms, lang))
+            frames.append(
+                dec.groupBy("doc_id").agg(
+                    F.sum("tf").cast("long").alias("tf"),
+                    F.max("dl").cast("long").alias("dl"),
+                ).select("doc_id", F.lit(i).alias("leaf"), "tf", "dl")
+            )
+        union = frames[0]
+        for f in frames[1:]:
+            union = union.unionByName(f)
+        lf = union.groupBy("doc_id").agg(
+            F.max("dl").alias("doc_len"),
+            *[
+                F.sum(
+                    F.when(F.col("leaf") == i, F.col("tf")).otherwise(F.lit(0))
+                ).alias(f"tf{i}")
+                for i in range(len(leaves))
+            ],
+        )
+        stats = lf.agg(
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+                for i in range(len(leaves))
+            ]
+        ).first()
+
+        contribs = []
+        present: dict = {}
+        dl = F.col("doc_len")
+        for i, leaf in enumerate(leaves):
+            tf = F.col(f"tf{i}")
+            present[leaf] = tf > 0
+            if leaf not in positive:
+                continue
+            if isinstance(leaf, PrefixLeaf):
+                c = F.when(tf > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+            else:
+                df_i = float(stats[f"df{i}"] or 0)
+                idf = math.log(1.0 + (n - df_i + 0.5) / (df_i + 0.5))
+                c = F.when(
+                    tf > 0, F.lit(idf) * _tf_norm(tf, dl, avgdl)
+                ).otherwise(F.lit(0.0))
+            contribs.append(c)
+        score = contribs[0]
+        for c in contribs[1:]:
+            score = score + c
+        return (
+            lf.filter(_pred_col(root, present))
+            .select("doc_id", F.round(score, 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def bm25_topk_msm(
         self,
         query_text: str,

@@ -141,3 +141,28 @@ def test_prefix_is_constant_score(corpus):
     got = [tuple(r) for r in
            simple_query_string_topk(corpus, "merg*", 10).collect()]
     assert got and all(s == 1.0 for _d, s in got)
+
+
+def test_simple_query_string_indexed_matches_scan(spark, corpus, con,
+                                                  tmp_path_factory):
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+
+    out = str(tmp_path_factory.mktemp("sqs_idx"))
+    build_index(spark, corpus, out, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=2, with_positions=True)
+    ix = InvertedIndex(spark, out)
+    for q, op in [
+        ('"table scan" | (hash + join) merg*', "and"),
+        ("hash join", "and"),
+        ("hash window -join", "or"),
+        ('"table scan"', "and"),
+    ]:
+        scan = [tuple(r) for r in
+                simple_query_string_topk(corpus, q, 10, None, op).collect()]
+        idx = [tuple(r) for r in
+               ix.simple_query_string_topk(q, 10, None, op).collect()]
+        assert idx == scan and idx, (q, op)
+        want = [tuple(w) for w in con.execute(
+            simple_query_string_oracle_sql(q, 10, None, op)).fetchall()]
+        assert idx == want, (q, op)
