@@ -1224,6 +1224,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trend chart stays ~target bars at any corpus scale
         "auto_date_histogram": lambda spark, sf:
         R.auto_date_histogram(spark, sf, 20),
+        # ES pipeline aggs over the hourly histogram: cumulative_sum,
+        # derivative, 3-bucket moving mean (bucket rows, metadata-sized)
+        "event_pipeline_aggs": R.event_pipeline_aggs,
+        # inverse percentiles: what % of matched docs sit at/below v
+        "search_percentile_ranks": lambda spark, sf: AG.percentile_ranks(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, (100, 300)
+        ),
         "event_props_extract": R.event_props_extract,
         # as-of join: each event attributed to the user's latest order at
         # event time (union + one shuffle + running-last window; no
@@ -1378,6 +1385,7 @@ _CHECK_FIRST = [
     "bm25_wildcard", "bm25_bool_prefix", "span_first",
     "random_score", "collapse_inner_hits", "significant_text",
     "auto_date_histogram", "simple_query_string_indexed",
+    "event_pipeline_aggs", "search_percentile_ranks",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1715,6 +1723,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "window_latest_orders": R.latest_orders_per_customer_sql(),
         "hourly_event_rollup": R.hourly_event_rollup_sql(),
         "auto_date_histogram": R.auto_date_histogram_sql(20),
+        "event_pipeline_aggs": R.event_pipeline_aggs_sql(),
+        "search_percentile_ranks": AG.percentile_ranks_sql(
+            FLAGSHIP_QUERY, (100, 300)
+        ),
         "event_props_extract": R.event_props_extract_sql(),
         "events_asof_orders": R.events_asof_orders_sql(),
         "doc_chunks": __import__(

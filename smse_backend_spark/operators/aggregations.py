@@ -956,3 +956,78 @@ FROM fg JOIN bg USING (term) CROSS JOIN nn
 ORDER BY score DESC, term ASC
 LIMIT {int(k)}
 """
+
+
+def percentile_ranks(
+    corpus: DataFrame,
+    query_text: str,
+    values: tuple[int, ...] = (100, 300),
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation — the inverse of percentiles:
+    for each given value, what PERCENT of the match set's doc-values
+    (n_chars) sit at or below it. The "how does a 300-char doc compare"
+    question. Returns (value, pct) ordered by value; pct = 100 * count(x
+    <= v) / n through the shared half-up floor formula (exact integer
+    counts, one double division).
+
+    Scale shape: one aggregate row of |values| conditional integer counts
+    — map-side partials, constant traffic.
+    """
+    terms = query_terms(query_text)
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    x = F.length(F.col("content")).cast("long")
+    m = corpus.filter(_match_flag_col(terms)).select(x.alias("x"))
+    row = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("x") <= F.lit(int(v))).cast("long")).alias(f"c{i}")
+            for i, v in enumerate(values)
+        ],
+    )
+    pct = lambda c: (  # noqa: E731
+        F.floor(
+            (F.lit(100.0) * c.cast("double") / F.col("n").cast("double"))
+            * F.lit(1e6) + F.lit(0.5)
+        ) / F.lit(1e6)
+    )
+    stacked = ", ".join(
+        f"{int(v)}L, p{i}" for i, v in enumerate(values)
+    )
+    return (
+        row.select(
+            *[pct(F.col(f"c{i}")).alias(f"p{i}") for i in range(len(values))]
+        )
+        .selectExpr(f"stack({len(values)}, {stacked}) AS (value, pct)")
+        .orderBy("value")
+    )
+
+
+def percentile_ranks_sql(
+    query_text: str,
+    values: tuple[int, ...] = (100, 300),
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`percentile_ranks`."""
+    counts = ",\n         ".join(
+        f"sum((length(d.{content_col}) <= {int(v)})::BIGINT)::BIGINT AS c{i}"
+        for i, v in enumerate(values)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {int(v)}::BIGINT AS value, "
+        f"floor((100.0 * c{i}::DOUBLE / n::DOUBLE) * 1e6 + 0.5) / 1e6 AS pct "
+        f"FROM agg"
+        for i, v in enumerate(values)
+    )
+    return f"""{_match_set_cte(query_text, lang, table, content_col)},
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         {counts}
+  FROM {table} d JOIN m USING (doc_id)
+)
+SELECT value, pct FROM ({rows})
+ORDER BY value
+"""

@@ -452,7 +452,9 @@ def auto_date_histogram(
 
     Returns (bucket_start epoch-seconds, interval_sec, n, total_value)
     ordered by bucket. Session timezone is pinned UTC, so Spark's
-    ``ts.cast(long)`` and DuckDB's ``epoch(ts)`` agree bit-for-bit.
+    ``ts.cast(long)`` (truncating) and DuckDB's ``floor(epoch(ts))``
+    agree bit-for-bit — DuckDB's bare ``::BIGINT`` cast would ROUND the
+    fractional seconds and shift boundary events one bucket.
 
     Scale shape: one (min, max) aggregate — two integers to the driver —
     then one map-side-combined groupBy on an integer bucket id. The
@@ -501,17 +503,91 @@ def auto_date_histogram_sql(target_buckets: int = 20) -> str:
     )
     return f"""
 WITH b AS (
-  SELECT min(epoch(ts))::BIGINT AS lo, max(epoch(ts))::BIGINT AS hi
+  SELECT min(floor(epoch(ts)))::BIGINT AS lo,
+         max(floor(epoch(ts)))::BIGINT AS hi
   FROM events
 ),
 iv AS (
   SELECT (CASE {cases} ELSE {AUTO_HIST_LADDER[-1]} END)::BIGINT AS i FROM b
 )
-SELECT (epoch(ts)::BIGINT // iv.i) * iv.i AS bucket_start,
+SELECT (floor(epoch(ts))::BIGINT // iv.i) * iv.i AS bucket_start,
        iv.i AS interval_sec,
        count(*)::BIGINT AS n,
        round(sum(value), 6) AS total_value
 FROM events CROSS JOIN iv
 GROUP BY 1, 2
 ORDER BY bucket_start
+"""
+
+
+def event_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations over the hourly date histogram:
+    ``cumulative_sum``, ``derivative`` and a 3-bucket ``moving_fn`` mean
+    of the per-bucket event count — the running-total / rate-of-change /
+    smoothing trio every monitoring dashboard derives from a histogram.
+
+    Returns (hour_start epoch-seconds, n, cum_n, deriv_n, mov_avg)
+    ordered by bucket; deriv_n is NULL for the first bucket (ES emits no
+    derivative there), mov_avg uses the trailing window available so far.
+
+    Scale shape: the histogram itself is the only corpus-sized work
+    (map-side-combined groupBy on an integer bucket id); the pipeline
+    functions run over BUCKET rows — metadata-sized at any corpus scale
+    (a year of hourly buckets is 8.8k rows), so the single-partition
+    window over buckets is deliberate, not a scale wart. The moving
+    average divides an exact integer window sum by its count through the
+    shared half-up floor formula.
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    hist = (
+        e.groupBy(((F.floor(epoch / F.lit(3600))) * F.lit(3600))
+                  .cast("long").alias("hour_start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy("hour_start")
+    win3 = w.rowsBetween(-2, 0)
+    mov_sum = F.sum("n").over(win3)
+    mov_cnt = F.count(F.lit(1)).over(win3)
+    mov_avg = (
+        F.floor(
+            (mov_sum.cast("double") / mov_cnt.cast("double")) * F.lit(1e6)
+            + F.lit(0.5)
+        ) / F.lit(1e6)
+    )
+    return (
+        hist.select(
+            "hour_start",
+            "n",
+            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long").alias("cum_n"),
+            (F.col("n") - F.lag("n", 1).over(w)).cast("long").alias("deriv_n"),
+            mov_avg.alias("mov_avg"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+def event_pipeline_aggs_sql() -> str:
+    """DuckDB twin of :func:`event_pipeline_aggs` (same floor formula)."""
+    return """
+WITH hist AS (
+  SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS hour_start,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT hour_start, n,
+       sum(n) OVER (ORDER BY hour_start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ::BIGINT AS cum_n,
+       (n - lag(n, 1) OVER (ORDER BY hour_start))::BIGINT AS deriv_n,
+       floor((sum(n) OVER (ORDER BY hour_start
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::DOUBLE
+              / count(*) OVER (ORDER BY hour_start
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                ::DOUBLE) * 1e6 + 0.5) / 1e6 AS mov_avg
+FROM hist
+ORDER BY hour_start
 """

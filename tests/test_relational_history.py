@@ -136,3 +136,48 @@ def test_auto_date_histogram(spark, sf_correct, con):
     assert all(r["bucket_start"] % iv == 0 for r in got)
     n_events = sum(r["n"] for r in got)
     assert n_events == spark.read.parquet(f"{sf_correct}/events.parquet").count()
+
+
+def test_event_pipeline_aggs(spark, sf_correct, con):
+    _cmp(
+        R.event_pipeline_aggs(spark, sf_correct),
+        con,
+        R.event_pipeline_aggs_sql(),
+    )
+    rows = R.event_pipeline_aggs(spark, sf_correct).collect()
+    # cumulative sum is a running total; derivative telescopes to it
+    assert rows[0]["deriv_n"] is None and rows[0]["cum_n"] == rows[0]["n"]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["cum_n"] == prev["cum_n"] + cur["n"]
+        assert cur["deriv_n"] == cur["n"] - prev["n"]
+    # 3-bucket moving mean stays within the window's min/max
+    for i, r in enumerate(rows):
+        win = [x["n"] for x in rows[max(0, i - 2):i + 1]]
+        assert min(win) <= r["mov_avg"] <= max(win)
+
+
+def test_percentile_ranks(spark, sf_correct, con):
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.operators.aggregations import (
+        percentile_ranks,
+        percentile_ranks_sql,
+    )
+
+    c2 = duckdb_docs = None  # noqa: F841 (clarity only)
+    import duckdb
+
+    con2 = duckdb.connect()
+    con2.execute(
+        f"create view documents as select * from '{sf_correct}/documents.parquet'"
+    )
+    corpus = load_corpus(spark, sf_correct)
+    q = "hash join"
+    got = [tuple(r) for r in
+           percentile_ranks(corpus, q, (100, 300, 10000)).collect()]
+    want = [tuple(w) for w in
+            con2.execute(percentile_ranks_sql(q, (100, 300, 10000))).fetchall()]
+    assert got == want and len(got) == 3
+    # monotone in the value, bounded by [0, 100]; a huge value ranks 100%
+    pcts = [p for _v, p in got]
+    assert pcts == sorted(pcts) and pcts[-1] == 100.0
+    assert all(0.0 <= p <= 100.0 for p in pcts)
