@@ -1004,6 +1004,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_set": lambda spark, sf: terms_set_topk(
             load_corpus(spark, sf), FLAGSHIP_QUERY, 150, 10
         ),
+        # has_parent: child docs scored by their repo's aggregate relevance
+        "has_parent_search": lambda spark, sf: AG.has_parent_search(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, 15, "max"
+        ),
+        # hourly buckets whose count is a >2-sigma outlier (alerting)
+        "event_anomalies": lambda spark, sf:
+        R.event_anomalies(spark, sf, 2.0),
         # has_child: repos ranked by summed relevance of matching docs
         "repo_search": lambda spark, sf: AG.repo_topk(
             load_corpus(spark, sf), FLAGSHIP_QUERY, 10, "sum"
@@ -1386,6 +1393,7 @@ _CHECK_FIRST = [
     "random_score", "collapse_inner_hits", "significant_text",
     "auto_date_histogram", "simple_query_string_indexed",
     "event_pipeline_aggs", "search_percentile_ranks",
+    "event_anomalies", "has_parent_search",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1724,6 +1732,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "hourly_event_rollup": R.hourly_event_rollup_sql(),
         "auto_date_histogram": R.auto_date_histogram_sql(20),
         "event_pipeline_aggs": R.event_pipeline_aggs_sql(),
+        "event_anomalies": R.event_anomalies_sql(2.0),
+        "has_parent_search": AG.has_parent_search_sql(
+            FLAGSHIP_QUERY, 15, "max"
+        ),
         "search_percentile_ranks": AG.percentile_ranks_sql(
             FLAGSHIP_QUERY, (100, 300)
         ),

@@ -1031,3 +1031,78 @@ agg AS (
 SELECT value, pct FROM ({rows})
 ORDER BY value
 """
+
+
+def has_parent_search(
+    corpus: DataFrame,
+    query_text: str,
+    k: int = 10,
+    score_mode: str = "max",
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``has_parent`` query — the mirror of :func:`repo_topk`'s
+    ``has_child``: CHILD docs are returned, each scored by its PARENT
+    repo's aggregated relevance (``score_mode`` ``max`` or ``sum`` over
+    the repo's matching docs), so every doc of a relevant repo surfaces
+    even when the doc itself never matched. Output (doc_id, repo, score)
+    by (score desc, doc_id asc), top-k.
+
+    Scale shape: the parent score table is repo-cardinality (tiny —
+    broadcast); children join it on the column-pruned (doc_id, repo)
+    projection; top-k is a TakeOrderedAndProject. Document text never
+    moves.
+    """
+    from smse_backend_spark.operators.search import bm25_scored_scan
+
+    if score_mode not in ("sum", "max"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    scored = bm25_scored_scan(corpus, query_text).select("doc_id", "score")
+    agg = (F.round(F.sum("score"), 6) if score_mode == "sum"
+           else F.round(F.max("score"), 6)).alias("pscore")
+    parents = (
+        scored.join(corpus.select("doc_id", "repo"), "doc_id")
+        .groupBy("repo")
+        .agg(agg)
+    )
+    return (
+        corpus.select("doc_id", "repo")
+        .join(F.broadcast(parents), "repo")
+        .select("doc_id", "repo", F.col("pscore").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def has_parent_search_sql(
+    query_text: str,
+    k: int = 10,
+    score_mode: str = "max",
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`has_parent_search`."""
+    from smse_backend_spark.operators.search import (
+        _ALL_ROWS,
+        bm25_scan_oracle_sql,
+    )
+
+    if score_mode not in ("sum", "max"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    scored = bm25_scan_oracle_sql(query_text, _ALL_ROWS, lang, table, content_col)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    return f"""
+WITH scored AS ({scored}),
+parents AS (
+  SELECT d.source AS repo, round({score_mode}(s.score), 6) AS pscore
+  FROM scored s JOIN {table} d USING (doc_id)
+  GROUP BY d.source
+)
+SELECT d.doc_id AS doc_id, d.source AS repo, p.pscore AS score
+FROM {table} d JOIN parents p ON d.source = p.repo
+{where_lang}
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""

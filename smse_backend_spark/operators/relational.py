@@ -591,3 +591,74 @@ SELECT hour_start, n,
 FROM hist
 ORDER BY hour_start
 """
+
+
+def event_anomalies(
+    spark: SparkSession,
+    sf_dir: str,
+    z_cut: float = 2.0,
+) -> DataFrame:
+    """Rate-anomaly detection over the hourly event histogram: buckets
+    whose count deviates from the corpus mean by more than ``z_cut``
+    population standard deviations — the alerting primitive behind every
+    ops dashboard ("traffic spike / outage dip at hour X").
+
+    Determinism: mean and variance come from EXACT integer sums
+    (Σn, Σn², bucket count) so z is the identical double expression on
+    both engines; z is floor-half-up rounded to 6 dp. Returns
+    (hour_start, n, z) ordered by hour for |z| > z_cut.
+
+    Scale shape: the histogram groupBy is the only corpus-sized stage;
+    the stats are ONE aggregate row over bucket rows (metadata-sized),
+    broadcast back as literals via a cross join of a one-row frame.
+    """
+    e = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    hist = (
+        e.groupBy(((F.floor(epoch / F.lit(3600))) * F.lit(3600))
+                  .cast("long").alias("hour_start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    stats = hist.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    nb = F.col("nb").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    mean = s1 / nb
+    var = (s2 - s1 * s1 / nb) / nb
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    z6 = F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        hist.crossJoin(F.broadcast(stats))
+        .select("hour_start", "n", z6.alias("z"))
+        .filter(F.abs(F.col("z")) > float(z_cut))
+        .orderBy("hour_start")
+    )
+
+
+def event_anomalies_sql(z_cut: float = 2.0) -> str:
+    """DuckDB twin of :func:`event_anomalies` (same integer moments,
+    same expression shape, same floor rounding)."""
+    return f"""
+WITH hist AS (
+  SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS hour_start,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+st AS (
+  SELECT count(*)::BIGINT AS nb, sum(n)::BIGINT AS s1,
+         sum(n * n)::BIGINT AS s2
+  FROM hist
+)
+SELECT hour_start, n,
+       floor(((n::DOUBLE - s1::DOUBLE / nb::DOUBLE)
+              / sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / nb::DOUBLE)
+                     / nb::DOUBLE)) * 1e6 + 0.5) / 1e6 AS z
+FROM hist CROSS JOIN st
+WHERE abs(floor(((n::DOUBLE - s1::DOUBLE / nb::DOUBLE)
+                 / sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / nb::DOUBLE)
+                        / nb::DOUBLE)) * 1e6 + 0.5) / 1e6) > {float(z_cut)!r}
+ORDER BY hour_start
+"""

@@ -181,3 +181,16 @@ def test_percentile_ranks(spark, sf_correct, con):
     pcts = [p for _v, p in got]
     assert pcts == sorted(pcts) and pcts[-1] == 100.0
     assert all(0.0 <= p <= 100.0 for p in pcts)
+
+
+def test_event_anomalies(spark, sf_correct, con):
+    _cmp(
+        R.event_anomalies(spark, sf_correct, 2.0),
+        con,
+        R.event_anomalies_sql(2.0),
+    )
+    rows = R.event_anomalies(spark, sf_correct, 2.0).collect()
+    assert all(abs(r["z"]) > 2.0 for r in rows)
+    # anomalies are the tail, not the bulk
+    n_buckets = R.event_pipeline_aggs(spark, sf_correct).count()
+    assert 0 < len(rows) < n_buckets / 4

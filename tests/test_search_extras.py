@@ -478,3 +478,29 @@ def test_significant_text_vs_duckdb(corpus, con):
     full = [tuple(r) for r in
             significant_terms(corpus, q, 15).collect()]
     assert got != full
+
+
+def test_has_parent_search_vs_duckdb(corpus, con):
+    from smse_backend_spark.operators.aggregations import (
+        has_parent_search,
+        has_parent_search_sql,
+        repo_topk,
+    )
+
+    q = "hash join merge scan"
+    got = [tuple(r) for r in
+           has_parent_search(corpus, q, 15, "max").collect()]
+    want = [tuple(w) for w in
+            con.execute(has_parent_search_sql(q, 15, "max")).fetchall()]
+    assert got == want and got
+    # children carry their parent's has_child score verbatim
+    pscores = {r["repo"]: r["score"]
+               for r in repo_topk(corpus, q, 10**6, "max").collect()}
+    assert all(s == pscores[repo] for _d, repo, s in got)
+    # docs that never matched the query still surface via their repo
+    from smse_backend_spark.operators.search import bm25_topk_scan
+
+    matched = {r["doc_id"] for r in bm25_topk_scan(corpus, q, 10**6).collect()}
+    all_children = [tuple(r) for r in
+                    has_parent_search(corpus, q, 10**6, "max").collect()]
+    assert {d for d, *_ in all_children} - matched
