@@ -726,6 +726,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, _query_vecs(spark, sf_dir), 10, n_centroids=16, n_probe=4
         ).withColumn("rank", F.col("rank").cast("long"))
 
+    def _ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from smse_backend_spark.operators.ann import mmr_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return mmr_topk(emb, 0, 5, 20, 0.7, 0.3)
+
     def _ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
 
@@ -1183,6 +1189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream; the IVF index stays full-corpus (never fewer than k
         # eligible hits post-cut)
         "ann_ivf_filtered": _ann_ivf_filtered,
+        # MMR diversification: greedy re-rank of the cosine pool
+        "ann_mmr": _ann_mmr,
         # IVF after one deterministic Lloyd round (integer-quantized means)
         "ann_ivf_trained": _ann_ivf_trained,
         # int8 scalar quantization: 4x-smaller vectors, deterministic rank
@@ -1393,7 +1401,7 @@ _CHECK_FIRST = [
     "random_score", "collapse_inner_hits", "significant_text",
     "auto_date_histogram", "simple_query_string_indexed",
     "event_pipeline_aggs", "search_percentile_ranks",
-    "event_anomalies", "has_parent_search",
+    "event_anomalies", "has_parent_search", "ann_mmr",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1478,6 +1486,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         ivf_trained_topk_sql,
         ivfpq_topk_sql,
         lsh_topk_sql,
+        mmr_oracle_sql,
         pq_topk_sql,
         sq8_topk_sql,
     )
@@ -1496,6 +1505,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "ann_pq": pq_topk_sql([0, 1, 2], 10),
         "ann_ivfpq": ivfpq_topk_sql([0, 1, 2], 10),
         "ann_ivf": ivf_topk_sql([0, 1, 2], k=10, n_centroids=16, n_probe=4),
+        "ann_mmr": mmr_oracle_sql(0, 5, 20, 0.7, 0.3),
         "ann_ivf_filtered": ivf_topk_sql(
             [0, 1, 2], k=10, n_centroids=16, n_probe=4, filter_label=3
         ),

@@ -1067,3 +1067,149 @@ r AS (
 )
 SELECT query_id, rank, vec_id, score FROM r WHERE rank <= {k}
 """
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998; the
+    diversification behind "don't show me five copies of the same doc" in
+    vector search UIs): greedily pick k results from the cosine top-``pool``
+    maximizing
+
+        mmr(c) = lam * sim(q, c) - mu * max_{d in selected} sim(c, d)
+
+    (empty-selection penalty = 0, ties -> smallest vec_id). Returns
+    (rank, vec_id, score) in pick order; the query row itself is excluded.
+
+    ``lam``/``mu`` are independent literals (NOT mu = 1-lam) so both
+    engines compute with the exact same double constants.
+
+    Scale shape: the distributed work is the top-``pool`` candidate
+    selection (the brute-force matmul kernel — swap in IVF for 10^12
+    rows); the greedy is inherently sequential and runs on the
+    coordinator over pool-bounded rows (<= pool embeddings collected) —
+    the same coordinator re-rank discipline as ES rescoring. All sims
+    quantized to 6 dp before comparison, so the unrolled DuckDB twin is
+    bit-identical.
+    """
+    spark = emb.sparkSession
+    qrow = emb.filter(F.col("vec_id") == int(query_id)).select("embedding").first()
+    if qrow is None:
+        return spark.createDataFrame([], "rank long, vec_id long, score double")
+    qv = list(qrow["embedding"])
+    cands = brute_force_topk(
+        emb.filter(F.col("vec_id") != int(query_id)),
+        {int(query_id): qv},
+        pool,
+    ).collect()
+    s = {int(r["vec_id"]): float(r["score"]) for r in cands}
+    ids = sorted(s)
+    if not ids:
+        return spark.createDataFrame([], "rank long, vec_id long, score double")
+    vec_rows = (
+        emb.filter(F.col("vec_id").isin(ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in vec_rows
+    }
+
+    def pair_sim(a: int, b: int) -> float:
+        va, vb = vecs[a], vecs[b]
+        return float(np.round(
+            float(va @ vb)
+            / (float(np.sqrt(va @ va)) * float(np.sqrt(vb @ vb))),
+            6,
+        ))
+
+    selected: list[int] = []
+    out: list[tuple[int, int, float]] = []
+    remaining = list(ids)
+    for step in range(1, min(int(k), len(ids)) + 1):
+        best_id, best_m = None, None
+        for c in remaining:  # ascending vec_id -> '>' keeps smallest on tie
+            pen = max((pair_sim(c, d) for d in selected), default=0.0)
+            m = float(lam) * s[c] - float(mu) * pen
+            if best_m is None or m > best_m:
+                best_id, best_m = c, m
+        out.append((step, best_id, float(np.round(best_m, 6))))
+        selected.append(best_id)
+        remaining.remove(best_id)
+    return spark.createDataFrame(out, "rank long, vec_id long, score double")
+
+
+def mmr_oracle_sql(
+    query_id: int = 0,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`mmr_topk`: the greedy is UNROLLED into k
+    selection CTEs (the textrank unrolled-iteration pattern) over the
+    same 6dp-quantized query and pairwise similarity CTEs."""
+    qid, lam, mu = int(query_id), float(lam), float(mu)
+    steps = []
+    prev_sel = None
+    for i in range(1, int(k) + 1):
+        if prev_sel is None:
+            steps.append(
+                f"sel1 AS (SELECT vec_id, {lam!r} * s AS mmr, 1 AS rank "
+                f"FROM pool ORDER BY mmr DESC, vec_id ASC LIMIT 1)"
+            )
+            prev_sel = "sel1"
+            all_sel = "SELECT vec_id FROM sel1"
+        else:
+            steps.append(
+                f"sel{i} AS (SELECT p.vec_id, "
+                f"{lam!r} * p.s - {mu!r} * ("
+                f"SELECT max(pp.ps) FROM pp "
+                f"WHERE pp.ai = p.vec_id AND pp.bi IN ({all_sel})"
+                f") AS mmr, {i} AS rank "
+                f"FROM pool p WHERE p.vec_id NOT IN ({all_sel}) "
+                f"ORDER BY mmr DESC, vec_id ASC LIMIT 1)"
+            )
+            all_sel += f" UNION ALL SELECT vec_id FROM sel{i}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT rank, vec_id, mmr FROM sel{i}" for i in range(1, int(k) + 1)
+    )
+    body = ",\n".join(steps)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM {table} WHERE vec_id = {qid}),
+zq AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM {table} e, q WHERE e.vec_id <> {qid}
+),
+sq AS (
+  SELECT vec_id, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS s
+  FROM zq GROUP BY vec_id
+),
+pool AS (
+  SELECT vec_id, s FROM sq ORDER BY s DESC, vec_id ASC LIMIT {int(pool)}
+),
+zp AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         unnest(ae.embedding)::DOUBLE AS xa, unnest(be.embedding)::DOUBLE AS xb
+  FROM pool a JOIN {table} ae ON ae.vec_id = a.vec_id,
+       pool b JOIN {table} be ON be.vec_id = b.vec_id
+  WHERE a.vec_id <> b.vec_id
+),
+pp AS (
+  SELECT ai, bi,
+         round(sum(xa*xb) / (sqrt(sum(xa*xa)) * sqrt(sum(xb*xb))), 6) AS ps
+  FROM zp GROUP BY ai, bi
+),
+{body}
+SELECT rank::BIGINT AS rank, vec_id, round(mmr, 6) AS score
+FROM ({union})
+ORDER BY rank
+"""

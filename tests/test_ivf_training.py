@@ -148,3 +148,33 @@ def test_filtered_ivf_vs_oracle_and_predicate(spark, sf_smoke):
     full = {(q, v): s for q, _rk, v, s in
             ivf_topk(emb, qrows, 10_000, 16, 4).collect()}
     assert all((q, v) in full and full[(q, v)] == s for q, _rk, v, s in got)
+
+
+def test_mmr_vs_duckdb_and_diversity(spark, sf_smoke):
+    from smse_backend_spark.operators.ann import mmr_oracle_sql, mmr_topk
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    got = [tuple(r) for r in mmr_topk(emb, 0, 5, 20, 0.7, 0.3).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"create view embeddings as select * from "
+        f"'{sf_smoke}/embeddings.parquet'"
+    )
+    want = [tuple(w) for w in
+            con.execute(mmr_oracle_sql(0, 5, 20, 0.7, 0.3)).fetchall()]
+    assert got == want and len(got) == 5
+    # ranks are 1..5, no repeats, query row excluded
+    assert [r for r, _v, _s in got] == [1, 2, 3, 4, 5]
+    picks = [v for _r, v, _s in got]
+    assert len(set(picks)) == 5 and 0 not in picks
+    # the first pick is the plain cosine argmax; later picks may diverge
+    # from pure relevance order (that's the diversification)
+    from smse_backend_spark.operators.ann import brute_force_topk as bf
+
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    plain = [r["vec_id"] for r in
+             bf(emb.filter(F.col("vec_id") != 0), {0: list(qv)}, 5).collect()]
+    assert picks[0] == plain[0] and picks != plain
+    # mmr=1.0 lambda degenerates to pure relevance
+    pure = [tuple(r) for r in mmr_topk(emb, 0, 5, 20, 1.0, 0.0).collect()]
+    assert [v for _r, v, _s in pure] == plain
