@@ -1010,6 +1010,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_set": lambda spark, sf: terms_set_topk(
             load_corpus(spark, sf), FLAGSHIP_QUERY, 150, 10
         ),
+        # offline ranking-quality metrics (ES _rank_eval): p@10 + nDCG@10
+        # against the deterministic all-terms qrel
+        "rank_eval": lambda spark, sf: AG.rank_eval(
+            load_corpus(spark, sf), dict(BATCH_QUERIES), 10
+        ),
         # has_parent: child docs scored by their repo's aggregate relevance
         "has_parent_search": lambda spark, sf: AG.has_parent_search(
             load_corpus(spark, sf), FLAGSHIP_QUERY, 15, "max"
@@ -1401,7 +1406,7 @@ _CHECK_FIRST = [
     "random_score", "collapse_inner_hits", "significant_text",
     "auto_date_histogram", "simple_query_string_indexed",
     "event_pipeline_aggs", "search_percentile_ranks",
-    "event_anomalies", "has_parent_search", "ann_mmr",
+    "event_anomalies", "has_parent_search", "ann_mmr", "rank_eval",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1746,6 +1751,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "has_parent_search": AG.has_parent_search_sql(
             FLAGSHIP_QUERY, 15, "max"
         ),
+        "rank_eval": AG.rank_eval_sql(dict(BATCH_QUERIES), 10),
         "search_percentile_ranks": AG.percentile_ranks_sql(
             FLAGSHIP_QUERY, (100, 300)
         ),

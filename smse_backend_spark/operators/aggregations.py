@@ -16,7 +16,9 @@ both ship a DuckDB oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
 
 from smse_backend_spark.functions.tokenizer import (
     doc_len_col,
@@ -1106,3 +1108,124 @@ FROM {table} d JOIN parents p ON d.source = p.repo
 ORDER BY score DESC, doc_id ASC
 LIMIT {int(k)}
 """
+
+
+def rank_eval(
+    corpus: DataFrame,
+    queries: dict[int, str],
+    k: int = 10,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``_rank_eval`` API: offline ranking-quality metrics for a set of
+    queries against relevance judgments — here the deterministic qrel
+    "a doc is relevant iff it contains EVERY query term" (binary,
+    derivable on both engines, no human labels needed). Per query:
+
+        p_at_k  = |relevant in top-k| / k
+        dcg_k   = sum_{i<=k} rel_i / log2(i + 1)
+        ndcg_k  = dcg_k / idcg_k   (0 when the query has no relevant doc)
+
+    over the engine's BM25 top-k (score desc, doc_id asc). Returns
+    (query_id, n_rel, p_at_k, ndcg) ordered by query_id — the regression
+    gate a search team runs before shipping a ranking change.
+
+    Scale shape: per query, the scored scan's match set carries nmatch,
+    so relevance is a compare, not a second scan; the metric reduces
+    top-k rows + one relevant-count aggregate. Queries run as separate
+    jobs (an eval set is small; at 10^12 docs each job is the standard
+    match-set reduction).
+    """
+    from smse_backend_spark.operators.search import bm25_scored_scan
+
+    spark = corpus.sparkSession
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    parts = []
+    for qid in sorted(queries):
+        terms = query_terms(queries[qid])
+        scored = bm25_scored_scan(corpus, queries[qid])
+        rel = scored.filter(F.col("nmatch") == len(terms))
+        n_rel = rel.count()
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        topk = (
+            scored.select("doc_id", "score", "nmatch")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= int(k))
+        )
+        relc = (F.col("nmatch") == len(terms)).cast("int")
+        dcg = F.sum(
+            F.when(relc == 1,
+                   F.lit(1.0) / F.log2(F.col("rn") + F.lit(1)))
+            .otherwise(F.lit(0.0))
+        )
+        hits = F.sum(relc.cast("long"))
+        idcg = sum(1.0 / math.log2(i + 1)
+                   for i in range(1, min(int(k), n_rel) + 1))
+        r6 = lambda c: F.round(c, 6)  # noqa: E731
+        parts.append(
+            topk.agg(
+                F.lit(int(qid)).cast("long").alias("query_id"),
+                F.lit(int(n_rel)).cast("long").alias("n_rel"),
+                F.coalesce(
+                    r6(hits.cast("double") / F.lit(float(k))), F.lit(0.0)
+                ).alias("p_at_k"),
+                (r6(dcg / F.lit(idcg)) if idcg > 0
+                 else F.lit(0.0)).alias("ndcg"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("query_id")
+
+
+def rank_eval_sql(
+    queries: dict[int, str],
+    k: int = 10,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`rank_eval` (same qrels, same window order,
+    same metric expressions; idcg re-derived in SQL from the same
+    min(k, n_rel) prefix sum)."""
+    from smse_backend_spark.operators.search import (
+        _ALL_ROWS,
+        bm25_scan_oracle_sql,
+    )
+
+    blocks = []
+    for qid in sorted(queries):
+        n_terms = len(query_terms(queries[qid]))
+        scored = bm25_scan_oracle_sql(
+            queries[qid], _ALL_ROWS, lang, table, content_col,
+            with_nmatch=True,
+        )
+        blocks.append(f"""
+SELECT * FROM (
+  WITH scored AS ({scored}),
+  ranked AS (
+    SELECT doc_id, score, (nmatch = {n_terms})::INT AS rel,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored
+  ),
+  nr AS (SELECT count(*)::BIGINT AS n_rel FROM scored
+         WHERE nmatch = {n_terms}),
+  idcg AS (
+    SELECT coalesce(sum(CASE WHEN i <= least({int(k)}, nr.n_rel)
+                         THEN 1.0 / log2(i + 1) END), 0.0) AS v
+    FROM generate_series(1, {int(k)}) t(i), nr
+  )
+  SELECT {int(qid)}::BIGINT AS query_id,
+         (SELECT n_rel FROM nr) AS n_rel,
+         coalesce(round(sum(rel)::DOUBLE / {float(k)!r}, 6), 0.0)
+           AS p_at_k,
+         CASE WHEN (SELECT v FROM idcg) > 0 THEN
+           round(sum(CASE WHEN rel = 1
+                          THEN 1.0 / log2(rn + 1) ELSE 0.0 END)
+                 / (SELECT v FROM idcg), 6)
+         ELSE 0.0 END AS ndcg
+  FROM ranked WHERE rn <= {int(k)}
+)""")
+    union = "\nUNION ALL\n".join(blocks)
+    return f"SELECT * FROM (\n{union}\n) ORDER BY query_id"

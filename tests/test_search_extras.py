@@ -504,3 +504,34 @@ def test_has_parent_search_vs_duckdb(corpus, con):
     all_children = [tuple(r) for r in
                     has_parent_search(corpus, q, 10**6, "max").collect()]
     assert {d for d, *_ in all_children} - matched
+
+
+def test_rank_eval_vs_duckdb(corpus, con):
+    import math
+
+    from smse_backend_spark.operators.aggregations import (
+        rank_eval,
+        rank_eval_sql,
+    )
+
+    qs = {0: "hash join merge scan", 1: "the row data", 2: "nonexistentterm"}
+    got = [tuple(r) for r in rank_eval(corpus, qs, 10).collect()]
+    want = [tuple(w) for w in con.execute(rank_eval_sql(qs, 10)).fetchall()]
+    assert got == want and len(got) == 3
+    by_q = {q: (nr, p, n) for q, nr, p, n in got}
+    # no relevant docs -> all-zero metrics, not NaN/NULL
+    assert by_q[2] == (0, 0.0, 0.0)
+    # metrics live in [0, 1]; a query with >= 10 relevant docs can hit 1.0
+    for _q, (nr, p, n) in by_q.items():
+        assert 0.0 <= p <= 1.0 and 0.0 <= n <= 1.0
+    # BM25's top-k ordering is not relevance-perfect on OR queries, so
+    # ndcg reflects the rank positions of the all-terms docs
+    nr0, p0, n0 = by_q[0]
+    assert nr0 > 0 and p0 > 0 and n0 > 0
+    # hand-check p@10 for query 0 against the definition
+    from smse_backend_spark.operators.search import bm25_scored_scan
+
+    scored = bm25_scored_scan(corpus, qs[0]).collect()
+    top = sorted(scored, key=lambda r: (-r["score"], r["doc_id"]))[:10]
+    hits = sum(1 for r in top if r["nmatch"] == 4)
+    assert p0 == round(hits / 10.0, 6)
