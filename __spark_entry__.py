@@ -971,6 +971,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_terms": lambda spark, sf: AG.multi_terms(
             load_corpus(spark, sf), FLAGSHIP_QUERY, ("lang", "repo"), 10
         ),
+        # the same from postings + doc-values alone (no corpus scan)
+        "multi_terms_indexed": lambda spark, sf: _indexed(spark, sf)
+        .multi_terms_agg(FLAGSHIP_QUERY, ("lang", "repo"), 10),
+        # diversified sampler from the index (scored matches + doc-values)
+        "search_diversified_indexed": lambda spark, sf: _indexed(spark, sf)
+        .diversified_sample_facets(FLAGSHIP_QUERY, "repo", 3, "lang"),
         # named-filter co-occurrence matrix (ES adjacency_matrix)
         "adjacency_matrix": lambda spark, sf: AG.adjacency_matrix(
             load_corpus(spark, sf),
@@ -1407,6 +1413,7 @@ _CHECK_FIRST = [
     "auto_date_histogram", "simple_query_string_indexed",
     "event_pipeline_aggs", "search_percentile_ranks",
     "event_anomalies", "has_parent_search", "ann_mmr", "rank_eval",
+    "multi_terms_indexed", "search_diversified_indexed",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1638,6 +1645,12 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "significant_text": AG.significant_text_sql(FLAGSHIP_QUERY, 50, 15),
         "multi_terms": AG.multi_terms_sql(
             FLAGSHIP_QUERY, ("lang", "source"), ("lang", "repo"), 10
+        ),
+        "multi_terms_indexed": AG.multi_terms_sql(
+            FLAGSHIP_QUERY, ("lang", "source"), ("lang", "repo"), 10
+        ),
+        "search_diversified_indexed": AG.diversified_sample_facets_sql(
+            FLAGSHIP_QUERY, "source", 3, "lang"
         ),
         "adjacency_matrix": AG.adjacency_matrix_sql(
             {"h": "hash", "j": "join", "w": "window"}

@@ -1238,6 +1238,58 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def multi_terms_agg(
+        self,
+        query_text: str,
+        fields: tuple[str, str] = ("lang", "repo"),
+        k: int = 10,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``multi_terms`` from the index alone: the match set comes
+        from postings (:meth:`match_doc_ids`), the compound key from
+        stored doc-values — the corpus is never read. Identical output to
+        ``operators.aggregations.multi_terms`` (shared oracle)."""
+        matches = self.match_doc_ids(query_text, lang)
+        vals = self.doc_values(fields)
+        return (
+            matches.join(vals, "doc_id")
+            .groupBy(*fields)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), *[F.asc(f) for f in fields])
+            .limit(k)
+        )
+
+    def diversified_sample_facets(
+        self,
+        query_text: str,
+        dedup_field: str = "repo",
+        shard_size: int = 3,
+        facet: str = "lang",
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``diversified_sampler`` + sub-agg from the index alone:
+        scored matches from posting blocks, the dedup key and facet from
+        stored doc-values; per-key best-``shard_size`` cap then the facet
+        count over the bounded sample. Identical output to
+        ``operators.aggregations.diversified_sample_facets``."""
+        from pyspark.sql import Window
+
+        scored = self.scored_matches(query_text, lang)
+        attrs = self.doc_values((dedup_field, facet))
+        w = Window.partitionBy(dedup_field).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        sample = (
+            scored.join(attrs, "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= int(shard_size))
+        )
+        return (
+            sample.groupBy(facet)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc(facet))
+        )
+
     def bm25_topk_msm(
         self,
         query_text: str,

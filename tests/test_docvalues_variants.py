@@ -430,3 +430,24 @@ def test_rank_feature_rank_identity(corpus, dv_index):
     a = rows(dv_index.rank_feature_topk(Q, 120, 2.0, 10))
     b = rows(S.rank_feature_topk(corpus, Q, 120, 2.0, 10))
     assert a == b
+
+
+def test_multi_terms_and_diversified_indexed_match_scan(corpus, dv_index):
+    """The index-path multi_terms / diversified sampler equal their scan
+    twins exactly (shared oracles)."""
+    from smse_backend_spark.operators.aggregations import (
+        diversified_sample_facets,
+        multi_terms,
+    )
+
+    ix = dv_index
+    q = "hash join merge scan"
+    assert ([tuple(r) for r in ix.multi_terms_agg(q, ("lang", "repo"), 10)
+             .collect()]
+            == [tuple(r) for r in
+                multi_terms(corpus, q, ("lang", "repo"), 10).collect()])
+    assert ([tuple(r) for r in
+             ix.diversified_sample_facets(q, "repo", 3, "lang").collect()]
+            == [tuple(r) for r in
+                diversified_sample_facets(corpus, q, "repo", 3, "lang")
+                .collect()])
