@@ -166,3 +166,96 @@ def test_simple_query_string_indexed_matches_scan(spark, corpus, con,
         want = [tuple(w) for w in con.execute(
             simple_query_string_oracle_sql(q, 10, None, op)).fetchall()]
         assert idx == want, (q, op)
+
+
+# --------------------------------------------------------------------------
+# property: render(ast) re-parses to a semantically equivalent query
+# --------------------------------------------------------------------------
+
+def _render(node, top=False):
+    if isinstance(node, TermLeaf):
+        return node.term
+    if isinstance(node, PhraseLeaf):
+        return '"' + " ".join(node.terms) + '"'
+    if isinstance(node, PrefixLeaf):
+        return node.prefix + "*"
+    if isinstance(node, QNot):
+        return "-" + _render(node.child)
+    if isinstance(node, QAnd):
+        s = " + ".join(_render(c) for c in node.children)
+    else:
+        s = " | ".join(_render(c) for c in node.children)
+    return s if top else "(" + s + ")"
+
+
+def _eval(node, present):
+    if isinstance(node, (TermLeaf, PhraseLeaf, PrefixLeaf)):
+        return present[node]
+    if isinstance(node, QNot):
+        return not _eval(node.child, present)
+    if isinstance(node, QAnd):
+        return all(_eval(c, present) for c in node.children)
+    return any(_eval(c, present) for c in node.children)
+
+
+def _es_rewrite(node):
+    """The documented ES bool semantics the parser applies: a negated
+    clause in an OR list attaches as must_not to the enclosing bool
+    ((a | -b) means a AND NOT b), recursively."""
+    if isinstance(node, (TermLeaf, PhraseLeaf, PrefixLeaf)):
+        return node
+    if isinstance(node, QNot):
+        return QNot(_es_rewrite(node.child))
+    kids = tuple(_es_rewrite(c) for c in node.children)
+    if isinstance(node, QAnd):
+        return QAnd(kids)
+    nots = tuple(c for c in kids if isinstance(c, QNot))
+    pos = tuple(c for c in kids if not isinstance(c, QNot))
+    if not nots:
+        return QOr(kids)
+    if not pos:
+        return QAnd(nots)
+    should = pos[0] if len(pos) == 1 else QOr(pos)
+    return QAnd((should,) + nots)
+
+
+def test_parser_roundtrip_semantics_property():
+    """Random ASTs rendered to query strings re-parse to trees that agree
+    with the ES-rewritten reference on EVERY leaf-presence assignment
+    (negated OR branches hoist to must_not — the documented semantics)."""
+    import itertools
+    import random
+
+    from smse_backend_spark.operators.querystring import collect_leaves
+
+    rng = random.Random(7)
+    LEAVES = [TermLeaf("a"), TermLeaf("b"), TermLeaf("c"),
+              PhraseLeaf(("a", "b")), PrefixLeaf("pre")]
+
+    def gen(depth):
+        r = rng.random()
+        if depth >= 3 or r < 0.4:
+            return rng.choice(LEAVES)
+        if r < 0.55:
+            child = gen(depth + 1)
+            return QNot(child) if not isinstance(child, QNot) else child
+        kids = tuple(gen(depth + 1) for _ in range(rng.randint(2, 3)))
+        return QAnd(kids) if r < 0.8 else QOr(kids)
+
+    checked = 0
+    for _case in range(300):
+        ast = gen(0)
+        text = _render(ast, top=True)
+        try:
+            parsed = parse_simple_query(text, "and")
+        except ValueError:
+            continue  # pure-negative renders are legitimately rejected
+        leaves, _pos = collect_leaves(parsed)
+        base_leaves, _bp = collect_leaves(ast)
+        assert set(leaves) <= set(LEAVES) and set(base_leaves) <= set(LEAVES)
+        for bits in itertools.product([False, True], repeat=len(LEAVES)):
+            present = dict(zip(LEAVES, bits))
+            assert (_eval(_es_rewrite(ast), present)
+                    == _eval(parsed, present)), (text, present)
+        checked += 1
+    assert checked > 200  # the generator mostly produces parseable queries
