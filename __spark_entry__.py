@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from smse_backend_spark.corpus import load_corpus
+from smse_backend_spark.corpus import load_corpus, load_corpus_from
 from smse_backend_spark.operators import aggregations as AG
 from smse_backend_spark.operators import querystring as QS
 from smse_backend_spark.operators.boolquery import (
@@ -1039,6 +1039,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same DSL evaluated from posting blocks alone (no corpus scan)
         "boolean_query_indexed": lambda spark, sf: _indexed(spark, sf)
         .boolean_topk(BOOL_QUERY, 10),
+        # multi-format sources: the SAME query off JSONL / CSV / ORC
+        # materializations of the corpus (oracle = the parquet scan SQL)
+        "bm25_topk_jsonl": lambda spark, sf: bm25_topk_scan(
+            load_corpus_from(spark, sf, "jsonl"), FLAGSHIP_QUERY, 10
+        ),
+        "bm25_topk_csv": lambda spark, sf: bm25_topk_scan(
+            load_corpus_from(spark, sf, "csv"), FLAGSHIP_QUERY, 10
+        ),
+        "bm25_topk_orc": lambda spark, sf: bm25_topk_scan(
+            load_corpus_from(spark, sf, "orc"), FLAGSHIP_QUERY, 10
+        ),
         # ES simple_query_string: phrases, grouping, prefix, | and + ops
         "simple_query_string": lambda spark, sf: QS.simple_query_string_topk(
             load_corpus(spark, sf), SQS_QUERY, 10
@@ -1414,6 +1425,7 @@ _CHECK_FIRST = [
     "event_pipeline_aggs", "search_percentile_ranks",
     "event_anomalies", "has_parent_search", "ann_mmr", "rank_eval",
     "multi_terms_indexed", "search_diversified_indexed",
+    "bm25_topk_jsonl", "bm25_topk_csv", "bm25_topk_orc",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1669,6 +1681,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "repo_search": AG.repo_topk_sql(FLAGSHIP_QUERY, 10, "sum"),
         "boolean_query": boolean_query_oracle_sql(BOOL_QUERY, 10),
         "boolean_query_indexed": boolean_query_oracle_sql(BOOL_QUERY, 10),
+        "bm25_topk_jsonl": bm25_scan_oracle_sql(FLAGSHIP_QUERY, 10),
+        "bm25_topk_csv": bm25_scan_oracle_sql(FLAGSHIP_QUERY, 10),
+        "bm25_topk_orc": bm25_scan_oracle_sql(FLAGSHIP_QUERY, 10),
         "simple_query_string": QS.simple_query_string_oracle_sql(
             SQS_QUERY, 10
         ),

@@ -317,3 +317,27 @@ def test_cross_fields_is_term_centric(corpus, spark):
            for r in multi_field_bm25_scan(tiny, "alpha beta", wts, 10).collect()}
     assert cf2[1] < mf2[1] - 1e-9  # alpha double-dips only in the sum
     assert cf2[2] == pytest.approx(mf2[2], abs=2e-6)  # single-field hits agree
+
+
+def test_multi_format_sources_are_rank_identical(spark, sf_smoke):
+    """JSONL / CSV / ORC sources feed the identical corpus projection:
+    same sha256 invariants, same BM25 top-k as the parquet path."""
+    from smse_backend_spark.corpus import (
+        SOURCE_FORMATS,
+        load_corpus,
+        load_corpus_from,
+        verify_sha256_invariant,
+    )
+    from smse_backend_spark.operators.search import bm25_topk_scan
+
+    base = load_corpus(spark, sf_smoke)
+    want_rows = sorted(map(tuple, base.collect()))
+    want_topk = [tuple(r) for r in
+                 bm25_topk_scan(base, "hash join merge scan", 10).collect()]
+    for fmt in SOURCE_FORMATS:
+        c = load_corpus_from(spark, sf_smoke, fmt)
+        assert sorted(map(tuple, c.collect())) == want_rows, fmt
+        assert verify_sha256_invariant(c) == 0, fmt
+        got = [tuple(r) for r in
+               bm25_topk_scan(c, "hash join merge scan", 10).collect()]
+        assert got == want_topk, fmt
