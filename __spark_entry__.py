@@ -986,6 +986,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_stats": lambda spark, sf: AG.matrix_stats(
             load_corpus(spark, sf), FLAGSHIP_QUERY
         ),
+        # the same from postings + stored doc-values (no corpus scan)
+        "matrix_stats_indexed": lambda spark, sf: _indexed(spark, sf)
+        .matrix_stats_agg(FLAGSHIP_QUERY),
+        # inverse percentiles from doc-values alone
+        "search_percentile_ranks_indexed": lambda spark, sf:
+        _indexed(spark, sf).percentile_ranks_agg(FLAGSHIP_QUERY, (100, 300)),
         "significant_terms": lambda spark, sf: AG.significant_terms(
             load_corpus(spark, sf), FLAGSHIP_QUERY, 15
         ),
@@ -1426,6 +1432,7 @@ _CHECK_FIRST = [
     "event_anomalies", "has_parent_search", "ann_mmr", "rank_eval",
     "multi_terms_indexed", "search_diversified_indexed",
     "bm25_topk_jsonl", "bm25_topk_csv", "bm25_topk_orc",
+    "matrix_stats_indexed", "search_percentile_ranks_indexed",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1668,6 +1675,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             {"h": "hash", "j": "join", "w": "window"}
         ),
         "matrix_stats": AG.matrix_stats_sql(FLAGSHIP_QUERY),
+        "matrix_stats_indexed": AG.matrix_stats_sql(FLAGSHIP_QUERY),
+        "search_percentile_ranks_indexed": AG.percentile_ranks_sql(
+            FLAGSHIP_QUERY, (100, 300)
+        ),
         "significant_terms": AG.significant_terms_sql(FLAGSHIP_QUERY, 15),
         "percolate": AG.percolate_sql(PERCOLATE_QUERIES, 200),
         "streamed_percolate": AG.percolate_sql(PERCOLATE_QUERIES, 200),

@@ -1259,6 +1259,87 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def matrix_stats_agg(
+        self, query_text: str, lang: str | None = None
+    ) -> DataFrame:
+        """ES ``matrix_stats`` from the index alone: x = the stored
+        n_chars doc-value, y = the stored doc_len — both columnar
+        doc-values, so neither the corpus nor the postings' text is read
+        (the match set still comes from postings). Identical output to
+        ``operators.aggregations.matrix_stats`` (shared oracle: doc_len
+        IS len(tokenize(content)) by construction)."""
+        matches = self.match_doc_ids(query_text, lang)
+        vals = self.doc_values(("n_chars", "doc_len"))
+        m = matches.join(vals, "doc_id").select(
+            F.col("n_chars").cast("long").alias("x"),
+            F.col("doc_len").cast("long").alias("y"),
+        )
+        row = m.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        n = F.col("n").cast("double")
+        sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+        sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+        sxy = F.col("sxy").cast("double")
+        var_x = (sxx - sx * sx / n) / n
+        var_y = (syy - sy * sy / n) / n
+        cov = (sxy - sx * sy / n) / n
+        return row.select(
+            F.col("n"),
+            F.round(sx / n, 6).alias("mean_x"),
+            F.round(sy / n, 6).alias("mean_y"),
+            F.round(var_x, 6).alias("var_x"),
+            F.round(var_y, 6).alias("var_y"),
+            F.round(cov, 6).alias("cov_xy"),
+            F.round(cov / F.sqrt(var_x * var_y), 6).alias("corr_xy"),
+        )
+
+    def percentile_ranks_agg(
+        self,
+        query_text: str,
+        values: tuple[int, ...] = (100, 300),
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``percentile_ranks`` from the index alone (n_chars
+        doc-value): one aggregate row of conditional integer counts over
+        the match set — identical output to
+        ``operators.aggregations.percentile_ranks``."""
+        matches = self.match_doc_ids(query_text, lang)
+        vals = self.doc_values(("n_chars",))
+        m = matches.join(vals, "doc_id").select(
+            F.col("n_chars").cast("long").alias("x")
+        )
+        row = m.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum((F.col("x") <= F.lit(int(v))).cast("long"))
+                .alias(f"c{i}")
+                for i, v in enumerate(values)
+            ],
+        )
+        pct = lambda c: (  # noqa: E731
+            F.floor(
+                (F.lit(100.0) * c.cast("double") / F.col("n").cast("double"))
+                * F.lit(1e6) + F.lit(0.5)
+            ) / F.lit(1e6)
+        )
+        stacked = ", ".join(
+            f"{int(v)}L, p{i}" for i, v in enumerate(values)
+        )
+        return (
+            row.select(
+                *[pct(F.col(f"c{i}")).alias(f"p{i}")
+                  for i in range(len(values))]
+            )
+            .selectExpr(f"stack({len(values)}, {stacked}) AS (value, pct)")
+            .orderBy("value")
+        )
+
     def diversified_sample_facets(
         self,
         query_text: str,

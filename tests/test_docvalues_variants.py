@@ -451,3 +451,18 @@ def test_multi_terms_and_diversified_indexed_match_scan(corpus, dv_index):
             == [tuple(r) for r in
                 diversified_sample_facets(corpus, q, "repo", 3, "lang")
                 .collect()])
+
+
+def test_matrix_stats_and_percentile_ranks_indexed_match_scan(corpus, dv_index):
+    from smse_backend_spark.operators.aggregations import (
+        matrix_stats,
+        percentile_ranks,
+    )
+
+    q = "hash join"
+    assert ([tuple(r) for r in dv_index.matrix_stats_agg(q).collect()]
+            == [tuple(r) for r in matrix_stats(corpus, q).collect()])
+    assert ([tuple(r) for r in
+             dv_index.percentile_ranks_agg(q, (100, 300)).collect()]
+            == [tuple(r) for r in
+                percentile_ranks(corpus, q, (100, 300)).collect()])
