@@ -50,6 +50,8 @@ from smse_backend_spark.operators.search import (
     random_score_oracle_sql,
     random_score_topk,
     span_first_oracle_sql,
+    sparse_vector_oracle_sql,
+    sparse_vector_topk,
     terms_set_oracle_sql,
     terms_set_topk,
     search_after_oracle_sql,
@@ -1056,6 +1058,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_orc": lambda spark, sf: bm25_topk_scan(
             load_corpus_from(spark, sf, "orc"), FLAGSHIP_QUERY, 10
         ),
+        # learned-sparse retrieval shape (ES sparse_vector / ELSER): dot
+        # product of a sparse query weight vector against tf-idf weights
+        "sparse_vector_search": lambda spark, sf: sparse_vector_topk(
+            load_corpus(spark, sf), {"hash": 2.0, "join": 1.0, "merge": 0.5},
+            10,
+        ),
         # ES simple_query_string: phrases, grouping, prefix, | and + ops
         "simple_query_string": lambda spark, sf: QS.simple_query_string_topk(
             load_corpus(spark, sf), SQS_QUERY, 10
@@ -1433,6 +1441,7 @@ _CHECK_FIRST = [
     "multi_terms_indexed", "search_diversified_indexed",
     "bm25_topk_jsonl", "bm25_topk_csv", "bm25_topk_orc",
     "matrix_stats_indexed", "search_percentile_ranks_indexed",
+    "sparse_vector_search",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1692,6 +1701,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "repo_search": AG.repo_topk_sql(FLAGSHIP_QUERY, 10, "sum"),
         "boolean_query": boolean_query_oracle_sql(BOOL_QUERY, 10),
         "boolean_query_indexed": boolean_query_oracle_sql(BOOL_QUERY, 10),
+        "sparse_vector_search": sparse_vector_oracle_sql(
+            {"hash": 2.0, "join": 1.0, "merge": 0.5}, 10
+        ),
         "bm25_topk_jsonl": bm25_scan_oracle_sql(FLAGSHIP_QUERY, 10),
         "bm25_topk_csv": bm25_scan_oracle_sql(FLAGSHIP_QUERY, 10),
         "bm25_topk_orc": bm25_scan_oracle_sql(FLAGSHIP_QUERY, 10),

@@ -2751,3 +2751,104 @@ FROM ranked r JOIN leaders l USING (group_key)
 WHERE r.rn <= {int(inner)}
 ORDER BY l.lead_score DESC, l.lead_doc ASC, r.rn ASC
 """
+
+
+def sparse_vector_topk(
+    corpus: DataFrame,
+    query_weights: dict[str, float],
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``sparse_vector`` query (the ELSER / learned-sparse-retrieval
+    shape): the query is a SPARSE weight vector over vocabulary terms;
+    each doc scores the dot product of those weights against its stored
+    per-term weights — here the classic ``tf * ln(N/df)`` tf-idf
+    (matching :func:`functions.text_quality.tfidf_vectors`'s export), so
+    the "model" is corpus-derived and deterministic. Unlike BM25 the
+    per-term saturation and length normalization live in the WEIGHTS,
+    not the formula — which is exactly why learned-sparse models ship
+    their own weights.
+
+    Scale shape: identical to the BM25 scan — one tokenize, a
+    query-term-filtered (doc, term, tf) aggregate, a broadcast join of
+    the |q|-row weight frame and the |q|-row df frame, one per-doc sum,
+    TakeOrderedAndProject.
+    """
+    terms = sorted(query_weights)
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    empty = corpus.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+    if not terms:
+        return empty
+    n_docs = corpus.count()
+    if not n_docs:
+        return empty
+    spark = corpus.sparkSession
+    wdf = F.broadcast(spark.createDataFrame(
+        [(t, float(query_weights[t])) for t in terms],
+        "term string, w double",
+    ))
+    toks = corpus.select(
+        "doc_id", F.explode(tokenize_col("content")).alias("term")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    contrib = (
+        F.col("w") * F.col("tf").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .join(wdf, "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def sparse_vector_oracle_sql(
+    query_weights: dict[str, float],
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`sparse_vector_topk` (same tf-idf weights as
+    ``tfidf_vectors_sql``, same dot product, same rounding)."""
+    terms = sorted(query_weights)
+    if not terms:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    vals = ", ".join(
+        "('" + t.replace("'", "''") + f"', {float(query_weights[t])!r})"
+        for t in terms
+    )
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    return f"""
+WITH dl AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM dl),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ({in_list})
+  GROUP BY doc_id, term
+),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qw(term, w) AS (VALUES {vals})
+SELECT tf.doc_id AS doc_id,
+       round(sum(qw.w * tf.tf::DOUBLE * ln(n.n_docs / dfq.df)), 6) AS score
+FROM tf JOIN dfq USING (term) JOIN qw USING (term) CROSS JOIN n
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""

@@ -535,3 +535,22 @@ def test_rank_eval_vs_duckdb(corpus, con):
     top = sorted(scored, key=lambda r: (-r["score"], r["doc_id"]))[:10]
     hits = sum(1 for r in top if r["nmatch"] == 4)
     assert p0 == round(hits / 10.0, 6)
+
+
+def test_sparse_vector_vs_duckdb(corpus, con):
+    from smse_backend_spark.operators.search import (
+        sparse_vector_oracle_sql,
+        sparse_vector_topk,
+    )
+
+    qw = {"hash": 2.0, "join": 1.0, "merge": 0.5}
+    got = [tuple(r) for r in sparse_vector_topk(corpus, qw, 10).collect()]
+    want = [tuple(w) for w in
+            con.execute(sparse_vector_oracle_sql(qw, 10)).fetchall()]
+    assert got == want and got
+    # the weights matter: doubling 'join' reorders vs the original
+    qw2 = {"hash": 2.0, "join": 10.0, "merge": 0.5}
+    got2 = [tuple(r) for r in sparse_vector_topk(corpus, qw2, 10).collect()]
+    want2 = [tuple(w) for w in
+             con.execute(sparse_vector_oracle_sql(qw2, 10)).fetchall()]
+    assert got2 == want2 and [d for d, _ in got2] != [d for d, _ in got]
