@@ -1064,6 +1064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_corpus(spark, sf), {"hash": 2.0, "join": 1.0, "merge": 0.5},
             10,
         ),
+        # the same from postings + dictionary alone (no corpus scan)
+        "sparse_vector_indexed": lambda spark, sf: _indexed(spark, sf)
+        .sparse_vector_topk({"hash": 2.0, "join": 1.0, "merge": 0.5}, 10),
         # ES simple_query_string: phrases, grouping, prefix, | and + ops
         "simple_query_string": lambda spark, sf: QS.simple_query_string_topk(
             load_corpus(spark, sf), SQS_QUERY, 10
@@ -1441,7 +1444,7 @@ _CHECK_FIRST = [
     "multi_terms_indexed", "search_diversified_indexed",
     "bm25_topk_jsonl", "bm25_topk_csv", "bm25_topk_orc",
     "matrix_stats_indexed", "search_percentile_ranks_indexed",
-    "sparse_vector_search",
+    "sparse_vector_search", "sparse_vector_indexed",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1702,6 +1705,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "boolean_query": boolean_query_oracle_sql(BOOL_QUERY, 10),
         "boolean_query_indexed": boolean_query_oracle_sql(BOOL_QUERY, 10),
         "sparse_vector_search": sparse_vector_oracle_sql(
+            {"hash": 2.0, "join": 1.0, "merge": 0.5}, 10
+        ),
+        "sparse_vector_indexed": sparse_vector_oracle_sql(
             {"hash": 2.0, "join": 1.0, "merge": 0.5}, 10
         ),
         "bm25_topk_jsonl": bm25_scan_oracle_sql(FLAGSHIP_QUERY, 10),

@@ -1259,6 +1259,40 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def sparse_vector_topk(
+        self,
+        query_weights: dict[str, float],
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``sparse_vector`` from the index alone: per-doc tf comes
+        from the decoded postings of the query's terms, df from the
+        dictionary, N from commit metadata — the doc weight
+        ``tf * ln(N/df)`` is reconstructed without reading the corpus.
+        Identical output to ``operators.search.sparse_vector_topk``
+        (shared oracle)."""
+        terms = sorted(query_weights)
+        n, _avgdl = self.corpus_stats(lang)
+        dfs = self.term_df(terms, lang) if terms and n else {}
+        if not dfs:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        # w and ln(N/df) stay separate columns so the contribution is the
+        # scan twin's exact (w * tf) * ln association (1-ulp discipline)
+        wdf = F.broadcast(self.spark.createDataFrame(
+            [(t, float(query_weights[t]), math.log(n / df))
+             for t, df in dfs.items()],
+            "term string, w double, lnv double",
+        ))
+        decoded = self._decoded(self._blocks(sorted(dfs), lang))
+        contrib = F.col("w") * F.col("tf").cast("double") * F.col("lnv")
+        return (
+            decoded.join(wdf, "term")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(contrib), 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def matrix_stats_agg(
         self, query_text: str, lang: str | None = None
     ) -> DataFrame:

@@ -466,3 +466,13 @@ def test_matrix_stats_and_percentile_ranks_indexed_match_scan(corpus, dv_index):
              dv_index.percentile_ranks_agg(q, (100, 300)).collect()]
             == [tuple(r) for r in
                 percentile_ranks(corpus, q, (100, 300)).collect()])
+
+
+def test_sparse_vector_indexed_matches_scan(corpus, dv_index):
+    from smse_backend_spark.operators.search import sparse_vector_topk
+
+    qw = {"hash": 2.0, "join": 1.0, "merge": 0.5}
+    assert ([tuple(r) for r in
+             dv_index.sparse_vector_topk(qw, 10).collect()]
+            == [tuple(r) for r in
+                sparse_vector_topk(corpus, qw, 10).collect()])
