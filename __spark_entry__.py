@@ -1215,6 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "tfidf_vectors": lambda spark, sf: Q.tfidf_vectors(_docs(spark, sf), 100),
         "quality_scores": lambda spark, sf: Q.quality_scores(_docs(spark, sf), 0.2),
+        # Gopher rules as one integer-exact curation gate (rejects view)
+        "gopher_filter": lambda spark, sf: Q.gopher_filter(_docs(spark, sf)),
         "lang_id": lambda spark, sf: Q.lang_id(_docs(spark, sf)),
         "doc_fingerprint": lambda spark, sf: Q.doc_fingerprint(_docs(spark, sf)),
         # simhash banding (exact at the contracted radius) + LSH ANN
@@ -1444,7 +1446,7 @@ _CHECK_FIRST = [
     "multi_terms_indexed", "search_diversified_indexed",
     "bm25_topk_jsonl", "bm25_topk_csv", "bm25_topk_orc",
     "matrix_stats_indexed", "search_percentile_ranks_indexed",
-    "sparse_vector_search", "sparse_vector_indexed",
+    "sparse_vector_search", "sparse_vector_indexed", "gopher_filter",
     "lm_dirichlet", "lm_dirichlet_indexed",
     "search_composite", "search_composite_after", "search_terms_stats",
     "quality_weighted_sample", "bm25_pit_page2", "bm25_indexed_upsert",
@@ -1559,6 +1561,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "auto_stopwords": Q.auto_stopwords_sql(0.4, 20),
         "tfidf_vectors": Q.tfidf_vectors_sql(100),
         "quality_scores": Q.quality_scores_sql(0.2),
+        "gopher_filter": Q.gopher_filter_sql(),
         "lang_id": Q.lang_id_sql(),
         "doc_fingerprint": Q.doc_fingerprint_sql(),
         "ann_brute_force": ann_sql,

@@ -760,3 +760,110 @@ SELECT term, pr AS score FROM {prev}
 ORDER BY score DESC, term ASC
 LIMIT {k}
 """
+
+
+def gopher_filter(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    max_tokens: int = 10_000,
+    min_mean_len: int = 2,
+    max_mean_len: int = 10,
+    min_stop_pct: int = 6,
+    max_top_unigram_pct: int = 20,
+) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021 §A1.1) as one composite
+    curation gate, adapted to the code tokenizer: a doc PASSES iff
+
+    1. token count in [min_tokens, max_tokens];
+    2. mean token length in [min_mean_len, max_mean_len];
+    3. stopword fraction >= min_stop_pct %  (symbol soup filter);
+    4. most-frequent-unigram fraction <= max_top_unigram_pct %
+       (boilerplate/generated-text filter).
+
+    Returns the FAILING docs (the audit view a curation run reviews) as
+    (doc_id, n_tokens, len_ok, mean_len_ok, stop_ok, rep_ok) ordered by
+    doc_id. Every rule is an INTEGER cross-multiplication (e.g.
+    ``stop_n * 100 >= 6 * n_tok``) — no float ratios, so the DuckDB twin
+    is exact by construction and thresholds behave identically at any
+    scale.
+
+    Scale shape: one map-only projection (all four rules are per-row
+    Column algebra over the token array; the top-unigram count is
+    O(distinct x tokens) per row — bounded by doc length, never a
+    shuffle), then a pushed-down filter. At 10^12 docs this is the
+    cheapest possible full-corpus gate: scan-bandwidth-bound, zero
+    shuffle, and the emitted set is only the rejects.
+    """
+    toks = tokenize_col(F.col("text"))
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("long")
+    stop_n = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("long")
+    top_uni = F.when(n > 0, F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda x: x == d)),
+        )
+    ).cast("long")).otherwise(F.lit(0))
+    len_ok = (n >= int(min_tokens)) & (n <= int(max_tokens))
+    mean_len_ok = (sum_len >= int(min_mean_len) * n) & (
+        sum_len <= int(max_mean_len) * n
+    )
+    stop_ok = stop_n * 100 >= int(min_stop_pct) * n
+    rep_ok = top_uni * 100 <= int(max_top_unigram_pct) * n
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            len_ok.alias("len_ok"),
+            mean_len_ok.alias("mean_len_ok"),
+            stop_ok.alias("stop_ok"),
+            rep_ok.alias("rep_ok"),
+        )
+        .filter(~(F.col("len_ok") & F.col("mean_len_ok")
+                  & F.col("stop_ok") & F.col("rep_ok")))
+        .orderBy("doc_id")
+    )
+
+
+def gopher_filter_sql(
+    min_tokens: int = 8,
+    max_tokens: int = 10_000,
+    min_mean_len: int = 2,
+    max_mean_len: int = 10,
+    min_stop_pct: int = 6,
+    max_top_unigram_pct: int = 20,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`gopher_filter` (identical integer rules)."""
+    toks = tokenize_duckdb_sql("text")
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS t FROM {table}),
+m AS (
+  SELECT doc_id,
+         len(t)::BIGINT AS n,
+         coalesce(list_sum(list_transform(t, x -> length(x))), 0)::BIGINT
+           AS sum_len,
+         len(list_filter(t, x -> x IN ({stops})))::BIGINT AS stop_n,
+         CASE WHEN len(t) > 0 THEN
+           list_max(list_transform(list_distinct(t),
+                    d -> len(list_filter(t, x -> x = d))))::BIGINT
+         ELSE 0 END AS top_uni
+  FROM tok
+),
+flags AS (
+  SELECT doc_id, n AS n_tokens,
+         (n >= {int(min_tokens)} AND n <= {int(max_tokens)}) AS len_ok,
+         (sum_len >= {int(min_mean_len)} * n
+          AND sum_len <= {int(max_mean_len)} * n) AS mean_len_ok,
+         (stop_n * 100 >= {int(min_stop_pct)} * n) AS stop_ok,
+         (top_uni * 100 <= {int(max_top_unigram_pct)} * n) AS rep_ok
+  FROM m
+)
+SELECT doc_id, n_tokens, len_ok, mean_len_ok, stop_ok, rep_ok
+FROM flags
+WHERE NOT (len_ok AND mean_len_ok AND stop_ok AND rep_ok)
+ORDER BY doc_id
+"""

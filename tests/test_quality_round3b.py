@@ -142,3 +142,29 @@ def test_textrank_hub_ranks_first(spark):
     assert got[0][0] == "hub"
     assert all(s > 0.15 - 1e-12 for _t, s in got)
     assert all(abs(s * 1e9 - round(s * 1e9)) < 1e-3 for _t, s in got)
+
+
+def test_gopher_filter_vs_duckdb(spark, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.functions.text_quality import (
+        gopher_filter,
+        gopher_filter_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{sf_smoke}/documents.parquet'"
+    )
+    got = [tuple(r) for r in gopher_filter(docs).collect()]
+    want = [tuple(w) for w in con.execute(gopher_filter_sql()).fetchall()]
+    assert got == want
+    n_docs = docs.count()
+    # the gate bites but does not reject everything
+    assert 0 < len(got) < n_docs
+    # every emitted row fails at least one rule
+    assert all(not (a and b and c and d) for _i, _n, a, b, c, d in got)
+    # a stricter repetition cap rejects strictly more
+    strict = gopher_filter(docs, max_top_unigram_pct=10).count()
+    assert strict >= len(got)
