@@ -101,6 +101,57 @@ def _levenshtein_within(a: str, b: str, d: int) -> bool:
     return _levenshtein_band(a, b, d) <= d
 
 
+def _damerau_levenshtein(a: str, b: str) -> int:
+    """UNRESTRICTED Damerau-Levenshtein distance (insert / delete /
+    replace / transpose-adjacent, where a transposed pair may still be
+    edited between — e.g. ``ca -> abc`` is 2, not the OSA 3). This is the
+    exact metric DuckDB's ``damerau_levenshtein`` computes, so the oracle
+    SQL and this driver-side walk agree term-for-term; the classic
+    alphabet-indexed DP (Damerau 1964 / Lowrance-Wagner)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    maxdist = la + lb
+    da: dict[str, int] = {}
+    # d has a sentinel border row/col at index 0 holding maxdist
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxdist
+    for i in range(la + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,            # substitute
+                d[i + 1][j] + 1,           # insert
+                d[i][j + 1] + 1,           # delete
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transpose
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def _damerau_within(a: str, b: str, d: int) -> bool:
+    # length-difference lower bound first — it prunes most of the
+    # dictionary before the O(len*len) DP runs
+    if abs(len(a) - len(b)) > d:
+        return False
+    return _damerau_levenshtein(a, b) <= d
+
+
 def _make_batch_scorer(
     term_ix: dict[str, int], w_mat: np.ndarray, qids: np.ndarray, avgdl: float,
     k: int, tomb_b=None,
@@ -902,15 +953,20 @@ class InvertedIndex:
         max_edits: int = 1,
         lang: str | None = None,
         max_expansions: int = 64,
+        transpositions: bool = False,
     ) -> list[str]:
-        """Dictionary terms within Levenshtein distance ``max_edits`` of
+        """Dictionary terms within edit distance ``max_edits`` of
         ``term`` (the term itself included at distance 0), ranked (df desc,
         term asc) and capped — Lucene's FuzzyQuery expansion discipline
         (its automaton walk of the term dictionary), with the same
-        multi-term rewrite cap. Served from the driver dictionary cache
-        when the vocabulary fits; otherwise a dictionary scan using the
-        JVM-side ``levenshtein`` expression over the two metadata columns
-        (posting blobs are never touched)."""
+        multi-term rewrite cap. ``transpositions=True`` switches the
+        metric to Damerau-Levenshtein (adjacent transposition = 1 edit,
+        unrestricted — the DuckDB ``damerau_levenshtein`` metric), the
+        ES FuzzyQuery default. Served from the driver dictionary cache
+        when the vocabulary fits; otherwise a dictionary scan — JVM
+        ``levenshtein`` expression for the plain metric, an Arrow-batched
+        pandas UDF for the transposing one (posting blobs are never
+        touched either way)."""
         if self.as_of is not None:
             raise ValueError(
                 "fuzzy expansion uses the as-of-latest dictionary — "
@@ -920,19 +976,26 @@ class InvertedIndex:
         if len(toks) != 1:
             raise ValueError(f"fuzzy expansion takes exactly one term, got {toks!r}")
         q = toks[0]
+        within = _damerau_within if transpositions else _levenshtein_within
         if self.meta.get("n_terms", 1 << 62) <= self.DICT_CACHE_MAX_TERMS:
             self._ensure_dict_cache()
             agg: dict[str, int] = {}
             for (lg, t), df in self._dict_cache.items():
-                if (lang is None or lg == lang) and _levenshtein_within(
-                    q, t, max_edits
-                ):
+                if (lang is None or lg == lang) and within(q, t, max_edits):
                     agg[t] = agg.get(t, 0) + df
             ranked = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
             return [t for t, _df in ranked[:max_expansions]]
-        d = self.spark.read.parquet(f"{self.path}/dictionary").filter(
-            F.levenshtein(F.col("term"), F.lit(q)) <= max_edits
-        )
+        d = self.spark.read.parquet(f"{self.path}/dictionary")
+        if transpositions:
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("boolean")
+            def _dl_ok(terms: pd.Series) -> pd.Series:
+                return terms.map(lambda t: _damerau_within(q, t, max_edits))
+
+            d = d.filter(_dl_ok(F.col("term")))
+        else:
+            d = d.filter(F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
         if lang is not None:
             d = d.filter(F.col("lang") == lang)
         rows = (
@@ -951,12 +1014,16 @@ class InvertedIndex:
         lang: str | None = None,
         max_expansions: int = 64,
         mode: str = "auto",
+        transpositions: bool = False,
     ) -> DataFrame:
         """Fuzzy (edit-distance) search: ``term~max_edits`` expands against
         the dictionary and scores as the OR of the expanded terms, each
-        with its own idf — the typo-tolerant code-symbol lookup shape."""
+        with its own idf — the typo-tolerant code-symbol lookup shape.
+        ``transpositions=True`` is the ES FuzzyQuery default metric
+        (Damerau-Levenshtein: a swapped adjacent pair costs 1, not 2)."""
         return self._topk_for_terms(
-            self.expand_fuzzy(term, max_edits, lang, max_expansions),
+            self.expand_fuzzy(term, max_edits, lang, max_expansions,
+                              transpositions),
             k, lang, mode,
         )
 

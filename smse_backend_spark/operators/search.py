@@ -1418,17 +1418,22 @@ def bm25_fuzzy_oracle_sql(
     max_expansions: int = 64,
     table: str = "documents",
     content_col: str = "text",
+    transpositions: bool = False,
 ) -> str:
     """DuckDB twin of ``InvertedIndex.bm25_topk_fuzzy``: the expansion set
     (terms within Levenshtein distance ``max_edits``, ranked df desc /
     term asc, capped) is derived from the corpus itself — identical to the
     index dictionary by construction — then scored as the OR of the
     expanded terms. DuckDB's ``levenshtein`` computes the same
-    unit-cost metric as Spark's expression and the driver-side DP."""
+    unit-cost metric as Spark's expression and the driver-side DP;
+    ``transpositions=True`` switches both sides to the unrestricted
+    Damerau-Levenshtein metric (DuckDB ``damerau_levenshtein`` ==
+    the engine's ``_damerau_levenshtein`` DP — property-tested)."""
     toks = query_terms(term)
     if len(toks) != 1:
         raise ValueError(f"fuzzy oracle takes exactly one term, got {toks!r}")
     esc = toks[0].replace("'", "''")
+    distfn = "damerau_levenshtein" if transpositions else "levenshtein"
     where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
     toksql = tokenize_duckdb_sql(content_col)
     score = bm25_term_score_sql(
@@ -1450,7 +1455,7 @@ tok AS (
 exp AS (
   SELECT term FROM (
     SELECT term, count(DISTINCT doc_id) AS df
-    FROM tok WHERE levenshtein(term, '{esc}') <= {max_edits} GROUP BY term
+    FROM tok WHERE {distfn}(term, '{esc}') <= {max_edits} GROUP BY term
   ) ORDER BY df DESC, term ASC LIMIT {max_expansions}
 ),
 tf AS (

@@ -345,6 +345,77 @@ def test_fuzzy_search_vs_oracle(spark, index, sf_smoke):
         assert got == want, (term, d, lang, mx, got[:3], want[:3])
 
 
+def test_damerau_levenshtein_matches_duckdb():
+    """The driver-side unrestricted-DL DP must compute the exact metric
+    DuckDB's ``damerau_levenshtein`` does (the oracle contract), including
+    the unrestricted corner where an edit lands between a transposed pair
+    (ca->abc = 2, where OSA would say 3)."""
+    import duckdb
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from smse_backend_spark.index.query import _damerau_levenshtein
+
+    con = duckdb.connect()
+    # pinned corners: transposition, unrestricted-vs-OSA, empty, equal
+    for a, b in [("ca", "abc"), ("ab", "ba"), ("tabel", "table"),
+                 ("", "xy"), ("same", "same"), ("a", ""), ("abcd", "acbd")]:
+        want = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert _damerau_levenshtein(a, b) == want, (a, b)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abcde", max_size=8),
+           st.text(alphabet="abcde", max_size=8))
+    def prop(a, b):
+        want = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert _damerau_levenshtein(a, b) == want, (a, b)
+
+    prop()
+
+
+def test_fuzzy_transpositions_vs_oracle(spark, index, sf_smoke):
+    """bm25_topk_fuzzy(transpositions=True) == DuckDB damerau_levenshtein
+    oracle; 'tabel'~1 must reach 'table' (a pure transposition the plain
+    metric prices at 2)."""
+    import duckdb
+
+    from smse_backend_spark.operators.search import bm25_fuzzy_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    assert "table" in index.expand_fuzzy("tabel", 1, transpositions=True)
+    assert "table" not in index.expand_fuzzy("tabel", 1)
+    for term, d, lang, mx in [("tabel", 1, None, 64), ("dat", 2, None, 64),
+                              ("soet", 1, "en", 8)]:
+        got = [(r["doc_id"], r["score"])
+               for r in index.bm25_topk_fuzzy(
+                   term, d, 10, lang, mx, transpositions=True).collect()]
+        want = [tuple(r) for r in con.execute(bm25_fuzzy_oracle_sql(
+            term, d, 10, lang, mx, transpositions=True)).fetchall()]
+        assert got == want, (term, d, lang, mx, got[:3], want[:3])
+
+
+def test_fuzzy_transpositions_cache_and_scan_paths_agree(index):
+    """The driver-cache DL walk and the pandas-UDF dictionary scan must
+    produce the identical ranked expansion."""
+    for term, d in [("tabel", 1), ("dat", 2)]:
+        cached = index.expand_fuzzy(term, d, transpositions=True)
+        saved = index.meta.get("n_terms")
+        try:
+            index.meta["n_terms"] = index.DICT_CACHE_MAX_TERMS + 1
+            scanned = index.expand_fuzzy(term, d, transpositions=True)
+        finally:
+            index.meta["n_terms"] = saved
+        assert cached == scanned, (term, d, cached, scanned)
+
+
 def test_fuzzy_expansion_cache_and_scan_paths_agree(index):
     """The driver-cache dictionary walk and the JVM levenshtein scan must
     produce the identical ranked expansion (both metrics are standard
