@@ -50,6 +50,7 @@ from smse_backend_spark.operators.search import (
     random_score_oracle_sql,
     random_score_topk,
     span_first_oracle_sql,
+    span_not_oracle_sql,
     sparse_vector_oracle_sql,
     sparse_vector_topk,
     terms_set_oracle_sql,
@@ -825,6 +826,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Lucene SpanFirstQuery: term within the first N token positions
         "span_first": lambda spark, sf: _pos_indexed(spark, sf)
         .span_first_topk("table", 5, 10),
+        # Lucene SpanNotQuery: 'scan' occurrences not within 3 tokens of
+        # 'table' — the negation member of the span family
+        "span_not": lambda spark, sf: _pos_indexed(spark, sf)
+        .span_not_topk("scan", "table", 3, 10),
         # ES match_phrase_prefix (search-as-you-type): last token expanded
         # from the dictionary, blended window frequency, one idf
         "bm25_phrase_prefix": lambda spark, sf: _pos_indexed(spark, sf)
@@ -1436,7 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # round-4 additions lead (never driver-checked), then the round-2/3
 # never-checked tail and round-1-only greens — see VERDICT.md
 _CHECK_FIRST = [
-    "bm25_fuzzy_dl",
+    "bm25_fuzzy_dl", "span_not",
     "rank_feature", "rank_feature_indexed", "bm25_cross_fields",
     "ann_ivf_filtered", "textrank_keywords", "bm25_routed",
     "search_diversified", "rare_terms", "rare_terms_indexed",
@@ -1611,6 +1616,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             "hash jo", 10, max_expansions=16
         ),
         "span_first": span_first_oracle_sql("table", 5, 10),
+        "span_not": span_not_oracle_sql("scan", "table", 3, 10),
         "bm25_phrase_prefix": phrase_prefix_oracle_sql("hash jo", 10),
         "bm25_boosting": boosting_oracle_sql(FLAGSHIP_QUERY, ["window"], 0.5),
         "bm25_must_not": bm25_scan_oracle_sql(

@@ -459,6 +459,50 @@ def _make_span_first_matcher(term: str, end: int, tomb_b=None):
     return kernel
 
 
+def _make_span_not_matcher(inc: str, exc: str, dist: int, tomb_b=None):
+    """mapInPandas kernel for Lucene SpanNotQuery over single-term spans:
+    positional blocks for the include and exclude terms -> (doc_id, stf,
+    dl) where ``stf`` counts include-term occurrences with NO exclude-term
+    occurrence within ``dist`` tokens (|p_inc - p_exc| <= dist — the
+    pre/post window); docs with no surviving occurrence never leave the
+    kernel. The nearest-exclude distance per occurrence is one
+    ``searchsorted`` over the doc's sorted exclude positions."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grouped, dl_of = _decode_positional_rows(batches, tomb_b)
+        out = {"doc_id": [], "stf": [], "dl": []}
+        if grouped is not None:
+            exc_of = {
+                doc: pos for (doc, t), pos in grouped.items() if t == exc
+            }
+            for (doc, t), pos in grouped.items():
+                if t != inc:
+                    continue
+                ex = exc_of.get(doc)
+                if ex is None or ex.size == 0:
+                    stf = int(pos.size)
+                else:
+                    big = np.int64(1 << 60)
+                    ix = np.searchsorted(ex, pos)
+                    left = np.where(
+                        ix > 0, pos - ex[np.maximum(ix - 1, 0)], big
+                    )
+                    right = np.where(
+                        ix < ex.size, ex[np.minimum(ix, ex.size - 1)] - pos,
+                        big,
+                    )
+                    stf = int((np.minimum(left, right) > dist).sum())
+                if stf > 0:
+                    out["doc_id"].append(doc)
+                    out["stf"].append(stf)
+                    out["dl"].append(dl_of[doc])
+        yield pd.DataFrame(out).astype(
+            {"doc_id": "int64", "stf": "int64", "dl": "int64"}
+        )
+
+    return kernel
+
+
 def _tf_norm(tf_col, dl_col, avgdl: float):
     d = tf_col.cast("double")
     return d * (K1 + 1.0) / (d + K1 * (1.0 - B + B * dl_col.cast("double") / avgdl))
@@ -1174,6 +1218,75 @@ class InvertedIndex:
         if df_sf == 0:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         idf = math.log(1.0 + (n - df_sf + 0.5) / (df_sf + 0.5))
+        scored = matches.select(
+            "doc_id",
+            F.round(
+                F.lit(idf) * _tf_norm(F.col("stf"), F.col("dl"), avgdl), 6
+            ).alias("score"),
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def span_not_topk(
+        self,
+        include_text: str,
+        exclude_text: str,
+        dist: int = 0,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Lucene SpanNotQuery over single-term spans: occurrences of the
+        include term that are NOT within ``dist`` tokens of any exclude
+        occurrence (pre == post == ``dist``; Lucene's overlap rule at
+        dist=0 degenerates for distinct single terms, so a positive dist
+        is the useful call — 'scan but not near table'). Scored like the
+        other span queries: tf = surviving occurrences, df = docs with
+        >= 1 surviving span driving a single idf, BM25 normalization
+        against the FULL doc length. An absent exclude term excludes
+        nothing (every include occurrence survives).
+
+        Plan shape: the span-near pipeline for TWO terms — partition-
+        pruned positional block scan, one segment shuffle co-locating
+        both terms' postings per doc, vectorized nearest-exclude sweep
+        in the kernel; only surviving (doc_id, stf, dl) rows leave.
+        """
+        if not self.meta["config"].get("with_positions"):
+            raise ValueError(
+                "span_not requires an index built with with_positions=True"
+            )
+        inc_toks = self._analyze(include_text)
+        exc_toks = self._analyze(exclude_text)
+        if len(inc_toks) != 1 or len(exc_toks) != 1:
+            raise ValueError(
+                "span_not takes exactly one include and one exclude term, "
+                f"got {inc_toks!r} / {exc_toks!r}"
+            )
+        inc, exc = inc_toks[0], exc_toks[0]
+        if inc == exc:
+            raise ValueError("span_not include and exclude terms must differ")
+        n, avgdl = self.corpus_stats(lang)
+        if not n:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        if inc not in self.term_df([inc], lang):
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        blocks = self._blocks([inc, exc], lang).select(
+            "segment", "term", "first_doc", "gaps", "tfs", "dls", "poss"
+        )
+        nparts = int(
+            min(1024, max(self.spark.sparkContext.defaultParallelism, 1))
+        )
+        blocks = blocks.repartition(nparts, "segment")
+        self._load_tombs()
+        matches = blocks.mapInPandas(
+            _make_span_not_matcher(inc, exc, int(dist), self._tomb_bcast),
+            "doc_id long, stf long, dl long",
+        )
+        if self._tomb_df is not None:
+            matches = matches.join(self._tomb_df, "doc_id", "left_anti")
+        matches = matches.cache()
+        df_sn = matches.count()
+        if df_sn == 0:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        idf = math.log(1.0 + (n - df_sn + 0.5) / (df_sn + 0.5))
         scored = matches.select(
             "doc_id",
             F.round(

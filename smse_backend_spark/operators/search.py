@@ -2612,6 +2612,77 @@ LIMIT {int(k)}
 """
 
 
+def span_not_oracle_sql(
+    include_text: str,
+    exclude_text: str,
+    dist: int = 0,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.span_not_topk``: include-term
+    occurrences with no exclude occurrence within ``dist`` tokens survive
+    (NOT EXISTS over the exclude position list); span tf = survivors,
+    span df drives a single idf, BM25 normalization against the FULL doc
+    length — the :func:`span_first_oracle_sql` pattern with the
+    nearest-exclude check in place of the boundary check. Distances are
+    base-invariant, so the 1-based ``generate_series`` positions here
+    agree with the engine's 0-based token offsets."""
+    inc_t = tokenize_py(include_text)
+    exc_t = tokenize_py(exclude_text)
+    if len(inc_t) != 1 or len(exc_t) != 1:
+        raise ValueError(
+            f"span_not oracle takes one include and one exclude term, "
+            f"got {inc_t!r} / {exc_t!r}"
+        )
+    inc = inc_t[0].replace("'", "''")
+    exc = exc_t[0].replace("'", "''")
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "h.stf", idf_sql("dfp.df", "stats.n"), "h.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+pi AS (
+  SELECT doc_id, unnest(list_filter(generate_series(1, len(toks)),
+                                    j -> toks[j] = '{inc}')) AS p
+  FROM dl
+),
+pe AS (
+  SELECT doc_id, unnest(list_filter(generate_series(1, len(toks)),
+                                    j -> toks[j] = '{exc}')) AS p
+  FROM dl
+),
+sm AS (
+  SELECT pi.doc_id, count(*)::BIGINT AS stf
+  FROM pi
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pe
+    WHERE pe.doc_id = pi.doc_id AND abs(pe.p - pi.p) <= {int(dist)}
+  )
+  GROUP BY pi.doc_id
+),
+h AS (
+  SELECT sm.doc_id, dl.doc_len, sm.stf FROM sm JOIN dl USING (doc_id)
+),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM h)
+SELECT h.doc_id AS doc_id, round({score}, 6) AS score
+FROM h CROSS JOIN dfp CROSS JOIN stats
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
 RANDOM_SCORE_SALT = "-random-score-v1-"
 _TWO60_F = float(1 << 60)
 

@@ -3,6 +3,7 @@ and crash-resume (FIXTURES.md §6 lineage fixture)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from smse_backend_spark.corpus import load_corpus
@@ -632,6 +633,65 @@ def test_suggest_vs_oracle(index, oracle_con):
         want = [tuple(r) for r in
                 oracle_con.execute(suggest_oracle_sql(term, d, n)).fetchall()]
         assert got == want, (term, d, got[:3], want[:3])
+
+
+def test_span_not_vs_oracle(pos_index, spark, oracle_con):
+    from smse_backend_spark.operators.search import span_not_oracle_sql
+
+    ix = pos_index
+    for inc, exc, dist in [("scan", "table", 3), ("scan", "table", 0),
+                           ("table", "scan", 2),
+                           ("scan", "zzzqqabsent", 5)]:
+        got = [tuple(r) for r in
+               ix.span_not_topk(inc, exc, dist, 1000).collect()]
+        want = [tuple(w) for w in oracle_con.execute(
+            span_not_oracle_sql(inc, exc, dist, 1000)).fetchall()]
+        assert got == want, (inc, exc, dist, got[:3], want[:3])
+    # an absent exclude term excludes nothing: identical to dist=0 with
+    # an exclude that never lands within range of anything
+    assert [tuple(r) for r in
+            ix.span_not_topk("scan", "zzzqqabsent", 10**6, 1000).collect()
+            ] == [tuple(r) for r in
+                  ix.span_not_topk("scan", "zzzqqabsent", 0, 1000).collect()]
+    # widening dist removes occurrences monotonically: match set shrinks
+    narrow = {r["doc_id"] for r in ix.span_not_topk("scan", "table", 0, 10**6).collect()}
+    wide = {r["doc_id"] for r in ix.span_not_topk("scan", "table", 50, 10**6).collect()}
+    assert wide <= narrow
+    with pytest.raises(ValueError, match="must differ"):
+        ix.span_not_topk("scan", "scan", 1)
+    with pytest.raises(ValueError, match="exactly one"):
+        ix.span_not_topk("scan filter", "table", 1)
+
+
+def test_span_not_kernel_vs_bruteforce():
+    """Property: the searchsorted nearest-exclude sweep == brute-force
+    'occurrence survives iff no exclude within dist' over random
+    position sets."""
+    import random
+
+    from smse_backend_spark.index.query import _make_span_not_matcher  # noqa: F401
+
+    rng = random.Random(7)
+    for _ in range(200):
+        inc = sorted(rng.sample(range(60), rng.randint(1, 10)))
+        exc = sorted(rng.sample(range(60), rng.randint(0, 10)))
+        dist = rng.randint(0, 8)
+        want = sum(
+            1 for p in inc if all(abs(p - q) > dist for q in exc)
+        )
+        pos = np.array(inc, dtype=np.int64)
+        ex = np.array(exc, dtype=np.int64)
+        if ex.size == 0:
+            got = pos.size
+        else:
+            big = np.int64(1 << 60)
+            ix_ = np.searchsorted(ex, pos)
+            left = np.where(ix_ > 0, pos - ex[np.maximum(ix_ - 1, 0)], big)
+            right = np.where(
+                ix_ < ex.size, ex[np.minimum(ix_, ex.size - 1)] - pos, big
+            )
+            got = int((np.minimum(left, right) > dist).sum())
+        assert got == want, (inc, exc, dist)
 
 
 def test_near_search_vs_oracle(pos_index, oracle_con):
