@@ -1131,6 +1131,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of the n_chars doc-value; avg via the shared floor formula)
         "search_stats": lambda spark, sf: _indexed(spark, sf)
         .stats_agg(FLAGSHIP_QUERY),
+        # ES extended_stats: + sum_of_squares / variance / std_deviation,
+        # all derived from exact integer sums
+        "search_extended_stats": lambda spark, sf: _indexed(spark, sf)
+        .extended_stats_agg(FLAGSHIP_QUERY),
+        # ES weighted_avg: n_chars weighted by the query score (integer
+        # micro-unit weights — both sums exact)
+        "search_weighted_avg": lambda spark, sf: _indexed(spark, sf)
+        .weighted_avg_agg(FLAGSHIP_QUERY),
+        # ES top_metrics inside terms(repo): the metric of each bucket's
+        # top-scored doc, buckets ranked by that top score
+        "search_top_metrics": lambda spark, sf: _indexed(spark, sf)
+        .top_metrics_agg(FLAGSHIP_QUERY, k=10),
+        # ES string_stats over the repo keyword: char-distribution
+        # Shannon entropy via quantized ln-parity integer sums
+        "search_string_stats": lambda spark, sf: _indexed(spark, sf)
+        .string_stats_agg(FLAGSHIP_QUERY),
         # ES percentiles metric agg (exact): doc-value distribution of
         # the match set (Spark percentile == DuckDB quantile_cont)
         "search_percentiles": lambda spark, sf: _indexed(spark, sf)
@@ -1441,7 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # round-4 additions lead (never driver-checked), then the round-2/3
 # never-checked tail and round-1-only greens — see VERDICT.md
 _CHECK_FIRST = [
-    "bm25_fuzzy_dl", "span_not",
+    "bm25_fuzzy_dl", "span_not", "search_extended_stats",
+    "search_weighted_avg", "search_top_metrics", "search_string_stats",
     "rank_feature", "rank_feature_indexed", "bm25_cross_fields",
     "ann_ivf_filtered", "textrank_keywords", "bm25_routed",
     "search_diversified", "rare_terms", "rare_terms_indexed",
@@ -1761,6 +1778,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "significant_terms_indexed": AG.significant_terms_sql(FLAGSHIP_QUERY, 15),
         "search_histogram": AG.histogram_agg_sql(FLAGSHIP_QUERY, 64),
         "search_stats": AG.stats_agg_sql(FLAGSHIP_QUERY),
+        "search_extended_stats": AG.extended_stats_agg_sql(FLAGSHIP_QUERY),
+        "search_weighted_avg": AG.weighted_avg_agg_sql(FLAGSHIP_QUERY),
+        "search_top_metrics": AG.top_metrics_agg_sql(FLAGSHIP_QUERY, 10),
+        "search_string_stats": AG.string_stats_agg_sql(FLAGSHIP_QUERY),
         "search_cardinality": AG.cardinality_agg_sql(FLAGSHIP_QUERY),
         "search_terms_stats": AG.terms_stats_agg_sql(FLAGSHIP_QUERY, 10),
         "search_composite": AG.composite_agg_sql(FLAGSHIP_QUERY, 256, 12),

@@ -2884,6 +2884,198 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def extended_stats_agg(
+        self,
+        query_text: str,
+        field: str = "n_chars",
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``extended_stats`` metric aggregation in query context: one
+        row of (n_docs, min, max, sum, sum_of_squares, avg, variance,
+        std_deviation) of a stored doc-value over the match set.
+        Count/min/max/sum/sum_sq are exact integers (order-independent
+        partial aggregation); avg/variance/std are derived from those
+        integers through one identically-parenthesized expression on both
+        engines (population variance = ss/n - (s/n)^2, clamped at 0 for
+        the all-equal float corner), then the shared half-up 6dp floor.
+        Plan: postings-only match set joins the column-pruned doc-values —
+        ONE aggregate row regardless of corpus size."""
+        matches = self.match_doc_ids(query_text, lang)
+        vals = self.doc_values([field])
+        v = F.col(field).cast("long")
+        agg = matches.join(vals, "doc_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(field).cast("long").alias("min_v"),
+            F.max(field).cast("long").alias("max_v"),
+            F.sum(v).cast("long").alias("sum_v"),
+            F.sum(v * v).cast("long").alias("sum_sq"),
+        )
+        n = F.col("n_docs").cast("double")
+        s = F.col("sum_v").cast("double")
+        ss = F.col("sum_sq").cast("double")
+        var = F.greatest(ss / n - (s / n) * (s / n), F.lit(0.0))
+
+        def r6(c):
+            return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+        return agg.select(
+            "n_docs", "min_v", "max_v", "sum_v", "sum_sq",
+            r6(s / n).alias("avg_v"),
+            r6(var).alias("variance"),
+            r6(F.sqrt(var)).alias("std_dev"),
+        )
+
+    def weighted_avg_agg(
+        self,
+        query_text: str,
+        field: str = "n_chars",
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``weighted_avg`` metric aggregation in query context: the
+        doc-value ``field`` weighted by each doc's query score — the
+        relevance-weighted mean (ES weighted_avg with value=field,
+        weight=_score). Determinism: 6dp scores convert exactly to
+        integer micro-units, so both the weighted sum and the weight sum
+        are integer aggregations (order-independent); the one double is
+        the final ratio through the shared floor formula. Plan: the
+        scored match set (postings only) joins the column-pruned
+        doc-values — ONE aggregate row."""
+        scored = self.scored_matches(query_text, lang)
+        vals = self.doc_values([field])
+        w = F.round(F.col("score") * F.lit(1e6)).cast("long")
+        v = F.col(field).cast("long")
+        agg = (
+            scored.join(vals, "doc_id")
+            .select(w.alias("w"), v.alias("v"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("w") * F.col("v")).cast("long").alias("wv"),
+                F.sum("w").cast("long").alias("wsum"),
+            )
+        )
+        return agg.select(
+            "n_docs",
+            (
+                F.floor(
+                    F.col("wv").cast("double") / F.col("wsum").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("weighted_avg"),
+        )
+
+    def top_metrics_agg(
+        self,
+        query_text: str,
+        field: str = "n_chars",
+        by: str = "repo",
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``top_metrics`` inside a ``terms`` bucket aggregation: per
+        ``by`` bucket, the metric value of the bucket's top document
+        under the total order (score desc, doc_id asc); buckets ranked
+        (top_score desc, bucket asc), capped at ``k``. Plan: scored match
+        set joins the doc-values, one window per bucket (the shuffle is
+        keyed on the bucket — vocabulary-bounded), bucket cut via
+        TakeOrderedAndProject."""
+        from pyspark.sql import Window
+
+        scored = self.scored_matches(query_text, lang)
+        vals = self.doc_values([by, field])
+        win = Window.partitionBy(by).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        top = (
+            scored.join(vals, "doc_id")
+            .withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+        )
+        return (
+            top.select(
+                F.col(by),
+                F.col("score").alias("top_score"),
+                F.col("doc_id").alias("top_doc"),
+                F.col(field).cast("long").alias("metric"),
+            )
+            .orderBy(F.desc("top_score"), F.asc(by))
+            .limit(int(k))
+        )
+
+    # ln(2) as an explicit shared literal: both engines divide the SAME
+    # natural-log value by the SAME constant, instead of trusting two
+    # libm log2 implementations to agree to the last ulp
+    _LN2 = 0.6931471805599453
+
+    def string_stats_agg(
+        self,
+        query_text: str,
+        field: str = "repo",
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``string_stats`` metric aggregation in query context over a
+        keyword doc-value: one row of (count, min_length, max_length,
+        avg_length, entropy) where entropy is the Shannon entropy (base
+        2) of the character distribution across all values of the field
+        in the match set. Determinism: char counts are exact integers;
+        each char's -p*log2(p) term is computed as ln/ln2 with ln(2)
+        written as the same literal on both engines, quantized to 1e-12
+        integer units per char (the bigram_pmi ln-parity precedent), and
+        integer-summed — order-independent; final values pass the shared
+        6dp floor. Plan: match set joins doc-values, chars explode into a
+        vocabulary-bounded (alphabet-sized) aggregation — ONE row out."""
+        matches = self.match_doc_ids(query_text, lang)
+        vals = self.doc_values([field])
+        j = matches.join(vals, "doc_id").select(F.col(field).alias("s"))
+        j = j.cache()
+        base = j.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.length("s")).cast("long").alias("min_length"),
+            F.max(F.length("s")).cast("long").alias("max_length"),
+            F.sum(F.length("s")).cast("long").alias("len_sum"),
+        )
+        from pyspark.sql import Window
+
+        chars = j.select(
+            F.explode(F.split(F.col("s"), "")).alias("ch")
+        ).filter(F.col("ch") != "")
+        dist = chars.groupBy("ch").agg(F.count(F.lit(1)).alias("c"))
+        total = F.sum("c").over(Window.partitionBy())
+        p = F.col("c").cast("double") / F.col("total").cast("double")
+        term_q = F.floor(
+            -(p * F.log(p)) / F.lit(self._LN2) * F.lit(1e12) + F.lit(0.5)
+        ).cast("long")
+        ent = (
+            dist.withColumn("total", total)
+            .select(term_q.alias("q"))
+            .agg(F.sum("q").cast("long").alias("qsum"))
+            .select(
+                (
+                    F.floor(
+                        F.col("qsum").cast("double") / F.lit(1e12)
+                        * F.lit(1e6)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1e6)
+                ).alias("entropy")
+            )
+        )
+        out = base.crossJoin(ent).select(
+            "cnt", "min_length", "max_length",
+            (
+                F.floor(
+                    F.col("len_sum").cast("double")
+                    / F.col("cnt").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("avg_length"),
+            "entropy",
+        )
+        return out
+
     def more_like_this(
         self,
         corpus: DataFrame,

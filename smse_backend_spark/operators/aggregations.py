@@ -464,6 +464,145 @@ SELECT count(*)::BIGINT AS n_docs, {qs}
 FROM {table} d JOIN m USING (doc_id)
 """
 
+def extended_stats_agg_sql(
+    query_text: str,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.extended_stats_agg`` (n_chars
+    doc-value backed by length(text)): integer count/min/max/sum/sum_sq;
+    avg/variance/std derived through the identically-parenthesized
+    expression (ss/n - (s/n)*(s/n), clamped at 0) and the shared 6dp
+    floor."""
+    v = f"length(d.{content_col})"
+    var = ("a.sum_sq::DOUBLE / a.n_docs::DOUBLE - "
+           "(a.sum_v::DOUBLE / a.n_docs::DOUBLE) * "
+           "(a.sum_v::DOUBLE / a.n_docs::DOUBLE)")
+    return f"""{_match_set_cte(query_text, lang, table, content_col)},
+a AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         min({v})::BIGINT AS min_v,
+         max({v})::BIGINT AS max_v,
+         sum({v})::BIGINT AS sum_v,
+         sum({v}::BIGINT * {v}::BIGINT)::BIGINT AS sum_sq
+  FROM {table} d JOIN m USING (doc_id)
+)
+SELECT a.n_docs, a.min_v, a.max_v, a.sum_v, a.sum_sq,
+       floor(a.sum_v::DOUBLE / a.n_docs::DOUBLE * 1e6 + 0.5) / 1e6 AS avg_v,
+       floor(greatest({var}, 0.0) * 1e6 + 0.5) / 1e6 AS variance,
+       floor(sqrt(greatest({var}, 0.0)) * 1e6 + 0.5) / 1e6 AS std_dev
+FROM a
+"""
+
+
+def weighted_avg_agg_sql(
+    query_text: str,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.weighted_avg_agg``: per-doc scores
+    from the BM25 scan twin converted to exact integer micro-units, both
+    sums integer, one final ratio through the shared floor formula."""
+    from smse_backend_spark.operators.search import bm25_scan_oracle_sql
+
+    scores = bm25_scan_oracle_sql(
+        query_text, k=1_000_000_000, lang=lang, table=table,
+        content_col=content_col,
+    )
+    return f"""
+WITH s AS ({scores})
+SELECT count(*)::BIGINT AS n_docs,
+       floor(sum(round(s.score * 1e6)::BIGINT
+                 * length(d.{content_col})::BIGINT)::DOUBLE
+             / sum(round(s.score * 1e6)::BIGINT)::DOUBLE
+             * 1e6 + 0.5) / 1e6 AS weighted_avg
+FROM s JOIN {table} d USING (doc_id)
+"""
+
+
+def top_metrics_agg_sql(
+    query_text: str,
+    k: int = 10,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.top_metrics_agg`` (bucket = source
+    backing the ``repo`` doc-value, metric = length(text) backing
+    ``n_chars``): per-bucket top doc under (score desc, doc_id asc),
+    buckets ranked (top_score desc, bucket asc)."""
+    from smse_backend_spark.operators.search import bm25_scan_oracle_sql
+
+    scores = bm25_scan_oracle_sql(
+        query_text, k=1_000_000_000, lang=lang, table=table,
+        content_col=content_col,
+    )
+    return f"""
+WITH s AS ({scores}),
+r AS (
+  SELECT d.source AS repo, s.score, s.doc_id,
+         length(d.{content_col})::BIGINT AS metric,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY s.score DESC, s.doc_id ASC
+         ) AS rn
+  FROM s JOIN {table} d USING (doc_id)
+)
+SELECT repo, score AS top_score, doc_id AS top_doc, metric
+FROM r WHERE rn = 1
+ORDER BY top_score DESC, repo ASC
+LIMIT {int(k)}
+"""
+
+
+def string_stats_agg_sql(
+    query_text: str,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.string_stats_agg`` over the source
+    column backing the ``repo`` doc-value: integer char counts, each
+    -p*log2(p) term as ln/ln2 with the SAME ln(2) literal, quantized to
+    1e-12 integer units per char and integer-summed (the bigram_pmi
+    ln-parity precedent), final values through the shared 6dp floor."""
+    ln2 = "0.6931471805599453"
+    return f"""{_match_set_cte(query_text, lang, table, content_col)},
+v AS (
+  SELECT d.source AS s FROM {table} d JOIN m USING (doc_id)
+),
+base AS (
+  SELECT count(*)::BIGINT AS cnt,
+         min(length(s))::BIGINT AS min_length,
+         max(length(s))::BIGINT AS max_length,
+         sum(length(s))::BIGINT AS len_sum
+  FROM v
+),
+ch AS (
+  SELECT unnest(string_split(s, '')) AS ch FROM v
+),
+dist AS (
+  SELECT ch, count(*)::BIGINT AS c FROM ch WHERE ch <> '' GROUP BY ch
+),
+tot AS (SELECT sum(c)::BIGINT AS total FROM dist),
+q AS (
+  SELECT floor(-(c::DOUBLE / total::DOUBLE
+                 * ln(c::DOUBLE / total::DOUBLE))
+               / {ln2} * 1e12 + 0.5)::BIGINT AS q
+  FROM dist CROSS JOIN tot
+),
+ent AS (
+  SELECT floor(sum(q)::DOUBLE / 1e12 * 1e6 + 0.5) / 1e6 AS entropy FROM q
+)
+SELECT base.cnt, base.min_length, base.max_length,
+       floor(base.len_sum::DOUBLE / base.cnt::DOUBLE * 1e6 + 0.5) / 1e6
+         AS avg_length,
+       ent.entropy
+FROM base CROSS JOIN ent
+"""
+
+
 def diversified_sample_facets(
     corpus: DataFrame,
     query_text: str,

