@@ -1147,6 +1147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Shannon entropy via quantized ln-parity integer sums
         "search_string_stats": lambda spark, sf: _indexed(spark, sf)
         .string_stats_agg(FLAGSHIP_QUERY),
+        # ES filters bucket agg: named independent predicates over the
+        # match set, one conditional-agg pass (overlaps double-count)
+        "search_filters_agg": lambda spark, sf: _indexed(spark, sf)
+        .filters_agg(FLAGSHIP_QUERY),
         # ES percentiles metric agg (exact): doc-value distribution of
         # the match set (Spark percentile == DuckDB quantile_cont)
         "search_percentiles": lambda spark, sf: _indexed(spark, sf)
@@ -1308,6 +1312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES pipeline aggs over the hourly histogram: cumulative_sum,
         # derivative, 3-bucket moving mean (bucket rows, metadata-sized)
         "event_pipeline_aggs": R.event_pipeline_aggs,
+        # ES date_range bucket agg: named (possibly overlapping) epoch
+        # ranges, one conditional-agg scan, exact distinct users
+        "event_date_range": R.event_date_range_agg,
         # inverse percentiles: what % of matched docs sit at/below v
         "search_percentile_ranks": lambda spark, sf: AG.percentile_ranks(
             load_corpus(spark, sf), FLAGSHIP_QUERY, (100, 300)
@@ -1459,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CHECK_FIRST = [
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
+    "search_filters_agg", "event_date_range",
     "rank_feature", "rank_feature_indexed", "bm25_cross_fields",
     "ann_ivf_filtered", "textrank_keywords", "bm25_routed",
     "search_diversified", "rare_terms", "rare_terms_indexed",
@@ -1782,6 +1790,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "search_weighted_avg": AG.weighted_avg_agg_sql(FLAGSHIP_QUERY),
         "search_top_metrics": AG.top_metrics_agg_sql(FLAGSHIP_QUERY, 10),
         "search_string_stats": AG.string_stats_agg_sql(FLAGSHIP_QUERY),
+        "search_filters_agg": AG.filters_agg_sql(FLAGSHIP_QUERY),
         "search_cardinality": AG.cardinality_agg_sql(FLAGSHIP_QUERY),
         "search_terms_stats": AG.terms_stats_agg_sql(FLAGSHIP_QUERY, 10),
         "search_composite": AG.composite_agg_sql(FLAGSHIP_QUERY, 256, 12),
@@ -1842,6 +1851,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "hourly_event_rollup": R.hourly_event_rollup_sql(),
         "auto_date_histogram": R.auto_date_histogram_sql(20),
         "event_pipeline_aggs": R.event_pipeline_aggs_sql(),
+        "event_date_range": R.event_date_range_agg_sql(),
         "event_anomalies": R.event_anomalies_sql(2.0),
         "has_parent_search": AG.has_parent_search_sql(
             FLAGSHIP_QUERY, 15, "max"

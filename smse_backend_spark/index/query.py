@@ -3076,6 +3076,56 @@ class InvertedIndex:
         )
         return out
 
+    # ES filters agg: named predicates over the n_chars doc-value.
+    # Each bucket is an INDEPENDENT predicate (overlap double-counts,
+    # ES semantics) — 'not_tiny' overlaps the three size bands.
+    FILTERS_BUCKETS: tuple[tuple[str, int | None, int | None], ...] = (
+        ("small", None, 256),
+        ("medium", 256, 1024),
+        ("large", 1024, None),
+        ("not_tiny", 64, None),
+    )
+
+    def filters_agg(
+        self,
+        query_text: str,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``filters`` bucket aggregation in query context: named
+        predicate buckets over the match set — (key, n_docs) per bucket,
+        ordered by key. Buckets are independent predicates (overlaps
+        double-count, exactly ES). Plan: postings-only match set joins
+        the column-pruned doc-values; ONE conditional aggregation
+        computes every bucket (no per-filter re-scan), and the bucket
+        rows unpivot from the single aggregate row — constant network
+        traffic at any corpus size."""
+        matches = self.match_doc_ids(query_text, lang)
+        vals = self.doc_values(["n_chars"])
+        j = matches.join(vals, "doc_id")
+        aggs = []
+        for key, lo, hi in self.FILTERS_BUCKETS:
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("n_chars") >= F.lit(int(lo)))
+            if hi is not None:
+                cond = cond & (F.col("n_chars") < F.lit(int(hi)))
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+                .alias(f"n_{key}")
+            )
+        one = j.agg(*aggs)
+        rows = [
+            one.select(
+                F.lit(key).alias("key"),
+                F.col(f"n_{key}").alias("n_docs"),
+            )
+            for key, _lo, _hi in self.FILTERS_BUCKETS
+        ]
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out.orderBy("key")
+
     def more_like_this(
         self,
         corpus: DataFrame,

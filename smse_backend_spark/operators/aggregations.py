@@ -603,6 +603,39 @@ FROM base CROSS JOIN ent
 """
 
 
+def filters_agg_sql(
+    query_text: str,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.filters_agg`` (n_chars backed by
+    length(text)): the same named predicates as one conditional
+    aggregation, unpivoted via UNION ALL."""
+    from smse_backend_spark.index.query import InvertedIndex
+
+    v = f"length(d.{content_col})"
+    selects = []
+    for key, lo, hi in InvertedIndex.FILTERS_BUCKETS:
+        conds = []
+        if lo is not None:
+            conds.append(f"{v} >= {int(lo)}")
+        if hi is not None:
+            conds.append(f"{v} < {int(hi)}")
+        cond = " AND ".join(conds) if conds else "TRUE"
+        selects.append(
+            f"SELECT '{key}' AS key, "
+            f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT AS n_docs\n"
+            f"FROM {table} d JOIN m USING (doc_id)"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""{_match_set_cte(query_text, lang, table, content_col)}
+SELECT * FROM (
+{body}
+) ORDER BY key
+"""
+
+
 def diversified_sample_facets(
     corpus: DataFrame,
     query_text: str,

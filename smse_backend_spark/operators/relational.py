@@ -593,6 +593,88 @@ ORDER BY hour_start
 """
 
 
+DATE_RANGE_BUCKETS: tuple[tuple[str, int | None, int | None], ...] = (
+    # (key, from epoch-seconds inclusive, to exclusive) — the ES
+    # date_range agg contract; None = unbounded. 2024-01-01 / -08 / -15
+    # / -22 UTC week edges over the fixture's January 2024 span.
+    ("before_w2", None, 1704672000),
+    ("w2_w3", 1704672000, 1705276800),
+    ("w3_w4", 1705276800, 1705881600),
+    ("from_w4", 1705881600, None),
+    ("whole_month", 1704067200, 1706745600),  # ranges may overlap (ES)
+)
+
+
+def event_date_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_range`` bucket aggregation over events: named ranges
+    (from inclusive, to exclusive, epoch seconds; unbounded ends open),
+    each an independent predicate — overlapping ranges double-count, ES
+    semantics. Per bucket: (key, from_s, to_s, n, n_users) where n_users
+    is the exact distinct-user count (the HLL swap-in point at 10^12).
+
+    Determinism: counts and distinct counts only — no double sums, so
+    every output is an exact integer. Plan shape: ONE scan computes
+    every bucket via conditional aggregation (no per-range re-scan, no
+    union of jobs); the bucket rows are unpivoted from the single
+    aggregate row, so network traffic is constant in corpus size."""
+    e = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    aggs = []
+    for key, lo, hi in DATE_RANGE_BUCKETS:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (epoch >= F.lit(int(lo)))
+        if hi is not None:
+            cond = cond & (epoch < F.lit(int(hi)))
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+            .alias(f"n_{key}")
+        )
+        aggs.append(
+            F.countDistinct(F.when(cond, F.col("user_id"))).cast("long")
+            .alias(f"u_{key}")
+        )
+    one = e.agg(*aggs)
+    rows = []
+    for key, lo, hi in DATE_RANGE_BUCKETS:
+        rows.append(
+            one.select(
+                F.lit(key).alias("key"),
+                F.lit(lo).cast("long").alias("from_s"),
+                F.lit(hi).cast("long").alias("to_s"),
+                F.col(f"n_{key}").alias("n"),
+                F.col(f"u_{key}").alias("n_users"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("key")
+
+
+def event_date_range_agg_sql() -> str:
+    """DuckDB twin of :func:`event_date_range_agg` — the same named
+    ranges as one conditional aggregation, unpivoted via UNION ALL."""
+    selects = []
+    for key, lo, hi in DATE_RANGE_BUCKETS:
+        conds = []
+        if lo is not None:
+            conds.append(f"floor(epoch(ts))::BIGINT >= {int(lo)}")
+        if hi is not None:
+            conds.append(f"floor(epoch(ts))::BIGINT < {int(hi)}")
+        cond = " AND ".join(conds) if conds else "TRUE"
+        lo_sql = "NULL::BIGINT" if lo is None else f"{int(lo)}::BIGINT"
+        hi_sql = "NULL::BIGINT" if hi is None else f"{int(hi)}::BIGINT"
+        selects.append(
+            f"SELECT '{key}' AS key, {lo_sql} AS from_s, {hi_sql} AS to_s,\n"
+            f"       sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT AS n,\n"
+            f"       count(DISTINCT CASE WHEN {cond} THEN user_id END)"
+            f"::BIGINT AS n_users\nFROM events"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"SELECT * FROM (\n{body}\n) ORDER BY key"
+
+
 def event_anomalies(
     spark: SparkSession,
     sf_dir: str,

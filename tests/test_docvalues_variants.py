@@ -570,3 +570,24 @@ def test_string_stats_agg_vs_oracle(spark, dv_index, sf_smoke):
     ref = -sum(v / tot * math.log2(v / tot) for v in c.values())
     assert abs(ent - ref) < 1e-6
     assert 0.0 <= ent <= math.log2(len(c)) + 1e-9 and cnt == len(vals)
+
+
+def test_filters_agg_vs_oracle(spark, dv_index, sf_smoke):
+    """filters agg == DuckDB twin; the three size bands partition the
+    match set and the overlapping 'not_tiny' bucket double-counts."""
+    import duckdb
+
+    from smse_backend_spark.operators.aggregations import filters_agg_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    got = rows(dv_index.filters_agg(Q))
+    want = [tuple(r) for r in con.execute(filters_agg_sql(Q)).fetchall()]
+    assert got == want and len(got) == len(dv_index.FILTERS_BUCKETS)
+    by = dict(got)
+    n_match = dv_index.match_doc_ids(Q).count()
+    assert by["small"] + by["medium"] + by["large"] == n_match
+    assert by["not_tiny"] <= n_match

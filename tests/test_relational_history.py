@@ -194,3 +194,23 @@ def test_event_anomalies(spark, sf_correct, con):
     # anomalies are the tail, not the bulk
     n_buckets = R.event_pipeline_aggs(spark, sf_correct).count()
     assert 0 < len(rows) < n_buckets / 4
+
+
+def test_event_date_range_agg(spark, sf_correct, con):
+    _cmp(
+        R.event_date_range_agg(spark, sf_correct),
+        con,
+        R.event_date_range_agg_sql(),
+    )
+    rows = {r["key"]: r for r in
+            R.event_date_range_agg(spark, sf_correct).collect()}
+    assert set(rows) == {k for k, _l, _h in R.DATE_RANGE_BUCKETS}
+    n_events = spark.read.parquet(f"{sf_correct}/events.parquet").count()
+    # the whole-month range covers the January 2024 fixture entirely,
+    # and the four week slices partition it (overlap is the point of
+    # the ES filters/date_range contract — whole_month double-counts)
+    assert rows["whole_month"]["n"] == n_events
+    assert (rows["before_w2"]["n"] + rows["w2_w3"]["n"]
+            + rows["w3_w4"]["n"] + rows["from_w4"]["n"]) == n_events
+    for r in rows.values():
+        assert r["n_users"] <= r["n"]
