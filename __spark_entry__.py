@@ -51,6 +51,7 @@ from smse_backend_spark.operators.search import (
     random_score_topk,
     span_first_oracle_sql,
     span_not_oracle_sql,
+    synonym_query_oracle_sql,
     sparse_vector_oracle_sql,
     sparse_vector_topk,
     terms_set_oracle_sql,
@@ -816,6 +817,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact phrase search over the positional index
         "bm25_phrase": lambda spark, sf: _pos_indexed(spark, sf)
         .phrase_topk("table scan", 10),
+        # Lucene SynonymQuery: blended scoring (tf = sum over group,
+        # df = max over group) against an UNMODIFIED index — the
+        # query-time synonym-graph shape; 'digest' is absent and must
+        # not perturb the 'hash' group's idf
+        "bm25_synonym_query": lambda spark, sf: _indexed(spark, sf)
+        .synonym_query_topk([["hash", "digest"], ["join", "merge"]], 10),
         # Lucene WildcardQuery: * and ? compiled onto the regex path
         "bm25_wildcard": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_wildcard("m?rg*", 10),
@@ -1466,7 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CHECK_FIRST = [
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
-    "search_filters_agg", "event_date_range",
+    "search_filters_agg", "event_date_range", "bm25_synonym_query",
     "rank_feature", "rank_feature_indexed", "bm25_cross_fields",
     "ann_ivf_filtered", "textrank_keywords", "bm25_routed",
     "search_diversified", "rare_terms", "rare_terms_indexed",
@@ -1634,6 +1641,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             "tabel", 1, 10, transpositions=True
         ),
         "bm25_phrase": bm25_phrase_oracle_sql("table scan", 10),
+        "bm25_synonym_query": synonym_query_oracle_sql(
+            [["hash", "digest"], ["join", "merge"]], 10
+        ),
         "bm25_wildcard": bm25_regex_oracle_sql(
             wildcard_to_regex("m?rg*"), 10
         ),

@@ -3076,6 +3076,84 @@ class InvertedIndex:
         )
         return out
 
+    def synonym_query_topk(
+        self,
+        groups: list[list[str]],
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Lucene ``SynonymQuery`` (what a match query emits for terms
+        the synonym-graph filter expands): each group of terms scores as
+        ONE pseudo-term — per-doc tf = SUM of the members' tfs, df = MAX
+        of the members' dfs driving a single idf — so adding a rare
+        synonym never inflates a common term's idf (the blended-df
+        discipline SynonymQuery exists for). The query is the OR (sum)
+        of its group scores. Distinct from the index-time ``synonym``
+        analyzer (which rewrites tokens to a canonical form): blending
+        happens at score time against an UNMODIFIED index.
+
+        Plan shape: one postings decode for the union of member terms, a
+        broadcast term->group map, one (doc, group) partial-agg summing
+        tfs, then the standard contrib/sum/TakeOrderedAndProject tail —
+        the same two-shuffle shape as plain BM25."""
+        members: dict[str, int] = {}
+        for gid, grp in enumerate(groups):
+            for raw in grp:
+                toks = self._analyze(raw)
+                if len(toks) != 1:
+                    raise ValueError(
+                        f"synonym group members must analyze to one term, "
+                        f"got {raw!r} -> {toks!r}"
+                    )
+                members[toks[0]] = gid
+        if not members:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        n, avgdl = self.corpus_stats(lang)
+        if not n:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        terms = sorted(members)
+        dfs = self.term_df(terms, lang)
+        gdf: dict[int, int] = {}
+        for t, df in dfs.items():
+            gid = members[t]
+            gdf[gid] = max(gdf.get(gid, 0), df)
+        if not gdf:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        gidf = {
+            gid: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for gid, df in gdf.items()
+        }
+        live = sorted(t for t in terms if t in dfs)
+        gmap = F.broadcast(
+            self.spark.createDataFrame(
+                [(t, members[t]) for t in live], "term string, gid int"
+            )
+        )
+        gidf_df = F.broadcast(
+            self.spark.createDataFrame(
+                list(gidf.items()), "gid int, idf double"
+            )
+        )
+        decoded = self._decoded(self._blocks(live, lang))
+        gtf = (
+            decoded.join(gmap, "term")
+            .groupBy("doc_id", "gid")
+            .agg(
+                F.sum("tf").cast("long").alias("tf"),
+                F.max("dl").cast("long").alias("dl"),
+            )
+        )
+        scored = (
+            gtf.join(gidf_df, "gid")
+            .withColumn(
+                "contrib",
+                F.col("idf") * _tf_norm(F.col("tf"), F.col("dl"), avgdl),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        return self._finish(scored, k)
+
     # ES filters agg: named predicates over the n_chars doc-value.
     # Each bucket is an INDEPENDENT predicate (overlap double-counts,
     # ES semantics) — 'not_tiny' overlaps the three size bands.

@@ -2612,6 +2612,76 @@ LIMIT {int(k)}
 """
 
 
+def synonym_query_oracle_sql(
+    groups: list[list[str]],
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.synonym_query_topk``: per-doc group
+    tf = sum of member tfs, group df = max of member dfs (each member's
+    df = docs containing it), single idf per group, OR-sum of group
+    scores."""
+    members: list[tuple[str, int]] = []
+    for gid, grp in enumerate(groups):
+        for raw in grp:
+            toks = query_terms(raw)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"synonym group members must be single terms, got {raw!r}"
+                )
+            members.append((toks[0], gid))
+    in_list = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t, _g in members
+    )
+    vals = ", ".join(
+        f"('{t.replace(chr(39), chr(39) * 2)}', {gid})" for t, gid in members
+    )
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toksql = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "gtf.tf", idf_sql("gdf.df", "stats.n"), "gtf.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toksql} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+gmap (term, gid) AS (VALUES {vals}),
+tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ({in_list})
+  GROUP BY doc_id, doc_len, term
+),
+gtf AS (
+  SELECT tf.doc_id, tf.doc_len, gmap.gid, sum(tf.tf)::BIGINT AS tf
+  FROM tf JOIN gmap USING (term)
+  GROUP BY tf.doc_id, tf.doc_len, gmap.gid
+),
+gdf AS (
+  SELECT gid, max(df)::DOUBLE AS df FROM (
+    SELECT gmap.gid, tf.term, count(*)::BIGINT AS df
+    FROM tf JOIN gmap USING (term)
+    GROUP BY gmap.gid, tf.term
+  ) GROUP BY gid
+)
+SELECT gtf.doc_id AS doc_id, round(sum({score}), 6) AS score
+FROM gtf JOIN gdf USING (gid) CROSS JOIN stats
+GROUP BY gtf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
 def span_not_oracle_sql(
     include_text: str,
     exclude_text: str,

@@ -1730,3 +1730,35 @@ def test_span_first_vs_oracle(pos_index, spark, oracle_con):
     want1 = [tuple(w) for w in oracle_con.execute(
         span_first_oracle_sql("table", 1, 1000)).fetchall()]
     assert first_tok == want1
+
+
+def test_synonym_query_vs_oracle(spark, index, oracle_con):
+    """Lucene SynonymQuery blending == DuckDB twin: tf sums within a
+    group, df is the group max, absent members don't perturb idf, and a
+    singleton group degenerates to plain BM25 on that term."""
+    from smse_backend_spark.operators.search import (
+        bm25_topk_scan,
+        synonym_query_oracle_sql,
+    )
+
+    for groups in [
+        [["hash", "digest"], ["join", "merge"]],
+        [["scan", "filter"]],
+        [["hash"]],
+        [["zzzqqabsent", "hash"], ["join"]],
+    ]:
+        got = [tuple(r) for r in
+               index.synonym_query_topk(groups, 1000).collect()]
+        want = [tuple(w) for w in oracle_con.execute(
+            synonym_query_oracle_sql(groups, 1000)).fetchall()]
+        assert got == want and got, (groups, got[:3], want[:3])
+    # singleton groups == the plain BM25 scorer on the same terms
+    a = [tuple(r) for r in index.synonym_query_topk([["hash"], ["join"]], 50).collect()]
+    b = [tuple(r) for r in index.bm25_topk("hash join", 50).collect()]
+    assert a == b
+    # blending uses MAX df: adding an absent synonym never changes scores
+    c = [tuple(r) for r in
+         index.synonym_query_topk([["hash", "zzzqqabsent"], ["join"]], 50).collect()]
+    assert c == a
+    with pytest.raises(ValueError, match="one term"):
+        index.synonym_query_topk([["two words"]])
