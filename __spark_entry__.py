@@ -50,6 +50,7 @@ from smse_backend_spark.operators.search import (
     random_score_oracle_sql,
     random_score_topk,
     span_first_oracle_sql,
+    classic_tfidf_oracle_sql,
     span_not_oracle_sql,
     synonym_query_oracle_sql,
     sparse_vector_oracle_sql,
@@ -823,6 +824,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # not perturb the 'hash' group's idf
         "bm25_synonym_query": lambda spark, sf: _indexed(spark, sf)
         .synonym_query_topk([["hash", "digest"], ["join", "merge"]], 10),
+        # Lucene ClassicSimilarity (TF-IDF): sqrt-tf, squared idf,
+        # 1/sqrt(dl) norm — the third similarity on the shared decode
+        "classic_tfidf": lambda spark, sf: _indexed(spark, sf)
+        .classic_tfidf_topk(FLAGSHIP_QUERY, 10),
         # Lucene WildcardQuery: * and ? compiled onto the regex path
         "bm25_wildcard": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_wildcard("m?rg*", 10),
@@ -837,6 +842,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 'table' — the negation member of the span family
         "span_not": lambda spark, sf: _pos_indexed(spark, sf)
         .span_not_topk("scan", "table", 3, 10),
+        # ES intervals query (match rule, ordered, max_gaps=2): the
+        # width-minus-terms criterion derived onto the span-near window
+        "intervals_match": lambda spark, sf: _pos_indexed(spark, sf)
+        .intervals_topk("table scan", max_gaps=2, ordered=True, k=10),
         # ES match_phrase_prefix (search-as-you-type): last token expanded
         # from the dictionary, blended window frequency, one idf
         "bm25_phrase_prefix": lambda spark, sf: _pos_indexed(spark, sf)
@@ -1474,6 +1483,7 @@ _CHECK_FIRST = [
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
     "search_filters_agg", "event_date_range", "bm25_synonym_query",
+    "intervals_match", "classic_tfidf",
     "rank_feature", "rank_feature_indexed", "bm25_cross_fields",
     "ann_ivf_filtered", "textrank_keywords", "bm25_routed",
     "search_diversified", "rare_terms", "rare_terms_indexed",
@@ -1644,6 +1654,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25_synonym_query": synonym_query_oracle_sql(
             [["hash", "digest"], ["join", "merge"]], 10
         ),
+        "classic_tfidf": classic_tfidf_oracle_sql(FLAGSHIP_QUERY, 10),
         "bm25_wildcard": bm25_regex_oracle_sql(
             wildcard_to_regex("m?rg*"), 10
         ),
@@ -1652,6 +1663,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         ),
         "span_first": span_first_oracle_sql("table", 5, 10),
         "span_not": span_not_oracle_sql("scan", "table", 3, 10),
+        # window = max_gaps + n_terms - 1 = 2 + 2 - 1 = 3
+        "intervals_match": near_oracle_sql("table scan", 3, 10,
+                                           in_order=True),
         "bm25_phrase_prefix": phrase_prefix_oracle_sql("hash jo", 10),
         "bm25_boosting": boosting_oracle_sql(FLAGSHIP_QUERY, ["window"], 0.5),
         "bm25_must_not": bm25_scan_oracle_sql(

@@ -2112,6 +2112,32 @@ class InvertedIndex:
             matches = matches.join(self._tomb_df, "doc_id", "left_anti")
         return self._finish(matches, k)
 
+    def intervals_topk(
+        self,
+        query_text: str,
+        max_gaps: int = 0,
+        ordered: bool = True,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``intervals`` query (``match`` rule with ``max_gaps`` /
+        ``ordered``): docs containing an interval of the query terms with
+        at most ``max_gaps`` positions of slack between them. Lucene's
+        criterion — interval width minus term count <= max_gaps — is
+        EXACTLY the span-near window ``p_last - p_first <= max_gaps +
+        n_terms - 1``, so this is the intervals facade over the same
+        positional kernel (one derivation, one code path, no semantic
+        fork); scoring follows the span discipline (conjunctive BM25
+        restricted to the interval match set)."""
+        from smse_backend_spark.functions.tokenizer import tokenize_py
+
+        seq = tokenize_py(query_text)
+        n_terms = len(seq) if ordered else len(set(seq))
+        if n_terms == 0:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        window = int(max_gaps) + n_terms - 1
+        return self.near_topk(query_text, window, k, lang, in_order=ordered)
+
     def explain_scores(
         self,
         query_text: str,
@@ -3075,6 +3101,44 @@ class InvertedIndex:
             "entropy",
         )
         return out
+
+    def classic_tfidf_topk(
+        self,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Lucene ClassicSimilarity (pre-BM25 TF-IDF) ranking: per-term
+        contribution ``sqrt(tf) * idf^2 / sqrt(dl)`` with ``idf = 1 +
+        ln((N+1)/(df+1))`` — the TFIDFSimilarity formula (sqrt tf
+        saturation, squared idf from query*field weight, 1/sqrt length
+        norm; the coord factor is gone in modern Lucene). Third
+        similarity next to BM25 and Dirichlet LM, same decode plan: the
+        postings of the query terms are the only input, per-term idf
+        ships as driver literals, one per-doc sum, TakeOrderedAndProject.
+        """
+        terms = self._analyze(query_text)
+        n, _avgdl = self.corpus_stats(lang)
+        dfs = self.term_df(terms, lang) if terms and n else {}
+        idf = {
+            t: 1.0 + math.log((n + 1.0) / (df + 1.0))
+            for t, df in dfs.items()
+        }
+        if not idf:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        decoded = self._decoded(self._blocks(sorted(idf), lang))
+        scored = (
+            decoded.join(self._idf_df(idf), "term")
+            .withColumn(
+                "contrib",
+                F.sqrt(F.col("tf").cast("double"))
+                * (F.col("idf") * F.col("idf"))
+                / F.sqrt(F.col("dl").cast("double")),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        return self._finish(scored, k)
 
     def synonym_query_topk(
         self,

@@ -2612,6 +2612,54 @@ LIMIT {int(k)}
 """
 
 
+def classic_tfidf_oracle_sql(
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.classic_tfidf_topk``: the
+    ClassicSimilarity formula written with the identical parenthesization
+    (sqrt(tf) * (idf*idf) / sqrt(dl), idf = 1 + ln((N+1)/(df+1)))."""
+    terms = query_terms(query_text)
+    if not terms:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toksql = tokenize_duckdb_sql(content_col)
+    idf = "(1.0 + ln((stats.n + 1.0) / (dfq.df + 1.0)))"
+    score = (f"sqrt(tf.tf::DOUBLE) * ({idf} * {idf}) "
+             f"/ sqrt(tf.doc_len::DOUBLE)")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toksql} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ({in_list})
+  GROUP BY doc_id, doc_len, term
+),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
 def synonym_query_oracle_sql(
     groups: list[list[str]],
     k: int = DEFAULT_TOP_K,

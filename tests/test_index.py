@@ -1762,3 +1762,49 @@ def test_synonym_query_vs_oracle(spark, index, oracle_con):
     assert c == a
     with pytest.raises(ValueError, match="one term"):
         index.synonym_query_topk([["two words"]])
+
+
+def test_intervals_derivation(pos_index, oracle_con):
+    """intervals(max_gaps, ordered) == span-near at window = max_gaps +
+    n_terms - 1 (the Lucene width-minus-terms identity), and at
+    max_gaps=0 ordered its match set is exactly the phrase match set."""
+    from smse_backend_spark.operators.search import near_oracle_sql
+
+    ix = pos_index
+    got = [tuple(r) for r in
+           ix.intervals_topk("table scan", 2, True, 1000).collect()]
+    want = [tuple(w) for w in oracle_con.execute(
+        near_oracle_sql("table scan", 3, 1000, in_order=True)).fetchall()]
+    assert got == want and got
+    # facade == the underlying span-near call
+    near = [tuple(r) for r in
+            ix.near_topk("table scan", 3, 1000, in_order=True).collect()]
+    assert got == near
+    # max_gaps=0 ordered == adjacency: same docs as the exact phrase
+    iv0 = {r["doc_id"] for r in
+           ix.intervals_topk("table scan", 0, True, 10**6).collect()}
+    ph = {r["doc_id"] for r in ix.phrase_topk("table scan", 10**6).collect()}
+    assert iv0 == ph and iv0
+    # unordered gaps window: derivation uses DISTINCT term count
+    u = [tuple(r) for r in
+         ix.intervals_topk("table scan", 1, False, 1000).collect()]
+    un = [tuple(r) for r in ix.near_topk("table scan", 2, 1000).collect()]
+    assert u == un
+
+
+def test_classic_tfidf_vs_oracle(index, oracle_con):
+    """ClassicSimilarity == DuckDB twin; ranking genuinely differs from
+    BM25 on a mixed-df query (sqrt saturation + squared idf reorder)."""
+    from smse_backend_spark.operators.search import classic_tfidf_oracle_sql
+
+    for q, lang in [("hash join merge scan", None), ("vector", None),
+                    ("batch stream spark window", "en"),
+                    ("zzzqqabsent", None)]:
+        got = [tuple(r) for r in index.classic_tfidf_topk(q, 50, lang).collect()]
+        want = [tuple(w) for w in oracle_con.execute(
+            classic_tfidf_oracle_sql(q, 50, lang)).fetchall()]
+        assert got == want, (q, lang, got[:3], want[:3])
+    q = "hash join merge scan"
+    tfidf = [r["doc_id"] for r in index.classic_tfidf_topk(q, 50).collect()]
+    bm25 = [r["doc_id"] for r in index.bm25_topk(q, 50).collect()]
+    assert tfidf and tfidf != bm25
