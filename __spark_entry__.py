@@ -1167,6 +1167,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # match set, one conditional-agg pass (overlaps double-count)
         "search_filters_agg": lambda spark, sf: _indexed(spark, sf)
         .filters_agg(FLAGSHIP_QUERY),
+        # ES median_absolute_deviation: median(|x - median|), exact
+        # interpolated medians (TDigest is the documented 10^12 swap)
+        "search_mad": lambda spark, sf: _indexed(spark, sf)
+        .mad_agg(FLAGSHIP_QUERY),
+        # ES boxplot: min/max/q1/q2/q3, exact interpolated quantiles
+        "search_boxplot": lambda spark, sf: _indexed(spark, sf)
+        .boxplot_agg(FLAGSHIP_QUERY),
+        # ES t_test (Welch): two repo buckets of the match set, t from
+        # exact integer sums in one conditional-agg row
+        "search_t_test": lambda spark, sf: _indexed(spark, sf)
+        .t_test_agg(FLAGSHIP_QUERY),
         # ES percentiles metric agg (exact): doc-value distribution of
         # the match set (Spark percentile == DuckDB quantile_cont)
         "search_percentiles": lambda spark, sf: _indexed(spark, sf)
@@ -1483,7 +1494,8 @@ _CHECK_FIRST = [
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
     "search_filters_agg", "event_date_range", "bm25_synonym_query",
-    "intervals_match", "classic_tfidf",
+    "intervals_match", "classic_tfidf", "search_mad", "search_boxplot",
+    "search_t_test",
     "rank_feature", "rank_feature_indexed", "bm25_cross_fields",
     "ann_ivf_filtered", "textrank_keywords", "bm25_routed",
     "search_diversified", "rare_terms", "rare_terms_indexed",
@@ -1815,6 +1827,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "search_top_metrics": AG.top_metrics_agg_sql(FLAGSHIP_QUERY, 10),
         "search_string_stats": AG.string_stats_agg_sql(FLAGSHIP_QUERY),
         "search_filters_agg": AG.filters_agg_sql(FLAGSHIP_QUERY),
+        "search_mad": AG.mad_agg_sql(FLAGSHIP_QUERY),
+        "search_boxplot": AG.boxplot_agg_sql(FLAGSHIP_QUERY),
+        "search_t_test": AG.t_test_agg_sql(FLAGSHIP_QUERY),
         "search_cardinality": AG.cardinality_agg_sql(FLAGSHIP_QUERY),
         "search_terms_stats": AG.terms_stats_agg_sql(FLAGSHIP_QUERY, 10),
         "search_composite": AG.composite_agg_sql(FLAGSHIP_QUERY, 256, 12),

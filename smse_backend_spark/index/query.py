@@ -3268,6 +3268,111 @@ class InvertedIndex:
             out = out.unionByName(r)
         return out.orderBy("key")
 
+    def mad_agg(
+        self,
+        query_text: str,
+        field: str = "n_chars",
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``median_absolute_deviation`` metric aggregation in query
+        context: median(|x - median(x)|) of a stored doc-value over the
+        match set — the robust dispersion ES pairs with percentiles.
+        Exact here (two interpolated-median passes; Spark ``percentile``
+        == DuckDB ``quantile_cont`` bit-identically — the
+        event_value_percentiles precedent); ES's production form is the
+        TDigest sketch, the documented 10^12 swap. Output (n_docs,
+        median, mad)."""
+        matches = self.match_doc_ids(query_text, lang)
+        vals = self.doc_values([field])
+        j = matches.join(vals, "doc_id").select(
+            F.col(field).cast("double").alias("x")
+        )
+        j = j.cache()
+        med = j.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.percentile("x", 0.5).alias("median"),
+        )
+        return (
+            j.crossJoin(F.broadcast(med))
+            .select(
+                "n_docs", "median",
+                F.abs(F.col("x") - F.col("median")).alias("d"),
+            )
+            .groupBy("n_docs", "median")
+            .agg(F.percentile("d", 0.5).alias("mad"))
+        )
+
+    def boxplot_agg(
+        self,
+        query_text: str,
+        field: str = "n_chars",
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``boxplot`` metric aggregation in query context: one row of
+        (n_docs, min, max, q1, q2, q3) of a stored doc-value over the
+        match set — exact interpolated quantiles (same parity note as
+        :meth:`mad_agg`)."""
+        matches = self.match_doc_ids(query_text, lang)
+        vals = self.doc_values([field])
+        x = F.col(field).cast("double")
+        return matches.join(vals, "doc_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(field).cast("long").alias("min_v"),
+            F.max(field).cast("long").alias("max_v"),
+            F.percentile(x, 0.25).alias("q1"),
+            F.percentile(x, 0.5).alias("q2"),
+            F.percentile(x, 0.75).alias("q3"),
+        )
+
+    def t_test_agg(
+        self,
+        query_text: str,
+        split: str = "src3",
+        field: str = "n_chars",
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``t_test`` metric aggregation (heteroscedastic / Welch, the
+        ES default) in query context: the t statistic between two filter
+        buckets of the match set — repos lexicographically below
+        ``split`` vs the rest — over a stored doc-value. Everything
+        derives from exact integer sums (n, Σx, Σx² per group) through
+        one identically-parenthesized expression: t = (m1 - m2) /
+        sqrt(v1/n1 + v2/n2) with sample variances ((ss - s*s/n)/(n-1)),
+        floor-half-up 6dp. Output (n_a, n_b, mean_a, mean_b, t). Plan:
+        match set joins doc-values, ONE conditional aggregation row."""
+        matches = self.match_doc_ids(query_text, lang)
+        vals = self.doc_values(["repo", field])
+        j = matches.join(vals, "doc_id")
+        in_a = F.col("repo") < F.lit(split)
+        v = F.col(field).cast("long")
+        agg = j.agg(
+            F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(~in_a, 1).otherwise(0)).cast("long").alias("n_b"),
+            F.sum(F.when(in_a, v).otherwise(0)).cast("long").alias("s_a"),
+            F.sum(F.when(~in_a, v).otherwise(0)).cast("long").alias("s_b"),
+            F.sum(F.when(in_a, v * v).otherwise(0)).cast("long").alias("ss_a"),
+            F.sum(F.when(~in_a, v * v).otherwise(0)).cast("long").alias("ss_b"),
+        )
+        na = F.col("n_a").cast("double")
+        nb = F.col("n_b").cast("double")
+        sa = F.col("s_a").cast("double")
+        sb = F.col("s_b").cast("double")
+        ssa = F.col("ss_a").cast("double")
+        ssb = F.col("ss_b").cast("double")
+        va = (ssa - sa * sa / na) / (na - F.lit(1.0))
+        vb = (ssb - sb * sb / nb) / (nb - F.lit(1.0))
+        t = (sa / na - sb / nb) / F.sqrt(va / na + vb / nb)
+
+        def r6(c):
+            return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+        return agg.select(
+            "n_a", "n_b",
+            r6(sa / na).alias("mean_a"),
+            r6(sb / nb).alias("mean_b"),
+            r6(t).alias("t"),
+        )
+
     def more_like_this(
         self,
         corpus: DataFrame,

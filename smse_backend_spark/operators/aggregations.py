@@ -603,6 +603,86 @@ FROM base CROSS JOIN ent
 """
 
 
+def mad_agg_sql(
+    query_text: str,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.mad_agg`` (n_chars backed by
+    length(text)): quantile_cont twice, the abs-deviation median over
+    the same interpolated median."""
+    v = f"length(d.{content_col})::DOUBLE"
+    return f"""{_match_set_cte(query_text, lang, table, content_col)},
+x AS (
+  SELECT {v} AS x FROM {table} d JOIN m USING (doc_id)
+),
+med AS (
+  SELECT count(*)::BIGINT AS n_docs, quantile_cont(x, 0.5) AS median FROM x
+)
+SELECT med.n_docs, med.median,
+       quantile_cont(abs(x.x - med.median), 0.5) AS mad
+FROM x CROSS JOIN med
+GROUP BY med.n_docs, med.median
+"""
+
+
+def boxplot_agg_sql(
+    query_text: str,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.boxplot_agg``."""
+    v = f"length(d.{content_col})"
+    return f"""{_match_set_cte(query_text, lang, table, content_col)}
+SELECT count(*)::BIGINT AS n_docs,
+       min({v})::BIGINT AS min_v,
+       max({v})::BIGINT AS max_v,
+       quantile_cont({v}::DOUBLE, 0.25) AS q1,
+       quantile_cont({v}::DOUBLE, 0.5) AS q2,
+       quantile_cont({v}::DOUBLE, 0.75) AS q3
+FROM {table} d JOIN m USING (doc_id)
+"""
+
+
+def t_test_agg_sql(
+    query_text: str,
+    split: str = "src3",
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.t_test_agg`` (repo backed by
+    source, n_chars by length(text)): Welch t from exact integer sums
+    through the identical expression chain."""
+    v = f"length(d.{content_col})"
+    esc = split.replace("'", "''")
+    return f"""{_match_set_cte(query_text, lang, table, content_col)},
+a AS (
+  SELECT sum(CASE WHEN d.source < '{esc}' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN d.source >= '{esc}' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN d.source < '{esc}' THEN {v} ELSE 0 END)::BIGINT AS s_a,
+         sum(CASE WHEN d.source >= '{esc}' THEN {v} ELSE 0 END)::BIGINT AS s_b,
+         sum(CASE WHEN d.source < '{esc}' THEN {v}::BIGINT * {v}::BIGINT
+             ELSE 0 END)::BIGINT AS ss_a,
+         sum(CASE WHEN d.source >= '{esc}' THEN {v}::BIGINT * {v}::BIGINT
+             ELSE 0 END)::BIGINT AS ss_b
+  FROM {table} d JOIN m USING (doc_id)
+)
+SELECT n_a, n_b,
+       floor(s_a::DOUBLE / n_a::DOUBLE * 1e6 + 0.5) / 1e6 AS mean_a,
+       floor(s_b::DOUBLE / n_b::DOUBLE * 1e6 + 0.5) / 1e6 AS mean_b,
+       floor((s_a::DOUBLE / n_a::DOUBLE - s_b::DOUBLE / n_b::DOUBLE)
+             / sqrt(((ss_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE / n_a::DOUBLE)
+                     / (n_a::DOUBLE - 1.0)) / n_a::DOUBLE
+                    + ((ss_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE / n_b::DOUBLE)
+                       / (n_b::DOUBLE - 1.0)) / n_b::DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS t
+FROM a
+"""
+
+
 def filters_agg_sql(
     query_text: str,
     lang: str | None = None,

@@ -591,3 +591,53 @@ def test_filters_agg_vs_oracle(spark, dv_index, sf_smoke):
     n_match = dv_index.match_doc_ids(Q).count()
     assert by["small"] + by["medium"] + by["large"] == n_match
     assert by["not_tiny"] <= n_match
+
+
+def test_mad_boxplot_t_test_vs_oracle(spark, dv_index, sf_smoke):
+    """mad/boxplot/t_test == their DuckDB twins; internal consistency:
+    q2 == the median the MAD pass used, boxplot quantiles are ordered,
+    and Welch t recomputes from per-group stats within 1e-6."""
+    import math
+
+    import duckdb
+
+    from smse_backend_spark.operators.aggregations import (
+        boxplot_agg_sql,
+        mad_agg_sql,
+        t_test_agg_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    got_mad = rows(dv_index.mad_agg(Q))
+    assert got_mad == [tuple(r) for r in con.execute(mad_agg_sql(Q)).fetchall()]
+    got_box = rows(dv_index.boxplot_agg(Q))
+    assert got_box == [tuple(r) for r in
+                       con.execute(boxplot_agg_sql(Q)).fetchall()]
+    got_t = rows(dv_index.t_test_agg(Q))
+    assert got_t == [tuple(r) for r in
+                     con.execute(t_test_agg_sql(Q)).fetchall()]
+    (_n, med, mad), (_n2, mn, mx, q1, q2, q3) = got_mad[0], got_box[0]
+    assert med == q2 and mn <= q1 <= q2 <= q3 <= mx and mad >= 0
+    n_a, n_b, mean_a, mean_b, t = got_t[0]
+    xs = [
+        (r["repo"], r["n_chars"])
+        for r in dv_index.match_doc_ids(Q)
+        .join(dv_index.doc_values(["repo", "n_chars"]), "doc_id")
+        .collect()
+    ]
+    a = [v for rp, v in xs if rp < "src3"]
+    b = [v for rp, v in xs if rp >= "src3"]
+    assert (n_a, n_b) == (len(a), len(b)) and n_a > 1 and n_b > 1
+
+    def var(g):
+        m = sum(g) / len(g)
+        return sum((x - m) ** 2 for x in g) / (len(g) - 1)
+
+    ref_t = (sum(a) / n_a - sum(b) / n_b) / math.sqrt(
+        var(a) / n_a + var(b) / n_b
+    )
+    assert abs(t - ref_t) < 1e-6
