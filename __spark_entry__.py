@@ -51,6 +51,15 @@ from smse_backend_spark.operators.search import (
     random_score_topk,
     span_first_oracle_sql,
     classic_tfidf_oracle_sql,
+)
+from smse_backend_spark.operators.similarities import (
+    boolean_sim_oracle_sql,
+    dfi_chi2_oracle_sql,
+    dfr_inl2_oracle_sql,
+    ib_ll_oracle_sql,
+    lm_jelinek_mercer_oracle_sql,
+)
+from smse_backend_spark.operators.search import (
     span_not_oracle_sql,
     synonym_query_oracle_sql,
     sparse_vector_oracle_sql,
@@ -828,6 +837,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 1/sqrt(dl) norm — the third similarity on the shared decode
         "classic_tfidf": lambda spark, sf: _indexed(spark, sf)
         .classic_tfidf_topk(FLAGSHIP_QUERY, 10),
+        # Lucene LMJelinekMercerSimilarity: λ-interpolated query
+        # likelihood (λ=0.1) — fourth similarity on the shared decode
+        "lm_jelinek_mercer": lambda spark, sf: _indexed(spark, sf)
+        .lm_jelinek_mercer_topk(FLAGSHIP_QUERY, 10),
+        # Lucene DFRSimilarity(In, L, H2) == classic InL2 DFR model;
+        # lang-restricted to exercise per-lang df/avgdl stats
+        "dfr_inl2": lambda spark, sf: _indexed(spark, sf)
+        .dfr_inl2_topk("batch stream spark window", 10, lang="en"),
+        # Lucene IBSimilarity(LL, DF, H2): information-based log-logistic
+        "ib_ll": lambda spark, sf: _indexed(spark, sf)
+        .ib_ll_topk(FLAGSHIP_QUERY, 10),
+        # Lucene DFISimilarity(ChiSquared): divergence from independence —
+        # a term scores only where tf exceeds its expectation
+        "dfi_chi2": lambda spark, sf: _indexed(spark, sf)
+        .dfi_chi2_topk(FLAGSHIP_QUERY, 10),
+        # Lucene BooleanSimilarity: score = matched-term count
+        "boolean_sim": lambda spark, sf: _indexed(spark, sf)
+        .boolean_sim_topk(FLAGSHIP_QUERY, 10),
         # Lucene WildcardQuery: * and ? compiled onto the regex path
         "bm25_wildcard": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_wildcard("m?rg*", 10),
@@ -1491,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # round-4 additions lead (never driver-checked), then the round-2/3
 # never-checked tail and round-1-only greens — see VERDICT.md
 _CHECK_FIRST = [
+    "lm_jelinek_mercer", "dfr_inl2", "ib_ll", "dfi_chi2", "boolean_sim",
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
     "search_filters_agg", "event_date_range", "bm25_synonym_query",
@@ -1667,6 +1695,15 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             [["hash", "digest"], ["join", "merge"]], 10
         ),
         "classic_tfidf": classic_tfidf_oracle_sql(FLAGSHIP_QUERY, 10),
+        "lm_jelinek_mercer": lm_jelinek_mercer_oracle_sql(
+            FLAGSHIP_QUERY, 10
+        ),
+        "dfr_inl2": dfr_inl2_oracle_sql(
+            "batch stream spark window", 10, lang="en"
+        ),
+        "ib_ll": ib_ll_oracle_sql(FLAGSHIP_QUERY, 10),
+        "dfi_chi2": dfi_chi2_oracle_sql(FLAGSHIP_QUERY, 10),
+        "boolean_sim": boolean_sim_oracle_sql(FLAGSHIP_QUERY, 10),
         "bm25_wildcard": bm25_regex_oracle_sql(
             wildcard_to_regex("m?rg*"), 10
         ),

@@ -3140,6 +3140,192 @@ class InvertedIndex:
         )
         return self._finish(scored, k)
 
+    def _qsum_finish(self, contrib_rows: DataFrame, k: int) -> DataFrame:
+        """Per-doc sum of pre-quantized integer contributions (column
+        ``cq``) -> (doc_id, score) top-k; order-independent because the
+        sum is over longs (the lm_dirichlet discipline)."""
+        return (
+            contrib_rows.groupBy("doc_id")
+            .agg((F.sum("cq").cast("double") / F.lit(1e6)).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    @staticmethod
+    def _quantize(raw):
+        """floor-half-up to 1e-6 integer units — written identically in
+        every SQL twin (``floor(x * 1e6 + 0.5)::BIGINT``)."""
+        return F.floor(raw * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    def lm_jelinek_mercer_topk(
+        self,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+        lam: float = 0.1,
+    ) -> DataFrame:
+        """Lucene ``LMJelinekMercerSimilarity``: linear-interpolation
+        query-likelihood LM (Zhai & Lafferty 2001) — per matched (doc,
+        term) ``ln(1 + (((1-λ)·tf)/dl) / (λ·p(t|C)))`` with ``p(t|C) =
+        (cf+1)/(T+1)``. λ defaults to 0.1 (Lucene's short-query guidance).
+        Plan: the BM25 decode plan verbatim; p(t|C) ships as a per-term
+        broadcast literal from the dictionary's cf column + build-time T
+        (no corpus scan); contributions quantized then integer-summed.
+        See ``operators/similarities.py`` for the determinism rules."""
+        from smse_backend_spark.operators.similarities import jm_constants
+
+        terms = self._analyze(query_text)
+        cfs = self.term_cf(terms, lang) if terms else {}
+        if not cfs:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        om, lm, p = jm_constants(cfs, self._sum_dl(lang), lam)
+        p_df = F.broadcast(
+            self.spark.createDataFrame(
+                sorted(p.items()), "term string, p double"
+            )
+        )
+        decoded = self._decoded(self._blocks(sorted(p), lang))
+        raw = F.log(
+            F.lit(1.0)
+            + ((F.lit(om) * F.col("tf").cast("double"))
+               / F.col("dl").cast("double"))
+            / (F.lit(lm) * F.col("p"))
+        )
+        return self._qsum_finish(
+            decoded.join(p_df, "term").withColumn("cq", self._quantize(raw)),
+            k,
+        )
+
+    def _h2_tfn(self, avgdl: float):
+        """DFR normalization H2 (c = 1): ``tf * log2(1 + avgdl/dl)`` —
+        the shared saturation used by the InL2 and IB LL models."""
+        from smse_backend_spark.operators.similarities import LN2
+
+        return F.col("tf").cast("double") * (
+            F.log(F.lit(1.0) + F.lit(avgdl) / F.col("dl").cast("double"))
+            / F.lit(LN2)
+        )
+
+    def dfr_inl2_topk(
+        self,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Lucene ``DFRSimilarity(BasicModelIn, AfterEffectL,
+        NormalizationH2)`` — the classic InL2 divergence-from-randomness
+        ranking (Amati & van Rijsbergen 2002): ``log2((N+1)/(df+0.5)) *
+        tfn/(tfn+1)`` with H2 tfn (c = 1). Per-term idf is a driver
+        literal from the dictionary df; same decode plan as BM25."""
+        from smse_backend_spark.operators.similarities import inl2_idf
+
+        terms = self._analyze(query_text)
+        n, avgdl = self.corpus_stats(lang)
+        dfs = self.term_df(terms, lang) if terms and n else {}
+        if not dfs:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        idf = inl2_idf(n, dfs)
+        decoded = self._decoded(self._blocks(sorted(idf), lang))
+        tfn = self._h2_tfn(avgdl)
+        raw = F.col("idf") * (tfn / (tfn + F.lit(1.0)))
+        return self._qsum_finish(
+            decoded.join(self._idf_df(idf), "term")
+            .withColumn("cq", self._quantize(raw)),
+            k,
+        )
+
+    def ib_ll_topk(
+        self,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Lucene ``IBSimilarity(DistributionLL, LambdaDF,
+        NormalizationH2)`` — information-based log-logistic model
+        (Clinchant & Gaussier 2010): ``log2((tfn + λ_w)/λ_w)`` with
+        ``λ_w = (df+1)/(N+1)`` and H2 tfn. λ_w ships as a per-term
+        broadcast literal; same decode plan as BM25."""
+        from smse_backend_spark.operators.similarities import LN2, ll_lambda
+
+        terms = self._analyze(query_text)
+        n, avgdl = self.corpus_stats(lang)
+        dfs = self.term_df(terms, lang) if terms and n else {}
+        if not dfs:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        lw = ll_lambda(n, dfs)
+        lw_df = F.broadcast(
+            self.spark.createDataFrame(
+                sorted(lw.items()), "term string, lw double"
+            )
+        )
+        decoded = self._decoded(self._blocks(sorted(lw), lang))
+        tfn = self._h2_tfn(avgdl)
+        raw = F.log((tfn + F.col("lw")) / F.col("lw")) / F.lit(LN2)
+        return self._qsum_finish(
+            decoded.join(lw_df, "term").withColumn("cq", self._quantize(raw)),
+            k,
+        )
+
+    def dfi_chi2_topk(
+        self,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Lucene ``DFISimilarity(IndependenceChiSquared)`` — divergence
+        from independence (Kocabas, Dinçer & Karaoğlan 2014): expected tf
+        under independence is ``((cf+1)·dl)/(T+1)``; a term only scores
+        when observed tf EXCEEDS expectation, contributing
+        ``log2(χ²+1)`` with ``χ² = (tf-expected)²/expected``. cf+1 ships
+        as a per-term broadcast literal from the dictionary; T from build
+        metadata; same decode plan as BM25."""
+        from smse_backend_spark.operators.similarities import LN2
+
+        terms = self._analyze(query_text)
+        cfs = self.term_cf(terms, lang) if terms else {}
+        if not cfs:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        t1 = float(self._sum_dl(lang)) + 1.0
+        cfp1 = {t: float(cf) + 1.0 for t, cf in cfs.items()}
+        c_df = F.broadcast(
+            self.spark.createDataFrame(
+                sorted(cfp1.items()), "term string, cfp1 double"
+            )
+        )
+        decoded = self._decoded(self._blocks(sorted(cfp1), lang))
+        tfd = F.col("tf").cast("double")
+        expected = (F.col("cfp1") * F.col("dl").cast("double")) / F.lit(t1)
+        measure = ((tfd - expected) * (tfd - expected)) / expected
+        raw = F.when(
+            tfd > expected, F.log(measure + F.lit(1.0)) / F.lit(LN2)
+        ).otherwise(F.lit(0.0))
+        return self._qsum_finish(
+            decoded.join(c_df, "term").withColumn("cq", self._quantize(raw)),
+            k,
+        )
+
+    def boolean_sim_topk(
+        self,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Lucene ``BooleanSimilarity``: every matched term scores its
+        boost (= 1), so a doc's score is the count of distinct query
+        terms it contains — tf, dl and corpus stats are ignored. Exact
+        integers, no quantization. Decode plan unchanged."""
+        terms = self._analyze(query_text)
+        if not terms:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        live = sorted(set(terms))
+        decoded = self._decoded(self._blocks(live, lang))
+        return (
+            decoded.groupBy("doc_id")
+            .agg(F.countDistinct("term").cast("double").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def synonym_query_topk(
         self,
         groups: list[list[str]],

@@ -1808,3 +1808,46 @@ def test_classic_tfidf_vs_oracle(index, oracle_con):
     tfidf = [r["doc_id"] for r in index.classic_tfidf_topk(q, 50).collect()]
     bm25 = [r["doc_id"] for r in index.bm25_topk(q, 50).collect()]
     assert tfidf and tfidf != bm25
+
+
+def test_similarity_family_vs_oracle(index, oracle_con):
+    """The four round-4 similarity models (JM LM, DFR InL2, IB LL, DFI
+    chi2) and BooleanSimilarity each == their DuckDB scan twin, on mixed
+    queries including lang-restricted and absent-term inputs."""
+    from smse_backend_spark.operators import similarities as S
+
+    cases = [("hash join merge scan", None), ("vector", None),
+             ("batch stream spark window", "en"), ("zzzqqabsent", None)]
+    pairs = [
+        (lambda q, k, lg: index.lm_jelinek_mercer_topk(q, k, lg),
+         S.lm_jelinek_mercer_oracle_sql),
+        (lambda q, k, lg: index.dfr_inl2_topk(q, k, lg),
+         S.dfr_inl2_oracle_sql),
+        (lambda q, k, lg: index.ib_ll_topk(q, k, lg), S.ib_ll_oracle_sql),
+        (lambda q, k, lg: index.dfi_chi2_topk(q, k, lg),
+         S.dfi_chi2_oracle_sql),
+        (lambda q, k, lg: index.boolean_sim_topk(q, k, lg),
+         S.boolean_sim_oracle_sql),
+    ]
+    for fn, osql in pairs:
+        for q, lang in cases:
+            got = [tuple(r) for r in fn(q, 50, lang).collect()]
+            want = [tuple(w) for w in
+                    oracle_con.execute(osql(q, 50, lang)).fetchall()]
+            assert got == want, (osql.__name__, q, lang, got[:3], want[:3])
+    # the models genuinely re-rank: on the mixed-df flagship query the
+    # four scored orders are not all identical to BM25's
+    q = "hash join merge scan"
+    bm25 = [r["doc_id"] for r in index.bm25_topk(q, 50).collect()]
+    orders = {
+        "jm": [r["doc_id"] for r in
+               index.lm_jelinek_mercer_topk(q, 50).collect()],
+        "inl2": [r["doc_id"] for r in index.dfr_inl2_topk(q, 50).collect()],
+        "ll": [r["doc_id"] for r in index.ib_ll_topk(q, 50).collect()],
+        "dfi": [r["doc_id"] for r in index.dfi_chi2_topk(q, 50).collect()],
+    }
+    assert any(v != bm25 for v in orders.values())
+    # BooleanSimilarity is coord counting: scores are small integers
+    bs = index.boolean_sim_topk(q, 10).collect()
+    assert bs and all(float(r["score"]).is_integer() for r in bs)
+    assert max(r["score"] for r in bs) <= 4.0
