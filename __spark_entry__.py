@@ -1369,6 +1369,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES date_range bucket agg: named (possibly overlapping) epoch
         # ranges, one conditional-agg scan, exact distinct users
         "event_date_range": R.event_date_range_agg,
+        # ES bucket_script + bucket_selector + bucket_sort over a daily
+        # histogram: best-converting days by click/view ratio
+        "event_bucket_pipeline": lambda spark, sf:
+        R.event_bucket_pipeline(spark, sf, 50, 10),
+        # ES sibling pipeline aggs (stats_bucket family): one summary
+        # row over the per-hour bucket counts
+        "event_stats_bucket": R.event_stats_bucket,
+        # ES serial_diff (lag 24 = day-over-day) + normalize rescale_0_1
+        "event_serial_diff": lambda spark, sf:
+        R.event_serial_diff(spark, sf, 24),
+        # ES rate agg in a daily histogram, unit=hour (factor 1/24)
+        "event_rate": R.event_rate,
+        # ES frequent_item_sets: market-basket itemsets (size <= 2) over
+        # per-user event-type transactions, support >= 0.25
+        "event_frequent_item_sets": lambda spark, sf:
+        R.event_frequent_item_sets(spark, sf, 0.25),
         # inverse percentiles: what % of matched docs sit at/below v
         "search_percentile_ranks": lambda spark, sf: AG.percentile_ranks(
             load_corpus(spark, sf), FLAGSHIP_QUERY, (100, 300)
@@ -1519,6 +1535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # never-checked tail and round-1-only greens — see VERDICT.md
 _CHECK_FIRST = [
     "lm_jelinek_mercer", "dfr_inl2", "ib_ll", "dfi_chi2", "boolean_sim",
+    "event_bucket_pipeline", "event_stats_bucket", "event_serial_diff",
+    "event_rate", "event_frequent_item_sets",
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
     "search_filters_agg", "event_date_range", "bm25_synonym_query",
@@ -1928,6 +1946,11 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "auto_date_histogram": R.auto_date_histogram_sql(20),
         "event_pipeline_aggs": R.event_pipeline_aggs_sql(),
         "event_date_range": R.event_date_range_agg_sql(),
+        "event_bucket_pipeline": R.event_bucket_pipeline_sql(50, 10),
+        "event_stats_bucket": R.event_stats_bucket_sql(),
+        "event_serial_diff": R.event_serial_diff_sql(24),
+        "event_rate": R.event_rate_sql(),
+        "event_frequent_item_sets": R.event_frequent_item_sets_sql(0.25),
         "event_anomalies": R.event_anomalies_sql(2.0),
         "has_parent_search": AG.has_parent_search_sql(
             FLAGSHIP_QUERY, 15, "max"

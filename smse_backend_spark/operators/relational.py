@@ -744,3 +744,338 @@ WHERE abs(floor(((n::DOUBLE - s1::DOUBLE / nb::DOUBLE)
                         / nb::DOUBLE)) * 1e6 + 0.5) / 1e6) > {float(z_cut)!r}
 ORDER BY hour_start
 """
+
+
+def event_bucket_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    min_total: int = 50,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``bucket_script`` + ``bucket_selector`` + ``bucket_sort``
+    pipeline aggs composed over a daily date histogram of events: per
+    day-bucket conditional counts of clicks and views, a scripted
+    click/view ratio (``bucket_script``), buckets kept only where total
+    events >= ``min_total`` and views > 0 (``bucket_selector``), then
+    the top ``size`` buckets by ratio (``bucket_sort``, tie-broken by
+    bucket start) — the "best-converting days" dashboard query.
+
+    Returns (day_start epoch-seconds, clicks, views, ratio) — counts are
+    exact integers; ratio passes the shared half-up floor at 6 dp.
+
+    Scale shape: ONE map-side-combined groupBy on an integer day id is
+    the only corpus-sized work (the conditional counts ride the partial
+    agg); selector/script/sort all run over BUCKET rows — metadata-sized
+    at any corpus scale — finishing with TakeOrderedAndProject.
+    """
+    e = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    hist = (
+        e.groupBy(((F.floor(epoch / F.lit(86400))) * F.lit(86400))
+                  .cast("long").alias("day_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long").alias("clicks"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long").alias("views"),
+        )
+    )
+    ratio = (
+        F.floor(
+            (F.col("clicks").cast("double") / F.col("views").cast("double"))
+            * F.lit(1e6) + F.lit(0.5)
+        ) / F.lit(1e6)
+    )
+    return (
+        hist.filter((F.col("total") >= int(min_total)) & (F.col("views") > 0))
+        .select("day_start", "clicks", "views", ratio.alias("ratio"))
+        .orderBy(F.desc("ratio"), F.asc("day_start"))
+        .limit(int(size))
+    )
+
+
+def event_bucket_pipeline_sql(min_total: int = 50, size: int = 10) -> str:
+    """DuckDB twin of :func:`event_bucket_pipeline`."""
+    return f"""
+WITH hist AS (
+  SELECT (floor(epoch(ts))::BIGINT // 86400) * 86400 AS day_start,
+         count(*)::BIGINT AS total,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+           AS clicks,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+           AS views
+  FROM events GROUP BY 1
+)
+SELECT day_start, clicks, views,
+       floor((clicks::DOUBLE / views::DOUBLE) * 1e6 + 0.5) / 1e6 AS ratio
+FROM hist
+WHERE total >= {int(min_total)} AND views > 0
+ORDER BY ratio DESC, day_start ASC
+LIMIT {int(size)}
+"""
+
+
+def event_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sibling pipeline aggregations (``stats_bucket`` ==
+    avg/min/max/sum/count ``_bucket``) over the hourly event histogram:
+    ONE summary row describing the distribution of per-bucket doc
+    counts — the "how bursty is traffic" rollup.
+
+    Returns (n_buckets, min_n, max_n, sum_n, avg_n) — all exact integers
+    except avg_n (shared 6 dp floor).
+
+    Scale shape: the histogram groupBy is the only corpus-sized stage;
+    the sibling agg reduces BUCKET rows (metadata-sized) to one row.
+    """
+    e = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    hist = (
+        e.groupBy(((F.floor(epoch / F.lit(3600))) * F.lit(3600))
+                  .cast("long").alias("hour_start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return hist.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.min("n").cast("long").alias("min_n"),
+        F.max("n").cast("long").alias("max_n"),
+        F.sum("n").cast("long").alias("sum_n"),
+        (
+            F.floor(
+                (F.sum("n").cast("double") / F.count(F.lit(1)).cast("double"))
+                * F.lit(1e6) + F.lit(0.5)
+            ) / F.lit(1e6)
+        ).alias("avg_n"),
+    )
+
+
+def event_stats_bucket_sql() -> str:
+    """DuckDB twin of :func:`event_stats_bucket`."""
+    return """
+WITH hist AS (
+  SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS hour_start,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_buckets,
+       min(n)::BIGINT AS min_n,
+       max(n)::BIGINT AS max_n,
+       sum(n)::BIGINT AS sum_n,
+       floor((sum(n)::DOUBLE / count(*)::DOUBLE) * 1e6 + 0.5) / 1e6 AS avg_n
+FROM hist
+"""
+
+
+def event_serial_diff(
+    spark: SparkSession, sf_dir: str, lag: int = 24
+) -> DataFrame:
+    """ES ``serial_diff`` (lag = 24: day-over-day change of hourly
+    counts) + ``normalize`` (method ``rescale_0_1``) pipeline aggs over
+    the hourly event histogram — seasonality removal plus a 0-1 rescale
+    for plotting.
+
+    Returns (hour_start, n, sdiff, rescaled) ordered by bucket; sdiff is
+    NULL for the first ``lag`` buckets (ES emits no value until the
+    lagged bucket exists); rescaled = (n - min)/(max - min) through the
+    shared 6 dp floor.
+
+    Scale shape: histogram groupBy is the only corpus-sized stage; the
+    lag window and min/max run over BUCKET rows (metadata-sized — a year
+    of hours is 8.8k rows), so the single-partition window is
+    deliberate, same as :func:`event_pipeline_aggs`.
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    hist = (
+        e.groupBy(((F.floor(epoch / F.lit(3600))) * F.lit(3600))
+                  .cast("long").alias("hour_start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy("hour_start")
+    wall = Window.partitionBy()
+    lo = F.min("n").over(wall).cast("double")
+    hi = F.max("n").over(wall).cast("double")
+    rescaled = (
+        F.floor(
+            ((F.col("n").cast("double") - lo) / (hi - lo)) * F.lit(1e6)
+            + F.lit(0.5)
+        ) / F.lit(1e6)
+    )
+    return (
+        hist.select(
+            "hour_start",
+            "n",
+            (F.col("n") - F.lag("n", int(lag)).over(w)).cast("long")
+            .alias("sdiff"),
+            rescaled.alias("rescaled"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+def event_serial_diff_sql(lag: int = 24) -> str:
+    """DuckDB twin of :func:`event_serial_diff`."""
+    return f"""
+WITH hist AS (
+  SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS hour_start,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT hour_start, n,
+       (n - lag(n, {int(lag)}) OVER (ORDER BY hour_start))::BIGINT AS sdiff,
+       floor(((n::DOUBLE - min(n) OVER ()::DOUBLE)
+              / (max(n) OVER ()::DOUBLE - min(n) OVER ()::DOUBLE)) * 1e6
+             + 0.5) / 1e6 AS rescaled
+FROM hist
+ORDER BY hour_start
+"""
+
+
+def event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rate`` aggregation inside a daily date histogram, unit =
+    hour: per day-bucket the event count and value sum rescaled to a
+    per-hour rate (factor 1/24 — the bucket/unit ratio ES computes).
+
+    Returns (day_start, n, rate_count, rate_value) ordered by bucket;
+    rates pass the shared 6 dp floor; the value sum itself is summed as
+    micro-unit integers (value × 1e6 floor-quantized per row) so the
+    aggregation is order-independent before the final divide.
+
+    Scale shape: ONE map-side-combined groupBy on the integer day id;
+    the rate arithmetic is per-bucket column algebra.
+    """
+    e = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    hist = (
+        e.groupBy(((F.floor(epoch / F.lit(86400))) * F.lit(86400))
+                  .cast("long").alias("day_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(vq).cast("long").alias("vq"),
+        )
+    )
+    rate_count = (
+        F.floor((F.col("n").cast("double") / F.lit(24.0)) * F.lit(1e6)
+                + F.lit(0.5)) / F.lit(1e6)
+    )
+    rate_value = (
+        F.floor(((F.col("vq").cast("double") / F.lit(1e6)) / F.lit(24.0))
+                * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    )
+    return (
+        hist.select(
+            "day_start", "n",
+            rate_count.alias("rate_count"),
+            rate_value.alias("rate_value"),
+        )
+        .orderBy("day_start")
+    )
+
+
+def event_rate_sql() -> str:
+    """DuckDB twin of :func:`event_rate` (same micro-unit integer value
+    sum, same floor formula)."""
+    return """
+WITH hist AS (
+  SELECT (floor(epoch(ts))::BIGINT // 86400) * 86400 AS day_start,
+         count(*)::BIGINT AS n,
+         sum(floor(value * 1e6 + 0.5)::BIGINT)::BIGINT AS vq
+  FROM events GROUP BY 1
+)
+SELECT day_start, n,
+       floor((n::DOUBLE / 24.0) * 1e6 + 0.5) / 1e6 AS rate_count,
+       floor(((vq::DOUBLE / 1e6) / 24.0) * 1e6 + 0.5) / 1e6 AS rate_value
+FROM hist
+ORDER BY day_start
+"""
+
+
+def event_frequent_item_sets(
+    spark: SparkSession, sf_dir: str, min_support: float = 0.25
+) -> DataFrame:
+    """ES ``frequent_item_sets`` aggregation (the Apriori/ECLAT market-
+    basket agg): transactions are USERS, items are the distinct
+    event_types a user has triggered; emit every itemset of size 1 and 2
+    whose support (fraction of users containing it) >= ``min_support``.
+
+    Returns (items 'a+b' sorted-joined, size, doc_count, support)
+    ordered by (support desc, items asc); support passes the shared 6 dp
+    floor; doc_count is the exact transaction count.
+
+    Scale shape: the corpus-sized work is ONE distinct on (user, type) —
+    map-side combined, vocabulary-bounded per user. Pair candidates come
+    from a self-join on user_id keyed by the (small) per-user item sets;
+    with an unbounded item vocabulary the documented 10^12 swap is
+    Spark MLlib's distributed FP-Growth (the same candidate lattice,
+    frequency-pruned level by level). The support filter happens on the
+    aggregated counts — nothing corpus-sized crosses the network twice.
+    """
+    e = _t(spark, sf_dir, "events")
+    ut = e.select("user_id", F.col("event_type").alias("item")).distinct()
+    ut = ut.cache()
+    total = ut.select(F.countDistinct("user_id").alias("t"))
+    singles = (
+        ut.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .select(F.col("item").alias("items"),
+                F.lit(1).cast("int").alias("size"), "doc_count")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("i1"), F.col("b.item").alias("i2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .select(
+            F.concat_ws("+", F.col("i1"), F.col("i2")).alias("items"),
+            F.lit(2).cast("int").alias("size"), "doc_count",
+        )
+    )
+    sup = (
+        F.floor(
+            (F.col("doc_count").cast("double") / F.col("t").cast("double"))
+            * F.lit(1e6) + F.lit(0.5)
+        ) / F.lit(1e6)
+    )
+    return (
+        singles.unionByName(pairs)
+        .crossJoin(F.broadcast(total))
+        .select("items", "size", "doc_count", sup.alias("support"))
+        .filter(F.col("support") >= float(min_support))
+        .orderBy(F.desc("support"), F.asc("items"))
+    )
+
+
+def event_frequent_item_sets_sql(min_support: float = 0.25) -> str:
+    """DuckDB twin of :func:`event_frequent_item_sets`."""
+    return f"""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type AS item FROM events
+),
+tot AS (
+  SELECT count(DISTINCT user_id)::DOUBLE AS t FROM ut
+),
+singles AS (
+  SELECT item AS items, 1 AS size, count(*)::BIGINT AS doc_count
+  FROM ut GROUP BY item
+),
+pairs AS (
+  SELECT a.item || '+' || b.item AS items, 2 AS size,
+         count(*)::BIGINT AS doc_count
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1
+),
+u AS (
+  SELECT * FROM singles UNION ALL SELECT * FROM pairs
+)
+SELECT items, size, doc_count,
+       floor((doc_count::DOUBLE / tot.t) * 1e6 + 0.5) / 1e6 AS support
+FROM u CROSS JOIN tot
+WHERE floor((doc_count::DOUBLE / tot.t) * 1e6 + 0.5) / 1e6
+      >= {float(min_support)!r}
+ORDER BY support DESC, items ASC
+"""

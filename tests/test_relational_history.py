@@ -214,3 +214,73 @@ def test_event_date_range_agg(spark, sf_correct, con):
             + rows["w3_w4"]["n"] + rows["from_w4"]["n"]) == n_events
     for r in rows.values():
         assert r["n_users"] <= r["n"]
+
+
+def test_event_bucket_pipeline(spark, sf_correct, con):
+    _cmp(
+        R.event_bucket_pipeline(spark, sf_correct, 50, 10),
+        con,
+        R.event_bucket_pipeline_sql(50, 10),
+    )
+    rows = R.event_bucket_pipeline(spark, sf_correct, 50, 10).collect()
+    # selector kept only qualifying buckets; sort is ratio desc
+    assert len(rows) <= 10
+    assert all(r["views"] > 0 for r in rows)
+    ratios = [r["ratio"] for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
+    # an impossible selector threshold empties the result on both engines
+    got = R.event_bucket_pipeline(spark, sf_correct, 10**9, 10).collect()
+    want = con.execute(R.event_bucket_pipeline_sql(10**9, 10)).fetchall()
+    assert got == [] and want == []
+
+
+def test_event_stats_bucket(spark, sf_correct, con):
+    _cmp(R.event_stats_bucket(spark, sf_correct), con,
+         R.event_stats_bucket_sql())
+    row = R.event_stats_bucket(spark, sf_correct).collect()[0]
+    assert row["min_n"] <= row["avg_n"] <= row["max_n"]
+    assert row["sum_n"] == spark.read.parquet(
+        f"{sf_correct}/events.parquet").count()
+
+
+def test_event_serial_diff(spark, sf_correct, con):
+    _cmp(R.event_serial_diff(spark, sf_correct, 24), con,
+         R.event_serial_diff_sql(24))
+    rows = R.event_serial_diff(spark, sf_correct, 24).collect()
+    # the first `lag` buckets have no lagged partner (ES skips them)
+    assert all(r["sdiff"] is None for r in rows[:24])
+    by_bucket = {r["hour_start"]: r["n"] for r in rows}
+    for i, r in enumerate(rows[24:], start=24):
+        assert r["sdiff"] == r["n"] - rows[i - 24]["n"]
+    # rescale_0_1 spans exactly [0, 1]
+    rs = [r["rescaled"] for r in rows]
+    assert min(rs) == 0.0 and max(rs) == 1.0
+    assert by_bucket  # sanity: non-empty histogram
+
+
+def test_event_rate(spark, sf_correct, con):
+    _cmp(R.event_rate(spark, sf_correct), con, R.event_rate_sql())
+    rows = R.event_rate(spark, sf_correct).collect()
+    for r in rows:
+        # rate_count is n/24 through the shared floor formula
+        import math
+        assert r["rate_count"] == math.floor(
+            (r["n"] / 24.0) * 1e6 + 0.5) / 1e6
+
+
+def test_event_frequent_item_sets(spark, sf_correct, con):
+    _cmp(
+        R.event_frequent_item_sets(spark, sf_correct, 0.25),
+        con,
+        R.event_frequent_item_sets_sql(0.25),
+    )
+    rows = R.event_frequent_item_sets(spark, sf_correct, 0.25).collect()
+    assert rows and all(r["support"] >= 0.25 for r in rows)
+    # anti-monotonicity: a pair never out-supports either member
+    singles = {r["items"]: r["doc_count"] for r in rows if r["size"] == 1}
+    for r in rows:
+        if r["size"] == 2:
+            i1, i2 = r["items"].split("+")
+            for m in (i1, i2):
+                if m in singles:
+                    assert r["doc_count"] <= singles[m]
