@@ -61,6 +61,7 @@ from smse_backend_spark.operators.similarities import (
 )
 from smse_backend_spark.operators.search import (
     span_not_oracle_sql,
+    span_contain_oracle_sql,
     synonym_query_oracle_sql,
     sparse_vector_oracle_sql,
     sparse_vector_topk,
@@ -865,6 +866,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Lucene SpanFirstQuery: term within the first N token positions
         "span_first": lambda spark, sf: _pos_indexed(spark, sf)
         .span_first_topk("table", 5, 10),
+        # Lucene SpanContainingQuery: (table ~ scan) spans enclosing 'hash'
+        "span_containing": lambda spark, sf: _pos_indexed(spark, sf)
+        .span_contain_topk("table scan", "hash", 6, 10, mode="containing"),
+        # Lucene SpanWithinQuery: 'hash' occurrences inside such spans
+        "span_within": lambda spark, sf: _pos_indexed(spark, sf)
+        .span_contain_topk("table scan", "hash", 6, 10, mode="within"),
         # Lucene SpanNotQuery: 'scan' occurrences not within 3 tokens of
         # 'table' — the negation member of the span family
         "span_not": lambda spark, sf: _pos_indexed(spark, sf)
@@ -1537,6 +1544,7 @@ _CHECK_FIRST = [
     "lm_jelinek_mercer", "dfr_inl2", "ib_ll", "dfi_chi2", "boolean_sim",
     "event_bucket_pipeline", "event_stats_bucket", "event_serial_diff",
     "event_rate", "event_frequent_item_sets",
+    "span_containing", "span_within",
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
     "search_filters_agg", "event_date_range", "bm25_synonym_query",
@@ -1730,6 +1738,12 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         ),
         "span_first": span_first_oracle_sql("table", 5, 10),
         "span_not": span_not_oracle_sql("scan", "table", 3, 10),
+        "span_containing": span_contain_oracle_sql(
+            "table scan", "hash", 6, 10, mode="containing"
+        ),
+        "span_within": span_contain_oracle_sql(
+            "table scan", "hash", 6, 10, mode="within"
+        ),
         # window = max_gaps + n_terms - 1 = 2 + 2 - 1 = 3
         "intervals_match": near_oracle_sql("table scan", 3, 10,
                                            in_order=True),

@@ -294,6 +294,66 @@ def _docs_with_all_terms(grouped, uniq: list[str]) -> set:
     return set.intersection(*per_term_docs) if per_term_docs else set()
 
 
+def _make_span_contain_matcher(
+    big_a: str, big_b: str, little: str, window: int, mode: str, tomb_b=None
+):
+    """mapInPandas kernel for Lucene SpanContainingQuery /
+    SpanWithinQuery with big = unordered two-term near-span (window =
+    max offset span) and little = one term. Emits (doc_id, stf, dl):
+
+    * ``containing`` — stf counts big spans, i.e. (pa, pb) pairs with
+      ``|pa - pb| <= window`` that enclose >= 1 little occurrence
+      (``min <= pc <= max`` — single-term span ends are base-invariant);
+    * ``within`` — stf counts little occurrences enclosed by >= 1 such
+      qualifying pair.
+
+    The pair lattice is per-doc tf_a x tf_b (tiny — per-doc tfs, not
+    corpus-sized); the containment test is one searchsorted per pair
+    (containing) or one broadcasted interval mask (within)."""
+    uniq = sorted({big_a, big_b, little})
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grouped, dl_of = _decode_positional_rows(batches, tomb_b)
+        out = {"doc_id": [], "stf": [], "dl": []}
+        if grouped is not None:
+            for doc in _docs_with_all_terms(grouped, uniq):
+                A = grouped[(doc, big_a)]
+                Bp = grouped[(doc, big_b)]
+                C = np.sort(grouped[(doc, little)])
+                lo = np.minimum.outer(A, Bp).ravel()
+                hi = np.maximum.outer(A, Bp).ravel()
+                ok = (hi - lo) <= window
+                lo, hi = lo[ok], hi[ok]
+                if lo.size == 0:
+                    continue
+                if mode == "containing":
+                    has_c = (
+                        np.searchsorted(C, hi, side="right")
+                        - np.searchsorted(C, lo, side="left")
+                    ) > 0
+                    stf = int(has_c.sum())
+                else:  # within
+                    enclosed = (
+                        (lo[None, :] <= C[:, None])
+                        & (C[:, None] <= hi[None, :])
+                    ).any(axis=1)
+                    stf = int(enclosed.sum())
+                if stf:
+                    out["doc_id"].append(doc)
+                    out["stf"].append(stf)
+                    out["dl"].append(int(dl_of[doc]))
+        if out["doc_id"]:
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(out["doc_id"], dtype=np.int64),
+                    "stf": np.array(out["stf"], dtype=np.int64),
+                    "dl": np.array(out["dl"], dtype=np.int64),
+                }
+            )
+
+    return kernel
+
+
 def _make_phrase_matcher(terms: list[str], tomb_b=None):
     """mapInPandas kernel: positional blocks (one partition holds every
     phrase term's postings for its segments) -> (doc_id, phrase_tf, dl)
@@ -1287,6 +1347,81 @@ class InvertedIndex:
         if df_sn == 0:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         idf = math.log(1.0 + (n - df_sn + 0.5) / (df_sn + 0.5))
+        scored = matches.select(
+            "doc_id",
+            F.round(
+                F.lit(idf) * _tf_norm(F.col("stf"), F.col("dl"), avgdl), 6
+            ).alias("score"),
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def span_contain_topk(
+        self,
+        big_text: str,
+        little_text: str,
+        window: int,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+        mode: str = "containing",
+    ) -> DataFrame:
+        """Lucene ``SpanContainingQuery`` / ``SpanWithinQuery``: big =
+        unordered near-span of the two ``big_text`` terms (max offset
+        span <= ``window``), little = the single ``little_text`` term.
+        ``containing`` returns/scores the big spans that enclose a
+        little occurrence; ``within`` the little occurrences enclosed by
+        a big span. Span tf = qualifying spans, span df = docs with >= 1
+        qualifying span driving a single idf, BM25 normalization against
+        the FULL doc length (the span_not scoring discipline).
+
+        Plan shape: the span-near pipeline for THREE terms — partition-
+        pruned positional block scan, one segment shuffle co-locating
+        the terms' postings per doc, vectorized pair-lattice +
+        searchsorted containment test in the kernel; only surviving
+        (doc_id, stf, dl) rows leave the Python stage."""
+        if mode not in ("containing", "within"):
+            raise ValueError(f"unknown span_contain mode {mode!r}")
+        if not self.meta["config"].get("with_positions"):
+            raise ValueError(
+                "span_contain requires an index built with "
+                "with_positions=True"
+            )
+        big = self._analyze(big_text)
+        little = self._analyze(little_text)
+        if len(big) != 2 or len(little) != 1:
+            raise ValueError(
+                "span_contain takes two big terms and one little term, "
+                f"got {big!r} / {little!r}"
+            )
+        if len({*big, *little}) != 3:
+            raise ValueError("span_contain terms must be distinct")
+        n, avgdl = self.corpus_stats(lang)
+        if not n:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        terms = sorted({*big, *little})
+        if len(self.term_df(terms, lang)) != 3:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        blocks = self._blocks(terms, lang).select(
+            "segment", "term", "first_doc", "gaps", "tfs", "dls", "poss"
+        )
+        nparts = int(
+            min(1024, max(self.spark.sparkContext.defaultParallelism, 1))
+        )
+        blocks = blocks.repartition(nparts, "segment")
+        self._load_tombs()
+        matches = blocks.mapInPandas(
+            _make_span_contain_matcher(
+                big[0], big[1], little[0], int(window), mode,
+                self._tomb_bcast,
+            ),
+            "doc_id long, stf long, dl long",
+        )
+        if self._tomb_df is not None:
+            matches = matches.join(self._tomb_df, "doc_id", "left_anti")
+        matches = matches.cache()
+        df_sp = matches.count()
+        if df_sp == 0:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        idf = math.log(1.0 + (n - df_sp + 0.5) / (df_sp + 0.5))
         scored = matches.select(
             "doc_id",
             F.round(

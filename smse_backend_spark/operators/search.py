@@ -2801,6 +2801,101 @@ LIMIT {int(k)}
 """
 
 
+def span_contain_oracle_sql(
+    big_text: str,
+    little_text: str,
+    window: int,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    mode: str = "containing",
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.span_contain_topk``: big spans are
+    (pa, pb) pairs with ``abs(pa - pb) <= window``; containment is
+    ``least(pa, pb) <= pc <= greatest(pa, pb)`` (base-invariant, so the
+    1-based positions here agree with the engine's 0-based offsets).
+    ``containing`` counts enclosing pairs; ``within`` counts enclosed
+    little occurrences. Same span scoring as span_not."""
+    if mode not in ("containing", "within"):
+        raise ValueError(f"unknown span_contain mode {mode!r}")
+    big = tokenize_py(big_text)
+    little = tokenize_py(little_text)
+    if len(big) != 2 or len(little) != 1:
+        raise ValueError(
+            f"span_contain oracle takes two big terms and one little, "
+            f"got {big!r} / {little!r}"
+        )
+    ba = big[0].replace("'", "''")
+    bb = big[1].replace("'", "''")
+    lt = little[0].replace("'", "''")
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "h.stf", idf_sql("dfp.df", "stats.n"), "h.doc_len", "stats.avgdl"
+    )
+    if mode == "containing":
+        sm = f"""
+sm AS (
+  SELECT pa.doc_id, count(*)::BIGINT AS stf
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+       AND abs(pa.p - pb.p) <= {int(window)}
+  WHERE EXISTS (
+    SELECT 1 FROM pc
+    WHERE pc.doc_id = pa.doc_id
+      AND pc.p BETWEEN least(pa.p, pb.p) AND greatest(pa.p, pb.p)
+  )
+  GROUP BY pa.doc_id
+)"""
+    else:
+        sm = f"""
+sm AS (
+  SELECT pc.doc_id, count(*)::BIGINT AS stf
+  FROM pc
+  WHERE EXISTS (
+    SELECT 1 FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+         AND abs(pa.p - pb.p) <= {int(window)}
+    WHERE pa.doc_id = pc.doc_id
+      AND pc.p BETWEEN least(pa.p, pb.p) AND greatest(pa.p, pb.p)
+  )
+  GROUP BY pc.doc_id
+)"""
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+pa AS (
+  SELECT doc_id, unnest(list_filter(generate_series(1, len(toks)),
+                                    j -> toks[j] = '{ba}')) AS p
+  FROM dl
+),
+pb AS (
+  SELECT doc_id, unnest(list_filter(generate_series(1, len(toks)),
+                                    j -> toks[j] = '{bb}')) AS p
+  FROM dl
+),
+pc AS (
+  SELECT doc_id, unnest(list_filter(generate_series(1, len(toks)),
+                                    j -> toks[j] = '{lt}')) AS p
+  FROM dl
+),{sm},
+h AS (
+  SELECT sm.doc_id, dl.doc_len, sm.stf FROM sm JOIN dl USING (doc_id)
+),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM h)
+SELECT h.doc_id AS doc_id, round({score}, 6) AS score
+FROM h CROSS JOIN dfp CROSS JOIN stats
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
 RANDOM_SCORE_SALT = "-random-score-v1-"
 _TWO60_F = float(1 << 60)
 

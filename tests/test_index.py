@@ -1851,3 +1851,73 @@ def test_similarity_family_vs_oracle(index, oracle_con):
     bs = index.boolean_sim_topk(q, 10).collect()
     assert bs and all(float(r["score"]).is_integer() for r in bs)
     assert max(r["score"] for r in bs) <= 4.0
+
+
+def test_span_contain_vs_oracle(pos_index, oracle_con):
+    """SpanContaining/SpanWithin == DuckDB twin; containing counts pairs,
+    within counts enclosed occurrences, so the two genuinely differ."""
+    from smse_backend_spark.operators.search import span_contain_oracle_sql
+
+    ix = pos_index
+    for big, little, w, mode in [
+        ("table scan", "hash", 6, "containing"),
+        ("table scan", "hash", 6, "within"),
+        ("hash join", "table", 10, "containing"),
+        ("hash join", "table", 10, "within"),
+        ("table scan", "zzzqqabsent", 6, "containing"),
+    ]:
+        got = [tuple(r) for r in
+               ix.span_contain_topk(big, little, w, 1000, mode=mode)
+               .collect()]
+        want = [tuple(x) for x in oracle_con.execute(
+            span_contain_oracle_sql(big, little, w, 1000, mode=mode)
+        ).fetchall()]
+        assert got == want, (big, little, w, mode, got[:3], want[:3])
+    # within docs == containing docs (both require pair + enclosure),
+    # but the tf (hence scores) differ in general
+    cd = {r["doc_id"] for r in
+          ix.span_contain_topk("table scan", "hash", 6, 10**6,
+                               mode="containing").collect()}
+    wd = {r["doc_id"] for r in
+          ix.span_contain_topk("table scan", "hash", 6, 10**6,
+                               mode="within").collect()}
+    assert cd == wd and cd
+    with pytest.raises(ValueError, match="distinct"):
+        ix.span_contain_topk("table scan", "table", 3)
+    with pytest.raises(ValueError, match="two big"):
+        ix.span_contain_topk("table", "hash", 3)
+    with pytest.raises(ValueError, match="mode"):
+        ix.span_contain_topk("table scan", "hash", 3, mode="overlap")
+
+
+def test_span_contain_kernel_vs_bruteforce():
+    """Property: the pair-lattice + searchsorted containment kernel ==
+    brute force over random position sets, both modes."""
+    import random
+
+    rng = random.Random(11)
+    for _ in range(200):
+        A = sorted(rng.sample(range(40), rng.randint(1, 8)))
+        B = sorted(rng.sample(range(40), rng.randint(1, 8)))
+        C = sorted(rng.sample(range(40), rng.randint(1, 8)))
+        w = rng.randint(0, 12)
+        pairs = [(min(a, b), max(a, b)) for a in A for b in B
+                 if abs(a - b) <= w]
+        want_cont = sum(1 for lo, hi in pairs
+                        if any(lo <= c <= hi for c in C))
+        want_with = sum(1 for c in C
+                        if any(lo <= c <= hi for lo, hi in pairs))
+        Aa, Bb = np.array(A, dtype=np.int64), np.array(B, dtype=np.int64)
+        Cc = np.array(C, dtype=np.int64)
+        lo = np.minimum.outer(Aa, Bb).ravel()
+        hi = np.maximum.outer(Aa, Bb).ravel()
+        ok = (hi - lo) <= w
+        lo, hi = lo[ok], hi[ok]
+        got_cont = int(((np.searchsorted(Cc, hi, side="right")
+                         - np.searchsorted(Cc, lo, side="left")) > 0).sum())
+        if lo.size:
+            got_with = int(((lo[None, :] <= Cc[:, None])
+                            & (Cc[:, None] <= hi[None, :])).any(axis=1).sum())
+        else:
+            got_with = 0
+        assert got_cont == want_cont and got_with == want_with, (A, B, C, w)
