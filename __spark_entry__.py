@@ -921,6 +921,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by collection frequency (metadata-only, no posting decode)
         "complete_suggest": lambda spark, sf: _indexed(spark, sf)
         .complete("sc", 10),
+        # ES completion suggester with CONTEXTS: the same type-ahead
+        # filtered to one context category (lang) — per-context cf
+        # ranking from the (lang, term) dictionary, still metadata-only
+        "context_suggest": lambda spark, sf: _indexed(spark, sf)
+        .complete("s", 10, lang="de"),
+        # ES categorize_text: deterministic prefix-skeleton categorizer
+        # (drain-tree is the documented order-dependent production swap)
+        "categorize_text": lambda spark, sf: AG.categorize_text(
+            load_corpus(spark, sf), 4, 20
+        ),
         # multi-word did-you-mean: per-token fuzzy dictionary candidates
         # cross-producted, scored by the corpus bigram LM (ES phrase
         # suggester, integer-count scoring)
@@ -1289,6 +1299,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": lambda spark, sf: D.ngram_jaccard_pairs(
             _docs(spark, sf), 3, 0.5, max_df=100
         ),
+        # exact-substring dedup (Lee et al. 2022): pairs sharing >= 2
+        # distinct 8-token windows — verbatim passage reuse the
+        # whole-doc Jaccard/MinHash family misses
+        "substring_dup": lambda spark, sf: D.substring_dup_pairs(
+            _docs(spark, sf), 8, 2, 20
+        ),
         "minhash_lsh": lambda spark, sf: D.minhash_lsh_pairs(_docs(spark, sf), 16, 4),
         # pairs -> connected components -> canonical doc per cluster
         "dup_clusters": lambda spark, sf: D.dup_clusters(_docs(spark, sf), 16, 4),
@@ -1544,7 +1560,8 @@ _CHECK_FIRST = [
     "lm_jelinek_mercer", "dfr_inl2", "ib_ll", "dfi_chi2", "boolean_sim",
     "event_bucket_pipeline", "event_stats_bucket", "event_serial_diff",
     "event_rate", "event_frequent_item_sets",
-    "span_containing", "span_within",
+    "span_containing", "span_within", "context_suggest", "categorize_text",
+    "substring_dup",
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
     "search_filters_agg", "event_date_range", "bm25_synonym_query",
@@ -1658,6 +1675,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "dedup_exact": D.dedup_exact_sql(),
         "exact_dup_groups": D.exact_dup_groups_sql(),
         "ngram_jaccard": D.ngram_jaccard_pairs_sql(3, 0.5, max_df=100),
+        "substring_dup": D.substring_dup_pairs_sql(8, 2, 20),
         "minhash_lsh": D.minhash_lsh_pairs_sql(16, 4),
         "dup_clusters": D.dup_clusters_sql(16, 4),
         "embedding_near_dup": D.embedding_near_dup_sql(0.3),
@@ -1771,6 +1789,8 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         ),
         "spell_suggest": suggest_oracle_sql("soet", 2, 10),
         "complete_suggest": complete_oracle_sql("sc", 10),
+        "context_suggest": complete_oracle_sql("s", 10, lang="de"),
+        "categorize_text": AG.categorize_text_sql(4, 20),
         "phrase_suggest": phrase_suggest_oracle_sql("bat ky", 2, 6, 10),
         "phrase_suggest_indexed": phrase_suggest_oracle_sql(
             "bat ky", 2, 6, 10

@@ -1481,3 +1481,82 @@ SELECT * FROM (
 )""")
     union = "\nUNION ALL\n".join(blocks)
     return f"SELECT * FROM (\n{union}\n) ORDER BY query_id"
+
+
+def categorize_text(
+    corpus: DataFrame,
+    n_tokens: int = 4,
+    size: int = 20,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``categorize_text`` aggregation — grouping semi-structured
+    messages into categories — with a DETERMINISTIC categorizer: the
+    category key is the doc's first ``n_tokens`` analyzed tokens with
+    every digit-bearing token masked to ``#`` (the "log skeleton": stable
+    prefixes survive, counters/ids collapse). Elastic's production
+    categorizer is an incremental drain-style token tree whose buckets
+    depend on ingestion order; that is the documented swap — this
+    prefix-skeleton variant is order-independent, so the same corpus
+    always yields the same buckets on any cluster size (and the oracle
+    can replay it exactly).
+
+    Returns (category, doc_count, sample_doc_id = min doc_id) ordered by
+    (doc_count desc, category asc), capped at ``size``.
+
+    Scale shape: one tokenize pass projecting ONLY the n-token prefix
+    (the full token array never leaves the row), then a map-side-combined
+    groupBy on the category string — bucket cardinality is bounded by
+    the distinct skeletons, not the corpus.
+    """
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    skel = F.concat_ws(
+        " ",
+        F.transform(
+            F.slice(tokenize_col("content"), 1, int(n_tokens)),
+            lambda t: F.when(t.rlike("[0-9]"), F.lit("#")).otherwise(t),
+        ),
+    )
+    return (
+        corpus.select(skel.alias("category"), "doc_id")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.min("doc_id").cast("long").alias("sample_doc_id"),
+        )
+        .orderBy(F.desc("doc_count"), F.asc("category"))
+        .limit(int(size))
+    )
+
+
+def categorize_text_sql(
+    n_tokens: int = 4,
+    size: int = 20,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`categorize_text` (same tokenizer, same
+    digit-mask, same prefix length)."""
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+cat AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(toks[1:{int(n_tokens)}],
+                          t -> CASE WHEN regexp_matches(t, '[0-9]')
+                               THEN '#' ELSE t END),
+           ' ') AS category
+  FROM docs
+)
+SELECT category, count(*)::BIGINT AS doc_count,
+       min(doc_id)::BIGINT AS sample_doc_id
+FROM cat
+GROUP BY category
+ORDER BY doc_count DESC, category ASC
+LIMIT {int(size)}
+"""

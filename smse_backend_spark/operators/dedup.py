@@ -497,3 +497,90 @@ SELECT d.doc_id AS doc_id,
        COALESCE(c.cluster_id, d.doc_id)::BIGINT AS cluster_id
 FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
 """
+
+
+def substring_dup_pairs(
+    docs: DataFrame,
+    n: int = 8,
+    min_shared: int = 2,
+    k: int = 20,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): doc pairs sharing at
+    least ``min_shared`` DISTINCT n-token windows, with the count of
+    shared windows — the signal that one document verbatim-copies a
+    passage of another even when the docs as wholes are dissimilar
+    (which is why Jaccard/MinHash miss it). The single-node reference
+    algorithm is a corpus-wide suffix array; the Spark re-expression is
+    a window equi-join — every length-``n`` token window (distinct per
+    doc), joined on window equality, pair counts aggregated map-side.
+
+    Returns (doc_a, doc_b, n_shared) with doc_a < doc_b, ordered
+    (n_shared desc, doc_a asc, doc_b asc), top ``k``.
+
+    Scale shape: candidate generation is the shingle equi-join (never a
+    cross product); ``max_df`` is the hot-window cut (identical to
+    :func:`ngram_jaccard_pairs`'s hot-shingle cut) that bounds the
+    per-window fan-out at 10^12 docs — at n=8 a window shared by many
+    docs IS boilerplate (license headers, generated code), exactly what
+    exact-substring dedup wants to skip or handle via the cut. At scale
+    the join key becomes a 64-bit window hash verified in-bucket
+    (``dedup.py`` hash discipline); at oracle scale the window text
+    itself is the key, which is collision-free by construction.
+    """
+    w = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("win")
+    )
+    if max_df is not None:
+        keep = (
+            w.groupBy("win")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("win")
+        )
+        w = w.join(keep, "win", "left_semi")
+    a, b = w.alias("a"), w.alias("b")
+    return (
+        a.join(b, (F.col("a.win") == F.col("b.win"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+        .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(int(k))
+    )
+
+
+def substring_dup_pairs_sql(
+    n: int = 8,
+    min_shared: int = 2,
+    k: int = 20,
+    max_df: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`substring_dup_pairs`."""
+    toks = tokenize_duckdb_sql("text")
+    df_cut = (
+        f"w AS (SELECT doc_id, win FROM w0 WHERE win IN "
+        f"(SELECT win FROM w0 GROUP BY win HAVING count(*) <= {max_df})),"
+        if max_df is not None
+        else "w AS (SELECT * FROM w0),"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS t FROM documents),
+w0 AS (
+  SELECT doc_id, unnest({_shingles_duckdb(n)}) AS win FROM tok
+),
+{df_cut}
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+  FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared
+FROM pairs
+WHERE n_shared >= {int(min_shared)}
+ORDER BY n_shared DESC, doc_a ASC, doc_b ASC
+LIMIT {int(k)}
+"""

@@ -200,3 +200,45 @@ def test_auto_stopwords_and_tfidf_vs_duckdb(spark, sf_smoke):
     # idf uses the FULL corpus: a universal term must get weight ~0 only
     # if df == N; spot-check weights are finite and non-negative-ish
     assert all(w == w for *_x, w in got)  # no NaNs
+
+
+def test_substring_dup_pairs(docs, con):
+    _cmp(
+        D.substring_dup_pairs(docs, 8, 2, 20),
+        con,
+        D.substring_dup_pairs_sql(8, 2, 20),
+    )
+    rows = D.substring_dup_pairs(docs, 8, 2, 20).collect()
+    assert rows and all(r["doc_a"] < r["doc_b"] for r in rows)
+    shared = [r["n_shared"] for r in rows]
+    assert shared == sorted(shared, reverse=True) and min(shared) >= 2
+    # a longer window is strictly more selective: every 9-window pair at
+    # the same threshold also shares >= 2 8-windows
+    p9 = {(r["doc_a"], r["doc_b"]) for r in
+          D.substring_dup_pairs(docs, 9, 2, 10**6).collect()}
+    p8 = {(r["doc_a"], r["doc_b"]) for r in
+          D.substring_dup_pairs(docs, 8, 2, 10**6).collect()}
+    assert p9 <= p8
+    # the hot-window cut matches the oracle's identical cut
+    _cmp(
+        D.substring_dup_pairs(docs, 8, 2, 20, max_df=5),
+        con,
+        D.substring_dup_pairs_sql(8, 2, 20, max_df=5),
+        allow_empty=True,
+    )
+
+
+def test_categorize_text(docs, con):
+    from smse_backend_spark.operators import aggregations as AG
+
+    _cmp(
+        AG.categorize_text(docs.withColumnRenamed("text", "content"), 4, 20),
+        con,
+        AG.categorize_text_sql(4, 20),
+    )
+    rows = AG.categorize_text(
+        docs.withColumnRenamed("text", "content"), 4, 20
+    ).collect()
+    assert rows and all(len(r["category"].split(" ")) <= 4 for r in rows)
+    counts = [r["doc_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
