@@ -711,6 +711,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rank", F.col("rank").cast("long")
         )
 
+    def _ann_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from smse_backend_spark.operators.ann import rescore_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return rescore_topk(
+            emb, _query_vecs(spark, sf_dir), 10, oversample=3.0
+        ).withColumn("rank", F.col("rank").cast("long"))
+
     def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
 
@@ -1342,6 +1352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": _ann_ivf_trained,
         # int8 scalar quantization: 4x-smaller vectors, deterministic rank
         "ann_sq8": _ann_sq8,
+        # ES rescore_vector: sq8 phase-1 oversample (3x k), exact
+        # full-precision re-rank of only the candidates
+        "ann_rescore": _ann_rescore,
         # product quantization: m uint8 codes/vector + (m, ks, dim/m)
         # codebook; encode+decode as pure Column algebra, exact rank
         "ann_pq": _ann_pq,
@@ -1561,7 +1574,7 @@ _CHECK_FIRST = [
     "event_bucket_pipeline", "event_stats_bucket", "event_serial_diff",
     "event_rate", "event_frequent_item_sets",
     "span_containing", "span_within", "context_suggest", "categorize_text",
-    "substring_dup",
+    "substring_dup", "ann_rescore",
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
     "search_filters_agg", "event_date_range", "bm25_synonym_query",
@@ -1668,6 +1681,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         lsh_topk_sql,
         mmr_oracle_sql,
         pq_topk_sql,
+        rescore_topk_sql,
         sq8_topk_sql,
     )
 
@@ -1683,6 +1697,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "simhash_neardup": SH.simhash_neardup_sql(10),
         "ann_lsh": lsh_topk_sql([0, 1, 2], dim=64, k=10, n_planes=8, n_tables=4),
         "ann_sq8": sq8_topk_sql([0, 1, 2], 10),
+        "ann_rescore": rescore_topk_sql([0, 1, 2], 10, oversample=3.0),
         "ann_pq": pq_topk_sql([0, 1, 2], 10),
         "ann_ivfpq": ivfpq_topk_sql([0, 1, 2], 10),
         "ann_ivf": ivf_topk_sql([0, 1, 2], k=10, n_centroids=16, n_probe=4),

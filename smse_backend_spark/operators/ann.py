@@ -1213,3 +1213,118 @@ SELECT rank::BIGINT AS rank, vec_id, round(mmr, 6) AS score
 FROM ({union})
 ORDER BY rank
 """
+
+
+def rescore_topk(
+    emb: DataFrame,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    oversample: float = 3.0,
+) -> DataFrame:
+    """ES quantized kNN with ``rescore_vector`` (the oversample + exact
+    re-rank Elasticsearch runs on BBQ/int8 indexes): phase 1 scores the
+    int8 scalar-quantized vectors (the compressed form a 100 TB store
+    holds) and keeps ``k * oversample`` candidates per query; phase 2
+    re-scores ONLY those candidates against the full-precision vectors
+    and returns the exact-cosine top-k. Recovers the recall the
+    quantization error loses while reading full-precision data for just
+    ``oversample * k`` rows per query.
+
+    Returns (query_id, rank, vec_id, score) — score is the EXACT cosine,
+    6 dp, rank by (score desc, vec_id asc).
+
+    Scale shape: phase 1 is the sq8 scan (int8 matmul at scale); the
+    candidate union is driver-bounded at |Q| * k * oversample ids, so the
+    phase-2 read is an ``isin`` pushed filter (row-group pruning) over
+    the full-precision store, never a second full scan. Both phases are
+    deterministic, so the DuckDB twin replays them exactly.
+    """
+    from pyspark.sql import Window
+
+    n_cand = int(k * oversample)
+    cand = sq8_topk(emb, queries, n_cand).select("query_id", "vec_id")
+    cand = cand.cache()
+    pool_ids = sorted(
+        r["vec_id"] for r in cand.select("vec_id").distinct().collect()
+    )
+    if not pool_ids:
+        return cand.select(
+            "query_id", F.lit(0).alias("rank"), "vec_id",
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    pool = emb.filter(F.col("vec_id").isin(pool_ids))
+    exact = brute_force_topk(pool, queries, len(pool_ids))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        exact.select("query_id", "vec_id", "score")
+        .join(cand, ["query_id", "vec_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "score")
+    )
+
+
+def rescore_topk_sql(
+    query_ids: list[int], k: int = 10, oversample: float = 3.0
+) -> str:
+    """DuckDB twin of :func:`rescore_topk`: the sq8 phase-1 CTE chain
+    (same scale/floor math as :func:`sq8_topk_sql`) cut at k*oversample,
+    then exact full-precision cosine over the candidate pairs only."""
+    ids = ", ".join(str(int(q)) for q in sorted(query_ids))
+    n_cand = int(k * oversample)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN ({ids})
+),
+scaled AS (
+  SELECT vec_id, embedding,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(x))) / 127.0 = 0.0
+              THEN 1.0
+              ELSE list_max(list_transform(embedding, x -> abs(x))) / 127.0
+         END AS s
+  FROM embeddings
+),
+dq AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x / s + 0.5) * s) AS dv
+  FROM scaled
+),
+z1 AS (
+  SELECT q.qid, d.vec_id, unnest(d.dv)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM dq d, q
+),
+sims1 AS (
+  SELECT qid, vec_id,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score
+  FROM z1 GROUP BY qid, vec_id
+),
+cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, vec_id ASC) AS rank
+    FROM sims1
+  ) WHERE rank <= {n_cand}
+),
+z2 AS (
+  SELECT c.qid, e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+         unnest(q.qv)::DOUBLE AS y
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.qid = c.qid
+),
+sims2 AS (
+  SELECT qid, vec_id,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score
+  FROM z2 GROUP BY qid, vec_id
+),
+r AS (
+  SELECT qid AS query_id, vec_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM sims2
+)
+SELECT query_id, rank, vec_id, score FROM r WHERE rank <= {int(k)}
+"""

@@ -178,3 +178,43 @@ def test_mmr_vs_duckdb_and_diversity(spark, sf_smoke):
     # mmr=1.0 lambda degenerates to pure relevance
     pure = [tuple(r) for r in mmr_topk(emb, 0, 5, 20, 1.0, 0.0).collect()]
     assert [v for _r, v, _s in pure] == plain
+
+
+def test_rescore_vs_duckdb_and_recall(spark, sf_smoke):
+    """ES rescore_vector: sq8 oversample + exact re-rank == DuckDB twin;
+    scores in the output are the EXACT cosines (phase-1 quantization
+    error never reaches the result), and a larger oversample converges
+    to the exact brute-force top-k."""
+    from smse_backend_spark.operators.ann import (
+        brute_force_topk,
+        rescore_topk,
+        rescore_topk_sql,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    rows = emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    qs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    got = sorted(
+        tuple(r) for r in rescore_topk(emb, qs, 10, oversample=3.0).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf_smoke}/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(w) for w in
+        con.execute(rescore_topk_sql([0, 1, 2], 10, 3.0)).fetchall()
+    )
+    assert got == want and got
+    # exact scores: every (query, vec, score) also appears in brute force
+    exact = {(r["query_id"], r["vec_id"]): r["score"]
+             for r in brute_force_topk(emb, qs, 10**6).collect()}
+    for (q, _rk, v, s) in got:
+        assert exact[(q, v)] == s
+    # with oversample covering the whole corpus, rescore == brute force
+    n = emb.count()
+    full = sorted(tuple(r) for r in
+                  rescore_topk(emb, qs, 10, oversample=n / 10).collect())
+    bf = sorted(tuple(r) for r in brute_force_topk(emb, qs, 10).collect())
+    assert full == bf
