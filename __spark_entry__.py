@@ -1421,6 +1421,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-user event-type transactions, support >= 0.25
         "event_frequent_item_sets": lambda spark, sf:
         R.event_frequent_item_sets(spark, sf, 0.25),
+        # ES runtime field (day_of_week from ts, integer arithmetic —
+        # no reindex) used directly as an agg key
+        "runtime_field_agg": R.runtime_field_agg,
+        # ES histogram min_doc_count=0 + extended_bounds: dense bucket
+        # axis with empty buckets emitted
+        "event_value_histogram_empty": lambda spark, sf:
+        R.event_value_histogram_empty(spark, sf, 10.0, 0, 90),
+        # ES sharded terms agg with doc_count_error_upper_bound: per-
+        # shard shard_size cut, coordinator merge + worst-case error
+        "terms_shard_error": lambda spark, sf: AG.terms_shard_error(
+            load_corpus(spark, sf), 4, 8, 5
+        ),
         # inverse percentiles: what % of matched docs sit at/below v
         "search_percentile_ranks": lambda spark, sf: AG.percentile_ranks(
             load_corpus(spark, sf), FLAGSHIP_QUERY, (100, 300)
@@ -1574,7 +1586,8 @@ _CHECK_FIRST = [
     "event_bucket_pipeline", "event_stats_bucket", "event_serial_diff",
     "event_rate", "event_frequent_item_sets",
     "span_containing", "span_within", "context_suggest", "categorize_text",
-    "substring_dup", "ann_rescore",
+    "substring_dup", "ann_rescore", "runtime_field_agg",
+    "event_value_histogram_empty", "terms_shard_error",
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
     "search_filters_agg", "event_date_range", "bm25_synonym_query",
@@ -2000,6 +2013,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "event_serial_diff": R.event_serial_diff_sql(24),
         "event_rate": R.event_rate_sql(),
         "event_frequent_item_sets": R.event_frequent_item_sets_sql(0.25),
+        "runtime_field_agg": R.runtime_field_agg_sql(),
+        "event_value_histogram_empty":
+        R.event_value_histogram_empty_sql(10.0, 0, 90),
+        "terms_shard_error": AG.terms_shard_error_sql(4, 8, 5),
         "event_anomalies": R.event_anomalies_sql(2.0),
         "has_parent_search": AG.has_parent_search_sql(
             FLAGSHIP_QUERY, 15, "max"

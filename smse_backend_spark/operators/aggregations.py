@@ -1560,3 +1560,106 @@ GROUP BY category
 ORDER BY doc_count DESC, category ASC
 LIMIT {int(size)}
 """
+
+
+def terms_shard_error(
+    corpus: DataFrame,
+    n_shards: int = 4,
+    shard_size: int = 8,
+    size: int = 5,
+    lang: str | None = None,
+) -> DataFrame:
+    """The ES ``terms`` aggregation's DISTRIBUTED protocol, including its
+    approximation accounting: each shard returns only its local top
+    ``shard_size`` terms by doc count (count desc, term asc); the
+    coordinator sums the received partials into the global top ``size``
+    and reports, per term, ``doc_count_error_upper_bound`` = the sum of
+    the LAST (smallest) returned count of every shard that did NOT
+    return that term — the worst case it could have missed. This is the
+    semantics gap between a single-node terms agg and a sharded one, and
+    the reason ES responses carry the error field at all. Shard routing
+    is ``doc_id % n_shards`` (deterministic, replayable).
+
+    Returns (term, doc_count, err) — summed count is a LOWER bound, err
+    the upper bound on what's missing — ordered (doc_count desc, term
+    asc), top ``size``. All integers; no rounding.
+
+    Scale shape: per-(shard, term) distinct-doc counts are ONE map-side-
+    combined aggregation; the shard_size cut happens on shard-local
+    (vocabulary-bounded) rows before anything crosses to the
+    coordinator, exactly like ES — the coordinator merge touches at most
+    ``n_shards * shard_size`` rows.
+    """
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    toks = corpus.select(
+        (F.col("doc_id") % int(n_shards)).alias("shard"),
+        F.explode(F.array_distinct(tokenize_col("content"))).alias("term"),
+    )
+    per = toks.groupBy("shard", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("term"))
+    ret = per.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= int(shard_size)
+    )
+    last = ret.groupBy("shard").agg(F.min("cnt").alias("last"))
+    total_last = last.agg(F.sum("last").cast("long").alias("tl"))
+    merged = (
+        ret.join(last, "shard")
+        .groupBy("term")
+        .agg(
+            F.sum("cnt").cast("long").alias("doc_count"),
+            F.sum("last").cast("long").alias("present_last"),
+        )
+        .crossJoin(F.broadcast(total_last))
+        .select(
+            "term",
+            "doc_count",
+            (F.col("tl") - F.col("present_last")).cast("long").alias("err"),
+        )
+    )
+    return merged.orderBy(
+        F.desc("doc_count"), F.asc("term")
+    ).limit(int(size))
+
+
+def terms_shard_error_sql(
+    n_shards: int = 4,
+    shard_size: int = 8,
+    size: int = 5,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`terms_shard_error`."""
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+tok AS (
+  SELECT doc_id % {int(n_shards)} AS shard, unnest(list_distinct(toks)) AS term
+  FROM docs
+),
+per AS (
+  SELECT shard, term, count(*)::BIGINT AS cnt FROM tok GROUP BY shard, term
+),
+ret AS (
+  SELECT shard, term, cnt FROM (
+    SELECT shard, term, cnt,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY cnt DESC, term ASC) AS rk
+    FROM per
+  ) WHERE rk <= {int(shard_size)}
+),
+last AS (SELECT shard, min(cnt) AS last FROM ret GROUP BY shard),
+tl AS (SELECT sum(last)::BIGINT AS tl FROM last)
+SELECT term, sum(cnt)::BIGINT AS doc_count,
+       (tl.tl - sum(last.last))::BIGINT AS err
+FROM ret JOIN last USING (shard) CROSS JOIN tl
+GROUP BY term, tl.tl
+ORDER BY doc_count DESC, term ASC
+LIMIT {int(size)}
+"""

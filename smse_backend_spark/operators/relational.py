@@ -1079,3 +1079,119 @@ WHERE floor((doc_count::DOUBLE / tot.t) * 1e6 + 0.5) / 1e6
       >= {float(min_support)!r}
 ORDER BY support DESC, items ASC
 """
+
+
+def runtime_field_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES runtime fields: a field that exists only at QUERY time — here
+    ``day_of_week`` derived from the event timestamp — used directly as
+    an aggregation key without reindexing (the runtime-mapping promise).
+    The derivation is pure integer arithmetic (``(epoch_days + 4) % 7``,
+    0 = Sunday, anchored on 1970-01-01 being a Thursday) rather than a
+    calendar function, so both engines agree with no timezone surface.
+
+    Returns (dow, n, total_value) ordered by dow; total_value sums exact
+    micro-unit integers then floors at 6 dp.
+
+    Scale shape: the runtime field is a projection inside the ONE
+    map-side-combined groupBy — same cost as aggregating a stored field
+    (the ES trade: flexibility for per-query compute, no index bloat).
+    """
+    e = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    dow = ((F.floor(epoch / F.lit(86400)) + F.lit(4)) % F.lit(7)).cast("long")
+    vq = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        e.groupBy(dow.alias("dow"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum(vq).cast("double") / F.lit(1e6)).alias("tv"),
+        )
+        .select(
+            "dow", "n",
+            (F.floor(F.col("tv") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("total_value"),
+        )
+        .orderBy("dow")
+    )
+
+
+def runtime_field_agg_sql() -> str:
+    """DuckDB twin of :func:`runtime_field_agg`."""
+    return """
+SELECT ((floor(epoch(ts))::BIGINT // 86400) + 4) % 7 AS dow,
+       count(*)::BIGINT AS n,
+       floor((sum(floor(value * 1e6 + 0.5)::BIGINT)::DOUBLE / 1e6) * 1e6
+             + 0.5) / 1e6 AS total_value
+FROM events
+GROUP BY 1
+ORDER BY dow
+"""
+
+
+def event_value_histogram_empty(
+    spark: SparkSession,
+    sf_dir: str,
+    interval: float = 10.0,
+    lo: int = 0,
+    hi: int = 90,
+) -> DataFrame:
+    """ES ``histogram`` agg with ``min_doc_count: 0`` + ``extended_bounds``:
+    every bucket in [lo, hi] is EMITTED even when empty (the
+    dashboard-friendly dense axis), with counts left-joined in. Bucket
+    key = floor(value / interval) * interval.
+
+    ES extends, never clips: the emitted axis is the union of the data's
+    own bucket range and [lo, hi]. Returns (bucket, n) for every bucket
+    key on that axis, ordered by bucket; n = 0 for empty buckets.
+
+    Scale shape: the corpus-sized work is the ONE groupBy on the bucket
+    id; the axis bounds are two driver scalars (the same min/max the ES
+    coordinator computes) and the dense axis is metadata-sized.
+    """
+    e = _t(spark, sf_dir, "events")
+    iv = float(interval)
+    bucket = (F.floor(F.col("value") / F.lit(iv)) * F.lit(iv)).alias("bucket")
+    counts = e.groupBy(bucket).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    row = counts.agg(
+        F.min("bucket").alias("blo"), F.max("bucket").alias("bhi")
+    ).first()
+    b_lo = min(float(lo), row["blo"]) if row["blo"] is not None else float(lo)
+    b_hi = max(float(hi), row["bhi"]) if row["bhi"] is not None else float(hi)
+    n_buckets = int((b_hi - b_lo) / iv) + 1
+    axis = spark.range(n_buckets).select(
+        (F.lit(b_lo) + F.col("id") * F.lit(iv)).alias("bucket")
+    )
+    return (
+        axis.join(counts, "bucket", "left")
+        .select("bucket", F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                .alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def event_value_histogram_empty_sql(
+    interval: float = 10.0, lo: int = 0, hi: int = 90
+) -> str:
+    """DuckDB twin of :func:`event_value_histogram_empty` (axis = data
+    bucket range extended by [lo, hi], same float bucket keys)."""
+    iv = repr(float(interval))
+    return f"""
+WITH counts AS (
+  SELECT floor(value / {iv}) * {iv} AS bucket, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+b AS (
+  SELECT least({float(lo)!r}, min(bucket)) AS blo,
+         greatest({float(hi)!r}, max(bucket)) AS bhi
+  FROM counts
+),
+axis AS (
+  SELECT (SELECT blo FROM b) + i * {iv} AS bucket
+  FROM unnest(generate_series(
+         0, (((SELECT bhi FROM b) - (SELECT blo FROM b)) / {iv})::BIGINT
+       )) t(i)
+)
+SELECT axis.bucket AS bucket, coalesce(counts.n, 0)::BIGINT AS n
+FROM axis LEFT JOIN counts ON axis.bucket = counts.bucket
+ORDER BY bucket
+"""

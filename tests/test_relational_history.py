@@ -284,3 +284,72 @@ def test_event_frequent_item_sets(spark, sf_correct, con):
             for m in (i1, i2):
                 if m in singles:
                     assert r["doc_count"] <= singles[m]
+
+
+def test_runtime_field_agg(spark, sf_correct, con):
+    _cmp(R.runtime_field_agg(spark, sf_correct), con,
+         R.runtime_field_agg_sql())
+    rows = R.runtime_field_agg(spark, sf_correct).collect()
+    assert {r["dow"] for r in rows} <= set(range(7))
+    assert sum(r["n"] for r in rows) == spark.read.parquet(
+        f"{sf_correct}/events.parquet").count()
+    # anchor check: 1970-01-01 (epoch day 0) maps to Thursday under
+    # 0=Sunday, i.e. (0 + 4) % 7 == 4
+    assert (0 + 4) % 7 == 4
+
+
+def test_event_value_histogram_empty(spark, sf_correct, con):
+    _cmp(
+        R.event_value_histogram_empty(spark, sf_correct, 10.0, 0, 90),
+        con,
+        R.event_value_histogram_empty_sql(10.0, 0, 90),
+    )
+    rows = R.event_value_histogram_empty(
+        spark, sf_correct, 10.0, 0, 90).collect()
+    # dense axis: consecutive multiples of the interval, no holes
+    buckets = [r["bucket"] for r in rows]
+    assert buckets == [buckets[0] + 10.0 * i for i in range(len(buckets))]
+    # empty buckets are emitted (the data has gaps above the bulk)
+    assert any(r["n"] == 0 for r in rows)
+    assert sum(r["n"] for r in rows) == spark.read.parquet(
+        f"{sf_correct}/events.parquet").count()
+
+
+def test_terms_shard_error(spark, sf_correct):
+    import duckdb
+
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.operators import aggregations as AG
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"'{sf_correct}/documents.parquet'"
+    )
+    corpus = load_corpus(spark, sf_correct)
+    _cmp(
+        AG.terms_shard_error(corpus, 4, 8, 5),
+        con,
+        AG.terms_shard_error_sql(4, 8, 5),
+    )
+    rows = AG.terms_shard_error(corpus, 4, 8, 5).collect()
+    assert rows and all(r["err"] >= 0 for r in rows)
+    # the reported count is a LOWER bound on the exact distinct-doc count
+    from pyspark.sql import functions as F
+    from smse_backend_spark.functions.tokenizer import tokenize_col
+    exact = {
+        r["term"]: r["c"]
+        for r in corpus.select(
+            F.explode(F.array_distinct(tokenize_col("content")))
+            .alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for r in rows:
+        assert r["doc_count"] <= exact[r["term"]]
+        assert exact[r["term"]] <= r["doc_count"] + r["err"]
+    # with shard_size covering the whole vocabulary the error vanishes
+    # and counts are exact
+    full = AG.terms_shard_error(corpus, 4, 10**6, 5).collect()
+    assert all(r["err"] == 0 for r in full)
+    for r in full:
+        assert r["doc_count"] == exact[r["term"]]
