@@ -62,6 +62,7 @@ from smse_backend_spark.operators.similarities import (
 from smse_backend_spark.operators.search import (
     span_not_oracle_sql,
     span_contain_oracle_sql,
+    span_or_oracle_sql,
     synonym_query_oracle_sql,
     sparse_vector_oracle_sql,
     sparse_vector_topk,
@@ -882,6 +883,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Lucene SpanWithinQuery: 'hash' occurrences inside such spans
         "span_within": lambda spark, sf: _pos_indexed(spark, sf)
         .span_contain_topk("table scan", "hash", 6, 10, mode="within"),
+        # Lucene SpanOrQuery: union of member occurrences as ONE span
+        # source (tf = sum, df = docs with ANY member)
+        "span_or": lambda spark, sf: _indexed(spark, sf)
+        .span_or_topk("merge sort", 10),
+        # ES rank_feature log function: ln(1 + x) additive boost
+        "rank_feature_log": lambda spark, sf: rank_feature_topk(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, 120, 0.5, 10,
+            function="log",
+        ),
+        # ES rank_feature sigmoid (exponent fixed at 2 — pure integer
+        # arithmetic; arbitrary exponents would ride libm pow)
+        "rank_feature_sigmoid": lambda spark, sf: rank_feature_topk(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, 120, 2.0, 10,
+            function="sigmoid",
+        ),
+        # ES significant_terms with the chi_square heuristic: exact
+        # 2x2 contingency integers, one double division
+        "significant_terms_chi2": lambda spark, sf: AG.significant_terms(
+            load_corpus(spark, sf), "vector window", 20,
+            heuristic="chi_square",
+        ),
         # Lucene SpanNotQuery: 'scan' occurrences not within 3 tokens of
         # 'table' — the negation member of the span family
         "span_not": lambda spark, sf: _pos_indexed(spark, sf)
@@ -1355,6 +1377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES rescore_vector: sq8 phase-1 oversample (3x k), exact
         # full-precision re-rank of only the candidates
         "ann_rescore": _ann_rescore,
+        # ES knn `similarity` param: candidates below the cosine floor
+        # are dropped (monotone in score, so a post-top-k filter is
+        # exactly the pre-cut semantics)
+        "ann_threshold": lambda spark, sf:
+        _ann_brute(spark, sf).filter(F.col("score") >= 0.3),
         # product quantization: m uint8 codes/vector + (m, ks, dim/m)
         # codebook; encode+decode as pure Column algebra, exact rank
         "ann_pq": _ann_pq,
@@ -1587,7 +1614,9 @@ _CHECK_FIRST = [
     "event_rate", "event_frequent_item_sets",
     "span_containing", "span_within", "context_suggest", "categorize_text",
     "substring_dup", "ann_rescore", "runtime_field_agg",
-    "event_value_histogram_empty", "terms_shard_error",
+    "event_value_histogram_empty", "terms_shard_error", "span_or",
+    "rank_feature_log", "rank_feature_sigmoid", "significant_terms_chi2",
+    "ann_threshold",
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
     "search_filters_agg", "event_date_range", "bm25_synonym_query",
@@ -1891,6 +1920,19 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "streamed_percolate": AG.percolate_sql(PERCOLATE_QUERIES, 200),
         "function_score": function_score_oracle_sql(FLAGSHIP_QUERY, 140, 80, 10),
         "rank_feature": rank_feature_oracle_sql(FLAGSHIP_QUERY, 120, 2.0, 10),
+        "rank_feature_log": rank_feature_oracle_sql(
+            FLAGSHIP_QUERY, 120, 0.5, 10, function="log"
+        ),
+        "rank_feature_sigmoid": rank_feature_oracle_sql(
+            FLAGSHIP_QUERY, 120, 2.0, 10, function="sigmoid"
+        ),
+        "span_or": span_or_oracle_sql("merge sort", 10),
+        "significant_terms_chi2": AG.significant_terms_sql(
+            "vector window", 20, heuristic="chi_square"
+        ),
+        "ann_threshold": ann_sql.replace(
+            "WHERE rank <= 10", "WHERE rank <= 10 AND score >= 0.3"
+        ),
         "distance_feature": distance_feature_oracle_sql(
             FLAGSHIP_QUERY, 200, 50, 2.0, 10
         ),

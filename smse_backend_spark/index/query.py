@@ -1355,6 +1355,52 @@ class InvertedIndex:
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def span_or_topk(
+        self,
+        terms_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Lucene ``SpanOrQuery`` over single-term spans: the union of
+        the member terms' occurrences scores as ONE span source — span
+        tf = sum of the members' tfs per doc, span df = docs containing
+        ANY member driving a single idf, BM25 normalization against the
+        full doc length (the span-family scoring discipline). Differs
+        from a bool OR (per-term idfs summed) and from SynonymQuery
+        (df = member MAX): SpanOr's df is the df of the UNION.
+
+        Plan shape: one postings decode for the member union, one per-doc
+        partial agg (tf sum), the union df from the aggregated match set
+        — no positions needed for single-term spans, so this runs on a
+        non-positional index too."""
+        terms = self._analyze(terms_text)
+        if not terms:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        live = sorted(set(terms))
+        n, avgdl = self.corpus_stats(lang)
+        if not n or not self.term_df(live, lang):
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        decoded = self._decoded(self._blocks(live, lang))
+        matches = (
+            decoded.groupBy("doc_id")
+            .agg(
+                F.sum("tf").cast("long").alias("stf"),
+                F.max("dl").cast("long").alias("dl"),
+            )
+            .cache()
+        )
+        df_or = matches.count()
+        if df_or == 0:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        idf = math.log(1.0 + (n - df_or + 0.5) / (df_or + 0.5))
+        scored = matches.select(
+            "doc_id",
+            F.round(
+                F.lit(idf) * _tf_norm(F.col("stf"), F.col("dl"), avgdl), 6
+            ).alias("score"),
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def span_contain_topk(
         self,
         big_text: str,

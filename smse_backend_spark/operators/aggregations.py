@@ -41,11 +41,20 @@ def significant_terms(
     query_text: str,
     k: int = 20,
     lang: str | None = None,
+    heuristic: str = "jlh",
 ) -> DataFrame:
     """ES significant-terms aggregation: for each term in the foreground
-    (docs matching ANY query term), JLH score
+    (docs matching ANY query term), score by the chosen significance
+    heuristic:
 
-        (fg% - bg%) * (fg% / bg%),  fg% = fg_df/|fg|, bg% = bg_df/N
+    * ``jlh`` (ES default): ``(fg% - bg%) * (fg% / bg%)``,
+      fg% = fg_df/|fg|, bg% = bg_df/N;
+    * ``chi_square``: the 2×2 contingency chi-squared (term presence ×
+      foreground membership, background superset) —
+      ``N·(N11·N00 − N01·N10)² / ((N11+N01)(N10+N00)(N11+N10)(N01+N00))``
+      with N11=fg_df, N01=bg_df−fg_df, N10=|fg|−fg_df,
+      N00=(N−|fg|)−N01 — every cell an exact integer, one double
+      division at the end, so both engines agree bit-for-bit.
 
     Returns the top-k (term, fg_df, bg_df, score) by (score desc, term asc).
 
@@ -54,6 +63,8 @@ def significant_terms(
     the foreground doc set joins on doc_id (no broadcast assumption: the
     match set can be huge).
     """
+    if heuristic not in ("jlh", "chi_square"):
+        raise ValueError(f"unknown significance heuristic {heuristic!r}")
     qterms = query_terms(query_text)
     if lang is not None:
         corpus = corpus.filter(F.col("lang") == lang)
@@ -73,11 +84,25 @@ def significant_terms(
         F.count(F.lit(1)).alias("fg_df")
     )
     bg = toks.groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
-    fg_pct = F.col("fg_df").cast("double") / F.lit(float(fg_n))
-    bg_pct = F.col("bg_df").cast("double") / F.lit(float(bg_n))
+    if heuristic == "jlh":
+        fg_pct = F.col("fg_df").cast("double") / F.lit(float(fg_n))
+        bg_pct = F.col("bg_df").cast("double") / F.lit(float(bg_n))
+        score = F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+    else:
+        n11 = F.col("fg_df").cast("long")
+        n01 = (F.col("bg_df") - F.col("fg_df")).cast("long")
+        n10 = (F.lit(int(fg_n)) - F.col("fg_df")).cast("long")
+        n00 = (F.lit(int(bg_n) - int(fg_n)) - n01).cast("long")
+        d = (n11 * n00 - n01 * n10).cast("long")
+        score = F.round(
+            (F.lit(int(bg_n)).cast("double") * (d * d).cast("double"))
+            / ((n11 + n01) * (n10 + n00)).cast("double")
+            / ((n11 + n10) * (n01 + n00)).cast("double"),
+            6,
+        )
     return (
         fg.join(bg, "term")
-        .withColumn("score", F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6))
+        .withColumn("score", score)
         .select("term", "fg_df", "bg_df", "score")
         .orderBy(F.desc("score"), F.asc("term"))
         .limit(k)
@@ -90,9 +115,10 @@ def significant_terms_sql(
     lang: str | None = None,
     table: str = "documents",
     content_col: str = "text",
+    heuristic: str = "jlh",
 ) -> str:
-    """DuckDB twin of :func:`significant_terms` (same JLH expression,
-    same parenthesization, same rounding)."""
+    """DuckDB twin of :func:`significant_terms` (same per-heuristic
+    expression, same parenthesization, same rounding)."""
     qterms = query_terms(query_text)
     if not qterms:
         return ("SELECT '' AS term, 0::BIGINT AS fg_df, 0::BIGINT AS bg_df, "
@@ -100,6 +126,25 @@ def significant_terms_sql(
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in qterms)
     where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
     toks = tokenize_duckdb_sql(content_col)
+    if heuristic == "jlh":
+        score = (
+            "round(((fg_df::DOUBLE / nn.fg_n) - (bg_df::DOUBLE / nn.bg_n))\n"
+            "             * ((fg_df::DOUBLE / nn.fg_n)"
+            " / (bg_df::DOUBLE / nn.bg_n)), 6)"
+        )
+    elif heuristic == "chi_square":
+        n11 = "fg_df"
+        n01 = "(bg_df - fg_df)"
+        n10 = "(nn.fg_ni - fg_df)"
+        n00 = f"((nn.bg_ni - nn.fg_ni) - {n01})"
+        d = f"({n11} * {n00} - {n01} * {n10})"
+        score = (
+            f"round((nn.bg_ni::DOUBLE * ({d} * {d})::DOUBLE)"
+            f" / (({n11} + {n01}) * ({n10} + {n00}))::DOUBLE"
+            f" / (({n11} + {n10}) * ({n01} + {n00}))::DOUBLE, 6)"
+        )
+    else:
+        raise ValueError(f"unknown significance heuristic {heuristic!r}")
     return f"""
 WITH dl AS (
   SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
@@ -112,7 +157,9 @@ m AS (
 ),
 nn AS (
   SELECT (SELECT count(*) FROM m)::DOUBLE AS fg_n,
-         (SELECT count(*) FROM dl)::DOUBLE AS bg_n
+         (SELECT count(*) FROM dl)::DOUBLE AS bg_n,
+         (SELECT count(*) FROM m)::BIGINT AS fg_ni,
+         (SELECT count(*) FROM dl)::BIGINT AS bg_ni
 ),
 fg AS (
   SELECT term, count(*)::BIGINT AS fg_df
@@ -122,8 +169,7 @@ bg AS (
   SELECT term, count(*)::BIGINT AS bg_df FROM tok GROUP BY term
 )
 SELECT term, fg_df, bg_df,
-       round(((fg_df::DOUBLE / nn.fg_n) - (bg_df::DOUBLE / nn.bg_n))
-             * ((fg_df::DOUBLE / nn.fg_n) / (bg_df::DOUBLE / nn.bg_n)), 6)
+       {score}
          AS score
 FROM fg JOIN bg USING (term) CROSS JOIN nn
 ORDER BY score DESC, term ASC

@@ -641,6 +641,26 @@ LIMIT {k}
 """
 
 
+def _rank_feature_fn_col(function: str, pivot: int):
+    """The three ES rank_feature functions as Column algebra over the
+    integer feature ``x``. ``saturation`` = x/(x+pivot); ``log`` =
+    ln(1 + x) (scaling_factor fixed at 1 — per-row ln parity is proven);
+    ``sigmoid`` = x²/(x² + pivot²) — the exponent is FIXED at 2 so the
+    expression stays pure integer arithmetic + one double division (an
+    arbitrary exponent would ride libm ``pow``, the one transcendental
+    with no cross-engine parity precedent here)."""
+    xd = F.col("x").cast("double")
+    if function == "saturation":
+        return xd / (F.col("x") + F.lit(int(pivot))).cast("double")
+    if function == "log":
+        return F.log(F.lit(1.0) + xd)
+    if function == "sigmoid":
+        return (F.col("x") * F.col("x")).cast("double") / (
+            F.col("x") * F.col("x") + F.lit(int(pivot) * int(pivot))
+        ).cast("double")
+    raise ValueError(f"unknown rank_feature function {function!r}")
+
+
 def rank_feature_topk(
     corpus: DataFrame,
     query_text: str,
@@ -648,6 +668,7 @@ def rank_feature_topk(
     boost: float = 2.0,
     k: int = DEFAULT_TOP_K,
     lang: str | None = None,
+    function: str = "saturation",
 ) -> DataFrame:
     """ES ``rank_feature`` query (saturation function) blended into the
     BM25 should-clause sum — the static-signal boost every search engine
@@ -668,7 +689,7 @@ def rank_feature_topk(
     """
     scored = bm25_scored_scan(corpus, query_text, lang).select("doc_id", "score")
     vals = corpus.select("doc_id", F.length("content").cast("long").alias("x"))
-    sat = F.col("x").cast("double") / (F.col("x") + F.lit(pivot)).cast("double")
+    sat = _rank_feature_fn_col(function, pivot)
     blended = F.col("score") + F.lit(float(boost)) * sat
     return (
         scored.join(vals, "doc_id")
@@ -689,16 +710,25 @@ def rank_feature_oracle_sql(
     lang: str | None = None,
     table: str = "documents",
     content_col: str = "text",
+    function: str = "saturation",
 ) -> str:
-    """DuckDB twin of :func:`rank_feature_topk` (same saturation, same
-    floor formula)."""
+    """DuckDB twin of :func:`rank_feature_topk` (same per-function
+    expression, same floor formula)."""
+    x = f"length(d.{content_col})"
+    if function == "saturation":
+        fn = f"({x}::DOUBLE / ({x} + {int(pivot)})::DOUBLE)"
+    elif function == "log":
+        fn = f"ln(1.0 + {x}::DOUBLE)"
+    elif function == "sigmoid":
+        fn = (f"(({x} * {x})::DOUBLE"
+              f" / ({x} * {x} + {int(pivot) * int(pivot)})::DOUBLE)")
+    else:
+        raise ValueError(f"unknown rank_feature function {function!r}")
     scored = bm25_scan_oracle_sql(query_text, _ALL_ROWS, lang, table, content_col)
     return f"""
 WITH scored AS ({scored})
 SELECT s.doc_id AS doc_id,
-       floor((s.score + {float(boost)!r} *
-              (length(d.{content_col})::DOUBLE
-               / (length(d.{content_col}) + {int(pivot)})::DOUBLE))
+       floor((s.score + {float(boost)!r} * {fn})
              * 1e6 + 0.5) / 1e6 AS score
 FROM scored s JOIN {table} d USING (doc_id)
 ORDER BY score DESC, doc_id ASC
@@ -2792,6 +2822,51 @@ sm AS (
 ),
 h AS (
   SELECT sm.doc_id, dl.doc_len, sm.stf FROM sm JOIN dl USING (doc_id)
+),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM h)
+SELECT h.doc_id AS doc_id, round({score}, 6) AS score
+FROM h CROSS JOIN dfp CROSS JOIN stats
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
+def span_or_oracle_sql(
+    terms_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.span_or_topk``: span tf = total
+    occurrences of ANY member term per doc, span df = docs containing
+    any member driving a single idf, BM25 against the full doc length."""
+    terms = query_terms(terms_text)
+    if not terms:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "h.stf", idf_sql("dfp.df", "stats.n"), "h.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+h AS (
+  SELECT doc_id, doc_len, count(*)::BIGINT AS stf
+  FROM tok WHERE term IN ({in_list})
+  GROUP BY doc_id, doc_len
 ),
 dfp AS (SELECT count(*)::DOUBLE AS df FROM h)
 SELECT h.doc_id AS doc_id, round({score}, 6) AS score

