@@ -1495,6 +1495,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": lambda spark, sf: __import__(
             "smse_backend_spark.operators.sampling", fromlist=["hash_split"]
         ).hash_split(_docs(spark, sf)),
+        # DSIR (Xie et al. 2023): hashed-unigram-bucket LM importance
+        # weights ranking docs by target-domain (en) likeness
+        "dsir_select": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.sampling", fromlist=["dsir_select"]
+        ).dsir_select(_docs(spark, sf), "en", 64, 50),
         "corpus_sample": lambda spark, sf: __import__(
             "smse_backend_spark.operators.sampling", fromlist=["corpus_sample"]
         ).corpus_sample(_docs(spark, sf), 0.1),
@@ -1616,7 +1621,7 @@ _CHECK_FIRST = [
     "substring_dup", "ann_rescore", "runtime_field_agg",
     "event_value_histogram_empty", "terms_shard_error", "span_or",
     "rank_feature_log", "rank_feature_sigmoid", "significant_terms_chi2",
-    "ann_threshold",
+    "ann_threshold", "dsir_select",
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
     "search_filters_agg", "event_date_range", "bm25_synonym_query",
@@ -2091,6 +2096,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "hash_split": __import__(
             "smse_backend_spark.operators.sampling", fromlist=["hash_split_sql"]
         ).hash_split_sql(),
+        "dsir_select": __import__(
+            "smse_backend_spark.operators.sampling",
+            fromlist=["dsir_select_sql"],
+        ).dsir_select_sql("en", 64, 50),
         "corpus_sample": __import__(
             "smse_backend_spark.operators.sampling",
             fromlist=["corpus_sample_sql"],

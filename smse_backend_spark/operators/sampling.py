@@ -483,3 +483,157 @@ SELECT {group}, n_exact,
                        / hk::DOUBLE END * 1e6 + 0.5) / 1e6 AS estimate
 FROM a
 """
+
+
+# --- DSIR importance-resampling data selection -------------------------------
+
+DSIR_SALT = "-dsir-v1"
+
+
+def _dsir_bucket(tok: Column, n_buckets: int) -> Column:
+    return (hash_u60(tok, DSIR_SALT) % int(n_buckets)).cast("long")
+
+
+def _dsir_bucket_sql(expr: str, n_buckets: int) -> str:
+    return f"({_hash_u60_sql(expr, DSIR_SALT)} % {int(n_buckets)})"
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 64,
+    k: int = 50,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): score every raw document by how
+    target-domain-like it is under hashed-n-gram bag-of-words LMs —
+    here unigram tokens hashed into ``n_buckets`` buckets (the paper's
+    10k-bucket hashed bigrams, scaled to the fixture vocabulary):
+
+        pt_b = (t_b + 1) / (T + B)      target counts (lang == target)
+        pr_b = (r_b + 1) / (R + B)      raw counts (whole corpus)
+        λ_b  = ln(pt_b) - ln(pr_b)
+        logw(doc) = Σ_b c_b(doc) · λ_b
+
+    Returns the top-``k`` (doc_id, logw) by (logw desc, doc_id asc) —
+    the documents importance resampling would keep first. Determinism:
+    bucket ids ride the sha256 hash discipline, λ_b derives from exact
+    integer counts through per-value ``ln`` (the bm25-idf Python/DuckDB
+    parity precedent), and each per-(doc, bucket) contribution is
+    floor-half-up quantized to 1e-6 BEFORE the integer per-doc sum.
+
+    Scale shape: bucket LMs are two B-row aggregates (map-side combined,
+    B-bounded); per-doc scoring is one (doc, bucket) aggregation joined
+    to a broadcast B-row λ table. Nothing shuffles more than (docs × B)
+    rows; the paper's resampling step (Gumbel top-k over logw) rides the
+    same frame.
+    """
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(tokenize_col_dsir("text")).alias("tok"),
+    ).withColumn("b", _dsir_bucket(F.col("tok"), n_buckets))
+    t_rows = {
+        int(r["b"]): int(r["c"])
+        for r in toks.filter(F.col("lang") == target_lang)
+        .groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    r_rows = {
+        int(r["b"]): int(r["c"])
+        for r in toks.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    import math
+
+    T = sum(t_rows.values())
+    R = sum(r_rows.values())
+    B = int(n_buckets)
+    lam = {
+        b: (
+            math.log((t_rows.get(b, 0) + 1.0) / (T + float(B)))
+            - math.log((r_rows.get(b, 0) + 1.0) / (R + float(B)))
+        )
+        for b in range(B)
+    }
+    spark = docs.sparkSession
+    lam_df = F.broadcast(
+        spark.createDataFrame(sorted(lam.items()), "b long, lam double")
+    )
+    per = toks.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cq = F.floor(
+        (F.col("c").cast("double") * F.col("lam")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    return (
+        per.join(lam_df, "b")
+        .withColumn("cq", cq)
+        .groupBy("doc_id")
+        .agg((F.sum("cq").cast("double") / F.lit(1e6)).alias("logw"))
+        .orderBy(F.desc("logw"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def tokenize_col_dsir(text_col):
+    """The shared analyzer, re-exported so dsir stays tokenizer-parity
+    with every other text operator."""
+    from smse_backend_spark.functions.tokenizer import tokenize_col
+
+    return tokenize_col(text_col)
+
+
+def dsir_select_sql(
+    target_lang: str = "en",
+    n_buckets: int = 64,
+    k: int = 50,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`dsir_select`: same hash buckets, same add-1
+    LMs from the same integers, same ln difference, same quantized sum."""
+    from smse_backend_spark.functions.tokenizer import tokenize_duckdb_sql
+
+    toks = tokenize_duckdb_sql(content_col)
+    b = _dsir_bucket_sql("tok", n_buckets)
+    bb = float(n_buckets)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({toks}) AS tok FROM {table}
+),
+tb AS (
+  SELECT doc_id, lang, {b} AS b FROM tok
+),
+t AS (
+  SELECT b, count(*)::BIGINT AS c FROM tb
+  WHERE lang = '{target_lang}' GROUP BY b
+),
+r AS (
+  SELECT b, count(*)::BIGINT AS c FROM tb GROUP BY b
+),
+tot AS (
+  SELECT (SELECT coalesce(sum(c), 0) FROM t)::DOUBLE AS tt,
+         (SELECT coalesce(sum(c), 0) FROM r)::DOUBLE AS rr
+),
+buckets AS (
+  SELECT unnest(generate_series(0, {int(n_buckets) - 1}))::BIGINT AS b
+),
+lam AS (
+  SELECT buckets.b,
+         (ln((coalesce(t.c, 0) + 1.0) / (tot.tt + {bb!r}))
+          - ln((coalesce(r.c, 0) + 1.0) / (tot.rr + {bb!r}))) AS lam
+  FROM buckets
+  LEFT JOIN t ON t.b = buckets.b
+  LEFT JOIN r ON r.b = buckets.b
+  CROSS JOIN tot
+),
+per AS (
+  SELECT doc_id, b, count(*)::BIGINT AS c FROM tb GROUP BY doc_id, b
+)
+SELECT per.doc_id AS doc_id,
+       (sum(floor((per.c::DOUBLE * lam.lam) * 1e6 + 0.5)::BIGINT)::DOUBLE
+        / 1e6) AS logw
+FROM per JOIN lam USING (b)
+GROUP BY per.doc_id
+ORDER BY logw DESC, doc_id ASC
+LIMIT {int(k)}
+"""

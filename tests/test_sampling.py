@@ -352,3 +352,29 @@ def test_mixture_plan_matches_duckdb_and_mixture_law(spark, sf_smoke, con):
     # to ~1/w plus the 1e-6 rate quantization
     slack = 2.0 / min(targets.values()) + 1e-6 * max(r[2] for r in got)
     assert ratios and (max(ratios) - min(ratios)) <= slack
+
+
+def test_dsir_select_vs_duckdb_and_semantics(spark, sf_smoke, con):
+    """DSIR importance weights == DuckDB twin; target-domain docs (en)
+    dominate the top of the selection (that's the whole point)."""
+    from smse_backend_spark.operators.sampling import (
+        dsir_select,
+        dsir_select_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    got = sorted(map(tuple, dsir_select(docs, "en", 64, 50).collect()))
+    want = sorted(map(tuple, con.execute(
+        dsir_select_sql("en", 64, 50)).fetchall()))
+    assert got == want and got
+    # semantics: among the selected docs, the en share exceeds the
+    # corpus-wide en share (importance weights favor the target domain)
+    top_ids = [doc_id for doc_id, _w in got]
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    sel_en = sum(1 for d in top_ids if langs[d] == "en") / len(top_ids)
+    all_en = sum(1 for v in langs.values() if v == "en") / len(langs)
+    assert sel_en > all_en
+    # weights are finite and the ranking is (logw desc, doc_id asc)
+    rows = dsir_select(docs, "en", 64, 50).collect()
+    ws = [(r["logw"], -r["doc_id"]) for r in rows]
+    assert ws == sorted(ws, key=lambda t: (-t[0], -t[1]))
