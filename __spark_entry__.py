@@ -63,6 +63,7 @@ from smse_backend_spark.operators.search import (
     span_not_oracle_sql,
     span_contain_oracle_sql,
     span_or_oracle_sql,
+    common_terms_oracle_sql,
     synonym_query_oracle_sql,
     sparse_vector_oracle_sql,
     sparse_vector_topk,
@@ -314,6 +315,35 @@ def _browse_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     page1 = ix.browse_topk(25).collect()
     cur = (page1[-1]["n_chars"], page1[-1]["doc_id"])
     return ix.browse_after(cur, 25)
+
+
+def _ccs_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cross-cluster search (ccs_minimize_roundtrips=true): each
+    remote cluster runs the query against its own LOCAL statistics
+    (idf/avgdl over its own docs — deliberately unlike bm25_sharded's
+    global-stats coordinator merge), and the coordinating cluster
+    interleaves the per-cluster top-k by raw score. The score
+    incomparability across clusters is the documented ES trade for one
+    round trip; the tie-break (score desc, cluster asc, doc_id asc) is
+    total, so the merge is deterministic."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index.query import InvertedIndex
+
+    a, b, _m = _merged_shards(spark, sf_dir)
+    ra = (
+        InvertedIndex(spark, a).bm25_topk(FLAGSHIP_QUERY, 10)
+        .select(F.lit("east").alias("cluster"), "doc_id", "score")
+    )
+    rb = (
+        InvertedIndex(spark, b).bm25_topk(FLAGSHIP_QUERY, 10)
+        .select(F.lit("west").alias("cluster"), "doc_id", "score")
+    )
+    return (
+        ra.unionByName(rb)
+        .orderBy(F.desc("score"), F.asc("cluster"), F.asc("doc_id"))
+        .limit(10)
+    )
 
 
 def _sharded_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,6 +979,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # did-you-mean: dictionary walk by edit distance
         "spell_suggest": lambda spark, sf: _indexed(spark, sf)
         .suggest("soet", 2, 10),
+        # ES suggest_mode=popular: only candidates strictly more common
+        # than the (here: present but rare-ish) input term
+        "suggest_popular": lambda spark, sf: _indexed(spark, sf)
+        .suggest("fast", 2, 10, mode="popular"),
+        # Lucene CommonTermsQuery: rare terms required, common terms
+        # score-only — df/N cutoff split from the dictionary
+        "common_terms": lambda spark, sf: _indexed(spark, sf)
+        .common_terms_topk("the hash join", 0.5, 10),
         # type-ahead completion: prefix-matching dictionary terms ranked
         # by collection frequency (metadata-only, no posting decode)
         "complete_suggest": lambda spark, sf: _indexed(spark, sf)
@@ -1298,6 +1336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed aggregation: per-shard partial facet counts merged
         # at the coordinator (additive across disjoint doc spaces)
         "sharded_facets": _sharded_facets,
+        # ES cross-cluster search: per-cluster LOCAL stats (one round
+        # trip), coordinator interleaves by raw score
+        "ccs_search": _ccs_search,
         # hybrid retrieval: BM25 + cosine fused by reciprocal-rank fusion
         "hybrid_rrf": lambda spark, sf: HY.rrf_hybrid_topk(
             load_corpus(spark, sf), S.load_embeddings(spark, sf),
@@ -1621,7 +1662,8 @@ _CHECK_FIRST = [
     "substring_dup", "ann_rescore", "runtime_field_agg",
     "event_value_histogram_empty", "terms_shard_error", "span_or",
     "rank_feature_log", "rank_feature_sigmoid", "significant_terms_chi2",
-    "ann_threshold", "dsir_select",
+    "ann_threshold", "dsir_select", "suggest_popular", "common_terms",
+    "ccs_search",
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
     "search_filters_agg", "event_date_range", "bm25_synonym_query",
@@ -1850,6 +1892,24 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             FLAGSHIP_QUERY, "hash join", 30, 2.0, 10
         ),
         "spell_suggest": suggest_oracle_sql("soet", 2, 10),
+        "suggest_popular": suggest_oracle_sql(
+            "fast", 2, 10, mode="popular"
+        ),
+        "common_terms": common_terms_oracle_sql("the hash join", 0.5, 10),
+        "ccs_search": f"""
+WITH ea AS ({bm25_scan_oracle_sql(FLAGSHIP_QUERY, 10,
+             table="(SELECT * FROM documents WHERE doc_id < 256)")}),
+wb AS ({bm25_scan_oracle_sql(FLAGSHIP_QUERY, 10,
+        table="(SELECT * FROM documents WHERE doc_id >= 256 AND doc_id < 512)")}),
+u AS (
+  SELECT 'east' AS cluster, doc_id, score FROM ea
+  UNION ALL
+  SELECT 'west' AS cluster, doc_id, score FROM wb
+)
+SELECT cluster, doc_id, score FROM u
+ORDER BY score DESC, cluster ASC, doc_id ASC
+LIMIT 10
+""",
         "complete_suggest": complete_oracle_sql("sc", 10),
         "context_suggest": complete_oracle_sql("s", 10, lang="de"),
         "categorize_text": AG.categorize_text_sql(4, 20),

@@ -1401,6 +1401,49 @@ class InvertedIndex:
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def common_terms_topk(
+        self,
+        query_text: str,
+        cutoff_freq: float = 0.3,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Lucene ``CommonTermsQuery`` (the pre-BM25-era stopword-free
+        stopword handling, low/high_freq_operator = OR): query terms
+        split by document-frequency fraction — rare (df/N <= cutoff) vs
+        common (df/N > cutoff). When rare terms exist the rare OR-group
+        is REQUIRED (a doc must match >= 1 rare term) and common terms
+        only contribute score to docs already matching — so 'the' never
+        drags in half the corpus; when every term is common the query
+        degrades to a plain OR. Scoring = the standard BM25 sum over ALL
+        matched query terms.
+
+        Plan shape: the split is a driver decision from the dictionary
+        dfs (metadata-only); the required set is the rare terms' decoded
+        match set (small by construction — rare terms), left-semi joined
+        onto the full OR scoring frame before the top-k cut."""
+        terms = self._analyze(query_text)
+        n, avgdl = self.corpus_stats(lang)
+        dfs = self.term_df(terms, lang) if terms and n else {}
+        if not dfs:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        rare = sorted(
+            t for t, df in dfs.items()
+            if float(df) / float(n) <= float(cutoff_freq)
+        )
+        idf = {
+            t: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for t, df in dfs.items()
+        }
+        scored = self._score(self._blocks(sorted(idf), lang), idf, avgdl)
+        if rare:
+            req = (
+                self._decoded(self._blocks(rare, lang))
+                .select("doc_id").distinct()
+            )
+            scored = scored.join(req, "doc_id", "left_semi")
+        return self._finish(scored, k)
+
     def span_contain_topk(
         self,
         big_text: str,
@@ -3792,12 +3835,20 @@ class InvertedIndex:
         max_edits: int = 2,
         n: int = 10,
         lang: str | None = None,
+        mode: str = "always",
     ) -> DataFrame:
         """Did-you-mean spelling suggestions: dictionary terms within
         ``max_edits`` Levenshtein of ``term``, ranked (distance asc, df
         desc, term asc) and capped — returns (term, df, dist). Driver
         dictionary walk when the vocabulary fits, else a metadata-only
-        dictionary scan with the JVM ``levenshtein`` expression."""
+        dictionary scan with the JVM ``levenshtein`` expression.
+
+        ``mode`` is ES's ``suggest_mode``: ``always`` (default here)
+        suggests regardless; ``popular`` keeps only candidates whose df
+        strictly EXCEEDS the input term's own df — the "more common than
+        what you typed" filter (which also drops the input itself)."""
+        if mode not in ("always", "popular"):
+            raise ValueError(f"unknown suggest_mode {mode!r}")
         toks = query_terms(term)
         if len(toks) != 1:
             raise ValueError(f"suggest takes exactly one term, got {toks!r}")
@@ -3809,8 +3860,11 @@ class InvertedIndex:
             for (lg, t), df in self._dict_cache.items():
                 if lang is None or lg == lang:
                     agg[t] = agg.get(t, 0) + df
+            df_in = agg.get(q, 0)
             rows = []
             for t, df in agg.items():
+                if mode == "popular" and df <= df_in:
+                    continue
                 dist = _levenshtein_band(q, t, max_edits)
                 if dist <= max_edits:
                     rows.append((t, df, dist))
@@ -3821,9 +3875,12 @@ class InvertedIndex:
         ).filter(F.col("dist") <= max_edits)
         if lang is not None:
             d = d.filter(F.col("lang") == lang)
+        out = d.groupBy("term", "dist").agg(F.sum("df").alias("df"))
+        if mode == "popular":
+            df_in = self.term_df([q], lang).get(q, 0)
+            out = out.filter(F.col("df") > int(df_in))
         return (
-            d.groupBy("term", "dist").agg(F.sum("df").alias("df"))
-            .select("term", "df", "dist")
+            out.select("term", "df", "dist")
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
             .limit(n)
         )

@@ -1824,16 +1824,25 @@ def suggest_oracle_sql(
     lang: str | None = None,
     table: str = "documents",
     content_col: str = "text",
+    mode: str = "always",
 ) -> str:
     """DuckDB twin of ``InvertedIndex.suggest``: corpus-derived dictionary
     terms within Levenshtein ``max_edits``, ranked (dist asc, df desc,
-    term asc), capped."""
+    term asc), capped. ``mode='popular'`` keeps only candidates whose df
+    strictly exceeds the input term's own df (ES suggest_mode)."""
+    if mode not in ("always", "popular"):
+        raise ValueError(f"unknown suggest_mode {mode!r}")
     toks = query_terms(term)
     if len(toks) != 1:
         raise ValueError(f"suggest oracle takes exactly one term, got {toks!r}")
     esc = toks[0].replace("'", "''")
     where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
     toksql = tokenize_duckdb_sql(content_col)
+    popular = (
+        f"\n  AND df > (SELECT coalesce(max(df), 0) FROM dict"
+        f" WHERE term = '{esc}')"
+        if mode == "popular" else ""
+    )
     return f"""
 WITH docs AS (
   SELECT doc_id, {toksql} AS toks FROM {table} {where_lang}
@@ -1846,7 +1855,7 @@ dict AS (
 )
 SELECT term, df, levenshtein(term, '{esc}')::INT AS dist
 FROM dict
-WHERE levenshtein(term, '{esc}') <= {max_edits}
+WHERE levenshtein(term, '{esc}') <= {max_edits}{popular}
 ORDER BY dist ASC, df DESC, term ASC
 LIMIT {n}
 """
@@ -2826,6 +2835,66 @@ h AS (
 dfp AS (SELECT count(*)::DOUBLE AS df FROM h)
 SELECT h.doc_id AS doc_id, round({score}, 6) AS score
 FROM h CROSS JOIN dfp CROSS JOIN stats
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
+def common_terms_oracle_sql(
+    query_text: str,
+    cutoff_freq: float = 0.3,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.common_terms_topk``: the rare /
+    common split is derived IN SQL from the same df/N comparison, so the
+    oracle adapts to any scale factor; scoring is the standard BM25 sum
+    over all matched terms, restricted to docs matching >= 1 rare term
+    (or unrestricted when no term is rare)."""
+    terms = query_terms(query_text)
+    if not terms:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ({in_list})
+  GROUP BY doc_id, doc_len, term
+),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+rareq AS (
+  SELECT term FROM dfq CROSS JOIN stats
+  WHERE (df / stats.n) <= {float(cutoff_freq)!r}
+),
+keep AS (
+  SELECT DISTINCT doc_id FROM tf WHERE term IN (SELECT term FROM rareq)
+)
+SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN stats
+WHERE tf.doc_id IN (SELECT doc_id FROM keep)
+   OR (SELECT count(*) FROM rareq) = 0
+GROUP BY tf.doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {int(k)}
 """

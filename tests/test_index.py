@@ -1939,3 +1939,49 @@ def test_span_or_vs_oracle(index, oracle_con):
     so = [tuple(r) for r in ix.span_or_topk("merge sort", 50).collect()]
     bm = [tuple(r) for r in ix.bm25_topk("merge sort", 50).collect()]
     assert so and so != bm
+
+
+def test_common_terms_vs_oracle(index, oracle_con):
+    """CommonTermsQuery == DuckDB twin; the rare-required semantics
+    genuinely prune docs that match only common terms."""
+    from smse_backend_spark.operators.search import common_terms_oracle_sql
+
+    ix = index
+    for q, cutoff in [("the hash join", 0.5), ("the a", 0.5),
+                      ("hash join", 0.01), ("zzzqqabsent", 0.3)]:
+        got = [tuple(r) for r in
+               ix.common_terms_topk(q, cutoff, 1000).collect()]
+        want = [tuple(w) for w in oracle_con.execute(
+            common_terms_oracle_sql(q, cutoff, 1000)).fetchall()]
+        assert got == want, (q, cutoff, got[:3], want[:3])
+    # all-common query degrades to plain OR: same docs as bm25_topk
+    allc = {r["doc_id"] for r in
+            ix.common_terms_topk("the a", 0.99, 10**6).collect()}
+    bm = {r["doc_id"] for r in ix.bm25_topk("the a", 10**6).collect()}
+    assert allc == bm and allc
+    # a tiny cutoff makes every term rare -> same as plain OR again
+    rare_only = {r["doc_id"] for r in
+                 ix.common_terms_topk("hash join", 1e-9, 10**6).collect()}
+    assert rare_only == {r["doc_id"] for r in
+                         ix.bm25_topk("hash join", 10**6).collect()}
+
+
+def test_suggest_popular_mode(index, oracle_con):
+    """suggest_mode=popular == DuckDB twin; every suggestion's df beats
+    the input term's df, and the input never suggests itself."""
+    from smse_backend_spark.operators.search import suggest_oracle_sql
+
+    ix = index
+    got = [tuple(r) for r in
+           ix.suggest("fast", 2, 10, mode="popular").collect()]
+    want = [tuple(w) for w in oracle_con.execute(
+        suggest_oracle_sql("fast", 2, 10, mode="popular")).fetchall()]
+    assert got == want
+    df_in = ix.term_df(["fast"]).get("fast", 0)
+    assert df_in > 0
+    assert all(df > df_in for _t, df, _d in got)
+    assert all(t != "fast" for t, _df, _d in got)
+    # always-mode is a superset at the same edit distance
+    always = {t for t, _df, _d in
+              ix.suggest("fast", 2, 10**6).collect()}
+    assert {t for t, _df, _d in got} <= always
