@@ -397,6 +397,53 @@ def _streamed_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLUP_CACHE: dict[str, str] = {}
+
+
+def _rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rollup API: a daily pre-aggregation job materializes additive
+    metrics to parquet once; serving queries re-aggregate ONLY the
+    rollup rows (raw events never re-read). The oracle computes the same
+    weekly answer directly from raw events — equality proves the rollup
+    round-trip is lossless for additive integer metrics."""
+    from smse_backend_spark.operators import relational as R
+
+    if sf_dir not in _ROLLUP_CACHE:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="smse_rollup_")
+        R.build_event_rollup(spark, sf_dir, out)
+        _ROLLUP_CACHE[sf_dir] = out
+    return R.rollup_weekly(spark, _ROLLUP_CACHE[sf_dir])
+
+
+_REINDEX_CACHE: dict[str, str] = {}
+
+
+def _reindex_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _reindex with a transform: copy the corpus into a NEW index
+    dropping one language (the delete-by-transform migration), then
+    query the destination. Unlike soft delete, stats (N, avgdl, df) are
+    those of the SURVIVING corpus — the oracle recomputes them over the
+    filtered table."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+
+    if sf_dir not in _REINDEX_CACHE:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="smse_reidx_")
+        corpus = load_corpus(spark, sf_dir).filter(F.col("lang") != "de")
+        build_index(spark, corpus, out, segment_size=256, n_buckets=8,
+                    block_size=128, n_batches=1)
+        _REINDEX_CACHE[sf_dir] = out
+    return InvertedIndex(spark, _REINDEX_CACHE[sf_dir]).bm25_topk(
+        FLAGSHIP_QUERY, 10
+    )
+
+
 def _roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smse_backend_spark.operators.history import search_persist_roundtrip
 
@@ -1339,6 +1386,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES cross-cluster search: per-cluster LOCAL stats (one round
         # trip), coordinator interleaves by raw score
         "ccs_search": _ccs_search,
+        # ES rollup API: weekly served from the daily rollup parquet —
+        # additive metrics re-aggregate losslessly
+        "rollup_weekly": _rollup_weekly,
+        # ES _reindex with transform: rebuild minus one lang; stats are
+        # the destination corpus's own
+        "reindex_filtered": _reindex_filtered,
         # hybrid retrieval: BM25 + cosine fused by reciprocal-rank fusion
         "hybrid_rrf": lambda spark, sf: HY.rrf_hybrid_topk(
             load_corpus(spark, sf), S.load_embeddings(spark, sf),
@@ -1663,7 +1716,7 @@ _CHECK_FIRST = [
     "event_value_histogram_empty", "terms_shard_error", "span_or",
     "rank_feature_log", "rank_feature_sigmoid", "significant_terms_chi2",
     "ann_threshold", "dsir_select", "suggest_popular", "common_terms",
-    "ccs_search",
+    "ccs_search", "rollup_weekly", "reindex_filtered",
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
     "search_filters_agg", "event_date_range", "bm25_synonym_query",
@@ -1809,6 +1862,11 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25_topk_lang": bm25_scan_oracle_sql("batch stream spark window", lang="en"),
         "bm25_topk_hot": bm25_scan_oracle_sql("the row data", k=20),
         "bm25_indexed": bm25_scan_oracle_sql(FLAGSHIP_QUERY),
+        "rollup_weekly": R.rollup_weekly_sql(),
+        "reindex_filtered": bm25_scan_oracle_sql(
+            FLAGSHIP_QUERY, 10,
+            table="(SELECT * FROM documents WHERE lang != 'de')",
+        ),
         "lm_dirichlet": lm_dirichlet_oracle_sql(FLAGSHIP_QUERY, 10),
         "lm_dirichlet_indexed": lm_dirichlet_oracle_sql(FLAGSHIP_QUERY, 10),
         "bm25_batch": "\nUNION ALL\n".join(

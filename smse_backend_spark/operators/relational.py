@@ -1195,3 +1195,71 @@ SELECT axis.bucket AS bucket, coalesce(counts.n, 0)::BIGINT AS n
 FROM axis LEFT JOIN counts ON axis.bucket = counts.bucket
 ORDER BY bucket
 """
+
+
+def build_event_rollup(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """ES rollup-job analog: materialize a DAILY pre-aggregation of the
+    events stream (n events, micro-unit value sum) to parquet. Only
+    ADDITIVE metrics are rolled up (counts and integer sums re-aggregate
+    exactly at any coarser grain); ES's distinct-count rollup stores HLL
+    sketches for the same reason — that is the documented swap for
+    non-additive metrics. Partitioned by day id so serving queries prune."""
+    e = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    vq = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    (
+        e.groupBy(((F.floor(epoch / F.lit(86400))) * F.lit(86400))
+                  .cast("long").alias("day_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(vq).cast("long").alias("vq"),
+        )
+        .write.mode("overwrite").parquet(out_dir)
+    )
+
+
+def rollup_weekly(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """Serve a WEEKLY aggregation from the daily rollup — the whole point
+    of the rollup job: the raw events are never touched again, the query
+    re-aggregates the (tiny) rollup rows. week_start = epoch-day // 7
+    anchored at 1970-01-01 (a Thursday; pure integer arithmetic, no
+    calendar/timezone surface).
+
+    Returns (week_start, n, total_value) ordered by week; counts exact,
+    total_value through the shared 6 dp floor over the summed micro-unit
+    integers — bit-identical to aggregating the raw events directly,
+    BECAUSE the rolled-up metrics are additive integers."""
+    r = spark.read.parquet(rollup_dir)
+    week = (
+        (F.floor(F.col("day_start") / F.lit(604800)) * F.lit(604800))
+        .cast("long").alias("week_start")
+    )
+    return (
+        r.groupBy(week)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            (F.sum("vq").cast("double") / F.lit(1e6)).alias("tv"),
+        )
+        .select(
+            "week_start", "n",
+            (F.floor(F.col("tv") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("total_value"),
+        )
+        .orderBy("week_start")
+    )
+
+
+def rollup_weekly_sql() -> str:
+    """DuckDB twin of the rollup-served weekly aggregation, computed
+    DIRECTLY from the raw events — equality proves the rollup round-trip
+    is lossless for additive metrics."""
+    return """
+SELECT ((floor(epoch(ts))::BIGINT // 86400) * 86400 // 604800) * 604800
+         AS week_start,
+       count(*)::BIGINT AS n,
+       floor((sum(floor(value * 1e6 + 0.5)::BIGINT)::DOUBLE / 1e6) * 1e6
+             + 0.5) / 1e6 AS total_value
+FROM events
+GROUP BY 1
+ORDER BY week_start
+"""

@@ -353,3 +353,15 @@ def test_terms_shard_error(spark, sf_correct):
     assert all(r["err"] == 0 for r in full)
     for r in full:
         assert r["doc_count"] == exact[r["term"]]
+
+
+def test_rollup_roundtrip_lossless(spark, sf_correct, con, tmp_path):
+    """Weekly served from the daily rollup == weekly computed from raw
+    events — additive integer metrics re-aggregate exactly."""
+    out = str(tmp_path / "rollup")
+    R.build_event_rollup(spark, sf_correct, out)
+    _cmp(R.rollup_weekly(spark, out), con, R.rollup_weekly_sql())
+    # the rollup itself is day-grained and much smaller than the events
+    n_days = spark.read.parquet(out).count()
+    n_events = spark.read.parquet(f"{sf_correct}/events.parquet").count()
+    assert 0 < n_days < n_events / 10
