@@ -1476,6 +1476,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exactly the pre-cut semantics)
         "ann_threshold": lambda spark, sf:
         _ann_brute(spark, sf).filter(F.col("score") >= 0.3),
+        # ColBERT MaxSim / ES knn over nested vectors: docs are vector
+        # GROUPS, score = sum over query tokens of best-chunk cosine
+        "ann_maxsim": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.ann", fromlist=["maxsim_topk"]
+        ).maxsim_topk(
+            spark.read.parquet(f"{sf}/embeddings.parquet"),
+            _query_vecs(spark, sf), 8, 10,
+        ),
+        # CCNet perplexity terciles: head/middle/tail by corpus-LM NLL
+        "ccnet_buckets": lambda spark, sf: __import__(
+            "smse_backend_spark.functions.text_quality",
+            fromlist=["ccnet_buckets"],
+        ).ccnet_buckets(_docs(spark, sf)),
         # product quantization: m uint8 codes/vector + (m, ks, dim/m)
         # codebook; encode+decode as pure Column algebra, exact rank
         "ann_pq": _ann_pq,
@@ -1716,7 +1729,8 @@ _CHECK_FIRST = [
     "event_value_histogram_empty", "terms_shard_error", "span_or",
     "rank_feature_log", "rank_feature_sigmoid", "significant_terms_chi2",
     "ann_threshold", "dsir_select", "suggest_popular", "common_terms",
-    "ccs_search", "rollup_weekly", "reindex_filtered",
+    "ccs_search", "rollup_weekly", "reindex_filtered", "ann_maxsim",
+    "ccnet_buckets",
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
     "search_filters_agg", "event_date_range", "bm25_synonym_query",
@@ -1840,6 +1854,13 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "ann_lsh": lsh_topk_sql([0, 1, 2], dim=64, k=10, n_planes=8, n_tables=4),
         "ann_sq8": sq8_topk_sql([0, 1, 2], 10),
         "ann_rescore": rescore_topk_sql([0, 1, 2], 10, oversample=3.0),
+        "ann_maxsim": __import__(
+            "smse_backend_spark.operators.ann", fromlist=["maxsim_topk_sql"]
+        ).maxsim_topk_sql([0, 1, 2], 8, 10),
+        "ccnet_buckets": __import__(
+            "smse_backend_spark.functions.text_quality",
+            fromlist=["ccnet_buckets_sql"],
+        ).ccnet_buckets_sql(),
         "ann_pq": pq_topk_sql([0, 1, 2], 10),
         "ann_ivfpq": ivfpq_topk_sql([0, 1, 2], 10),
         "ann_ivf": ivf_topk_sql([0, 1, 2], k=10, n_centroids=16, n_probe=4),

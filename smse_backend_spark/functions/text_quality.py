@@ -867,3 +867,50 @@ FROM flags
 WHERE NOT (len_ok AND mean_len_ok AND stop_ok AND rep_ok)
 ORDER BY doc_id
 """
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): docs split
+    into ``head`` / ``middle`` / ``tail`` terciles of the per-doc LM
+    score (here :func:`lm_unigram_scores`'s mean NLL standing in for the
+    KenLM perplexity — same bucketing dataflow, model-free). ``head`` =
+    most fluent (lowest NLL) third, the slice CCNet keeps by default.
+
+    Returns (doc_id, nll, bucket) for every doc. The tercile thresholds
+    are two EXACT interpolated quantiles of the nll column (the Spark
+    ``percentile`` == DuckDB ``quantile_cont`` bit-parity precedent),
+    computed once and applied as a map-only comparison — so the bucket
+    pass is a single scan at any corpus size (the thresholds are driver
+    scalars; no global sort or window).
+    """
+    s = lm_unigram_scores(docs)
+    row = s.agg(
+        F.percentile(F.col("nll"), F.lit(1 / 3)).alias("t1"),
+        F.percentile(F.col("nll"), F.lit(2 / 3)).alias("t2"),
+    ).first()
+    t1, t2 = float(row["t1"]), float(row["t2"])
+    bucket = (
+        F.when(F.col("nll") <= F.lit(t1), F.lit("head"))
+        .when(F.col("nll") <= F.lit(t2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return s.select("doc_id", "nll", bucket.alias("bucket"))
+
+
+def ccnet_buckets_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`ccnet_buckets`: same NLL, thresholds via
+    ``quantile_cont`` at the same double fractions, same comparisons."""
+    nll = lm_unigram_scores_sql(table)
+    return f"""
+WITH s AS ({nll}),
+t AS (
+  SELECT quantile_cont(nll, {1 / 3!r}) AS t1,
+         quantile_cont(nll, {2 / 3!r}) AS t2
+  FROM s
+)
+SELECT s.doc_id AS doc_id, s.nll AS nll,
+       CASE WHEN s.nll <= t.t1 THEN 'head'
+            WHEN s.nll <= t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s CROSS JOIN t
+"""

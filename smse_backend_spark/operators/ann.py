@@ -1328,3 +1328,83 @@ r AS (
 )
 SELECT query_id, rank, vec_id, score FROM r WHERE rank <= {int(k)}
 """
+
+
+def maxsim_topk(
+    emb: DataFrame,
+    queries: dict[int, list[float]],
+    group_size: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Late-interaction multi-vector retrieval (the ColBERT MaxSim
+    operator; ES exposes it as kNN over nested dense_vectors with
+    ``max_sim`` rank): a DOCUMENT is a GROUP of vectors (here
+    ``vec_id // group_size`` — chunk embeddings of one doc), the QUERY
+    is the set of ``queries`` vectors (its token embeddings), and
+
+        score(doc) = Σ_q  max_{v ∈ doc}  cos(q, v)
+
+    — each query token matches its best chunk, independently. Returns
+    (doc_id, score) top-k by (score desc, doc_id asc); per-(q, doc)
+    maxes are 6 dp-rounded then quantized to integer micro-units before
+    the (3-term) sum, so the aggregate is order-independent.
+
+    Scale shape: one corpus scan computes all |Q| sims per vector
+    (numpy matmul in the brute-force kernel); the per-(doc, q) max and
+    per-doc sum are ONE map-side-combined two-level aggregation keyed on
+    the group id — no join, no cross product. At 10^12 vectors the
+    kernel's candidate cut rides an ANN index (IVF lists per query
+    token) exactly like single-vector search.
+    """
+    n_total = emb.count()
+    all_pairs = brute_force_topk(emb, queries, max(int(n_total), 1))
+    g = (F.col("vec_id") / F.lit(int(group_size))).cast("long")
+    per_q = (
+        all_pairs.select(g.alias("doc_id"), "query_id", "score")
+        .groupBy("doc_id", "query_id")
+        .agg(F.max("score").alias("m"))
+    )
+    mq = F.floor(F.col("m") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        per_q.select("doc_id", mq.alias("mq"))
+        .groupBy("doc_id")
+        .agg((F.sum("mq").cast("double") / F.lit(1e6)).alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def maxsim_topk_sql(
+    query_ids: list[int], group_size: int = 8, k: int = 10
+) -> str:
+    """DuckDB twin of :func:`maxsim_topk` (same cosine + 6 dp round,
+    same micro-unit quantize-then-sum)."""
+    ids = ", ".join(str(int(q)) for q in sorted(query_ids))
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN ({ids})
+),
+z AS (
+  SELECT q.qid, e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+         unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q
+),
+sims AS (
+  SELECT qid, vec_id,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score
+  FROM z GROUP BY qid, vec_id
+),
+mx AS (
+  SELECT (vec_id // {int(group_size)})::BIGINT AS doc_id, qid,
+         max(score) AS m
+  FROM sims GROUP BY 1, 2
+)
+SELECT doc_id,
+       (sum(floor(m * 1e6 + 0.5)::BIGINT)::DOUBLE / 1e6) AS score
+FROM mx
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""

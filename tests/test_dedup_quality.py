@@ -242,3 +242,24 @@ def test_categorize_text(docs, con):
     assert rows and all(len(r["category"].split(" ")) <= 4 for r in rows)
     counts = [r["doc_count"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_ccnet_buckets(docs, con):
+    """Perplexity terciles == DuckDB twin; buckets are ~equal thirds and
+    head holds the lowest-NLL docs."""
+    from smse_backend_spark.functions.text_quality import (
+        ccnet_buckets,
+        ccnet_buckets_sql,
+    )
+
+    _cmp(ccnet_buckets(docs), con, ccnet_buckets_sql())
+    rows = ccnet_buckets(docs).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["bucket"], []).append(r["nll"])
+    assert set(by) == {"head", "middle", "tail"}
+    n = len(rows)
+    for vals in by.values():
+        assert n / 6 < len(vals) < n / 2  # roughly a third each
+    assert max(by["head"]) <= min(by["tail"])
+    assert max(by["head"]) <= max(by["middle"]) <= max(by["tail"])

@@ -218,3 +218,28 @@ def test_rescore_vs_duckdb_and_recall(spark, sf_smoke):
                   rescore_topk(emb, qs, 10, oversample=n / 10).collect())
     bf = sorted(tuple(r) for r in brute_force_topk(emb, qs, 10).collect())
     assert full == bf
+
+
+def test_maxsim_vs_duckdb_and_bounds(spark, sf_smoke):
+    """MaxSim == DuckDB twin; the score is bounded by |Q| (each token's
+    best cosine <= 1) and a doc containing a query vector verbatim gets
+    that token's max = 1."""
+    from smse_backend_spark.operators.ann import maxsim_topk, maxsim_topk_sql
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    rows = emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    qs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    got = sorted(tuple(r) for r in maxsim_topk(emb, qs, 8, 10).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf_smoke}/embeddings.parquet'"
+    )
+    want = sorted(tuple(w) for w in
+                  con.execute(maxsim_topk_sql([0, 1, 2], 8, 10)).fetchall())
+    assert got == want and got
+    assert all(s <= 3.0 + 1e-9 for _d, s in got)
+    # doc 0 holds vectors 0..7, i.e. ALL three query vectors verbatim:
+    # every token's best cosine is exactly 1 -> score 3.0, rank 1
+    top = maxsim_topk(emb, qs, 8, 10).collect()[0]
+    assert top["doc_id"] == 0 and top["score"] == 3.0
