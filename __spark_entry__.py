@@ -1389,6 +1389,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES rollup API: weekly served from the daily rollup parquet —
         # additive metrics re-aggregate losslessly
         "rollup_weekly": _rollup_weekly,
+        # ES ingest pipeline: set/dissect/script/drop processors fused
+        # into one map-only ingest projection
+        "ingest_pipeline": lambda spark, sf:
+        R.ingest_pipeline(spark, sf, 5),
+        # ES terms lookup: the filter list fetched from other docs'
+        # fields at query time; full-corpus stats (filter context)
+        "terms_lookup": lambda spark, sf: R.terms_lookup_search(
+            spark, sf, FLAGSHIP_QUERY, 3, 10
+        ),
         # ES _reindex with transform: rebuild minus one lang; stats are
         # the destination corpus's own
         "reindex_filtered": _reindex_filtered,
@@ -1730,7 +1739,7 @@ _CHECK_FIRST = [
     "rank_feature_log", "rank_feature_sigmoid", "significant_terms_chi2",
     "ann_threshold", "dsir_select", "suggest_popular", "common_terms",
     "ccs_search", "rollup_weekly", "reindex_filtered", "ann_maxsim",
-    "ccnet_buckets",
+    "ccnet_buckets", "ingest_pipeline", "terms_lookup",
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
     "search_filters_agg", "event_date_range", "bm25_synonym_query",
@@ -1884,6 +1893,8 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25_topk_hot": bm25_scan_oracle_sql("the row data", k=20),
         "bm25_indexed": bm25_scan_oracle_sql(FLAGSHIP_QUERY),
         "rollup_weekly": R.rollup_weekly_sql(),
+        "ingest_pipeline": R.ingest_pipeline_sql(5),
+        "terms_lookup": R.terms_lookup_search_sql(FLAGSHIP_QUERY, 3, 10),
         "reindex_filtered": bm25_scan_oracle_sql(
             FLAGSHIP_QUERY, 10,
             table="(SELECT * FROM documents WHERE lang != 'de')",

@@ -1263,3 +1263,130 @@ FROM events
 GROUP BY 1
 ORDER BY week_start
 """
+
+
+def ingest_pipeline(spark: SparkSession, sf_dir: str, min_tokens: int = 5) -> DataFrame:
+    """ES ingest pipeline (processor chain) applied at ingest time — the
+    node-side document rewrite every ES deployment runs before indexing,
+    modeled with four canonical processors over the documents stream:
+
+    * ``set``        — word_count = analyzed token count;
+    * ``dissect``    — head_token = first analyzed token ('' when empty);
+    * ``script``     — quality = n_chars / (1 + word_count) (6 dp floor);
+    * ``drop``       — documents with word_count < ``min_tokens`` leave
+      the pipeline (the ES drop processor's conditional).
+
+    Returns (doc_id, head_token, word_count, quality) for surviving docs.
+
+    Scale shape: ONE map-only projection pass — processors are row-local
+    Column algebra, so the pipeline fuses into the ingest scan with no
+    shuffle (exactly how ES ingest nodes stream it).
+    """
+    from smse_backend_spark.functions.tokenizer import tokenize_col
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    wc = F.size(toks).cast("long")
+    head = F.coalesce(F.element_at(toks, 1), F.lit(""))
+    quality = (
+        F.floor(
+            (F.col("n_chars").cast("double")
+             / (F.lit(1.0) + wc.cast("double"))) * F.lit(1e6) + F.lit(0.5)
+        ) / F.lit(1e6)
+    )
+    return (
+        d.select(
+            "doc_id",
+            head.alias("head_token"),
+            wc.alias("word_count"),
+            quality.alias("quality"),
+        )
+        .filter(F.col("word_count") >= int(min_tokens))
+    )
+
+
+def ingest_pipeline_sql(min_tokens: int = 5, table: str = "documents") -> str:
+    """DuckDB twin of :func:`ingest_pipeline`."""
+    from smse_backend_spark.functions.tokenizer import tokenize_duckdb_sql
+
+    toks = tokenize_duckdb_sql("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, n_chars, {toks} AS toks FROM {table}
+)
+SELECT doc_id,
+       coalesce(toks[1], '') AS head_token,
+       len(toks)::BIGINT AS word_count,
+       floor((n_chars::DOUBLE / (1.0 + len(toks)::DOUBLE)) * 1e6 + 0.5)
+         / 1e6 AS quality
+FROM t
+WHERE len(toks) >= {int(min_tokens)}
+"""
+
+
+def terms_lookup_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str,
+    lookup_max_doc: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``terms`` lookup query: the filter's value list is not inlined
+    in the request but FETCHED from another document's field at query
+    time — here "sources of the lookup docs (doc_id < ``lookup_max_doc``)".
+    Docs whose ``source`` is in the looked-up set are BM25-ranked for
+    ``query_text`` with FULL-corpus statistics (a filter never changes
+    scoring stats — the filter-context discipline).
+
+    Scale shape: the lookup read is a pruned point-fetch (doc_id
+    predicate pushed to parquet); the fetched set is a tiny broadcast
+    semi-join on the scored frame.
+    """
+    from smse_backend_spark.operators.search import bm25_scored_scan
+
+    d = _t(spark, sf_dir, "documents")
+    lookup = (
+        d.filter(F.col("doc_id") < int(lookup_max_doc))
+        .select("source").distinct()
+    )
+    corpus = d.select(
+        "doc_id", F.col("text").alias("content"), "lang", "source"
+    )
+    scored = bm25_scored_scan(corpus, query_text).select("doc_id", "score")
+    return (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .join(F.broadcast(lookup), "source", "left_semi")
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def terms_lookup_search_sql(
+    query_text: str,
+    lookup_max_doc: int = 3,
+    k: int = 10,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`terms_lookup_search`."""
+    from smse_backend_spark.operators.search import (
+        _ALL_ROWS,
+        bm25_scan_oracle_sql,
+    )
+
+    scored = bm25_scan_oracle_sql(
+        query_text, _ALL_ROWS, None, table, content_col
+    )
+    return f"""
+WITH scored AS ({scored}),
+lookup AS (
+  SELECT DISTINCT source FROM {table} WHERE doc_id < {int(lookup_max_doc)}
+)
+SELECT s.doc_id AS doc_id, round(s.score, 6) AS score
+FROM scored s
+JOIN {table} d USING (doc_id)
+WHERE d.source IN (SELECT source FROM lookup)
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""

@@ -365,3 +365,44 @@ def test_rollup_roundtrip_lossless(spark, sf_correct, con, tmp_path):
     n_days = spark.read.parquet(out).count()
     n_events = spark.read.parquet(f"{sf_correct}/events.parquet").count()
     assert 0 < n_days < n_events / 10
+
+
+def test_ingest_pipeline(spark, sf_correct):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"'{sf_correct}/documents.parquet'"
+    )
+    _cmp(R.ingest_pipeline(spark, sf_correct, 5), con,
+         R.ingest_pipeline_sql(5))
+    rows = R.ingest_pipeline(spark, sf_correct, 5).collect()
+    assert all(r["word_count"] >= 5 for r in rows)
+    assert all(r["head_token"] != "" for r in rows)
+    # drop processor: an impossible floor empties both engines
+    got = R.ingest_pipeline(spark, sf_correct, 10**9).collect()
+    want = con.execute(R.ingest_pipeline_sql(10**9)).fetchall()
+    assert got == [] and want == []
+
+
+def test_terms_lookup_search(spark, sf_correct):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"'{sf_correct}/documents.parquet'"
+    )
+    _cmp(
+        R.terms_lookup_search(spark, sf_correct, "hash join", 3, 10),
+        con,
+        R.terms_lookup_search_sql("hash join", 3, 10),
+    )
+    # every hit's source is one the lookup docs carry
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    sources = {r["source"] for r in
+               docs.filter("doc_id < 3").select("source").collect()}
+    by_id = {r["doc_id"]: r["source"] for r in docs.collect()}
+    hits = R.terms_lookup_search(spark, sf_correct, "hash join", 3, 10)
+    assert all(by_id[r["doc_id"]] in sources for r in hits.collect())
