@@ -63,6 +63,7 @@ from smse_backend_spark.operators.search import (
     span_not_oracle_sql,
     span_contain_oracle_sql,
     span_or_oracle_sql,
+    span_multi_first_oracle_sql,
     common_terms_oracle_sql,
     synonym_query_oracle_sql,
     sparse_vector_oracle_sql,
@@ -954,6 +955,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Lucene SpanFirstQuery: term within the first N token positions
         "span_first": lambda spark, sf: _pos_indexed(spark, sf)
         .span_first_topk("table", 5, 10),
+        # Lucene SpanMultiTermQueryWrapper(prefix) in SpanFirstQuery:
+        # any 's*'-expanded term within the first 5 positions
+        "span_multi_first": lambda spark, sf: _pos_indexed(spark, sf)
+        .span_multi_first_topk("s", 5, 10),
         # Lucene SpanContainingQuery: (table ~ scan) spans enclosing 'hash'
         "span_containing": lambda spark, sf: _pos_indexed(spark, sf)
         .span_contain_topk("table scan", "hash", 6, 10, mode="containing"),
@@ -1739,7 +1744,7 @@ _CHECK_FIRST = [
     "rank_feature_log", "rank_feature_sigmoid", "significant_terms_chi2",
     "ann_threshold", "dsir_select", "suggest_popular", "common_terms",
     "ccs_search", "rollup_weekly", "reindex_filtered", "ann_maxsim",
-    "ccnet_buckets", "ingest_pipeline", "terms_lookup",
+    "ccnet_buckets", "ingest_pipeline", "terms_lookup", "span_multi_first",
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
     "search_filters_agg", "event_date_range", "bm25_synonym_query",
@@ -1950,6 +1955,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         ),
         "span_first": span_first_oracle_sql("table", 5, 10),
         "span_not": span_not_oracle_sql("scan", "table", 3, 10),
+        "span_multi_first": span_multi_first_oracle_sql("s", 5, 10),
         "span_containing": span_contain_oracle_sql(
             "table scan", "hash", 6, 10, mode="containing"
         ),

@@ -519,6 +519,34 @@ def _make_span_first_matcher(term: str, end: int, tomb_b=None):
     return kernel
 
 
+def _make_span_first_set_matcher(terms: frozenset, end: int, tomb_b=None):
+    """mapInPandas kernel: positional blocks for a TERM SET -> (doc_id,
+    stf, dl) where stf counts occurrences of ANY member at token offset
+    < ``end`` (Lucene SpanMultiTermQueryWrapper(prefix) inside a
+    SpanFirstQuery — the expanded terms form one span source)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grouped, dl_of = _decode_positional_rows(batches, tomb_b)
+        out = {"doc_id": [], "stf": [], "dl": []}
+        if grouped is not None:
+            acc: dict[int, int] = {}
+            for (doc, t), pos in grouped.items():
+                if t not in terms:
+                    continue
+                c = int((pos < end).sum())
+                if c:
+                    acc[doc] = acc.get(doc, 0) + c
+            for doc, stf in acc.items():
+                out["doc_id"].append(doc)
+                out["stf"].append(stf)
+                out["dl"].append(dl_of[doc])
+        yield pd.DataFrame(out).astype(
+            {"doc_id": "int64", "stf": "int64", "dl": "int64"}
+        )
+
+    return kernel
+
+
 def _make_span_not_matcher(inc: str, exc: str, dist: int, tomb_b=None):
     """mapInPandas kernel for Lucene SpanNotQuery over single-term spans:
     positional blocks for the include and exclude terms -> (doc_id, stf,
@@ -1278,6 +1306,68 @@ class InvertedIndex:
         if df_sf == 0:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         idf = math.log(1.0 + (n - df_sf + 0.5) / (df_sf + 0.5))
+        scored = matches.select(
+            "doc_id",
+            F.round(
+                F.lit(idf) * _tf_norm(F.col("stf"), F.col("dl"), avgdl), 6
+            ).alias("score"),
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def span_multi_first_topk(
+        self,
+        prefix: str,
+        end: int,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+        max_expansions: int = 64,
+    ) -> DataFrame:
+        """Lucene ``SpanMultiTermQueryWrapper``: a multi-term query
+        (here a PREFIX) lifted into the span family — its dictionary
+        expansion acts as ONE span source, composed with SpanFirstQuery
+        (any expanded term within the first ``end`` positions). The
+        expansion rides Lucene's ranking discipline (df desc, term asc,
+        capped at ``max_expansions``) from the dictionary — metadata
+        only; the span tf sums qualifying occurrences over ALL expanded
+        members, span df drives one idf, BM25 against full doc length.
+
+        Plan shape: span_first's pruned positional block scan widened to
+        the expansion set; the kernel accumulates per-doc across member
+        terms, so only (doc, stf, dl) survivors leave Python."""
+        if not self.meta["config"].get("with_positions"):
+            raise ValueError(
+                "span_multi requires an index built with with_positions=True"
+            )
+        exp = self.expand_prefix(prefix, lang, max_expansions)
+        if not exp:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        n, avgdl = self.corpus_stats(lang)
+        if not n:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        blocks = self._blocks(sorted(exp), lang).select(
+            "segment", "term", "first_doc", "gaps", "tfs", "dls", "poss"
+        )
+        # co-locate every member's postings per doc (a doc's whole
+        # profile lives in ONE segment) so the per-doc accumulation in
+        # the kernel sees all of them — the span-near shuffle discipline
+        nparts = int(
+            min(1024, max(self.spark.sparkContext.defaultParallelism, 1))
+        )
+        blocks = blocks.repartition(nparts, "segment")
+        self._load_tombs()
+        matches = blocks.mapInPandas(
+            _make_span_first_set_matcher(
+                frozenset(exp), int(end), self._tomb_bcast
+            ),
+            "doc_id long, stf long, dl long",
+        )
+        if self._tomb_df is not None:
+            matches = matches.join(self._tomb_df, "doc_id", "left_anti")
+        matches = matches.cache()
+        df_sm = matches.count()
+        if df_sm == 0:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        idf = math.log(1.0 + (n - df_sm + 0.5) / (df_sm + 0.5))
         scored = matches.select(
             "doc_id",
             F.round(

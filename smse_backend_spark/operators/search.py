@@ -2840,6 +2840,63 @@ LIMIT {int(k)}
 """
 
 
+def span_multi_first_oracle_sql(
+    prefix: str,
+    end: int,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    max_expansions: int = 64,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.span_multi_first_topk``: the prefix
+    expansion (df desc, term asc, capped — identical to the dictionary
+    ranking by construction) acts as one span source; span tf counts
+    occurrences of ANY member within the first ``end`` tokens; span df
+    drives one idf; BM25 against the full doc length."""
+    esc = prefix.replace("'", "''")
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "h.stf", idf_sql("dfp.df", "stats.n"), "h.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM dl
+),
+dict AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
+),
+exp AS (
+  SELECT term FROM dict WHERE starts_with(term, '{esc}')
+  ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}
+),
+sm AS (
+  SELECT doc_id, count(*)::BIGINT AS stf
+  FROM (SELECT doc_id, unnest(toks[1:{int(end)}]) AS tkn FROM dl)
+  WHERE tkn IN (SELECT term FROM exp)
+  GROUP BY doc_id
+),
+h AS (
+  SELECT sm.doc_id, dl.doc_len, sm.stf FROM sm JOIN dl USING (doc_id)
+),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM h)
+SELECT h.doc_id AS doc_id, round({score}, 6) AS score
+FROM h CROSS JOIN dfp CROSS JOIN stats
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
 def common_terms_oracle_sql(
     query_text: str,
     cutoff_freq: float = 0.3,

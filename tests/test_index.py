@@ -1985,3 +1985,28 @@ def test_suggest_popular_mode(index, oracle_con):
     always = {t for t, _df, _d in
               ix.suggest("fast", 2, 10**6).collect()}
     assert {t for t, _df, _d in got} <= always
+
+
+def test_span_multi_first_vs_oracle(pos_index, oracle_con):
+    """SpanMultiTermQueryWrapper(prefix) + SpanFirstQuery == DuckDB
+    twin; the expansion genuinely unions multiple terms (score set is a
+    superset of any single member's span_first match set)."""
+    from smse_backend_spark.operators.search import (
+        span_multi_first_oracle_sql,
+    )
+
+    ix = pos_index
+    for pfx, end in [("s", 5), ("ta", 3), ("zzzqq", 5)]:
+        got = [tuple(r) for r in
+               ix.span_multi_first_topk(pfx, end, 1000).collect()]
+        want = [tuple(w) for w in oracle_con.execute(
+            span_multi_first_oracle_sql(pfx, end, 1000)).fetchall()]
+        assert got == want, (pfx, end, got[:3], want[:3])
+    multi = {r["doc_id"] for r in
+             ix.span_multi_first_topk("s", 5, 10**6).collect()}
+    # any single expanded member's span_first docs are contained
+    exp = ix.expand_prefix("s", None, 64)
+    assert len(exp) > 1
+    single = {r["doc_id"] for r in
+              ix.span_first_topk(exp[0], 5, 10**6).collect()}
+    assert single <= multi and len(multi) > len(single)
