@@ -1017,6 +1017,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # more-like-this: tf*idf term selection from doc 42, OR query
         "more_like_this": lambda spark, sf: _indexed(spark, sf)
         .more_like_this(load_corpus(spark, sf), 42, 10, max_terms=8),
+        # ES more_like_this with `unlike`: doc 7's terms are struck from
+        # doc 42's candidate set before the tf*idf ranking
+        "mlt_unlike": lambda spark, sf: _indexed(spark, sf)
+        .more_like_this(load_corpus(spark, sf), 42, 10, max_terms=8,
+                        unlike_doc_id=7),
         # span-near proximity over the positional index
         "span_near": lambda spark, sf: _pos_indexed(spark, sf)
         .near_topk("table scan", 6, 10),
@@ -1745,6 +1750,7 @@ _CHECK_FIRST = [
     "ann_threshold", "dsir_select", "suggest_popular", "common_terms",
     "ccs_search", "rollup_weekly", "reindex_filtered", "ann_maxsim",
     "ccnet_buckets", "ingest_pipeline", "terms_lookup", "span_multi_first",
+    "mlt_unlike",
     "bm25_fuzzy_dl", "span_not", "search_extended_stats",
     "search_weighted_avg", "search_top_metrics", "search_string_stats",
     "search_filters_agg", "event_date_range", "bm25_synonym_query",
@@ -1981,6 +1987,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "hit_count": hit_count_oracle_sql(FLAGSHIP_QUERY),
         "search_facets": facet_counts_oracle_sql(FLAGSHIP_QUERY),
         "more_like_this": more_like_this_oracle_sql(42, 10, max_terms=8),
+        "mlt_unlike": more_like_this_oracle_sql(
+            42, 10, max_terms=8, unlike_doc_id=7
+        ),
         "span_near": near_oracle_sql("table scan", 6, 10),
         "span_near_ordered": near_oracle_sql("table scan", 6, 10,
                                              in_order=True),

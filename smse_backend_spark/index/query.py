@@ -3880,6 +3880,7 @@ class InvertedIndex:
         k: int = DEFAULT_TOP_K,
         max_terms: int = 8,
         lang: str | None = None,
+        unlike_doc_id: int | None = None,
     ) -> DataFrame:
         """More-like-this: find docs similar to a source doc by selecting
         its most characteristic terms and running them as an OR query
@@ -3887,22 +3888,36 @@ class InvertedIndex:
         the source doc (tf from the doc, idf from the global dictionary),
         rounded to 6 dp, ranked (weight desc, term asc), capped at
         ``max_terms``. The source doc itself is excluded from results.
-        """
+
+        ``unlike_doc_id`` is ES's ``unlike`` clause: a NEGATIVE exemplar
+        whose terms are removed from the candidate set before ranking —
+        "like doc A but not like doc B" steers the selection toward what
+        distinguishes A from B. Both exemplar reads are pruned
+        point-fetches (doc_id pushed to the parquet scan)."""
         from smse_backend_spark.functions.tokenizer import tokenize_py
 
-        row = corpus.filter(F.col("doc_id") == doc_id).select("content").first()
-        if row is None:
-            return self.spark.createDataFrame([], RESULT_SCHEMA)
-        toks = tokenize_py(row["content"])
-        if self.analyzer == "stem":
-            from smse_backend_spark.functions.tokenizer import stem_py
+        def _doc_terms_of(did: int) -> list[str]:
+            r = corpus.filter(F.col("doc_id") == did).select("content").first()
+            if r is None:
+                return []
+            ts = tokenize_py(r["content"])
+            if self.analyzer == "stem":
+                from smse_backend_spark.functions.tokenizer import stem_py
 
-            toks = [stem_py(t) for t in toks]
+                ts = [stem_py(t) for t in ts]
+            return ts
+
+        toks = _doc_terms_of(doc_id)
         if not toks:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         tf_of: dict[str, int] = {}
         for t in toks:
             tf_of[t] = tf_of.get(t, 0) + 1
+        if unlike_doc_id is not None:
+            for t in set(_doc_terms_of(unlike_doc_id)):
+                tf_of.pop(t, None)
+            if not tf_of:
+                return self.spark.createDataFrame([], RESULT_SCHEMA)
         idf = self.term_idf(sorted(tf_of), lang)
         weights = {
             t: math.floor(tf_of[t] * w * 1e6 + 0.5) / 1e6

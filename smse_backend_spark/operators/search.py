@@ -1679,6 +1679,7 @@ def more_like_this_oracle_sql(
     lang: str | None = None,
     table: str = "documents",
     content_col: str = "text",
+    unlike_doc_id: int | None = None,
 ) -> str:
     """DuckDB twin of ``InvertedIndex.more_like_this``: select the source
     doc's top ``max_terms`` terms by 6dp-floored tf*idf (weight desc, term
@@ -1688,6 +1689,11 @@ def more_like_this_oracle_sql(
     where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
     toksql = tokenize_duckdb_sql(content_col)
     sel_idf = idf_sql("dfall.df", "stats.n")
+    unlike_cut = (
+        f" AND term NOT IN (SELECT term FROM tok"
+        f" WHERE doc_id = {int(unlike_doc_id)})"
+        if unlike_doc_id is not None else ""
+    )
     score = bm25_term_score_sql(
         "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
     )
@@ -1706,7 +1712,7 @@ tok AS (
 ),
 src AS (
   SELECT term, count(*)::BIGINT AS tf FROM tok
-  WHERE doc_id = {doc_id} GROUP BY term
+  WHERE doc_id = {doc_id}{unlike_cut} GROUP BY term
 ),
 dfall AS (
   SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok

@@ -2010,3 +2010,29 @@ def test_span_multi_first_vs_oracle(pos_index, oracle_con):
     single = {r["doc_id"] for r in
               ix.span_first_topk(exp[0], 5, 10**6).collect()}
     assert single <= multi and len(multi) > len(single)
+
+
+def test_mlt_unlike_vs_oracle(corpus, index, oracle_con):
+    """MLT with ES `unlike`: the negative exemplar's terms vanish from
+    the selection; engine == DuckDB twin; result genuinely re-ranks."""
+    from smse_backend_spark.functions.tokenizer import tokenize_py
+    from smse_backend_spark.operators.search import more_like_this_oracle_sql
+
+    got = [tuple(r) for r in
+           index.more_like_this(corpus, 42, 50, 8,
+                                unlike_doc_id=7).collect()]
+    want = [tuple(w) for w in oracle_con.execute(
+        more_like_this_oracle_sql(42, 50, max_terms=8, unlike_doc_id=7)
+    ).fetchall()]
+    assert got == want and got
+    plain = [tuple(r) for r in
+             index.more_like_this(corpus, 42, 50, 8).collect()]
+    assert got != plain
+    # an unlike doc sharing no terms with the source changes nothing;
+    # unlike == source empties the selection entirely
+    texts = {r["doc_id"]: r["content"] for r in
+             corpus.filter("doc_id in (7, 42)").collect()}
+    assert set(tokenize_py(texts[42])) & set(tokenize_py(texts[7]))
+    self_neg = index.more_like_this(corpus, 42, 50, 8,
+                                    unlike_doc_id=42).collect()
+    assert self_neg == []
