@@ -1021,7 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc 42's candidate set before the tf*idf ranking
         "mlt_unlike": lambda spark, sf: _indexed(spark, sf)
         .more_like_this(load_corpus(spark, sf), 42, 10, max_terms=8,
-                        unlike_doc_id=7),
+                        unlike_doc_id=8),
         # span-near proximity over the positional index
         "span_near": lambda spark, sf: _pos_indexed(spark, sf)
         .near_topk("table scan", 6, 10),
@@ -1988,7 +1988,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "search_facets": facet_counts_oracle_sql(FLAGSHIP_QUERY),
         "more_like_this": more_like_this_oracle_sql(42, 10, max_terms=8),
         "mlt_unlike": more_like_this_oracle_sql(
-            42, 10, max_terms=8, unlike_doc_id=7
+            42, 10, max_terms=8, unlike_doc_id=8
         ),
         "span_near": near_oracle_sql("table scan", 6, 10),
         "span_near_ordered": near_oracle_sql("table scan", 6, 10,
