@@ -30,6 +30,10 @@ from smse_backend_spark.operators.search import (
     bm25f_scan,
     collapse_oracle_sql,
     collapse_topk,
+    bm25f_zaragoza_oracle_sql,
+    bm25f_zaragoza_scan,
+    combined_fields_oracle_sql,
+    combined_fields_scan,
     cross_fields_bm25_scan,
     cross_fields_oracle_sql,
     dis_max_bm25_scan,
@@ -1127,6 +1131,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f": lambda spark, sf: bm25f_scan(
             load_corpus(spark, sf), MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 10
         ),
+        # Lucene CombinedFieldQuery (ES combined_fields): weighted tf AND
+        # length pooled into one pseudo-field, single saturation, blended df
+        "combined_fields": lambda spark, sf: combined_fields_scan(
+            load_corpus(spark, sf), MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 10
+        ),
+        # original Zaragoza/TREC-13 BM25F: per-field soft length norm
+        # (slope B_f) BEFORE pooling, tf~/(k1+tf~) saturation
+        "bm25f_zaragoza": lambda spark, sf: bm25f_zaragoza_scan(
+            load_corpus(spark, sf), MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS,
+            None, 10
+        ),
         # doc-value sort: match set ordered by content length, not score
         "sort_by_field": lambda spark, sf: sort_by_field_topk(
             load_corpus(spark, sf), FLAGSHIP_QUERY, 10
@@ -2033,6 +2048,12 @@ LIMIT 10
         ),
         "bm25_cross_fields": cross_fields_oracle_sql(
             MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 10
+        ),
+        "combined_fields": combined_fields_oracle_sql(
+            MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 10
+        ),
+        "bm25f_zaragoza": bm25f_zaragoza_oracle_sql(
+            MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, None, 10
         ),
         "bm25_stemmed": bm25_scan_oracle_sql(
             "tables scans windows merges", 10, stem=True

@@ -539,6 +539,270 @@ LIMIT {k}
 """
 
 
+def combined_fields_scan(
+    corpus: DataFrame,
+    query_text: str,
+    field_weights: dict[str, float] | None = None,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``combined_fields`` query (Lucene sandbox ``CombinedFieldQuery``):
+    term-centric BM25 over a single MERGED pseudo-field — Robertson,
+    Zaragoza & Taylor's "Simple BM25 extension to multiple weighted
+    fields" (CIKM 2004), the model Lucene implements:
+
+        tf'(t,d) = sum_f w_f * tf_f(t,d)     (weighted freqs pooled)
+        dl'(d)   = sum_f w_f * len_f(d)      (weighted norms pooled)
+        avgdl'   = avg_d dl'(d)
+        df'(t)   = max_f df_f(t)             (Lucene's mergeTermStates:
+                                              docFreq maxed across fields)
+        score(d) = sum_t idf(df') * sat(tf', dl', avgdl')   (ONE saturation)
+
+    Same pooled model as :func:`bm25f_scan`; the semantic fork is the
+    TERM-STAT MERGE — Lucene combines per-field TermStates by taking the
+    MAX docFreq (the BlendedTermQuery discipline; the pseudo-field's df
+    is never measured), while bm25f_scan counts the true union-presence
+    df (docs where ANY field contains t). union-df >= max-df, so
+    combined_fields systematically weights cross-field-split terms
+    HIGHER (smaller df, larger idf) — the two agree exactly iff one
+    field's match set contains the other's. Lucene's 1-byte norm
+    quantization is dropped for exact lengths — the repo-wide discipline
+    (same as the bm25 scan path).
+
+    Scale shape: identical to the other fielded scans — one stacked
+    in-row explode (no per-field scans), the pooled-dl agg and the tf
+    agg are both map-side combined, per-term blended df is
+    vocabulary-bounded and broadcast, top-k is TakeOrderedAndProject.
+    Integer-valued weights keep tf'/dl' exactly representable, so the
+    oracle's different summation order cannot drift (< 2^53).
+    """
+    if field_weights is None:
+        field_weights = {"content": 1.0, "path": 2.0}
+    terms = query_terms(query_text)
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    if not terms or not field_weights:
+        return _empty_scores(corpus)
+    base = _stacked_fields(corpus, sorted(field_weights))
+    w_c = _field_weight_col(field_weights)
+    cdl = base.groupBy("doc_id").agg(
+        F.sum(w_c * F.col("doc_len")).alias("cdl")
+    )
+    row = cdl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("cdl").alias("avgdl")
+    ).first()
+    if not row or not row["n"]:
+        return _empty_scores(corpus)
+    n_docs, avgdl = float(row["n"]), float(row["avgdl"])
+    tf = (
+        base.select("doc_id", "field", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "field", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # blended df: per-field presence counts, max over fields — broadcasts
+    df_b = (
+        tf.groupBy("field", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .groupBy("term")
+        .agg(F.max("df").cast("double").alias("df"))
+    )
+    pooled = (
+        tf.withColumn("wtf", w_c * F.col("tf"))
+        .groupBy("doc_id", "term")
+        .agg(F.sum("wtf").alias("ctf"))
+    )
+    return (
+        pooled.join(cdl, "doc_id")
+        .join(F.broadcast(df_b), "term")
+        .withColumn(
+            "contrib",
+            bm25_term_score_col(
+                F.col("ctf"), idf_col(F.col("df"), n_docs), F.col("cdl"), avgdl
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def combined_fields_oracle_sql(
+    query_text: str,
+    field_weights: dict[str, float] | None = None,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`combined_fields_scan`: pooled weighted tf and
+    doc length, single saturation, blended (max-over-fields) df, same
+    rounding."""
+    if field_weights is None:
+        field_weights = {"content": 1.0, "path": 2.0}
+    cte = _fielded_cte_sql(query_text, field_weights, lang, table, content_col)
+    if cte is None:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    sat = bm25_term_score_sql(
+        "ctf.ctf", idf_sql("dfb.df", "cstats.n"), "cdl.cdl", "cstats.avgdl"
+    )
+    return f"""{cte},
+cdl AS (
+  SELECT dl.doc_id AS doc_id, sum(w.wt * dl.doc_len) AS cdl
+  FROM dl JOIN w USING (field) GROUP BY dl.doc_id
+),
+cstats AS (SELECT count(*)::DOUBLE AS n, avg(cdl) AS avgdl FROM cdl),
+ctf AS (
+  SELECT tf.doc_id AS doc_id, tf.term AS term, sum(w.wt * tf.tf) AS ctf
+  FROM tf JOIN w USING (field) GROUP BY tf.doc_id, tf.term
+),
+dfb AS (SELECT term, max(df) AS df FROM dfq GROUP BY term)
+SELECT ctf.doc_id AS doc_id, round(sum({sat}), 6) AS score
+FROM ctf
+JOIN cdl USING (doc_id)
+JOIN dfb USING (term)
+CROSS JOIN cstats
+GROUP BY ctf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def bm25f_zaragoza_scan(
+    corpus: DataFrame,
+    query_text: str,
+    field_weights: dict[str, float] | None = None,
+    field_b: dict[str, float] | None = None,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+) -> DataFrame:
+    """The ORIGINAL BM25F (Zaragoza, Craswell, Taylor, Saria & Robertson,
+    "Microsoft Cambridge at TREC-13", 2004): per-field length
+    normalization BEFORE pooling, with a per-field slope ``B_f`` —
+
+        tfn_f(t,d) = tf_f / (1 + B_f * (len_f/avglen_f - 1))
+        tf~(t,d)   = sum_f w_f * tfn_f(t,d)
+        df(t)      = docs where ANY field contains t
+        score(d)   = sum_t idf(df) * tf~ / (k1 + tf~)
+
+    The third member of the pooled family: :func:`bm25f_scan` (Simple
+    BM25F) pools RAW tf and normalizes once by the pooled length;
+    :func:`combined_fields_scan` does the same with Lucene's max-df stat
+    merge; Zaragoza-BM25F normalizes EACH field by its own length/slope
+    so a verbose field can be damped (B_f→1) while a title-like field
+    ignores length entirely (B_f→0) — the reason the original
+    outperformed naive field concatenation at TREC. Final saturation is
+    the paper's ``tf~/(k1+tf~)`` (no (k1+1) numerator — that constant
+    is a Lucene presentation detail; kept as published).
+
+    Scale shape: identical to the other fielded scans — one stacked
+    in-row explode, per-field avglen is a vocabulary-free 2-row agg,
+    per-term df broadcasts, top-k is TakeOrderedAndProject.
+    """
+    if field_weights is None:
+        field_weights = {"content": 1.0, "path": 2.0}
+    if field_b is None:
+        field_b = {"content": 0.75, "path": 0.5}
+    terms = query_terms(query_text)
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    if not terms or not field_weights:
+        return _empty_scores(corpus)
+    base = _stacked_fields(corpus, sorted(field_weights))
+    stats = {
+        r["field"]: (float(r["n"]), float(r["avgdl"]))
+        for r in base.groupBy("field")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
+        .collect()
+    }
+    if not stats:
+        return _empty_scores(corpus)
+    n_docs = next(iter(stats.values()))[0]
+    avgdl_c = F.coalesce(
+        *[F.when(F.col("field") == f, F.lit(a)) for f, (_n, a) in stats.items()]
+    )
+    w_c = _field_weight_col(field_weights)
+    b_c = _field_weight_col(field_b)
+    tf = (
+        base.select("doc_id", "field", "doc_len", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "field", "doc_len", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tfn = w_c * F.col("tf").cast("double") / (
+        F.lit(1.0) + b_c * (F.col("doc_len").cast("double") / avgdl_c - F.lit(1.0))
+    )
+    pooled = (
+        tf.withColumn("tfn", tfn)
+        .groupBy("doc_id", "term")
+        .agg(F.sum("tfn").alias("tfq"))
+    )
+    df_t = pooled.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    from smse_backend_spark import K1
+
+    return (
+        pooled.join(F.broadcast(df_t), "term")
+        .withColumn(
+            "contrib",
+            idf_col(F.col("df"), n_docs)
+            * F.col("tfq") / (F.lit(float(K1)) + F.col("tfq")),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25f_zaragoza_oracle_sql(
+    query_text: str,
+    field_weights: dict[str, float] | None = None,
+    field_b: dict[str, float] | None = None,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bm25f_zaragoza_scan`: per-field soft length
+    normalization, weighted pooling, union-presence df, ``tf~/(k1+tf~)``
+    saturation, same rounding."""
+    from smse_backend_spark import K1
+
+    if field_weights is None:
+        field_weights = {"content": 1.0, "path": 2.0}
+    if field_b is None:
+        field_b = {"content": 0.75, "path": 0.5}
+    cte = _fielded_cte_sql(query_text, field_weights, lang, table, content_col)
+    if cte is None:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    bvals = ", ".join(
+        f"('{f}', {float(b)!r})" for f, b in sorted(field_b.items())
+    )
+    return f"""{cte},
+bf AS (SELECT * FROM (VALUES {bvals}) AS bf(field, slope)),
+pooled AS (
+  SELECT tf.doc_id AS doc_id, tf.term AS term,
+         sum(w.wt * tf.tf / (1.0 + bf.slope *
+             (tf.doc_len / stats.avgdl - 1.0))) AS tfq
+  FROM tf JOIN stats USING (field) JOIN w USING (field)
+       JOIN bf USING (field)
+  GROUP BY tf.doc_id, tf.term
+),
+dfu AS (SELECT term, count(*)::DOUBLE AS df FROM pooled GROUP BY term),
+n1 AS (SELECT max(n) AS n FROM stats)
+SELECT pooled.doc_id AS doc_id,
+       round(sum({idf_sql("dfu.df", "n1.n")} *
+                 pooled.tfq / ({float(K1)!r} + pooled.tfq)), 6) AS score
+FROM pooled JOIN dfu USING (term) CROSS JOIN n1
+GROUP BY pooled.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def sort_by_field_topk(
     corpus: DataFrame,
     query_text: str,

@@ -1,0 +1,116 @@
+"""Oracle-identity tests for the round-4 additions: combined_fields
+(Lucene CombinedFieldQuery), intervals combinators, search_as_you_type,
+fuzzy completion, and line-level dedup."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from smse_backend_spark.corpus import load_corpus
+from smse_backend_spark.operators.search import (
+    bm25f_scan,
+    combined_fields_oracle_sql,
+    combined_fields_scan,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_smoke):
+    c = load_corpus(spark, sf_smoke).cache()
+    c.count()
+    return c
+
+
+@pytest.fixture(scope="module")
+def con(sf_smoke):
+    c = duckdb.connect()
+    c.execute(
+        f"create view documents as select * from '{sf_smoke}/documents.parquet'"
+    )
+    return c
+
+
+@pytest.mark.parametrize("query,lang", [
+    ("py f42 hash join", None),
+    ("hash join merge scan", "en"),
+    ("nonexistentterm", None),
+    ("", None),
+])
+def test_combined_fields_vs_duckdb(corpus, con, query, lang):
+    got = sorted(
+        tuple(r)
+        for r in combined_fields_scan(corpus, query, None, 10, lang).collect()
+    )
+    want = sorted(
+        tuple(w)
+        for w in con.execute(
+            combined_fields_oracle_sql(query, None, 10, lang)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_combined_fields_df_merge_differs_from_bm25f(spark):
+    """combined_fields (Lucene max-df stat merge) vs bm25f_scan
+    (union-presence df): on a corpus where a term's match sets are
+    DISJOINT across fields (union-df 2, max-df 1), the idfs — and hence
+    the scores — must diverge; docs and ranks stay identical."""
+    micro = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "x/y.py", "en"),
+            (2, "delta beta", "alpha/z.py", "en"),
+            (3, "epsilon", "q/r.py", "en"),
+        ],
+        "doc_id long, content string, path string, lang string",
+    )
+    cf = {r["doc_id"]: r["score"]
+          for r in combined_fields_scan(micro, "alpha", None, 10).collect()}
+    bf = {r["doc_id"]: r["score"]
+          for r in bm25f_scan(micro, "alpha", None, 10).collect()}
+    assert set(cf) == set(bf) == {1, 2}
+    # max-df (1) < union-df (2) -> strictly larger idf -> larger scores
+    assert all(cf[d] > bf[d] for d in cf)
+
+
+def test_bm25f_zaragoza_vs_duckdb(corpus, con):
+    from smse_backend_spark.operators.search import (
+        bm25f_zaragoza_oracle_sql,
+        bm25f_zaragoza_scan,
+    )
+
+    for q, lang in [("py f42 hash join", None), ("window scan", "en"),
+                    ("", None)]:
+        got = sorted(
+            tuple(r)
+            for r in bm25f_zaragoza_scan(corpus, q, None, None, 10, lang)
+            .collect()
+        )
+        want = sorted(
+            tuple(w)
+            for w in con.execute(
+                bm25f_zaragoza_oracle_sql(q, None, None, 10, lang)
+            ).fetchall()
+        )
+        assert got == want, q
+
+
+def test_bm25f_zaragoza_slope_zero_ignores_field_length(spark):
+    """B_f = 0 turns off length normalization for that field: two docs
+    whose path fields differ only in length must score identically when
+    the path slope is 0 and differently when it is 1."""
+    from smse_backend_spark.operators.search import bm25f_zaragoza_scan
+
+    micro = spark.createDataFrame(
+        [
+            (1, "zz", "alpha/b.py", "en"),
+            (2, "zz", "alpha/very/long/extra/pieces/b.py", "en"),
+        ],
+        "doc_id long, content string, path string, lang string",
+    )
+    flat = {r["doc_id"]: r["score"] for r in bm25f_zaragoza_scan(
+        micro, "alpha", None, {"content": 0.0, "path": 0.0}, 10).collect()}
+    sloped = {r["doc_id"]: r["score"] for r in bm25f_zaragoza_scan(
+        micro, "alpha", None, {"content": 0.0, "path": 1.0}, 10).collect()}
+    assert flat[1] == flat[2]
+    assert sloped[1] != sloped[2]
