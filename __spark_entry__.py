@@ -93,6 +93,7 @@ from smse_backend_spark.operators.search import (
     more_like_this_oracle_sql,
     multi_field_bm25_scan,
     multi_field_oracle_sql,
+    intervals_allof_oracle_sql,
     near_oracle_sql,
     boosting_oracle_sql,
     phrase_prefix_oracle_sql,
@@ -998,6 +999,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # width-minus-terms criterion derived onto the span-near window
         "intervals_match": lambda spark, sf: _pos_indexed(spark, sf)
         .intervals_topk("table scan", max_gaps=2, ordered=True, k=10),
+        # compositional intervals: all_of(ordered, max_gaps=2) over
+        # [term, any_of(term, term)] — alternatives union into one source
+        "intervals_any_of": lambda spark, sf: _pos_indexed(spark, sf)
+        .intervals_allof_topk(
+            [["table"], ["scan", "merge"]], max_gaps=2, ordered=True, k=10
+        ),
         # ES match_phrase_prefix (search-as-you-type): last token expanded
         # from the dictionary, blended window frequency, one idf
         "bm25_phrase_prefix": lambda spark, sf: _pos_indexed(spark, sf)
@@ -1986,6 +1993,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         # window = max_gaps + n_terms - 1 = 2 + 2 - 1 = 3
         "intervals_match": near_oracle_sql("table scan", 3, 10,
                                            in_order=True),
+        "intervals_any_of": intervals_allof_oracle_sql(
+            [["table"], ["scan", "merge"]], 2, True, 10
+        ),
         "bm25_phrase_prefix": phrase_prefix_oracle_sql("hash jo", 10),
         "bm25_boosting": boosting_oracle_sql(FLAGSHIP_QUERY, ["window"], 0.5),
         "bm25_must_not": bm25_scan_oracle_sql(

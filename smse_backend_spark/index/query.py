@@ -481,6 +481,65 @@ def _make_near_matcher(
     return kernel
 
 
+def _make_interval_sets_matcher(
+    sources: list[tuple[str, ...]], window: int, idf: dict[str, float],
+    avgdl: float, tomb_b=None, in_order: bool = False,
+):
+    """mapInPandas kernel for the compositional ES ``intervals`` query
+    ``all_of`` over ``any_of`` sub-sources: each source's position list
+    is the UNION of its member terms' occurrences (an ``any_of`` of
+    width-1 ``match`` intervals — a singleton source is a plain term);
+    a doc matches when one position can be picked per source with
+    ``max - min <= window`` (and, ``in_order``, strictly increasing in
+    source order). Scoring follows the span discipline: BM25 sum
+    (global idf, full doc tf) over the distinct member terms PRESENT in
+    the doc — a source's absent alternatives contribute nothing."""
+    uniq = sorted({t for s in sources for t in s})
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grouped, dl_of = _decode_positional_rows(batches, tomb_b)
+        if grouped is None:
+            return
+        docs_of_term = {u: {d for (d, t) in grouped if t == u} for u in uniq}
+        cand_docs = set.intersection(
+            *[set.union(*[docs_of_term[t] for t in s]) for s in sources]
+        ) if sources else set()
+        out_d, out_s = [], []
+        for doc in sorted(cand_docs):
+            lists = []
+            for s in sources:
+                parts = [grouped[(doc, t)] for t in s if (doc, t) in grouped]
+                lists.append(
+                    parts[0] if len(parts) == 1
+                    else np.unique(np.concatenate(parts))
+                )
+            ok = (
+                _ordered_cover_within(lists, window)
+                if in_order
+                else _min_cover_within(lists, window)
+            )
+            if not ok:
+                continue
+            dl = float(dl_of[doc])
+            score = 0.0
+            for t in uniq:
+                if (doc, t) not in grouped:
+                    continue
+                tf = float(grouped[(doc, t)].size)
+                score += idf[t] * tf * (K1 + 1.0) / (
+                    tf + K1 * (1.0 - B + B * dl / avgdl)
+                )
+            out_d.append(doc)
+            out_s.append(score)
+        if out_d:
+            yield pd.DataFrame(
+                {"doc_id": np.array(out_d, dtype=np.int64),
+                 "score": np.array(out_s, dtype=np.float64)}
+            )
+
+    return kernel
+
+
 def wildcard_to_regex(pattern: str) -> str:
     """Lucene wildcard syntax -> anchored-regex subset: ``*`` = ``.*``,
     ``?`` = ``.``, everything else literal (escaped). The output stays
@@ -2451,6 +2510,72 @@ class InvertedIndex:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         window = int(max_gaps) + n_terms - 1
         return self.near_topk(query_text, window, k, lang, in_order=ordered)
+
+    def intervals_allof_topk(
+        self,
+        sources: list[list[str] | tuple[str, ...]],
+        max_gaps: int = 0,
+        ordered: bool = True,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Compositional ES ``intervals`` query: ``all_of`` (``ordered`` /
+        ``max_gaps``) over sub-sources, each a single term or an
+        ``any_of`` of terms (the alternatives' occurrences UNION into one
+        position list — width-1 match intervals, so Lucene's
+        width-minus-terms gap law reduces to the span-near window
+        ``max_gaps + n_sources - 1``, same derivation as
+        :meth:`intervals_topk`). A doc matches when one occurrence per
+        source fits the window (ordered: strictly increasing in source
+        order). Scoring follows the span discipline — conjunctive BM25
+        (global idf, full doc tf) over the distinct member terms PRESENT
+        in the matching doc; absent alternatives contribute nothing.
+
+        Plan shape: identical to :meth:`near_topk` — partition-pruned
+        positional block scan over the UNION of member terms, one
+        segment shuffle, vectorized union + window sweep in the kernel.
+        """
+        if not self.meta["config"].get("with_positions"):
+            raise ValueError(
+                "intervals_allof_topk requires an index built with "
+                "with_positions=True"
+            )
+        srcs = [tuple(dict.fromkeys(s)) for s in sources if s]
+        if not srcs:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        n, avgdl = self.corpus_stats(lang)
+        if not n:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        all_terms = sorted({t for s in srcs for t in s})
+        dfs = self.term_df(all_terms, lang)
+        # prune alternatives absent from the corpus; an all_of clause
+        # with NO surviving alternative can never match
+        srcs = [tuple(t for t in s if t in dfs) for s in srcs]
+        if any(not s for s in srcs):
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        terms = sorted({t for s in srcs for t in s})
+        idf = {
+            t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            for t in terms
+        }
+        window = int(max_gaps) + len(srcs) - 1
+        nparts = int(
+            min(1024, max(self.spark.sparkContext.defaultParallelism,
+                          sum(dfs[t] for t in terms) // 200_000 + 1))
+        )
+        blocks = self._blocks(terms, lang).select(
+            "segment", "term", "first_doc", "gaps", "tfs", "dls", "poss"
+        ).repartition(nparts, "segment")
+        self._load_tombs()
+        matches = blocks.mapInPandas(
+            _make_interval_sets_matcher(
+                srcs, window, idf, avgdl, self._tomb_bcast, ordered
+            ),
+            "doc_id long, score double",
+        )
+        if self._tomb_df is not None:
+            matches = matches.join(self._tomb_df, "doc_id", "left_anti")
+        return self._finish(matches, k)
 
     def explain_scores(
         self,

@@ -2087,6 +2087,89 @@ LIMIT {k}
 """
 
 
+def intervals_allof_oracle_sql(
+    sources: list[list[str] | tuple[str, ...]],
+    max_gaps: int = 0,
+    ordered: bool = True,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.intervals_allof_topk``: one position
+    CTE per source (the UNION of its alternatives' occurrences), the
+    span-near window ``max_gaps + n_sources - 1`` with the optional
+    strictly-increasing order chain, scored as the BM25 sum over the
+    distinct member terms present in each matching doc."""
+    srcs = [tuple(dict.fromkeys(s)) for s in sources if s]
+    if not srcs:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    terms = sorted({t for s in srcs for t in s})
+    window = int(max_gaps) + len(srcs) - 1
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toksql = tokenize_duckdb_sql(content_col)
+    score = bm25_term_score_sql(
+        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
+    )
+    pos_ctes = ",\n".join(
+        """p{i} AS (
+  SELECT doc_id, unnest(list_filter(generate_series(1, len(toks)),
+                                    j -> toks[j] IN ({alts}))) AS p
+  FROM dl
+)""".format(
+            i=i,
+            alts=", ".join("'" + t.replace("'", "''") + "'" for t in s),
+        )
+        for i, s in enumerate(srcs)
+    )
+    join_chain = " ".join(
+        f"JOIN p{i} USING (doc_id)" for i in range(1, len(srcs))
+    )
+    ps = ", ".join(f"p{i}.p" for i in range(len(srcs)))
+    win = (
+        f"greatest({ps}) - least({ps}) <= {window}"
+        if len(srcs) > 1
+        else "TRUE"
+    )
+    if ordered and len(srcs) > 1:
+        chain = " AND ".join(
+            f"p{i}.p < p{i + 1}.p" for i in range(len(srcs) - 1)
+        )
+        win = f"({win}) AND {chain}"
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toksql} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ({in_list})
+  GROUP BY doc_id, doc_len, term
+),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+{pos_ctes},
+m AS (
+  SELECT DISTINCT p0.doc_id FROM p0 {join_chain} WHERE {win}
+)
+SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN stats JOIN m ON tf.doc_id = m.doc_id
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def suggest_oracle_sql(
     term: str,
     max_edits: int = 2,

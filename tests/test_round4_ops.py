@@ -114,3 +114,56 @@ def test_bm25f_zaragoza_slope_zero_ignores_field_length(spark):
         micro, "alpha", None, {"content": 0.0, "path": 1.0}, 10).collect()}
     assert flat[1] == flat[2]
     assert sloped[1] != sloped[2]
+
+
+# ---------------------------------------------------------------------------
+# intervals all_of / any_of combinators
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, corpus, tmp_path_factory):
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+
+    out = str(tmp_path_factory.mktemp("idx_pos_r4"))
+    build_index(spark, corpus, out, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=2, with_positions=True)
+    return InvertedIndex(spark, out)
+
+
+@pytest.mark.parametrize("sources,max_gaps,ordered", [
+    ([["table"], ["scan", "merge"]], 2, True),
+    ([["table"], ["scan", "merge"]], 0, False),
+    ([["hash", "sort"], ["join"], ["batch", "window"]], 4, True),
+    ([["zzqq"], ["scan"]], 3, True),
+])
+def test_intervals_allof_vs_oracle(pos_index, con, sources, max_gaps, ordered):
+    from smse_backend_spark.operators.search import intervals_allof_oracle_sql
+
+    got = [(r["doc_id"], r["score"])
+           for r in pos_index.intervals_allof_topk(
+               sources, max_gaps, ordered, 10).collect()]
+    want = [tuple(r) for r in con.execute(
+        intervals_allof_oracle_sql(sources, max_gaps, ordered, 10)).fetchall()]
+    assert got == want, (sources, got[:3], want[:3])
+
+
+def test_intervals_allof_singletons_equals_intervals_match(pos_index):
+    """all_of over singleton sources IS the plain intervals match rule —
+    the combinator must collapse to intervals_topk exactly."""
+    a = [(r["doc_id"], r["score"]) for r in pos_index.intervals_allof_topk(
+        [["table"], ["scan"]], max_gaps=2, ordered=True, k=10).collect()]
+    b = [(r["doc_id"], r["score"]) for r in pos_index.intervals_topk(
+        "table scan", max_gaps=2, ordered=True, k=10).collect()]
+    assert a == b
+    assert a
+
+
+def test_intervals_anyof_supersets_each_alternative(pos_index):
+    """any_of's match set contains each single-alternative match set."""
+    union = {r["doc_id"] for r in pos_index.intervals_allof_topk(
+        [["table"], ["scan", "merge"]], 2, True, 10_000).collect()}
+    for alt in ("scan", "merge"):
+        solo = {r["doc_id"] for r in pos_index.intervals_allof_topk(
+            [["table"], [alt]], 2, True, 10_000).collect()}
+        assert solo <= union
