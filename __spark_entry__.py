@@ -95,6 +95,7 @@ from smse_backend_spark.operators.search import (
     multi_field_oracle_sql,
     intervals_allof_oracle_sql,
     near_oracle_sql,
+    phrase_slop_oracle_sql,
     boosting_oracle_sql,
     phrase_prefix_oracle_sql,
     phrase_suggest_oracle_sql,
@@ -999,6 +1000,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # width-minus-terms criterion derived onto the span-near window
         "intervals_match": lambda spark, sf: _pos_indexed(spark, sf)
         .intervals_topk("table scan", max_gaps=2, ordered=True, k=10),
+        # Lucene SLOPPY phrase (match_phrase slop=2): queue algorithm
+        # accumulates sum 1/(1+matchLength); BM25 on the fractional freq
+        "bm25_phrase_slop": lambda spark, sf: _pos_indexed(spark, sf)
+        .phrase_slop_topk("table scan", 2, 10),
         # compositional intervals: all_of(ordered, max_gaps=2) over
         # [term, any_of(term, term)] — alternatives union into one source
         "intervals_any_of": lambda spark, sf: _pos_indexed(spark, sf)
@@ -1996,6 +2001,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "intervals_any_of": intervals_allof_oracle_sql(
             [["table"], ["scan", "merge"]], 2, True, 10
         ),
+        "bm25_phrase_slop": phrase_slop_oracle_sql("table scan", 2, 10),
         "bm25_phrase_prefix": phrase_prefix_oracle_sql("hash jo", 10),
         "bm25_boosting": boosting_oracle_sql(FLAGSHIP_QUERY, ["window"], 0.5),
         "bm25_must_not": bm25_scan_oracle_sql(

@@ -481,6 +481,79 @@ def _make_near_matcher(
     return kernel
 
 
+def _sloppy_phrase_freq(lists: list[np.ndarray], slop: int) -> float:
+    """Lucene ``SloppyPhraseMatcher.phraseFreq()`` for non-repeating
+    phrases, verbatim: ``lists[i]`` is term i's sorted ADJUSTED position
+    array (position - phrase offset). A match is found each time the
+    minimum phrase position is advanced past the next-smallest one;
+    its match length is the smallest (end - min) seen while minimizing,
+    and contributes Lucene's slop factor ``1 / (1 + matchLength)`` when
+    ``matchLength <= slop``. Ties in the queue break toward the lower
+    phrase offset (PhraseQueue's comparator). Returns the accumulated
+    sloppy frequency (0.0 = no match within slop)."""
+    n = len(lists)
+    ptrs = [0] * n
+    cur = [int(l[0]) for l in lists]
+    end = max(cur)
+    order = sorted(range(n), key=lambda i: (cur[i], i))
+    ppi = order[0]
+    nxt = cur[order[1]]
+    ml = end - cur[ppi]
+    freq = 0.0
+    while True:
+        ptrs[ppi] += 1
+        if ptrs[ppi] >= lists[ppi].size:
+            break
+        c = int(lists[ppi][ptrs[ppi]])
+        cur[ppi] = c
+        if c > end:
+            end = c
+        if c > nxt:
+            if ml <= slop:
+                freq += 1.0 / (1.0 + ml)
+            order = sorted(range(n), key=lambda i: (cur[i], i))
+            ppi = order[0]
+            nxt = cur[order[1]]
+            ml = end - cur[ppi]
+        else:
+            ml2 = end - c
+            if ml2 < ml:
+                ml = ml2
+    if ml <= slop:
+        freq += 1.0 / (1.0 + ml)
+    return freq
+
+
+def _make_sloppy_phrase_matcher(terms: list[str], slop: int, tomb_b=None):
+    """mapInPandas kernel for the sloppy phrase: positional blocks ->
+    (doc_id, freq, dl) for docs whose accumulated Lucene sloppy
+    frequency is > 0. ``terms`` must be distinct (the repeats-aware
+    Lucene path is a different algorithm — callers reject repeats)."""
+    uniq = sorted(terms)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grouped, dl_of = _decode_positional_rows(batches, tomb_b)
+        if grouped is None:
+            return
+        cand_docs = _docs_with_all_terms(grouped, uniq)
+        out_d, out_f, out_dl = [], [], []
+        for doc in sorted(cand_docs):
+            lists = [grouped[(doc, t)] - i for i, t in enumerate(terms)]
+            freq = _sloppy_phrase_freq(lists, slop)
+            if freq > 0.0:
+                out_d.append(doc)
+                out_f.append(freq)
+                out_dl.append(dl_of[doc])
+        if out_d:
+            yield pd.DataFrame(
+                {"doc_id": np.array(out_d, dtype=np.int64),
+                 "freq": np.array(out_f, dtype=np.float64),
+                 "dl": np.array(out_dl, dtype=np.int64)}
+            )
+
+    return kernel
+
+
 def _make_interval_sets_matcher(
     sources: list[tuple[str, ...]], window: int, idf: dict[str, float],
     avgdl: float, tomb_b=None, in_order: bool = False,
@@ -2298,6 +2371,81 @@ class InvertedIndex:
         """
         return (
             self._phrase_scored(phrase_text, lang)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def phrase_slop_topk(
+        self,
+        phrase_text: str,
+        slop: int,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``match_phrase`` with ``slop`` — Lucene's SLOPPY phrase, NOT
+        a span-near filter: the ``SloppyPhraseMatcher`` queue algorithm
+        accumulates a fractional phrase frequency ``sum 1/(1+matchLength)``
+        over the matches it discovers (see :func:`_sloppy_phrase_freq`),
+        and the doc is BM25-scored on that frequency with the SUM of the
+        phrase terms' idfs (Lucene ``PhraseWeight`` passes all terms'
+        stats to the similarity). slop=0 degenerates to the exact phrase
+        count — asserted against :meth:`phrase_topk`'s match kernel in
+        tests. Non-repeating phrases only (Lucene's repeats path is a
+        structurally different algorithm; rejected explicitly).
+
+        Plan shape: identical to :meth:`phrase_topk` — partition-pruned
+        positional block scan, ONE segment shuffle co-locating each doc's
+        postings, the queue sweep runs per doc over decoded numpy arrays;
+        only (doc_id, freq, dl) matches leave Python.
+        """
+        from smse_backend_spark.functions.tokenizer import tokenize_py
+
+        terms = tokenize_py(phrase_text)
+        if len(terms) < 2:
+            raise ValueError("phrase_slop_topk needs >= 2 tokens")
+        if len(set(terms)) != len(terms):
+            raise ValueError(
+                "phrase_slop_topk supports non-repeating phrases only "
+                "(Lucene's repeats-aware matcher is a different algorithm)"
+            )
+        if not self.meta["config"].get("with_positions"):
+            raise ValueError(
+                "phrase search requires an index built with with_positions=True"
+            )
+        n, avgdl = self.corpus_stats(lang)
+        if not n:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        dfs = self.term_df(sorted(terms), lang)
+        if any(t not in dfs for t in terms):
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        # sum of per-term idfs, accumulated in PHRASE order (the oracle
+        # writes the same left-associated chain — bit-identical)
+        idf_sum = 0.0
+        for t in terms:
+            idf_sum += math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        nparts = int(
+            min(1024, max(self.spark.sparkContext.defaultParallelism,
+                          sum(dfs.values()) // 200_000 + 1))
+        )
+        blocks = self._blocks(sorted(terms), lang).select(
+            "segment", "term", "first_doc", "gaps", "tfs", "dls", "poss"
+        ).repartition(nparts, "segment")
+        self._load_tombs()
+        matches = blocks.mapInPandas(
+            _make_sloppy_phrase_matcher(terms, int(slop), self._tomb_bcast),
+            "doc_id long, freq double, dl long",
+        )
+        if self._tomb_df is not None:
+            matches = matches.join(self._tomb_df, "doc_id", "left_anti")
+        return (
+            matches.select(
+                "doc_id",
+                F.round(
+                    F.lit(idf_sum)
+                    * _tf_norm(F.col("freq"), F.col("dl"), avgdl),
+                    6,
+                ).alias("score"),
+            )
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )

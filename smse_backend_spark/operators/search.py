@@ -1466,6 +1466,175 @@ LIMIT {k}
 """
 
 
+def phrase_slop_oracle_sql(
+    phrase_text: str,
+    slop: int,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.phrase_slop_topk``: a RECURSIVE CTE
+    simulates Lucene's ``SloppyPhraseMatcher`` queue algorithm step by
+    step — per-term state (pointer, current adjusted position) is
+    unrolled into scalar columns for the FIXED phrase, each recursion
+    advances exactly the minimum phrase position, and the accumulated
+    ``sum 1/(1+matchLength)`` frequency is numerically identical to the
+    engine kernel because the additions happen in the same sequential
+    order. Scored as (sum of per-term idfs, left-associated in phrase
+    order) * BM25 saturation of the sloppy frequency."""
+    from smse_backend_spark.functions.tokenizer import tokenize_py
+
+    terms = tokenize_py(phrase_text)
+    if len(terms) < 2 or len(set(terms)) != len(terms):
+        raise ValueError("phrase_slop oracle: >=2 distinct tokens required")
+    n = len(terms)
+    idx = range(n)
+    esc = [t.replace("'", "''") for t in terms]
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+
+    def ppi_case(cs: list[str]) -> str:
+        whens = []
+        for i in idx:
+            conds = [
+                f"{cs[i]} <= {cs[j]}" if j > i else f"{cs[i]} < {cs[j]}"
+                for j in idx if j != i
+            ]
+            whens.append(f"WHEN {' AND '.join(conds) or 'TRUE'} THEN {i}")
+        return "CASE " + " ".join(whens[:-1]) + f" ELSE {n - 1} END"
+
+    def nxt_case(ppicol: str, cs: list[str]) -> str:
+        whens = []
+        for i in idx:
+            others = [cs[j] for j in idx if j != i]
+            v = others[0] if len(others) == 1 else f"least({', '.join(others)})"
+            whens.append(f"WHEN {i} THEN {v}")
+        return f"CASE {ppicol} " + " ".join(whens) + " END"
+
+    def of_ppi(ppicol: str, vals: list[str]) -> str:
+        whens = " ".join(f"WHEN {i} THEN {vals[i]}" for i in idx)
+        return f"CASE {ppicol} {whens} END"
+
+    lists_cols = ",\n         ".join(
+        f"list_transform(list_filter(generate_series(1, len(toks)), "
+        f"j -> toks[j] = '{esc[i]}'), j -> j - {i}) AS l{i}"
+        for i in idx
+    )
+    nonempty = " AND ".join(f"len(l{i}) > 0" for i in idx)
+    lcols = ", ".join(f"l{i}" for i in idx)
+    init_inner = ", ".join(
+        [f"1 AS p{i}" for i in idx]
+        + [f"l{i}[1] AS c{i}" for i in idx]
+        + [f"greatest({', '.join(f'l{j}[1]' for j in idx)}) AS endp"]
+    )
+    cs = [f"c{i}" for i in idx]
+    csn = [f"c{i}n" for i in idx]
+    # ::DOUBLE everywhere — DuckDB types the bare literal 0.0 as
+    # DECIMAL(2,1) and the whole freq accumulator would silently round
+    step_free = (
+        f"CASE WHEN ml <= {int(slop)} THEN 1.0::DOUBLE / (1.0::DOUBLE + ml) "
+        "ELSE 0.0::DOUBLE END"
+    )
+    proj_state = ", ".join(
+        ["doc_id", lcols]
+        + [f"p{i}n AS p{i}" for i in idx]
+        + [f"c{i}n AS c{i}" for i in idx]
+        + ["endpn AS endp", "ppin AS ppi", "nxtn AS nxt", "mln AS ml",
+           "freqn AS freq", "donen AS done"]
+    )
+    idf_chain = f"(SELECT {idf_sql('df', 'stats.n')} FROM dfq, stats WHERE term = '{esc[0]}')"
+    for e in esc[1:]:
+        idf_chain = (
+            f"({idf_chain} + (SELECT {idf_sql('df', 'stats.n')} "
+            f"FROM dfq, stats WHERE term = '{e}'))"
+        )
+    score = bm25_term_score_sql(
+        "res.freq", idf_chain, "dlen.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM dl
+),
+dfq AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+  WHERE term IN ({", ".join("'" + e + "'" for e in esc)}) GROUP BY term
+),
+lists AS (
+  SELECT doc_id,
+         {lists_cols}
+  FROM dl
+),
+cand AS (SELECT * FROM lists WHERE {nonempty}),
+init AS (
+  SELECT doc_id, {lcols}, {", ".join(f"p{i}" for i in idx)},
+         {", ".join(cs)}, endp, ppi,
+         {nxt_case("ppi", cs)} AS nxt,
+         endp - {of_ppi("ppi", cs)} AS ml,
+         0.0::DOUBLE AS freq, FALSE AS done
+  FROM (
+    SELECT *, {ppi_case(cs)} AS ppi
+    FROM (SELECT doc_id, {lcols}, {init_inner} FROM cand)
+  )
+),
+sim AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT {proj_state}
+  FROM (
+    SELECT *,
+           CASE WHEN advanced THEN {nxt_case("ppin", csn)} ELSE nxt END AS nxtn,
+           CASE WHEN advanced THEN endpn - {of_ppi("ppin", csn)}
+                WHEN donen THEN ml
+                ELSE least(ml, endp - cnew) END AS mln
+    FROM (
+      SELECT *,
+             CASE WHEN advanced THEN {ppi_case(csn)} ELSE ppi END AS ppin,
+             freq + CASE WHEN exhausted OR advanced
+                         THEN {step_free} ELSE 0.0::DOUBLE END AS freqn,
+             exhausted AS donen
+      FROM (
+        SELECT *,
+               {", ".join(f"CASE WHEN NOT exhausted AND ppi = {i} THEN cnew ELSE c{i} END AS c{i}n" for i in idx)},
+               CASE WHEN exhausted THEN endp
+                    ELSE greatest(endp, cnew) END AS endpn,
+               (NOT exhausted AND cnew > nxt) AS advanced
+        FROM (
+          SELECT *,
+                 (pnext > llen) AS exhausted,
+                 CASE WHEN pnext <= llen
+                      THEN {of_ppi("ppi", [f"l{i}[pnext]" for i in idx])}
+                 END AS cnew
+          FROM (
+            SELECT *,
+                   {of_ppi("ppi", [f"p{i} + 1" for i in idx])} AS pnext,
+                   {of_ppi("ppi", [f"len(l{i})" for i in idx])} AS llen,
+                   {", ".join(f"CASE WHEN ppi = {i} THEN p{i} + 1 ELSE p{i} END AS p{i}n" for i in idx)}
+            FROM (SELECT * FROM sim WHERE NOT done)
+          )
+        )
+      )
+    )
+  )
+),
+res AS (SELECT doc_id, freq FROM sim WHERE done AND freq > 0.0),
+dlen AS (SELECT doc_id, doc_len FROM dl)
+SELECT res.doc_id AS doc_id, round({score}, 6) AS score
+FROM res JOIN dlen ON res.doc_id = dlen.doc_id CROSS JOIN stats
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def boosting_oracle_sql(
     query_text: str,
     negative: list[str] | tuple[str, ...],

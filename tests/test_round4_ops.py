@@ -167,3 +167,73 @@ def test_intervals_anyof_supersets_each_alternative(pos_index):
         solo = {r["doc_id"] for r in pos_index.intervals_allof_topk(
             [["table"], [alt]], 2, True, 10_000).collect()}
         assert solo <= union
+
+
+# ---------------------------------------------------------------------------
+# Lucene sloppy phrase (match_phrase slop)
+
+
+@pytest.mark.parametrize("phrase,slop,lang", [
+    ("table scan", 0, None),
+    ("table scan", 2, None),
+    ("table scan", 5, "en"),
+    ("hash join merge", 4, None),
+    ("zzqq nohit", 3, None),
+])
+def test_phrase_slop_vs_oracle(pos_index, con, phrase, slop, lang):
+    from smse_backend_spark.operators.search import phrase_slop_oracle_sql
+
+    got = [(r["doc_id"], r["score"])
+           for r in pos_index.phrase_slop_topk(phrase, slop, 10, lang).collect()]
+    want = [tuple(r) for r in con.execute(
+        phrase_slop_oracle_sql(phrase, slop, 10, lang)).fetchall()]
+    assert got == want, (phrase, slop, got[:3], want[:3])
+
+
+def test_phrase_slop_zero_matches_exact_phrase_set(pos_index):
+    """slop=0 degenerates to the exact phrase: same match set as
+    phrase_topk (scores differ by design — phrase-df idf vs summed
+    term idfs)."""
+    sloppy = {r["doc_id"] for r in
+              pos_index.phrase_slop_topk("table scan", 0, 10_000).collect()}
+    exact = {r["doc_id"] for r in
+             pos_index.phrase_topk("table scan", 10_000).collect()}
+    assert sloppy == exact
+    assert sloppy
+
+
+def test_phrase_slop_match_set_monotone_in_slop(pos_index):
+    prev: set = set()
+    for slop in (0, 1, 3, 6):
+        cur = {r["doc_id"] for r in
+               pos_index.phrase_slop_topk("table scan", slop, 10_000).collect()}
+        assert prev <= cur, slop
+        prev = cur
+
+
+def test_sloppy_freq_slop0_counts_exact_alignments():
+    """At slop=0 Lucene's sloppy frequency is exactly the number of
+    positions where every adjusted list aligns (each contributing
+    1/(1+0)) — check against a set-intersection count on random lists."""
+    import random
+
+    import numpy as np
+
+    from smse_backend_spark.index.query import _sloppy_phrase_freq
+
+    rng = random.Random(42)
+    for _ in range(300):
+        n = rng.randint(2, 4)
+        lists = []
+        for _i in range(n):
+            m = rng.randint(1, 8)
+            lists.append(np.array(sorted(rng.sample(range(0, 30), m)),
+                                  dtype=np.int64))
+        want = len(set.intersection(*[set(l.tolist()) for l in lists]))
+        got = _sloppy_phrase_freq(lists, 0)
+        assert got == float(want), (lists, got, want)
+
+
+def test_phrase_slop_rejects_repeats(pos_index):
+    with pytest.raises(ValueError):
+        pos_index.phrase_slop_topk("scan scan", 2, 10)
