@@ -96,6 +96,8 @@ from smse_backend_spark.operators.search import (
     intervals_allof_oracle_sql,
     near_oracle_sql,
     phrase_slop_oracle_sql,
+    sayt_oracle_sql,
+    sayt_scan,
     boosting_oracle_sql,
     phrase_prefix_oracle_sql,
     phrase_suggest_oracle_sql,
@@ -1000,6 +1002,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # width-minus-terms criterion derived onto the span-near window
         "intervals_match": lambda spark, sf: _pos_indexed(spark, sf)
         .intervals_topk("table scan", max_gaps=2, ordered=True, k=10),
+        # ES search_as_you_type: multi_match bool_prefix over root +
+        # _2gram shingle subfield; field scores add (most_fields)
+        "sayt_bool_prefix": lambda spark, sf: sayt_scan(
+            load_corpus(spark, sf), "table sc", 10
+        ),
         # Lucene SLOPPY phrase (match_phrase slop=2): queue algorithm
         # accumulates sum 1/(1+matchLength); BM25 on the fractional freq
         "bm25_phrase_slop": lambda spark, sf: _pos_indexed(spark, sf)
@@ -2002,6 +2009,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             [["table"], ["scan", "merge"]], 2, True, 10
         ),
         "bm25_phrase_slop": phrase_slop_oracle_sql("table scan", 2, 10),
+        "sayt_bool_prefix": sayt_oracle_sql("table sc", 10),
         "bm25_phrase_prefix": phrase_prefix_oracle_sql("hash jo", 10),
         "bm25_boosting": boosting_oracle_sql(FLAGSHIP_QUERY, ["window"], 0.5),
         "bm25_must_not": bm25_scan_oracle_sql(

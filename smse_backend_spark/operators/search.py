@@ -1466,6 +1466,248 @@ LIMIT {k}
 """
 
 
+def _shingle_col(tcol):
+    """Adjacent-pair shingle array ("a b" with ES's space separator) from
+    a token-array Column — the search_as_you_type ``_2gram`` subfield's
+    index-time analyzer, as in-row JVM Column algebra."""
+    return F.when(
+        F.size(tcol) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tcol) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tcol, i), F.element_at(tcol, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def sayt_scan(
+    corpus: DataFrame,
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    max_expansions: int = 16,
+) -> DataFrame:
+    """ES ``search_as_you_type``: the recommended ``multi_match type=
+    bool_prefix`` over the root field and its ``_2gram`` shingle
+    subfield. Each field gets its own ``match_bool_prefix`` — complete
+    tokens as OR terms, the trailing partial token as a dictionary
+    prefix expansion (df desc / term asc, capped — Lucene's multi-term
+    discipline) — and the field scores ADD (the bool_prefix type
+    combines like most_fields). The ``_2gram`` field is its own BM25
+    space: terms are adjacent-pair shingles ("a b", ES's space
+    separator), doc length = shingle count, df/avgdl measured in
+    shingle space; its prefix clause expands shingles matching
+    ``"<last-complete-token> <partial>"`` — that is exactly why SAYT
+    out-ranks plain bool_prefix on word-order-respecting prefixes.
+
+    Scale shape: ONE stacked scan builds both token arrays in-row; the
+    two expansion rankings are vocabulary-bounded aggs (at 10^12 files
+    the dictionary of a built index replaces them — same ranking law);
+    per-field tf/df aggs are map-side combined; the field-sum join is
+    on doc_id after both sides shrank to matching docs only.
+    """
+    from smse_backend_spark.functions.tokenizer import tokenize_py
+
+    seq = tokenize_py(query_text)
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    if not seq:
+        return _empty_scores(corpus)
+    tcol = tokenize_col("content")
+    base = corpus.select(
+        "doc_id", tcol.alias("rtoks"), _shingle_col(tcol).alias("stoks")
+    )
+    row = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("rtoks")).alias("ravg"),
+        F.avg(F.size("stoks")).alias("savg"),
+    ).first()
+    if not row or not row["n"]:
+        return _empty_scores(corpus)
+    n_docs = float(row["n"])
+    fixed, prefix = seq[:-1], seq[-1]
+
+    def _expand(tok_frame, col, like_prefix):
+        return [
+            r["t"]
+            for r in tok_frame.filter(F.col(col).startswith(like_prefix))
+            .groupBy(F.col(col).alias("t"))
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .orderBy(F.desc("df"), F.asc("t"))
+            .limit(max_expansions)
+            .collect()
+        ]
+
+    rtok = base.select("doc_id", F.explode("rtoks").alias("term"))
+    root_terms = sorted(set(fixed) | set(_expand(rtok, "term", prefix)))
+    stok = base.select("doc_id", F.explode("stoks").alias("term"))
+    fixed_sh = [f"{a} {b}" for a, b in zip(seq, seq[1:])][:-1] if len(seq) >= 3 else []
+    sh_terms: list[str] = []
+    if len(seq) >= 2:
+        sh_prefix = f"{seq[-2]} {prefix}"
+        sh_terms = sorted(set(fixed_sh) | set(_expand(stok, "term", sh_prefix)))
+
+    def _field_scores(tok_frame, terms, avgdl):
+        if not terms or avgdl is None:
+            return None
+        tf = (
+            tok_frame.filter(F.col("term").isin(terms))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dl = tok_frame.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("doc_len")
+        )
+        df_t = tf.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("df")
+        )
+        return (
+            tf.join(dl, "doc_id")
+            .join(F.broadcast(df_t), "term")
+            .withColumn(
+                "contrib",
+                bm25_term_score_col(
+                    F.col("tf"), idf_col(F.col("df"), n_docs),
+                    F.col("doc_len"), float(avgdl),
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("fs"))
+        )
+    # NOTE: doc_len for the shingle field counts the doc's SHINGLE rows,
+    # so a doc only appears in stok if it has >= 2 tokens — exactly the
+    # docs that have the _2gram field at all (ES's per-field docCount is
+    # approximated by the shared corpus n; documented, mirrored in SQL).
+    rs = _field_scores(rtok, root_terms, row["ravg"])
+    ss = _field_scores(stok, sh_terms, row["savg"])
+    if rs is None and ss is None:
+        return _empty_scores(corpus)
+    if rs is None or ss is None:
+        both = (rs or ss).withColumnRenamed("fs", "score")
+        both = both.select("doc_id", F.round("score", 6).alias("score"))
+    else:
+        both = (
+            rs.withColumnRenamed("fs", "rfs")
+            .join(ss.withColumnRenamed("fs", "sfs"), "doc_id", "full_outer")
+            .select(
+                "doc_id",
+                F.round(
+                    F.coalesce(F.col("rfs"), F.lit(0.0))
+                    + F.coalesce(F.col("sfs"), F.lit(0.0)),
+                    6,
+                ).alias("score"),
+            )
+        )
+    return both.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def sayt_oracle_sql(
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    max_expansions: int = 16,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`sayt_scan`: both expansion rankings
+    re-derived in SQL (df desc / term asc, capped), per-field BM25
+    spaces (root tokens vs adjacent-pair shingles), field scores summed
+    with the same rounding."""
+    from smse_backend_spark.functions.tokenizer import tokenize_py
+
+    seq = tokenize_py(query_text)
+    if not seq:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    fixed, prefix = seq[:-1], seq[-1]
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    fixed_list = ", ".join(f"'{esc(t)}'" for t in sorted(set(fixed)))
+    fixed_sh = sorted({f"{a} {b}" for a, b in list(zip(seq, seq[1:]))[:-1]}) \
+        if len(seq) >= 3 else []
+    fixed_sh_list = ", ".join(f"'{esc(t)}'" for t in fixed_sh)
+    sh_prefix = f"{seq[-2]} {prefix}" if len(seq) >= 2 else None
+    score_r = bm25_term_score_sql(
+        "rtf.tf", idf_sql("rdf.df", "stats.n"), "rtf.doc_len", "stats.ravg"
+    )
+    score_s = bm25_term_score_sql(
+        "stf.tf", idf_sql("sdf.df", "stats.n"), "stf.doc_len", "stats.savg"
+    )
+    sh_branch = f"""
+sexp AS (
+  SELECT term FROM (
+    SELECT term, count(DISTINCT doc_id) AS df FROM stok
+    WHERE starts_with(term, '{esc(sh_prefix)}') GROUP BY term
+  ) ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+sterms AS (
+  SELECT term FROM sexp
+  {"UNION SELECT unnest([" + fixed_sh_list + "])" if fixed_sh else ""}
+),
+stf AS (
+  SELECT s.doc_id, s.term, count(*)::BIGINT AS tf,
+         any_value(sdl.doc_len) AS doc_len
+  FROM stok s JOIN sterms USING (term)
+       JOIN (SELECT doc_id, count(*)::BIGINT AS doc_len FROM stok
+             GROUP BY doc_id) sdl ON s.doc_id = sdl.doc_id
+  GROUP BY s.doc_id, s.term
+),
+sdf AS (SELECT term, count(*)::DOUBLE AS df FROM stf GROUP BY term),
+sscore AS (
+  SELECT stf.doc_id AS doc_id, sum({score_s}) AS fs
+  FROM stf JOIN sdf USING (term) CROSS JOIN stats
+  GROUP BY stf.doc_id
+)""" if sh_prefix is not None else """
+sscore AS (SELECT NULL::BIGINT AS doc_id, NULL::DOUBLE AS fs WHERE false)"""
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(1, len(toks) - 1),
+                          j -> toks[j] || ' ' || toks[j + 1])
+         ELSE [] END AS shingles
+  FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS ravg,
+         avg(len(shingles)) AS savg
+  FROM dl
+),
+rtok AS (SELECT doc_id, doc_len, unnest(toks) AS term FROM dl),
+stok AS (SELECT doc_id, unnest(shingles) AS term FROM dl),
+rexp AS (
+  SELECT term FROM (
+    SELECT term, count(DISTINCT doc_id) AS df FROM rtok
+    WHERE starts_with(term, '{esc(prefix)}') GROUP BY term
+  ) ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+rterms AS (
+  SELECT term FROM rexp
+  {"UNION SELECT unnest([" + fixed_list + "])" if fixed else ""}
+),
+rtf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(doc_len) AS doc_len
+  FROM rtok JOIN rterms USING (term)
+  GROUP BY doc_id, term
+),
+rdf AS (SELECT term, count(*)::DOUBLE AS df FROM rtf GROUP BY term),
+rscore AS (
+  SELECT rtf.doc_id AS doc_id, sum({score_r}) AS fs
+  FROM rtf JOIN rdf USING (term) CROSS JOIN stats
+  GROUP BY rtf.doc_id
+),{sh_branch}
+SELECT coalesce(r.doc_id, s.doc_id) AS doc_id,
+       round(coalesce(r.fs, 0.0) + coalesce(s.fs, 0.0), 6) AS score
+FROM rscore r FULL OUTER JOIN sscore s ON r.doc_id = s.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def phrase_slop_oracle_sql(
     phrase_text: str,
     slop: int,

@@ -237,3 +237,40 @@ def test_sloppy_freq_slop0_counts_exact_alignments():
 def test_phrase_slop_rejects_repeats(pos_index):
     with pytest.raises(ValueError):
         pos_index.phrase_slop_topk("scan scan", 2, 10)
+
+
+# ---------------------------------------------------------------------------
+# search_as_you_type (multi_match bool_prefix over root + _2gram)
+
+
+@pytest.mark.parametrize("query,lang", [
+    ("table sc", None),
+    ("hash jo", "en"),
+    ("merge", None),           # single partial token: root field only
+    ("zzq qqz", None),         # no expansions anywhere
+])
+def test_sayt_vs_oracle(corpus, con, query, lang):
+    from smse_backend_spark.operators.search import sayt_oracle_sql, sayt_scan
+
+    got = sorted(tuple(r) for r in sayt_scan(corpus, query, 10, lang).collect())
+    want = sorted(tuple(w) for w in
+                  con.execute(sayt_oracle_sql(query, 10, lang)).fetchall())
+    assert got == want, (query, got[:3], want[:3])
+
+
+def test_sayt_shingle_field_rewards_adjacency(spark):
+    """The _2gram subfield is the whole point of search_as_you_type:
+    with identical root-field stats, the doc where the typed words are
+    ADJACENT must out-score the doc where they are separated."""
+    from smse_backend_spark.operators.search import sayt_scan
+
+    micro = spark.createDataFrame(
+        [
+            (1, "table scan runs fast", "en"),
+            (2, "table runs scan fast", "en"),
+        ],
+        "doc_id long, content string, lang string",
+    )
+    scores = {r["doc_id"]: r["score"]
+              for r in sayt_scan(micro, "table sc", 10).collect()}
+    assert scores[1] > scores[2]
