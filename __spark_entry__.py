@@ -84,6 +84,7 @@ from smse_backend_spark.operators.search import (
     bm25_scan_oracle_sql,
     bm25_synonyms_oracle_sql,
     bm25_topk_scan,
+    complete_fuzzy_oracle_sql,
     complete_oracle_sql,
     explain_scores_oracle_sql,
     facet_counts_oracle_sql,
@@ -1071,6 +1072,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by collection frequency (metadata-only, no posting decode)
         "complete_suggest": lambda spark, sf: _indexed(spark, sf)
         .complete("sc", 10),
+        # fuzzy completion: a typo'd prefix still completes — best edit
+        # distance over candidate prefix lengths, exact 1-char head
+        "complete_fuzzy": lambda spark, sf: _indexed(spark, sf)
+        .complete_fuzzy("sca", 10, fuzziness=1, prefix_length=1),
         # ES completion suggester with CONTEXTS: the same type-ahead
         # filtered to one context category (lang) — per-context cf
         # ranking from the (lang, term) dictionary, still metadata-only
@@ -1493,6 +1498,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": lambda spark, sf: D.embedding_near_dup_lsh(
             spark.read.parquet(f"{sf}/embeddings.parquet"), 0.3
         ),
+        # SemDeDup (Abbas et al. 2023): deterministic k-means clusters,
+        # within-cluster cosine >= tau, keep the low-centroid-sim member
+        # (tau fixture-tuned low — the synthetic vectors are near-orthogonal)
+        "semdedup": lambda spark, sf: D.semdedup(
+            spark.read.parquet(f"{sf}/embeddings.parquet"), 16, 1, 0.4
+        ),
         "token_stats": lambda spark, sf: Q.token_stats(_docs(spark, sf)),
         # corpus-derived stopword list (df-ratio cut) + sparse tf-idf export
         "auto_stopwords": lambda spark, sf: Q.auto_stopwords(
@@ -1903,6 +1914,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "minhash_lsh": D.minhash_lsh_pairs_sql(16, 4),
         "dup_clusters": D.dup_clusters_sql(16, 4),
         "embedding_near_dup": D.embedding_near_dup_sql(0.3),
+        "semdedup": D.semdedup_sql(64, 16, 0.4),
         "embedding_near_dup_lsh": D.embedding_near_dup_lsh_sql(0.3, dim=64),
         "simhash_neardup": SH.simhash_neardup_sql(10),
         "ann_lsh": lsh_topk_sql([0, 1, 2], dim=64, k=10, n_planes=8, n_tables=4),
@@ -2055,6 +2067,9 @@ ORDER BY score DESC, cluster ASC, doc_id ASC
 LIMIT 10
 """,
         "complete_suggest": complete_oracle_sql("sc", 10),
+        "complete_fuzzy": complete_fuzzy_oracle_sql(
+            "sca", 10, fuzziness=1, prefix_length=1
+        ),
         "context_suggest": complete_oracle_sql("s", 10, lang="de"),
         "categorize_text": AG.categorize_text_sql(4, 20),
         "phrase_suggest": phrase_suggest_oracle_sql("bat ky", 2, 6, 10),

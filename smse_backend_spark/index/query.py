@@ -4302,6 +4302,79 @@ class InvertedIndex:
             .limit(n)
         )
 
+    def complete_fuzzy(
+        self,
+        prefix: str,
+        n: int = 10,
+        lang: str | None = None,
+        fuzziness: int = 1,
+        prefix_length: int = 1,
+    ) -> DataFrame:
+        """ES fuzzy completion suggester (Lucene ``FuzzyCompletionQuery``):
+        a dictionary term matches when SOME prefix of it is within
+        ``fuzziness`` Levenshtein edits of the typed input (the FST
+        consumes the completion prefix-first, so only prefixes of length
+        ``len(input) ± fuzziness`` can qualify) and its first
+        ``prefix_length`` characters match the input exactly (Lucene's
+        non-fuzzy head). Ranked by (best edit distance asc — Lucene's
+        "lower edit distance scores higher" — then cf desc, term asc),
+        capped at ``n``; output rows are (term, dist, cf).
+
+        Metadata-only, exactly like :meth:`complete`: driver dictionary
+        cache when the vocabulary fits, else a dictionary scan with the
+        exact-head prefix predicate pushed down; posting blobs are never
+        read."""
+        if not prefix or query_terms(prefix) != [prefix]:
+            raise ValueError(
+                f"prefix must be a single analyzed token, got {prefix!r}"
+            )
+        f, pl = int(fuzziness), int(prefix_length)
+        if pl > len(prefix):
+            raise ValueError("prefix_length must be <= len(prefix)")
+        L = len(prefix)
+        lengths = list(range(max(1, L - f), L + f + 1))
+        head = prefix[:pl]
+        out_schema = "term string, dist long, cf long"
+        if self.meta.get("n_terms", 1 << 62) <= self.DICT_CACHE_MAX_TERMS:
+            self._ensure_dict_cache()
+            agg: dict[str, int] = {}
+            for (lg, t), cf in self._cf_cache.items():
+                if (lang is None or lg == lang) and t[:pl] == head:
+                    agg[t] = agg.get(t, 0) + int(cf)
+            rows = []
+            for t, cf in agg.items():
+                best = f + 1
+                for Lp in lengths:
+                    if Lp > len(t):
+                        break
+                    d = _levenshtein_band(t[:Lp], prefix, f)
+                    if d < best:
+                        best = d
+                if best <= f:
+                    rows.append((t, best, cf))
+            rows.sort(key=lambda r: (r[1], -r[2], r[0]))
+            return self.spark.createDataFrame(rows[:n], out_schema)
+        d = self.spark.read.parquet(f"{self.path}/dictionary").filter(
+            F.substring("term", 1, pl) == F.lit(head)
+        )
+        if lang is not None:
+            d = d.filter(F.col("lang") == lang)
+        dist = F.least(*[
+            F.when(
+                F.length("term") >= Lp,
+                F.levenshtein(F.substring("term", 1, Lp), F.lit(prefix)),
+            ).otherwise(F.lit(1 << 30))
+            for Lp in lengths
+        ])
+        return (
+            d.groupBy("term").agg(F.sum("cf").alias("cf"))
+            .withColumn("dist", dist.cast("long"))
+            .filter(F.col("dist") <= f)
+            .select("term", "dist", "cf")
+            .orderBy(F.asc("dist"), F.desc("cf"), F.asc("term"))
+            .limit(n)
+        )
+
     def rare_terms(
         self,
         max_doc_frac: float = 0.05,

@@ -441,21 +441,14 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= {k}
 """
 
 
-def ivf_trained_topk_sql(
-    query_vec_ids: list[int],
-    dim: int,
-    k: int = 10,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-) -> str:
-    """Exact DuckDB oracle for :func:`ivf_topk` with ``train_iters=1``:
-    replays the Lloyd round — seed assignment (6dp cosine, c_id tie-break),
-    integer-quantized per-dimension sums (``floor(x*1e6+0.5)`` as BIGINT,
-    order-independent), one double division for the mean, seeds surviving
-    empty lists — then the trained assignment / probe / exact re-rank."""
-    ids = ", ".join(map(str, query_vec_ids))
-    return f"""
-WITH cent0 AS (
+def trained_assignment_ctes(dim: int, n_centroids: int = 16) -> str:
+    """Shared CTE prefix replaying one deterministic Lloyd round and the
+    trained assignment: ``cent0``/``ps0``/``assigned0`` (seed pass),
+    ``sums``/``cnts``/``trained``/``cent`` (integer-quantized means, seeds
+    survive empty lists), ``pz``/``ps``/``assigned`` (trained 6dp-cosine
+    assignment, c_id tie-break). Used by :func:`ivf_trained_topk_sql` and
+    the SemDeDup oracle."""
+    return f"""cent0 AS (
   SELECT vec_id AS c_id, list_transform(embedding, x -> x::DOUBLE) AS cv
   FROM embeddings WHERE vec_id < {n_centroids}
 ),
@@ -509,7 +502,24 @@ assigned AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
     FROM ps
   ) WHERE rn = 1
-),
+)"""
+
+
+def ivf_trained_topk_sql(
+    query_vec_ids: list[int],
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """Exact DuckDB oracle for :func:`ivf_topk` with ``train_iters=1``:
+    replays the Lloyd round — seed assignment (6dp cosine, c_id tie-break),
+    integer-quantized per-dimension sums (``floor(x*1e6+0.5)`` as BIGINT,
+    order-independent), one double division for the mean, seeds surviving
+    empty lists — then the trained assignment / probe / exact re-rank."""
+    ids = ", ".join(map(str, query_vec_ids))
+    return f"""
+WITH {trained_assignment_ctes(dim, n_centroids)},
 probes AS (
   SELECT vec_id AS query_id, c_id FROM (
     SELECT vec_id, c_id,

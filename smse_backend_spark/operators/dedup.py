@@ -22,6 +22,8 @@ verification stays on the candidates, never the full cross product.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -353,6 +355,131 @@ def embedding_near_dup_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    train_iters: int = 1,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via k-means clustering + within-cluster cosine. The
+    paper's recipe verbatim — (1) cluster the embeddings (here: the
+    repo's DETERMINISTIC IVF training,
+    ``operators/ann.train_ivf_centroids`` — seed rows + integer-quantized
+    Lloyd means, exactly replayable in SQL); (2) within each cluster,
+    pairs with cosine >= ``threshold`` are semantic duplicates; (3) from
+    each duplicate pair, KEEP the member with the LOWER similarity to
+    its cluster centroid (the paper keeps low-centroid-similarity
+    examples — they are the more "outlying", informative ones) and drop
+    the other; ties break on vec_id. Returns the DROP list
+    ``(vec_id, c_id, centroid_sim)``.
+
+    Scale shape: clustering bounds the quadratic blow-up — the pair join
+    is keyed on ``c_id`` so only same-cluster pairs materialize (the
+    SemDeDup design point; at 10^12 rows the per-cluster cap is enforced
+    by raising ``n_centroids``, exactly as the paper scales K with N).
+    Assignment is one Arrow-batched matmul pass; centroids broadcast.
+    """
+    from smse_backend_spark.functions.vectors import cosine_col
+    from smse_backend_spark.operators.ann import train_ivf_centroids
+    from smse_backend_spark.session import ensure_pyfiles
+
+    ensure_pyfiles(emb.sparkSession)
+    c_ids, c_mat = train_ivf_centroids(emb, n_centroids, train_iters)
+    cn = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+
+    @F.pandas_udf("array<double>")
+    def assign(col: pd.Series) -> pd.Series:
+        m = np.vstack(col.to_numpy()).astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(mn @ cn.T, 6)
+        j = np.argmax(sims, axis=1)  # first max -> smallest c_id (sorted)
+        pick = sims[np.arange(len(j)), j]
+        return pd.Series(
+            [[float(c), float(s)] for c, s in zip(c_ids[j], pick)]
+        )
+
+    csim = emb.select(
+        "vec_id", "embedding", assign("embedding").alias("a")
+    ).select(
+        "vec_id", "embedding",
+        F.element_at("a", 1).cast("long").alias("c_id"),
+        F.element_at("a", 2).alias("sim"),
+    )
+    a = csim.select(
+        F.col("vec_id").alias("va"), F.col("c_id"),
+        F.col("sim").alias("sa"), F.col("embedding").alias("ea"),
+    )
+    b = csim.select(
+        F.col("vec_id").alias("vb"), F.col("c_id"),
+        F.col("sim").alias("sb"), F.col("embedding").alias("eb"),
+    )
+    dropped = (
+        a.join(b, "c_id")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("cosine", F.round(cosine_col(F.col("ea"), F.col("eb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.when(
+                (F.col("sa") < F.col("sb"))
+                | ((F.col("sa") == F.col("sb")) & (F.col("va") < F.col("vb"))),
+                F.col("vb"),
+            ).otherwise(F.col("va")).alias("vec_id")
+        )
+        .distinct()
+    )
+    return (
+        dropped.join(csim.select("vec_id", "c_id", "sim"), "vec_id")
+        .select("vec_id", "c_id", F.col("sim").alias("centroid_sim"))
+        .orderBy("vec_id")
+    )
+
+
+def semdedup_sql(
+    dim: int = 64,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+) -> str:
+    """DuckDB twin of :func:`semdedup` (train_iters=1): the shared
+    trained-assignment CTE prefix (one replayed Lloyd round), per-vector
+    centroid similarity from the assignment, within-cluster pairwise
+    cosine, the keep-low-centroid-sim drop rule."""
+    from smse_backend_spark.operators.ann import trained_assignment_ctes
+
+    return f"""
+WITH {trained_assignment_ctes(dim, n_centroids)},
+csim AS (
+  SELECT ps.vec_id, ps.c_id, ps.sim
+  FROM ps JOIN assigned a ON ps.vec_id = a.vec_id AND ps.c_id = a.c_id
+),
+cand AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.c_id,
+         a.sim AS sa, b.sim AS sb
+  FROM csim a JOIN csim b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+),
+z2 AS (
+  SELECT c.va, c.vb, c.sa, c.sb,
+         unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.va
+  JOIN embeddings eb ON eb.vec_id = c.vb
+),
+ps2 AS (
+  SELECT va, vb, any_value(sa) AS sa, any_value(sb) AS sb,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
+  FROM z2 GROUP BY va, vb
+),
+dropped AS (
+  SELECT DISTINCT
+         CASE WHEN sa < sb OR (sa = sb AND va < vb) THEN vb ELSE va END AS vec_id
+  FROM ps2 WHERE cosine >= {threshold!r}
+)
+SELECT d.vec_id AS vec_id, c.c_id AS c_id, c.sim AS centroid_sim
+FROM dropped d JOIN csim c ON c.vec_id = d.vec_id
+ORDER BY vec_id
+"""
 
 
 def embedding_near_dup_lsh_sql(

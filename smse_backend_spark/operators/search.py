@@ -2723,6 +2723,57 @@ LIMIT {n}
 """
 
 
+def complete_fuzzy_oracle_sql(
+    prefix: str,
+    n: int = 10,
+    lang: str | None = None,
+    fuzziness: int = 1,
+    prefix_length: int = 1,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.complete_fuzzy``: per-term best
+    Levenshtein distance over the candidate prefix lengths
+    ``len(input) ± fuzziness`` (DuckDB's ``levenshtein`` is the same
+    unrestricted metric as the engine's band helper), exact
+    ``prefix_length`` head, ranked (dist asc, cf desc, term asc)."""
+    toks = query_terms(prefix)
+    if len(toks) != 1 or toks[0] != prefix:
+        raise ValueError(
+            f"complete_fuzzy oracle takes one analyzed token, got {prefix!r}"
+        )
+    f, pl = int(fuzziness), int(prefix_length)
+    L = len(prefix)
+    esc = prefix.replace("'", "''")
+    head = esc[:pl]
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toksql = tokenize_duckdb_sql(content_col)
+    dist = "least(" + ", ".join(
+        f"CASE WHEN len(term) >= {Lp} "
+        f"THEN levenshtein(substr(term, 1, {Lp}), '{esc}') "
+        f"ELSE {1 << 30} END"
+        for Lp in range(max(1, L - f), L + f + 1)
+    ) + ")"
+    return f"""
+WITH docs AS (
+  SELECT {toksql} AS toks FROM {table} {where_lang}
+),
+tok AS (
+  SELECT unnest(toks) AS term FROM docs
+),
+cf AS (
+  SELECT term, count(*)::BIGINT AS cf FROM tok
+  WHERE substr(term, 1, {pl}) = '{head}'
+  GROUP BY term
+)
+SELECT term, {dist}::BIGINT AS dist, cf
+FROM cf
+WHERE {dist} <= {f}
+ORDER BY dist ASC, cf DESC, term ASC
+LIMIT {n}
+"""
+
+
 def snippets_for_hits(
     corpus: DataFrame,
     topk_rows: list,

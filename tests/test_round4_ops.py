@@ -274,3 +274,88 @@ def test_sayt_shingle_field_rewards_adjacency(spark):
     scores = {r["doc_id"]: r["score"]
               for r in sayt_scan(micro, "table sc", 10).collect()}
     assert scores[1] > scores[2]
+
+
+# ---------------------------------------------------------------------------
+# fuzzy completion suggester
+
+
+@pytest.fixture(scope="module")
+def plain_index(spark, corpus, tmp_path_factory):
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+
+    out = str(tmp_path_factory.mktemp("idx_plain_r4"))
+    build_index(spark, corpus, out, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=2)
+    return InvertedIndex(spark, out)
+
+
+@pytest.mark.parametrize("prefix,fuzz,pl", [
+    ("sca", 1, 1),
+    ("tabl", 1, 1),
+    ("tabl", 2, 1),
+    ("wind", 1, 2),
+    ("jion", 1, 1),   # exact head 'j' kills everything
+])
+def test_complete_fuzzy_vs_oracle(plain_index, con, prefix, fuzz, pl):
+    from smse_backend_spark.operators.search import complete_fuzzy_oracle_sql
+
+    got = [tuple(r) for r in
+           plain_index.complete_fuzzy(prefix, 10, fuzziness=fuzz,
+                                      prefix_length=pl).collect()]
+    want = [tuple(w) for w in con.execute(complete_fuzzy_oracle_sql(
+        prefix, 10, fuzziness=fuzz, prefix_length=pl)).fetchall()]
+    assert got == want, (prefix, fuzz, pl, got[:3], want[:3])
+
+
+def test_complete_fuzzy_contains_exact_completions(plain_index):
+    """Every exact-prefix completion is a fuzzy completion at dist 0."""
+    exact = {r["term"] for r in plain_index.complete("sc", 100).collect()}
+    fuzzy = {r["term"]: r["dist"]
+             for r in plain_index.complete_fuzzy("sc", 100, fuzziness=1)
+             .collect()}
+    for t in exact:
+        assert fuzzy.get(t) == 0, t
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+
+
+def test_semdedup_vs_oracle_smoke(spark, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.dedup import semdedup, semdedup_sql
+
+    con2 = duckdb.connect()
+    con2.execute("create view embeddings as select * from "
+                 f"'{sf_smoke}/embeddings.parquet'")
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    for tau in (0.4, 0.6):
+        got = sorted(tuple(r) for r in semdedup(emb, 8, 1, tau).collect())
+        want = sorted(tuple(w)
+                      for w in con2.execute(semdedup_sql(64, 8, tau)).fetchall())
+        assert got == want, tau
+
+
+def test_semdedup_keeps_low_centroid_sim_member(spark):
+    """The paper's keep rule: of a duplicate pair, the member MORE
+    similar to its centroid is the one dropped."""
+    from smse_backend_spark.operators.dedup import semdedup
+
+    # centroid seeds are vec_id < n_centroids; vectors 2 and 3 are a
+    # near-duplicate pair close to centroid 0, with 3 closer to it
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.9, 0.10, 0.43589, 0.0]),
+        (3, [0.95, 0.05, 0.31225, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    dropped = {r["vec_id"] for r in
+               semdedup(emb, 2, 0, 0.97).collect()}
+    assert dropped == {3}
