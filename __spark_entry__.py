@@ -104,6 +104,7 @@ from smse_backend_spark.operators.search import (
     phrase_suggest_oracle_sql,
     query_terms,
     rescore_phrase_oracle_sql,
+    sliced_hits_oracle_sql,
     suggest_oracle_sql,
 )
 
@@ -1064,6 +1065,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # than the (here: present but rare-ish) input term
         "suggest_popular": lambda spark, sf: _indexed(spark, sf)
         .suggest("fast", 2, 10, mode="popular"),
+        # ES suggest_mode=missing (the ES default): suggestions only for
+        # terms ABSENT from the dictionary ("tabel" is a genuine typo)
+        "suggest_missing": lambda spark, sf: _indexed(spark, sf)
+        .suggest("tabel", 2, 10, mode="missing"),
+        # ES sliced scroll (parallel export): worker 1 of 4 — sha-u60
+        # residue class of the conjunctive hit set, doc_id export order
+        "search_slice": lambda spark, sf: _indexed(spark, sf)
+        .sliced_hits("hash join", 1, 4, 50),
         # Lucene CommonTermsQuery: rare terms required, common terms
         # score-only — df/N cutoff split from the dictionary
         "common_terms": lambda spark, sf: _indexed(spark, sf)
@@ -2051,6 +2060,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "suggest_popular": suggest_oracle_sql(
             "fast", 2, 10, mode="popular"
         ),
+        "suggest_missing": suggest_oracle_sql(
+            "tabel", 2, 10, mode="missing"
+        ),
+        "search_slice": sliced_hits_oracle_sql("hash join", 1, 4, 50),
         "common_terms": common_terms_oracle_sql("the hash join", 0.5, 10),
         "ccs_search": f"""
 WITH ea AS ({bm25_scan_oracle_sql(FLAGSHIP_QUERY, 10,

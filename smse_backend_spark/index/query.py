@@ -47,6 +47,10 @@ RESULT_SCHEMA = T.StructType(
 
 DECODED_SCHEMA = "term string, doc_id long, tf long, dl long"
 
+# sliced-scroll hash salt — distinct from the split/sample salts so slice
+# membership is independent of train/val assignment
+SLICE_SALT = "-slice-v1"
+
 
 def _decode_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
@@ -2029,6 +2033,69 @@ class InvertedIndex:
             sample.groupBy(facet)
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
             .orderBy(F.desc("n"), F.asc(facet))
+        )
+
+    def sliced_hits(
+        self,
+        query_text: str,
+        slice_id: int,
+        max_slices: int,
+        n: int = 1000,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES sliced scroll / point-in-time ``slice`` — the parallel-export
+        API: worker ``slice_id`` of ``max_slices`` processes only the hits
+        whose id-hash lands in its residue class (ES slices on a hash of
+        ``_id`` modulo ``max``), so the K slices PARTITION the match set —
+        pairwise disjoint, union = every hit (property-tested). The match
+        set is the conjunctive (AND) query; rows come back in ``doc_id``
+        order — the export ordering, NOT score order — ``n`` per call.
+        The hash is the repo's sha256-derived u60 (engine-, SQL- and
+        python-identical), salted separately from the split/sample salts.
+
+        Scale shape: the msm segment prune applies (a segment missing any
+        term hosts no hit); only (term, doc_id) pairs decode — no scores,
+        no positions; the slice filter is a map-side predicate, so each
+        export worker shuffles ~1/max_slices of the hits.
+        """
+        from smse_backend_spark.operators.sampling import hash_u60
+
+        if not (0 <= int(slice_id) < int(max_slices)):
+            raise ValueError("slice_id must be in [0, max_slices)")
+        terms = sorted(set(self._analyze(query_text)))
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, slice int")
+        dfs = self.term_df(terms, lang)
+        if any(t not in dfs for t in terms):
+            return self.spark.createDataFrame([], "doc_id long, slice int")
+        m = len(terms)
+        blocks = self._blocks(terms, lang)
+        if m > 1:
+            qual = (
+                blocks.groupBy("segment")
+                .agg(F.count_distinct("term").alias("nt"))
+                .filter(F.col("nt") >= m)
+                .select("segment")
+            )
+            blocks = blocks.join(qual, "segment", "left_semi")
+        decoded = blocks.select(
+            "term", "first_doc", "gaps", "tfs", "dls"
+        ).mapInPandas(_decode_map, DECODED_SCHEMA)
+        matches = (
+            decoded.groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("nt"))
+            .filter(F.col("nt") == m)
+            .select("doc_id")
+        )
+        self._load_tombs()
+        if self._tomb_df is not None:
+            matches = matches.join(self._tomb_df, "doc_id", "left_anti")
+        h = hash_u60(F.col("doc_id"), SLICE_SALT) % int(max_slices)
+        return (
+            matches.filter(h == int(slice_id))
+            .select("doc_id", F.lit(int(slice_id)).alias("slice"))
+            .orderBy("doc_id")
+            .limit(int(n))
         )
 
     def bm25_topk_msm(
@@ -4224,8 +4291,11 @@ class InvertedIndex:
         ``mode`` is ES's ``suggest_mode``: ``always`` (default here)
         suggests regardless; ``popular`` keeps only candidates whose df
         strictly EXCEEDS the input term's own df — the "more common than
-        what you typed" filter (which also drops the input itself)."""
-        if mode not in ("always", "popular"):
+        what you typed" filter (which also drops the input itself);
+        ``missing`` suggests ONLY when the input term is absent from the
+        (lang-filtered) dictionary — ES's default mode — and returns no
+        rows for a known term."""
+        if mode not in ("always", "popular", "missing"):
             raise ValueError(f"unknown suggest_mode {mode!r}")
         toks = query_terms(term)
         if len(toks) != 1:
@@ -4239,6 +4309,8 @@ class InvertedIndex:
                 if lang is None or lg == lang:
                     agg[t] = agg.get(t, 0) + df
             df_in = agg.get(q, 0)
+            if mode == "missing" and df_in > 0:
+                return self.spark.createDataFrame([], out_schema)
             rows = []
             for t, df in agg.items():
                 if mode == "popular" and df <= df_in:
@@ -4257,6 +4329,9 @@ class InvertedIndex:
         if mode == "popular":
             df_in = self.term_df([q], lang).get(q, 0)
             out = out.filter(F.col("df") > int(df_in))
+        elif mode == "missing":
+            if self.term_df([q], lang).get(q, 0) > 0:
+                return self.spark.createDataFrame([], out_schema)
         return (
             out.select("term", "df", "dist")
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))

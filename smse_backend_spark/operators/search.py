@@ -2593,8 +2593,10 @@ def suggest_oracle_sql(
     """DuckDB twin of ``InvertedIndex.suggest``: corpus-derived dictionary
     terms within Levenshtein ``max_edits``, ranked (dist asc, df desc,
     term asc), capped. ``mode='popular'`` keeps only candidates whose df
-    strictly exceeds the input term's own df (ES suggest_mode)."""
-    if mode not in ("always", "popular"):
+    strictly exceeds the input term's own df; ``mode='missing'`` (ES's
+    default) suggests only when the input term is absent (ES
+    suggest_mode)."""
+    if mode not in ("always", "popular", "missing"):
         raise ValueError(f"unknown suggest_mode {mode!r}")
     toks = query_terms(term)
     if len(toks) != 1:
@@ -2607,6 +2609,10 @@ def suggest_oracle_sql(
         f" WHERE term = '{esc}')"
         if mode == "popular" else ""
     )
+    if mode == "missing":
+        popular = (
+            f"\n  AND NOT EXISTS (SELECT 1 FROM dict WHERE term = '{esc}')"
+        )
     return f"""
 WITH docs AS (
   SELECT doc_id, {toksql} AS toks FROM {table} {where_lang}
@@ -2720,6 +2726,41 @@ WHERE starts_with(term, '{esc}')
 GROUP BY term
 ORDER BY cf DESC, term ASC
 LIMIT {n}
+"""
+
+
+def sliced_hits_oracle_sql(
+    query_text: str,
+    slice_id: int,
+    max_slices: int,
+    n: int = 1000,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.sliced_hits``: conjunctive match
+    set, the shared sha256-u60 hash modulo ``max_slices``, doc_id
+    export order."""
+    from smse_backend_spark.index.query import SLICE_SALT
+    from smse_backend_spark.operators.sampling import _hash_u60_sql
+
+    terms = sorted(set(query_terms(query_text)))
+    if not terms:
+        return f"SELECT doc_id, 0 AS slice FROM {table} WHERE false"
+    where_lang = f"AND lang = '{lang}'" if lang is not None else ""
+    toks = tokenize_duckdb_sql(content_col)
+    conj = " AND ".join(
+        f"list_contains({toks}, '" + t.replace("'", "''") + "')"
+        for t in terms
+    )
+    h = _hash_u60_sql("doc_id", SLICE_SALT)
+    return f"""
+SELECT doc_id, {int(slice_id)} AS slice
+FROM {table}
+WHERE {conj} {where_lang}
+  AND ({h} % {int(max_slices)}) = {int(slice_id)}
+ORDER BY doc_id ASC
+LIMIT {int(n)}
 """
 
 

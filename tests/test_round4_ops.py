@@ -359,3 +359,43 @@ def test_semdedup_keeps_low_centroid_sim_member(spark):
     dropped = {r["vec_id"] for r in
                semdedup(emb, 2, 0, 0.97).collect()}
     assert dropped == {3}
+
+
+# ---------------------------------------------------------------------------
+# suggest_mode=missing and sliced scroll
+
+
+def test_suggest_missing_mode(plain_index, con):
+    from smse_backend_spark.operators.search import suggest_oracle_sql
+
+    # absent term -> suggestions; present term -> NO rows (both engines)
+    got = [tuple(r) for r in
+           plain_index.suggest("tabel", 2, 10, mode="missing").collect()]
+    want = [tuple(w) for w in con.execute(
+        suggest_oracle_sql("tabel", 2, 10, mode="missing")).fetchall()]
+    assert got == want and got
+    assert plain_index.suggest("table", 2, 10, mode="missing").count() == 0
+    assert con.execute(
+        suggest_oracle_sql("table", 2, 10, mode="missing")).fetchall() == []
+
+
+def test_sliced_hits_vs_oracle_and_partition(plain_index, con):
+    from smse_backend_spark.operators.search import sliced_hits_oracle_sql
+
+    seen: dict[int, int] = {}
+    total = 0
+    for sid in range(4):
+        got = [tuple(r) for r in
+               plain_index.sliced_hits("hash join", sid, 4, 100_000).collect()]
+        want = [tuple(w) for w in con.execute(
+            sliced_hits_oracle_sql("hash join", sid, 4, 100_000)).fetchall()]
+        assert got == want, sid
+        for d, _s in got:
+            assert d not in seen, (d, sid, seen.get(d))
+            seen[d] = sid
+        total += len(got)
+    # the four slices are pairwise disjoint (asserted above) and their
+    # union re-derives every hit the unsliced oracle sees
+    full = con.execute(
+        sliced_hits_oracle_sql("hash join", 0, 1, 100_000)).fetchall()
+    assert total == len(seen) == len(full) > 0
