@@ -60,6 +60,7 @@ from smse_backend_spark.operators.similarities import (
     boolean_sim_oracle_sql,
     dfi_chi2_oracle_sql,
     dfr_inl2_oracle_sql,
+    dfr_pl2_oracle_sql,
     ib_ll_oracle_sql,
     lm_jelinek_mercer_oracle_sql,
 )
@@ -945,6 +946,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lang-restricted to exercise per-lang df/avgdl stats
         "dfr_inl2": lambda spark, sf: _indexed(spark, sf)
         .dfr_inl2_topk("batch stream spark window", 10, lang="en"),
+        # Terrier PL2 (DFR Poisson/Laplace/H2 — pre-8.0 Lucene BasicModelP)
+        "dfr_pl2": lambda spark, sf: _indexed(spark, sf)
+        .dfr_pl2_topk(FLAGSHIP_QUERY, 10),
         # Lucene IBSimilarity(LL, DF, H2): information-based log-logistic
         "ib_ll": lambda spark, sf: _indexed(spark, sf)
         .ib_ll_topk(FLAGSHIP_QUERY, 10),
@@ -2005,6 +2009,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "dfr_inl2": dfr_inl2_oracle_sql(
             "batch stream spark window", 10, lang="en"
         ),
+        "dfr_pl2": dfr_pl2_oracle_sql(FLAGSHIP_QUERY, 10),
         "ib_ll": ib_ll_oracle_sql(FLAGSHIP_QUERY, 10),
         "dfi_chi2": dfi_chi2_oracle_sql(FLAGSHIP_QUERY, 10),
         "boolean_sim": boolean_sim_oracle_sql(FLAGSHIP_QUERY, 10),

@@ -3888,6 +3888,54 @@ class InvertedIndex:
             k,
         )
 
+    def dfr_pl2_topk(
+        self,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Terrier's **PL2** divergence-from-randomness model (Amati &
+        van Rijsbergen 2002 — BasicModel P(oisson), L(aplace)
+        after-effect, H2 normalization; Lucene shipped BasicModelP until
+        8.0, when it was dropped for allowing negative contributions —
+        kept here as published, unclamped)::
+
+            tfn     = tf * log2(1 + avgdl/dl)              (H2, c = 1)
+            λ_t     = cf_t / N                              (Poisson mean)
+            contrib = (1/(tfn+1)) * ( tfn*log2(tfn/λ_t)
+                                      + (λ_t - tfn)*log2(e)
+                                      + 0.5*log2(2π*tfn) )
+
+        λ_t is a driver literal from the dictionary cf; same decode plan
+        and quantize-then-integer-sum discipline as the other similarity
+        models."""
+        from smse_backend_spark.operators.similarities import LN2
+
+        terms = self._analyze(query_text)
+        n, avgdl = self.corpus_stats(lang)
+        cfs = self.term_cf(terms, lang) if terms and n else {}
+        if not cfs:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        lam = {t: float(cf) / n for t, cf in cfs.items()}
+        lam_df = F.broadcast(
+            self.spark.createDataFrame(
+                sorted(lam.items()), "term string, lam double"
+            )
+        )
+        decoded = self._decoded(self._blocks(sorted(lam), lang))
+        tfn = self._h2_tfn(avgdl)
+        log2e = 1.0 / LN2
+        two_pi = 2.0 * math.pi
+        raw = (F.lit(1.0) / (tfn + F.lit(1.0))) * (
+            tfn * (F.log(tfn / F.col("lam")) / F.lit(LN2))
+            + (F.col("lam") - tfn) * F.lit(log2e)
+            + F.lit(0.5) * (F.log(F.lit(two_pi) * tfn) / F.lit(LN2))
+        )
+        return self._qsum_finish(
+            decoded.join(lam_df, "term").withColumn("cq", self._quantize(raw)),
+            k,
+        )
+
     def ib_ll_topk(
         self,
         query_text: str,

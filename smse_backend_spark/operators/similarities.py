@@ -164,6 +164,33 @@ def dfr_inl2_oracle_sql(
     )
 
 
+def dfr_pl2_oracle_sql(
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.dfr_pl2_topk`` (Terrier PL2):
+    identically parenthesized Poisson/Laplace/H2 expression, λ_t from the
+    same integer cf/N division, shared LN2/log2(e)/2π literals."""
+    terms = query_terms(query_text)
+    if not terms:
+        return _EMPTY.format(table=table)
+    tfn = _TFN.format(ln2=repr(LN2))
+    lam = "(dfq.cf / stats.n)"
+    log2e = repr(1.0 / LN2)
+    two_pi = repr(2.0 * math.pi)
+    contrib = (
+        f"(1.0 / ({tfn} + 1.0)) * ({tfn} * (ln({tfn} / {lam}) / {LN2!r})"
+        f" + ({lam} - {tfn}) * {log2e}"
+        f" + 0.5 * (ln({two_pi} * {tfn}) / {LN2!r}))"
+    )
+    return _scan_scaffold(terms, lang, table, content_col) + _qsum_tail(
+        contrib, k
+    )
+
+
 def ib_ll_oracle_sql(
     query_text: str,
     k: int = DEFAULT_TOP_K,

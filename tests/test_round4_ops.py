@@ -399,3 +399,22 @@ def test_sliced_hits_vs_oracle_and_partition(plain_index, con):
     full = con.execute(
         sliced_hits_oracle_sql("hash join", 0, 1, 100_000)).fetchall()
     assert total == len(seen) == len(full) > 0
+
+
+# ---------------------------------------------------------------------------
+# DFR PL2 similarity
+
+
+@pytest.mark.parametrize("query,lang", [
+    ("hash join merge scan", None),
+    ("batch stream spark window", "en"),
+    ("zzqq", None),
+])
+def test_dfr_pl2_vs_oracle(plain_index, con, query, lang):
+    from smse_backend_spark.operators.similarities import dfr_pl2_oracle_sql
+
+    got = [(r["doc_id"], r["score"])
+           for r in plain_index.dfr_pl2_topk(query, 10, lang).collect()]
+    want = [tuple(w) for w in
+            con.execute(dfr_pl2_oracle_sql(query, 10, lang)).fetchall()]
+    assert got == want, (query, got[:3], want[:3])
