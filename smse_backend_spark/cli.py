@@ -70,7 +70,9 @@ def cmd_query(args) -> None:
 
     spark = _spark(args)
     idx = InvertedIndex(spark, args.index)
-    if args.phrase:
+    if args.slop is not None:
+        out = idx.phrase_slop_topk(args.text, args.slop, args.k, args.lang)
+    elif args.phrase:
         out = idx.phrase_topk(args.text, args.k, args.lang)
     elif args.near is not None:
         out = idx.near_topk(args.text, args.near, args.k, args.lang,
@@ -140,9 +142,24 @@ def cmd_suggest(args) -> None:
 
     spark = _spark(args)
     idx = InvertedIndex(spark, args.index)
-    rows = idx.suggest(args.text, args.max_edits, args.n, args.lang).collect()
+    rows = idx.suggest(args.text, args.max_edits, args.n, args.lang,
+                       mode=args.mode).collect()
     print(json.dumps(
         [{"term": r["term"], "df": r["df"], "dist": r["dist"]} for r in rows]
+    ))
+
+
+def cmd_export(args) -> None:
+    """Sliced scroll (parallel export): print this worker's slice of the
+    conjunctive hit set in doc_id order."""
+    from smse_backend_spark.index.query import InvertedIndex
+
+    spark = _spark(args)
+    idx = InvertedIndex(spark, args.index)
+    rows = idx.sliced_hits(args.text, args.slice_id, args.max_slices,
+                           args.n, args.lang).collect()
+    print(json.dumps(
+        [{"doc_id": r["doc_id"], "slice": r["slice"]} for r in rows]
     ))
 
 
@@ -365,6 +382,9 @@ def cmd_dedup(args) -> None:
     elif args.mode == "jaccard":
         out = D.ngram_jaccard_pairs(docs, args.ngram, args.threshold,
                                     max_df=args.max_df)
+    elif args.mode == "semdedup":
+        out = D.semdedup(docs, args.n_centroids, args.train_iters,
+                         args.threshold)
     else:  # simhash
         out = simhash_neardup_pairs(docs, max_hamming=args.max_hamming)
     out.write.mode("overwrite").parquet(args.out)
@@ -450,6 +470,9 @@ def main(argv: list[str] | None = None) -> None:
                    choices=["auto", "single_pass", "pruned", "exhaustive"])
     q.add_argument("--phrase", action="store_true",
                    help="exact phrase (needs --with-positions index)")
+    q.add_argument("--slop", type=int, metavar="SLOP",
+                   help="match_phrase with slop: Lucene sloppy phrase "
+                        "(needs --with-positions index)")
     q.add_argument("--prefix", action="store_true",
                    help="treat --text as a term prefix (wildcard search)")
     q.add_argument("--wildcard", action="store_true",
@@ -499,8 +522,24 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--max-edits", type=int, default=2)
     g.add_argument("--n", type=int, default=10)
     g.add_argument("--lang")
+    g.add_argument("--mode", default="always",
+                   choices=["always", "popular", "missing"],
+                   help="ES suggest_mode")
     g.add_argument("--master")
     g.set_defaults(fn=cmd_suggest)
+
+    ex = sub.add_parser(
+        "export", help="sliced scroll: one worker's residue class of a "
+                       "conjunctive hit set (parallel export)"
+    )
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--text", required=True)
+    ex.add_argument("--slice", type=int, required=True, dest="slice_id")
+    ex.add_argument("--slices", type=int, required=True, dest="max_slices")
+    ex.add_argument("--n", type=int, default=1000)
+    ex.add_argument("--lang")
+    ex.add_argument("--master")
+    ex.set_defaults(fn=cmd_export)
 
     br = sub.add_parser("browse", help="sorted match-all top-k (index sort)")
     br.add_argument("--index", required=True)
@@ -615,10 +654,15 @@ def main(argv: list[str] | None = None) -> None:
     an.set_defaults(fn=cmd_ann)
 
     d = sub.add_parser("dedup", help="exact/near-dup over a documents parquet")
-    d.add_argument("--docs", required=True)
+    d.add_argument("--docs", required=True,
+                   help="documents parquet; for --mode semdedup an "
+                        "embeddings parquet (vec_id, embedding)")
     d.add_argument("--out", required=True)
     d.add_argument("--mode", default="exact",
-                   choices=["exact", "groups", "minhash", "jaccard", "simhash"])
+                   choices=["exact", "groups", "minhash", "jaccard",
+                            "simhash", "semdedup"])
+    d.add_argument("--n-centroids", type=int, default=16)
+    d.add_argument("--train-iters", type=int, default=1)
     d.add_argument("--num-hashes", type=int, default=16)
     d.add_argument("--bands", type=int, default=4)
     d.add_argument("--ngram", type=int, default=3)

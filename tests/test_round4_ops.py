@@ -418,3 +418,56 @@ def test_dfr_pl2_vs_oracle(plain_index, con, query, lang):
     want = [tuple(w) for w in
             con.execute(dfr_pl2_oracle_sql(query, 10, lang)).fetchall()]
     assert got == want, (query, got[:3], want[:3])
+
+
+# ---------------------------------------------------------------------------
+# CLI surface for the round-4 additions
+
+
+def test_cli_slop_export_suggest_mode(tmp_path, spark, sf_smoke, capsys):
+    import json
+
+    from smse_backend_spark import cli
+
+    out = str(tmp_path / "pidx_r4")
+    cli.main([
+        "build", "--corpus", sf_smoke, "--out", out, "--with-positions",
+        "--segment-size", "256", "--n-buckets", "8", "--n-batches", "1",
+        "--master", "local[4]",
+    ])
+    capsys.readouterr()
+
+    cli.main(["query", "--index", out, "--text", "table scan",
+              "--slop", "2", "--master", "local[4]"])
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits and all(h["score"] > 0 for h in hits)
+
+    cli.main(["suggest", "--index", out, "--text", "tabel",
+              "--mode", "missing", "--master", "local[4]"])
+    sug = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sug and sug[0]["term"] == "table"
+
+    cli.main(["export", "--index", out, "--text", "hash join",
+              "--slice", "0", "--slices", "2", "--n", "100000",
+              "--master", "local[4]"])
+    s0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    cli.main(["export", "--index", out, "--text", "hash join",
+              "--slice", "1", "--slices", "2", "--n", "100000",
+              "--master", "local[4]"])
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ids0 = {h["doc_id"] for h in s0}
+    ids1 = {h["doc_id"] for h in s1}
+    assert ids0 and ids1 and not (ids0 & ids1)
+
+
+def test_cli_semdedup(tmp_path, spark, sf_smoke, capsys):
+    import json
+
+    from smse_backend_spark import cli
+
+    out = str(tmp_path / "sdd")
+    cli.main(["dedup", "--docs", f"{sf_smoke}/embeddings.parquet",
+              "--out", out, "--mode", "semdedup", "--n-centroids", "8",
+              "--threshold", "0.4", "--master", "local[4]"])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["mode"] == "semdedup" and summary["rows"] >= 0
