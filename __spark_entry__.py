@@ -1502,6 +1502,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup": lambda spark, sf: D.substring_dup_pairs(
             _docs(spark, sf), 8, 2, 20
         ),
+        # WIMBD duplicate n-gram rate: per-doc fraction of distinct
+        # 8-token windows occurring in another doc — no pair join
+        "dup_ngram_frac": lambda spark, sf: D.dup_ngram_fraction(
+            _docs(spark, sf), 8, 0.3, 100
+        ),
         "minhash_lsh": lambda spark, sf: D.minhash_lsh_pairs(_docs(spark, sf), 16, 4),
         # pairs -> connected components -> canonical doc per cluster
         "dup_clusters": lambda spark, sf: D.dup_clusters(_docs(spark, sf), 16, 4),
@@ -1924,6 +1929,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "exact_dup_groups": D.exact_dup_groups_sql(),
         "ngram_jaccard": D.ngram_jaccard_pairs_sql(3, 0.5, max_df=100),
         "substring_dup": D.substring_dup_pairs_sql(8, 2, 20),
+        "dup_ngram_frac": D.dup_ngram_fraction_sql(8, 0.3, 100),
         "minhash_lsh": D.minhash_lsh_pairs_sql(16, 4),
         "dup_clusters": D.dup_clusters_sql(16, 4),
         "embedding_near_dup": D.embedding_near_dup_sql(0.3),

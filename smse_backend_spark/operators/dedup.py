@@ -680,6 +680,88 @@ def substring_dup_pairs(
     )
 
 
+def dup_ngram_fraction(
+    docs: DataFrame,
+    n: int = 8,
+    min_frac: float = 0.3,
+    k: int = 100,
+) -> DataFrame:
+    """WIMBD-style duplicate n-gram rate (Elazar et al. 2024, "What's In
+    My Big Data?"): for each document, the fraction of its DISTINCT
+    n-token windows that occur in at least one OTHER document — the
+    per-doc boilerplate/contamination signal (license headers, generated
+    code, copied passages) that complements the pairwise view of
+    :func:`substring_dup_pairs`. Returns (doc_id, n_windows, dup_windows,
+    dup_frac) for docs with ``dup_frac >= min_frac``, ordered (dup_frac
+    desc, doc_id asc), top ``k``; ``dup_frac`` is 6dp-rounded from an
+    exact integer ratio so both engines round the same double.
+
+    Scale shape: ONE distinct-window explode (in-row dedup first), the
+    window-df agg is map-side combined and vocabulary-bounded, the
+    per-doc roll-up re-uses the exploded frame — no pair join at all,
+    which is why WIMBD can report this at corpus scale."""
+    w = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("win")
+    )
+    dfw = w.groupBy("win").agg(F.count(F.lit(1)).alias("wdf"))
+    per_doc = (
+        w.join(dfw, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("wdf") >= 2, 1).otherwise(0))
+            .cast("long").alias("dup_windows"),
+        )
+    )
+    return (
+        per_doc.withColumn(
+            "dup_frac",
+            F.round(
+                F.col("dup_windows").cast("double")
+                / F.col("n_windows").cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("dup_frac") >= float(min_frac))
+        .orderBy(F.desc("dup_frac"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def dup_ngram_fraction_sql(
+    n: int = 8,
+    min_frac: float = 0.3,
+    k: int = 100,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dup_ngram_fraction`."""
+    sh = _shingles_duckdb(n)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {tokenize_duckdb_sql("text")} AS t FROM {table}
+),
+w AS (
+  SELECT doc_id, unnest({sh}) AS win FROM toks
+),
+dfw AS (
+  SELECT win, count(*)::BIGINT AS wdf FROM w GROUP BY win
+),
+per_doc AS (
+  SELECT w.doc_id AS doc_id,
+         count(*)::BIGINT AS n_windows,
+         sum(CASE WHEN dfw.wdf >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_windows
+  FROM w JOIN dfw USING (win)
+  GROUP BY w.doc_id
+)
+SELECT doc_id, n_windows, dup_windows,
+       round(dup_windows::DOUBLE / n_windows::DOUBLE, 6) AS dup_frac
+FROM per_doc
+WHERE round(dup_windows::DOUBLE / n_windows::DOUBLE, 6) >= {float(min_frac)!r}
+ORDER BY dup_frac DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
 def substring_dup_pairs_sql(
     n: int = 8,
     min_shared: int = 2,

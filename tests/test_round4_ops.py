@@ -471,3 +471,39 @@ def test_cli_semdedup(tmp_path, spark, sf_smoke, capsys):
               "--threshold", "0.4", "--master", "local[4]"])
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["mode"] == "semdedup" and summary["rows"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# WIMBD duplicate n-gram fraction
+
+
+def test_dup_ngram_fraction_vs_oracle(spark, sf_smoke, con):
+    from smse_backend_spark.operators.dedup import (
+        dup_ngram_fraction,
+        dup_ngram_fraction_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    for n, mf in ((8, 0.3), (5, 0.0), (8, 0.99)):
+        got = sorted(tuple(r)
+                     for r in dup_ngram_fraction(docs, n, mf, 1000).collect())
+        want = sorted(tuple(w) for w in
+                      con.execute(dup_ngram_fraction_sql(n, mf, 1000))
+                      .fetchall())
+        assert got == want, (n, mf)
+
+
+def test_dup_ngram_fraction_exact_dups_hit_one(spark):
+    """Two verbatim-identical docs: every window duplicated -> frac 1.0;
+    a unique doc never appears."""
+    from smse_backend_spark.operators.dedup import dup_ngram_fraction
+
+    text = "a b c d e f g h i j k l"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "z y x w v u t s r q p o")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["dup_frac"]
+            for r in dup_ngram_fraction(docs, 8, 0.0, 10).collect()}
+    assert rows[1] == rows[2] == 1.0
+    assert rows[3] == 0.0
