@@ -96,6 +96,7 @@ from smse_backend_spark.operators.search import (
     multi_field_bm25_scan,
     multi_field_oracle_sql,
     intervals_allof_oracle_sql,
+    match_fuzzy_auto_oracle_sql,
     near_oracle_sql,
     phrase_slop_oracle_sql,
     sayt_oracle_sql,
@@ -1069,6 +1070,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # than the (here: present but rare-ish) input term
         "suggest_popular": lambda spark, sf: _indexed(spark, sf)
         .suggest("fast", 2, 10, mode="popular"),
+        # ES match with fuzziness=AUTO: per-token 0/1/2 edit budget by
+        # length, Damerau metric, per-token capped expansion, OR-scored
+        "bm25_match_fuzzy_auto": lambda spark, sf: _indexed(spark, sf)
+        .bm25_topk_match_fuzzy("py tabel jion", 10),
         # ES suggest_mode=missing (the ES default): suggestions only for
         # terms ABSENT from the dictionary ("tabel" is a genuine typo)
         "suggest_missing": lambda spark, sf: _indexed(spark, sf)
@@ -2073,6 +2078,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         ),
         "suggest_missing": suggest_oracle_sql(
             "tabel", 2, 10, mode="missing"
+        ),
+        "bm25_match_fuzzy_auto": match_fuzzy_auto_oracle_sql(
+            "py tabel jion", 10
         ),
         "search_slice": sliced_hits_oracle_sql("hash join", 1, 4, 50),
         "common_terms": common_terms_oracle_sql("the hash join", 0.5, 10),

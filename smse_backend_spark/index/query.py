@@ -1295,6 +1295,50 @@ class InvertedIndex:
             k, lang, mode,
         )
 
+    @staticmethod
+    def auto_fuzziness(term: str) -> int:
+        """ES ``fuzziness: AUTO`` edit-budget ladder (AUTO:[3,6] default):
+        0 edits for terms shorter than 3 chars, 1 for 3-5, 2 for 6+."""
+        n = len(term)
+        return 0 if n < 3 else (1 if n < 6 else 2)
+
+    def bm25_topk_match_fuzzy(
+        self,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+        max_expansions: int = 16,
+        mode: str = "auto",
+        transpositions: bool = True,
+    ) -> DataFrame:
+        """ES ``match`` with ``fuzziness: AUTO`` — the default every
+        search box actually ships: EACH analyzed token gets its own edit
+        budget from the AUTO ladder (:meth:`auto_fuzziness`), expands
+        against the dictionary under that budget (df desc / term asc,
+        capped PER TOKEN — FuzzyQuery's multi-term rewrite), and the
+        UNION of expansions scores as one OR query, every expanded term
+        with its own idf. ``transpositions=True`` (Damerau-Levenshtein)
+        is the ES default. Zero-budget tokens stay exact-only.
+
+        Scale shape: expansion is a dictionary walk per token (metadata
+        only, bounded by tokens * max_expansions); the scoring pass is
+        the ordinary pruned OR-query plan over the expanded term set.
+        """
+        seq = self._analyze(query_text)
+        if not seq:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        terms: set[str] = set()
+        for t in seq:
+            budget = self.auto_fuzziness(t)
+            if budget == 0:
+                terms.add(t)
+            else:
+                terms.update(
+                    self.expand_fuzzy(t, budget, lang, max_expansions,
+                                      transpositions)
+                )
+        return self._topk_for_terms(sorted(terms), k, lang, mode)
+
     def expand_regex(
         self,
         pattern: str,

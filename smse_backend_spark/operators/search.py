@@ -2179,6 +2179,78 @@ LIMIT {k}
 """
 
 
+def match_fuzzy_auto_oracle_sql(
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    max_expansions: int = 16,
+    table: str = "documents",
+    content_col: str = "text",
+    transpositions: bool = True,
+) -> str:
+    """DuckDB twin of ``InvertedIndex.bm25_topk_match_fuzzy``: one
+    df-ranked capped expansion subselect per analyzed token under its
+    AUTO edit budget (0/1/2 by token length), UNION'd (set semantics,
+    like the engine's term-set union), then OR-scored."""
+    from smse_backend_spark.index.query import InvertedIndex
+
+    toks = query_terms(query_text)
+    if not toks:
+        return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
+    distfn = "damerau_levenshtein" if transpositions else "levenshtein"
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    toksql = tokenize_duckdb_sql(content_col)
+    branches = []
+    for i, t in enumerate(toks):
+        esc = t.replace("'", "''")
+        budget = InvertedIndex.auto_fuzziness(t)
+        if budget == 0:
+            branches.append(f"SELECT '{esc}' AS term")
+        else:
+            # per-branch ORDER BY/LIMIT must be wrapped — a bare ORDER BY
+            # inside a UNION branch would bind to the whole union
+            branches.append(f"""SELECT term FROM (
+    SELECT term FROM (
+      SELECT term, count(DISTINCT doc_id) AS df
+      FROM tok WHERE {distfn}(term, '{esc}') <= {budget} GROUP BY term
+    ) ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}
+  ) x{i}""")
+    exp = "\n  UNION\n  ".join(branches)
+    score = bm25_term_score_sql(
+        "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toksql} AS toks FROM {table} {where_lang}
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS doc_len FROM docs
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term FROM dl
+),
+exp AS (
+  {exp}
+),
+tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM tok JOIN exp USING (term)
+  GROUP BY doc_id, doc_len, term
+),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_prefix_oracle_sql(
     prefix: str,
     k: int = DEFAULT_TOP_K,

@@ -507,3 +507,29 @@ def test_dup_ngram_fraction_exact_dups_hit_one(spark):
             for r in dup_ngram_fraction(docs, 8, 0.0, 10).collect()}
     assert rows[1] == rows[2] == 1.0
     assert rows[3] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# match fuzziness=AUTO
+
+
+@pytest.mark.parametrize("query,lang", [
+    ("py tabel jion", None),
+    ("window scna", "en"),
+    ("zz", None),              # < 3 chars: exact-only budget, no match
+])
+def test_match_fuzzy_auto_vs_oracle(plain_index, con, query, lang):
+    from smse_backend_spark.operators.search import match_fuzzy_auto_oracle_sql
+
+    got = [(r["doc_id"], r["score"]) for r in
+           plain_index.bm25_topk_match_fuzzy(query, 10, lang).collect()]
+    want = [tuple(w) for w in con.execute(
+        match_fuzzy_auto_oracle_sql(query, 10, lang)).fetchall()]
+    assert got == want, (query, got[:3], want[:3])
+
+
+def test_auto_fuzziness_ladder():
+    from smse_backend_spark.index.query import InvertedIndex
+
+    assert [InvertedIndex.auto_fuzziness(t) for t in
+            ("a", "py", "abc", "tabel", "tables")] == [0, 0, 1, 1, 2]
