@@ -1633,6 +1633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES sibling pipeline aggs (stats_bucket family): one summary
         # row over the per-hour bucket counts
         "event_stats_bucket": R.event_stats_bucket,
+        # ES percentiles_bucket sibling agg: exact interpolated
+        # percentiles of per-hour doc counts (quantile_cont parity)
+        "event_percentiles_bucket": R.event_percentiles_bucket,
         # ES serial_diff (lag 24 = day-over-day) + normalize rescale_0_1
         "event_serial_diff": lambda spark, sf:
         R.event_serial_diff(spark, sf, 24),
@@ -2314,6 +2317,7 @@ LIMIT 10
         "event_date_range": R.event_date_range_agg_sql(),
         "event_bucket_pipeline": R.event_bucket_pipeline_sql(50, 10),
         "event_stats_bucket": R.event_stats_bucket_sql(),
+        "event_percentiles_bucket": R.event_percentiles_bucket_sql(),
         "event_serial_diff": R.event_serial_diff_sql(24),
         "event_rate": R.event_rate_sql(),
         "event_frequent_item_sets": R.event_frequent_item_sets_sql(0.25),

@@ -866,6 +866,74 @@ FROM hist
 """
 
 
+def event_percentiles_bucket(
+    spark: SparkSession, sf_dir: str,
+    pcts: tuple[float, ...] = (0.25, 0.5, 0.75, 0.99),
+) -> DataFrame:
+    """ES ``percentiles_bucket`` sibling pipeline agg over the hourly
+    event histogram: exact interpolated percentiles of the per-bucket
+    doc counts — "what does a p99 traffic hour look like". ES computes
+    this exactly (the bucket array is in coordinator memory, no TDigest),
+    which is also why the oracle can be exact: Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` bit-for-bit (the event_value_percentiles
+    parity precedent). One row (pct, value) per requested percentile,
+    value through the shared 6 dp floor.
+
+    Scale shape: the histogram groupBy is the only corpus-sized stage
+    (map-side combined); the percentile runs over BUCKET rows —
+    metadata-sized, single-partition by design (a year of hours is
+    8.8k rows), same as the other sibling aggs."""
+    e = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    hist = (
+        e.groupBy(((F.floor(epoch / F.lit(3600))) * F.lit(3600))
+                  .cast("long").alias("hour_start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    arr = ", ".join(repr(float(p)) for p in pcts)
+    row = hist.agg(
+        F.expr(f"percentile(n, array({arr}))").alias("qs")
+    )
+    pct_struct = F.array(*[
+        F.struct(
+            F.lit(float(p)).alias("pct"),
+            (
+                F.floor(F.element_at("qs", i + 1) * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("value"),
+        )
+        for i, p in enumerate(pcts)
+    ])
+    return (
+        row.select(F.explode(pct_struct).alias("x"))
+        .select("x.pct", "x.value")
+        .orderBy("pct")
+    )
+
+
+def event_percentiles_bucket_sql(
+    pcts: tuple[float, ...] = (0.25, 0.5, 0.75, 0.99),
+) -> str:
+    """DuckDB twin of :func:`event_percentiles_bucket`."""
+    branches = "\n  UNION ALL\n  ".join(
+        f"SELECT {float(p)!r}::DOUBLE AS pct, "
+        f"floor(quantile_cont(n, {float(p)!r}) * 1e6 + 0.5) / 1e6 AS value "
+        "FROM hist"
+        for p in pcts
+    )
+    return f"""
+WITH hist AS (
+  SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS hour_start,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT pct, value FROM (
+  {branches}
+)
+ORDER BY pct
+"""
+
+
 def event_serial_diff(
     spark: SparkSession, sf_dir: str, lag: int = 24
 ) -> DataFrame:

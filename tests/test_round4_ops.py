@@ -533,3 +533,25 @@ def test_auto_fuzziness_ladder():
 
     assert [InvertedIndex.auto_fuzziness(t) for t in
             ("a", "py", "abc", "tabel", "tables")] == [0, 0, 1, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# percentiles_bucket sibling pipeline agg
+
+
+def test_event_percentiles_bucket_vs_oracle(spark, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.relational import (
+        event_percentiles_bucket,
+        event_percentiles_bucket_sql,
+    )
+
+    con2 = duckdb.connect()
+    con2.execute(
+        f"create view events as select * from '{sf_smoke}/events.parquet'"
+    )
+    got = [tuple(r) for r in event_percentiles_bucket(spark, sf_smoke).collect()]
+    want = [tuple(w)
+            for w in con2.execute(event_percentiles_bucket_sql()).fetchall()]
+    assert got == want and len(got) == 4
