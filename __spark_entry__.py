@@ -997,6 +997,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ES significant_terms with the chi_square heuristic: exact
         # 2x2 contingency integers, one double division
+        # ES mutual_information heuristic (include_negatives): 4-cell
+        # pointwise-MI sum over the presence x membership table
+        "significant_terms_mi": lambda spark, sf: AG.significant_terms(
+            load_corpus(spark, sf), "vector window", 20,
+            heuristic="mutual_information",
+        ),
         "significant_terms_chi2": lambda spark, sf: AG.significant_terms(
             load_corpus(spark, sf), "vector window", 20,
             heuristic="chi_square",
@@ -2192,6 +2198,9 @@ LIMIT 10
             FLAGSHIP_QUERY, 120, 2.0, 10, function="sigmoid"
         ),
         "span_or": span_or_oracle_sql("merge sort", 10),
+        "significant_terms_mi": AG.significant_terms_sql(
+            "vector window", 20, heuristic="mutual_information"
+        ),
         "significant_terms_chi2": AG.significant_terms_sql(
             "vector window", 20, heuristic="chi_square"
         ),

@@ -56,6 +56,14 @@ def significant_terms(
       N00=(N−|fg|)−N01 — every cell an exact integer, one double
       division at the end, so both engines agree bit-for-bit.
 
+    * ``mutual_information``: ES's third built-in heuristic
+      (``include_negatives=true``) — the 4-cell pointwise-MI sum
+      ``Σ (Nxy/N)·log2(Nxy·N / (Nx_·N_y))`` over the term-presence ×
+      foreground-membership contingency table; a zero cell contributes
+      0 (the x·log x → 0 limit). Every cell is an exact integer and the
+      expression is identically parenthesized on both engines (shared
+      LN2 literal).
+
     Returns the top-k (term, fg_df, bg_df, score) by (score desc, term asc).
 
     Scale shape: two doc-frequency aggregations over distinct (doc, term)
@@ -63,7 +71,7 @@ def significant_terms(
     the foreground doc set joins on doc_id (no broadcast assumption: the
     match set can be huge).
     """
-    if heuristic not in ("jlh", "chi_square"):
+    if heuristic not in ("jlh", "chi_square", "mutual_information"):
         raise ValueError(f"unknown significance heuristic {heuristic!r}")
     qterms = query_terms(query_text)
     if lang is not None:
@@ -88,6 +96,33 @@ def significant_terms(
         fg_pct = F.col("fg_df").cast("double") / F.lit(float(fg_n))
         bg_pct = F.col("bg_df").cast("double") / F.lit(float(bg_n))
         score = F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+    elif heuristic == "mutual_information":
+        from smse_backend_spark.operators.similarities import LN2
+
+        nd = float(bg_n)
+        n11 = F.col("fg_df").cast("long")
+        n10 = (F.col("bg_df") - F.col("fg_df")).cast("long")
+        n01 = (F.lit(int(fg_n)) - F.col("fg_df")).cast("long")
+        n00 = (F.lit(int(bg_n) - int(fg_n)) - n10).cast("long")
+        n1x, n0x = F.col("bg_df").cast("long"), F.lit(int(bg_n)) - F.col("bg_df")
+        nx1, nx0 = F.lit(int(fg_n)), F.lit(int(bg_n) - int(fg_n))
+
+        def _mi(nxy, nx, ny):
+            d = nxy.cast("double")
+            return F.when(
+                nxy > 0,
+                (d / F.lit(nd)) * (
+                    F.log((d * F.lit(nd))
+                          / (nx.cast("double") * ny.cast("double")))
+                    / F.lit(LN2)
+                ),
+            ).otherwise(F.lit(0.0))
+
+        score = F.round(
+            _mi(n11, n1x, nx1) + _mi(n10, n1x, nx0)
+            + _mi(n01, n0x, nx1) + _mi(n00, n0x, nx0),
+            6,
+        )
     else:
         n11 = F.col("fg_df").cast("long")
         n01 = (F.col("bg_df") - F.col("fg_df")).cast("long")
@@ -143,6 +178,24 @@ def significant_terms_sql(
             f" / (({n11} + {n01}) * ({n10} + {n00}))::DOUBLE"
             f" / (({n11} + {n10}) * ({n01} + {n00}))::DOUBLE, 6)"
         )
+    elif heuristic == "mutual_information":
+        from smse_backend_spark.operators.similarities import LN2
+
+        # cell / marginal names mirror the Spark side exactly
+        cells = {
+            "n11": ("fg_df", "bg_df", "nn.fg_ni"),
+            "n10": ("(bg_df - fg_df)", "bg_df", "(nn.bg_ni - nn.fg_ni)"),
+            "n01": ("(nn.fg_ni - fg_df)", "(nn.bg_ni - bg_df)", "nn.fg_ni"),
+            "n00": ("((nn.bg_ni - nn.fg_ni) - (bg_df - fg_df))",
+                    "(nn.bg_ni - bg_df)", "(nn.bg_ni - nn.fg_ni)"),
+        }
+        mi_terms = [
+            f"CASE WHEN {nxy} > 0 THEN ({nxy}::DOUBLE / nn.bg_n) * "
+            f"(ln(({nxy}::DOUBLE * nn.bg_n) / ({nx}::DOUBLE * {ny}::DOUBLE))"
+            f" / {LN2!r}) ELSE 0.0 END"
+            for nxy, nx, ny in cells.values()
+        ]
+        score = "round(" + " + ".join(mi_terms) + ", 6)"
     else:
         raise ValueError(f"unknown significance heuristic {heuristic!r}")
     return f"""

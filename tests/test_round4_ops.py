@@ -555,3 +555,22 @@ def test_event_percentiles_bucket_vs_oracle(spark, sf_smoke):
     want = [tuple(w)
             for w in con2.execute(event_percentiles_bucket_sql()).fetchall()]
     assert got == want and len(got) == 4
+
+
+# ---------------------------------------------------------------------------
+# significant_terms mutual_information heuristic
+
+
+def test_significant_terms_mi_vs_oracle(corpus, con):
+    from smse_backend_spark.operators.aggregations import (
+        significant_terms,
+        significant_terms_sql,
+    )
+
+    for q, lang in [("vector window", None), ("hash", "en")]:
+        got = [tuple(r) for r in significant_terms(
+            corpus, q, 20, lang, heuristic="mutual_information").collect()]
+        want = [tuple(w) for w in con.execute(significant_terms_sql(
+            q, 20, lang, heuristic="mutual_information")).fetchall()]
+        assert got == want, q
+    assert got
