@@ -179,3 +179,50 @@ def test_composite_after_key_filter_applies_before_aggregate(spark, corpus,
     assert agg_pos != -1 and filt_pos != -1
     assert filt_pos > agg_pos, "after-key filter did not push below the agg"
     assert "TakeOrderedAndProject" in plan
+
+
+# -- round-5 session additions ----------------------------------------------
+
+def test_combined_fields_df_blend_is_broadcast(corpus):
+    """combined_fields joins the pooled-tf frame to a vocabulary-sized
+    blended-df frame — that join must broadcast, and no per-row Python
+    may appear (the whole scoring path is Column algebra)."""
+    from smse_backend_spark.operators.search import combined_fields_scan
+
+    plan = plan_of(combined_fields_scan(corpus, "py f42 hash join", None, 10))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dup_ngram_fraction_has_no_pair_join(corpus, spark, sf_smoke):
+    """The WIMBD duplicate n-gram rate must stay linear: window-df agg +
+    per-doc rollup, never a window self-join or cartesian product."""
+    from smse_backend_spark.operators.dedup import dup_ngram_fraction
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    plan = plan_of(dup_ngram_fraction(docs, 8, 0.3, 100))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # exactly one equi-join: windows back to their corpus-wide df
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 1
+
+
+def test_semdedup_pair_join_is_keyed_on_cluster(spark, sf_smoke):
+    """SemDeDup's quadratic stage must be keyed on c_id (the design
+    point of clustering first) — a cartesian product means the cluster
+    key was lost."""
+    from smse_backend_spark.operators.dedup import semdedup
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    plan = plan_of(semdedup(emb, 8, 0, 0.4))
+    assert "CartesianProduct" not in plan
+
+
+def test_sliced_hits_slice_filter_precedes_sort(index):
+    """The slice residue filter is a map-side predicate: it must sit
+    below the final sort/limit, and the plan carries no corpus scan
+    (postings only)."""
+    plan = plan_of(index.sliced_hits(Q, 1, 4, 100))
+    assert "TakeOrderedAndProject" in plan
+    assert "sha2" in plan  # the residue-class hash runs in the plan
