@@ -1472,13 +1472,20 @@ def rank_eval(
     "a doc is relevant iff it contains EVERY query term" (binary,
     derivable on both engines, no human labels needed). Per query:
 
-        p_at_k  = |relevant in top-k| / k
+        p_at_k  = |relevant in top-k| / k          (ES ``precision``)
+        recall  = |relevant in top-k| / n_rel      (ES ``recall``)
+        mrr     = 1 / rank of first relevant hit   (ES ``mean_reciprocal_rank``)
+        err     = sum_i (1/i)·R_i·prod_{j<i}(1-R_j), R = rel/2 (binary,
+                  max grade 1 — ES ``expected_reciprocal_rank``,
+                  Chapelle et al. 2009); each term 1e-9-quantized before
+                  the sum so the aggregate is order-independent
         dcg_k   = sum_{i<=k} rel_i / log2(i + 1)
         ndcg_k  = dcg_k / idcg_k   (0 when the query has no relevant doc)
 
     over the engine's BM25 top-k (score desc, doc_id asc). Returns
-    (query_id, n_rel, p_at_k, ndcg) ordered by query_id — the regression
-    gate a search team runs before shipping a ranking change.
+    (query_id, n_rel, p_at_k, recall_at_k, mrr, err, ndcg) ordered by
+    query_id — the regression gate a search team runs before shipping a
+    ranking change, with every metric the ES ``_rank_eval`` API ships.
 
     Scale shape: per query, the scored scan's match set carries nmatch,
     so relevance is a compare, not a second scan; the metric reduces
@@ -1504,12 +1511,27 @@ def rank_eval(
             .filter(F.col("rn") <= int(k))
         )
         relc = (F.col("nmatch") == len(terms)).cast("int")
+        w_prev = Window.orderBy("rn").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        topk = topk.withColumn(
+            "prevrel", F.coalesce(F.sum(relc).over(w_prev), F.lit(0))
+        )
+        err_term = (
+            F.lit(0.5) * F.pow(F.lit(0.5), F.col("prevrel").cast("double"))
+        ) / F.col("rn").cast("double")
+        err_q = F.sum(
+            F.when(relc == 1,
+                   F.floor(err_term * F.lit(1e9) + F.lit(0.5)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
         dcg = F.sum(
             F.when(relc == 1,
                    F.lit(1.0) / F.log2(F.col("rn") + F.lit(1)))
             .otherwise(F.lit(0.0))
         )
         hits = F.sum(relc.cast("long"))
+        first_rel = F.min(F.when(relc == 1, F.col("rn")))
         idcg = sum(1.0 / math.log2(i + 1)
                    for i in range(1, min(int(k), n_rel) + 1))
         r6 = lambda c: F.round(c, 6)  # noqa: E731
@@ -1520,6 +1542,18 @@ def rank_eval(
                 F.coalesce(
                     r6(hits.cast("double") / F.lit(float(k))), F.lit(0.0)
                 ).alias("p_at_k"),
+                (
+                    F.coalesce(
+                        r6(hits.cast("double") / F.lit(float(n_rel))),
+                        F.lit(0.0),
+                    ) if n_rel > 0 else F.lit(0.0)
+                ).alias("recall_at_k"),
+                F.coalesce(
+                    r6(F.lit(1.0) / first_rel.cast("double")), F.lit(0.0)
+                ).alias("mrr"),
+                F.coalesce(
+                    r6(err_q.cast("double") / F.lit(1e9)), F.lit(0.0)
+                ).alias("err"),
                 (r6(dcg / F.lit(idcg)) if idcg > 0
                  else F.lit(0.0)).alias("ndcg"),
             )
@@ -1555,10 +1589,16 @@ def rank_eval_sql(
         blocks.append(f"""
 SELECT * FROM (
   WITH scored AS ({scored}),
-  ranked AS (
+  ranked0 AS (
     SELECT doc_id, score, (nmatch = {n_terms})::INT AS rel,
            row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
     FROM scored
+  ),
+  ranked AS (
+    SELECT *, coalesce(sum(rel) OVER (ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS prevrel
+    FROM ranked0
   ),
   nr AS (SELECT count(*)::BIGINT AS n_rel FROM scored
          WHERE nmatch = {n_terms}),
@@ -1571,6 +1611,16 @@ SELECT * FROM (
          (SELECT n_rel FROM nr) AS n_rel,
          coalesce(round(sum(rel)::DOUBLE / {float(k)!r}, 6), 0.0)
            AS p_at_k,
+         CASE WHEN (SELECT n_rel FROM nr) > 0 THEN
+           coalesce(round(sum(rel)::DOUBLE
+                          / (SELECT n_rel FROM nr)::DOUBLE, 6), 0.0)
+         ELSE 0.0 END AS recall_at_k,
+         coalesce(round(1.0 / min(CASE WHEN rel = 1 THEN rn END)::DOUBLE,
+                        6), 0.0) AS mrr,
+         coalesce(round(sum(CASE WHEN rel = 1 THEN
+             floor(((0.5 * pow(0.5, prevrel::DOUBLE)) / rn::DOUBLE)
+                   * 1e9 + 0.5)::BIGINT ELSE 0 END)::DOUBLE / 1e9, 6),
+           0.0) AS err,
          CASE WHEN (SELECT v FROM idcg) > 0 THEN
            round(sum(CASE WHEN rel = 1
                           THEN 1.0 / log2(rn + 1) ELSE 0.0 END)

@@ -518,16 +518,20 @@ def test_rank_eval_vs_duckdb(corpus, con):
     got = [tuple(r) for r in rank_eval(corpus, qs, 10).collect()]
     want = [tuple(w) for w in con.execute(rank_eval_sql(qs, 10)).fetchall()]
     assert got == want and len(got) == 3
-    by_q = {q: (nr, p, n) for q, nr, p, n in got}
+    by_q = {q: rest for q, *rest in got}
     # no relevant docs -> all-zero metrics, not NaN/NULL
-    assert by_q[2] == (0, 0.0, 0.0)
+    assert by_q[2] == [0, 0.0, 0.0, 0.0, 0.0, 0.0]
     # metrics live in [0, 1]; a query with >= 10 relevant docs can hit 1.0
-    for _q, (nr, p, n) in by_q.items():
-        assert 0.0 <= p <= 1.0 and 0.0 <= n <= 1.0
+    for _q, (nr, p, rc, mrr, err, n) in by_q.items():
+        for v in (p, rc, mrr, err, n):
+            assert 0.0 <= v <= 1.0
+        # binary-grade ERR bounds: first term alone is MRR/2, and the
+        # geometric tail can at most double it
+        assert mrr / 2.0 - 1e-9 <= err <= mrr + 1e-9
     # BM25's top-k ordering is not relevance-perfect on OR queries, so
     # ndcg reflects the rank positions of the all-terms docs
-    nr0, p0, n0 = by_q[0]
-    assert nr0 > 0 and p0 > 0 and n0 > 0
+    nr0, p0, rc0, mrr0, err0, n0 = by_q[0]
+    assert nr0 > 0 and p0 > 0 and rc0 > 0 and mrr0 > 0 and err0 > 0 and n0 > 0
     # hand-check p@10 for query 0 against the definition
     from smse_backend_spark.operators.search import bm25_scored_scan
 
