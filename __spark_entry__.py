@@ -997,6 +997,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ES significant_terms with the chi_square heuristic: exact
         # 2x2 contingency integers, one double division
+        # ES random_sampler agg: deterministic sha-u60 sample, counts
+        # inflated by 1/p (half-up, integer-exact both engines)
+        "facets_sampled": lambda spark, sf: AG.random_sampler_facets(
+            load_corpus(spark, sf), 0.25, "lang"
+        ),
         # ES mutual_information heuristic (include_negatives): 4-cell
         # pointwise-MI sum over the presence x membership table
         "significant_terms_mi": lambda spark, sf: AG.significant_terms(
@@ -2201,6 +2206,7 @@ LIMIT 10
         "significant_terms_mi": AG.significant_terms_sql(
             "vector window", 20, heuristic="mutual_information"
         ),
+        "facets_sampled": AG.random_sampler_facets_sql(0.25, "lang"),
         "significant_terms_chi2": AG.significant_terms_sql(
             "vector window", 20, heuristic="chi_square"
         ),

@@ -230,6 +230,75 @@ LIMIT {k}
 """
 
 
+AGG_SAMPLE_SALT = "-agg-sample-v1"
+
+
+def random_sampler_facets(
+    corpus: DataFrame,
+    probability: float = 0.25,
+    facet: str = "lang",
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``random_sampler`` aggregation (8.2+): run the inner agg over a
+    probabilistic document sample and INFLATE the counts by
+    1/probability — the constant-cost way to keep dashboards interactive
+    over 10^12 docs. ES samples per shard with a random seed; here the
+    sample is the repo's DETERMINISTIC sha-u60 threshold draw (the
+    corpus_sample discipline, its own salt) so the result — and the
+    oracle — is stable across runs and cluster sizes. Inner agg: facet
+    doc counts. Returns (facet, sampled_n, est_n) with
+    ``est_n = floor(sampled_n/p + 0.5)`` (half-up, both engines
+    integer-exact), ordered (est_n desc, facet asc).
+
+    Scale shape: the hash predicate is map-side (no pre-pass), so the
+    facet groupBy touches ~p of the corpus; the inflation is driver
+    arithmetic on bucket rows.
+    """
+    from smse_backend_spark.operators.sampling import TWO60, hash_u60
+
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    thr = int(float(probability) * TWO60)
+    sampled = corpus.filter(
+        hash_u60(F.col("doc_id"), AGG_SAMPLE_SALT) < thr
+    )
+    return (
+        sampled.groupBy(F.col(facet).alias("facet"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sampled_n"))
+        .withColumn(
+            "est_n",
+            F.floor(
+                F.col("sampled_n").cast("double") / F.lit(float(probability))
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .orderBy(F.desc("est_n"), F.asc("facet"))
+    )
+
+
+def random_sampler_facets_sql(
+    probability: float = 0.25,
+    facet: str = "lang",
+    lang: str | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`random_sampler_facets`."""
+    from smse_backend_spark.operators.sampling import TWO60, _hash_u60_sql
+
+    thr = int(float(probability) * TWO60)
+    h = _hash_u60_sql("doc_id", AGG_SAMPLE_SALT)
+    where_lang = f"AND lang = '{lang}'" if lang is not None else ""
+    return f"""
+SELECT {facet} AS facet,
+       count(*)::BIGINT AS sampled_n,
+       floor(count(*)::DOUBLE / {float(probability)!r} + 0.5)::BIGINT AS est_n
+FROM {table}
+WHERE {h} < {thr} {where_lang}
+GROUP BY {facet}
+ORDER BY est_n DESC, facet ASC
+"""
+
+
 def percolate(
     corpus: DataFrame,
     stored_queries: dict[int, str],

@@ -574,3 +574,36 @@ def test_significant_terms_mi_vs_oracle(corpus, con):
             q, 20, lang, heuristic="mutual_information")).fetchall()]
         assert got == want, q
     assert got
+
+
+# ---------------------------------------------------------------------------
+# random_sampler aggregation
+
+
+def test_random_sampler_facets_vs_oracle(corpus, con):
+    from smse_backend_spark.operators.aggregations import (
+        random_sampler_facets,
+        random_sampler_facets_sql,
+    )
+
+    for p in (0.25, 0.5, 1.0):
+        got = sorted(tuple(r)
+                     for r in random_sampler_facets(corpus, p).collect())
+        want = sorted(tuple(w) for w in
+                      con.execute(random_sampler_facets_sql(p)).fetchall())
+        assert got == want, p
+    # p=1.0 degenerates to exact facet counts (est == sampled)
+    assert all(s == e for _f, s, e in got)
+
+
+def test_random_sampler_estimates_track_truth(corpus):
+    """The inflated estimates approximate the true facet counts (within
+    a loose band at sf-smoke sizes) — the point of the agg."""
+    from smse_backend_spark.operators.aggregations import random_sampler_facets
+
+    truth = {r["facet"]: r["est_n"]
+             for r in random_sampler_facets(corpus, 1.0).collect()}
+    est = {r["facet"]: r["est_n"]
+           for r in random_sampler_facets(corpus, 0.25).collect()}
+    for f, t in truth.items():
+        assert abs(est.get(f, 0) - t) <= max(20, 0.5 * t), (f, est.get(f), t)
