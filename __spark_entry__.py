@@ -594,6 +594,15 @@ def _fielded_indexed(spark: SparkSession, sf_dir: str, combine: str) -> DataFram
     )
 
 
+def _cf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smse_backend_spark.index.query import combined_fields_indexed_topk
+
+    return combined_fields_indexed_topk(
+        _field_indexes(spark, sf_dir), MULTI_FIELD_QUERY,
+        MULTI_FIELD_WEIGHTS, 10,
+    )
+
+
 def _bm25(query: str, k: int = 10, lang: str | None = None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return bm25_topk_scan(load_corpus(spark, sf_dir), query, k, lang)
@@ -1189,6 +1198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_fields": lambda spark, sf: combined_fields_scan(
             load_corpus(spark, sf), MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 10
         ),
+        # CombinedFieldQuery from PER-FIELD indexes: pooled tf from
+        # decoded postings, pooled dl from docstats point reads, pooled
+        # avgdl from build metadata — rank-identical to the scan twin
+        "combined_fields_indexed": lambda spark, sf: _cf_indexed(spark, sf),
         # original Zaragoza/TREC-13 BM25F: per-field soft length norm
         # (slope B_f) BEFORE pooling, tf~/(k1+tf~) saturation
         "bm25f_zaragoza": lambda spark, sf: bm25f_zaragoza_scan(
@@ -2139,6 +2152,10 @@ LIMIT 10
         ),
         "bm25f_zaragoza": bm25f_zaragoza_oracle_sql(
             MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, None, 10
+        ),
+        # indexed twin shares the scan oracle (rank identity is the claim)
+        "combined_fields_indexed": combined_fields_oracle_sql(
+            MULTI_FIELD_QUERY, MULTI_FIELD_WEIGHTS, 10
         ),
         "bm25_stemmed": bm25_scan_oracle_sql(
             "tables scans windows merges", 10, stem=True

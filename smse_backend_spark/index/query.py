@@ -5002,6 +5002,115 @@ def fielded_indexed_topk(
     )
 
 
+def combined_fields_indexed_topk(
+    field_indexes: dict[str, "InvertedIndex"],
+    query_text: str,
+    field_weights: dict[str, float],
+    k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """Lucene ``CombinedFieldQuery`` served from PER-FIELD inverted
+    indexes — the scale path of
+    :func:`smse_backend_spark.operators.search.combined_fields_scan`,
+    rank-identical to it (shared oracle): pooled weighted tf from each
+    field's decoded postings, pooled doc length from each field's
+    docstats (pruned point reads of the MATCHED doc set only), pooled
+    avgdl from the builds' integer ``sum_dl`` metadata (no corpus scan,
+    no extra job), blended df = max over the field dictionaries.
+
+    Scale shape: per field, only the query terms' posting blocks decode;
+    the docstats joins touch matched docs; every aggregation is
+    map-side combined; integer-valued weights keep pooled tf/dl exact.
+    """
+    some = next(iter(field_indexes.values()))
+    spark = some.spark
+    empty = spark.createDataFrame([], RESULT_SCHEMA)
+    fields = sorted(field_weights)
+    if not fields:
+        return empty
+    n = float(some.meta["n_docs"])
+    if not n:
+        return empty
+    pooled_sum_dl = 0.0
+    for f in fields:
+        pooled_sum_dl += float(field_weights[f]) * float(
+            field_indexes[f].meta["sum_dl"]
+        )
+    avgdl = pooled_sum_dl / n
+    terms_per_field = {
+        f: field_indexes[f]._analyze(query_text) for f in fields
+    }
+    dfs_per_field = {
+        f: (field_indexes[f].term_df(sorted(set(ts)), None) if ts else {})
+        for f, ts in terms_per_field.items()
+    }
+    df_max: dict[str, int] = {}
+    for dfs in dfs_per_field.values():
+        for t, d in dfs.items():
+            df_max[t] = max(df_max.get(t, 0), int(d))
+    if not df_max:
+        return empty
+    idf = {
+        t: math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+        for t, d in df_max.items()
+    }
+    parts = []
+    for f in fields:
+        present = sorted(dfs_per_field[f])
+        if not present:
+            continue
+        idx = field_indexes[f]
+        dec = idx._decoded(idx._blocks(present, None))
+        parts.append(
+            dec.select(
+                "term", "doc_id",
+                (F.col("tf").cast("double")
+                 * F.lit(float(field_weights[f]))).alias("wtf"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    pooled = u.groupBy("doc_id", "term").agg(F.sum("wtf").alias("ctf"))
+    docs = pooled.select("doc_id").distinct()
+    dl_parts = []
+    for f in fields:
+        ds = spark.read.parquet(
+            f"{field_indexes[f].path}/docstats"
+        ).select("doc_id", "doc_len")
+        dl_parts.append(
+            docs.join(ds, "doc_id").select(
+                "doc_id",
+                (F.col("doc_len").cast("double")
+                 * F.lit(float(field_weights[f]))).alias("wdl"),
+            )
+        )
+    du = dl_parts[0]
+    for p in dl_parts[1:]:
+        du = du.unionByName(p)
+    cdl = du.groupBy("doc_id").agg(F.sum("wdl").alias("cdl"))
+    idf_df = F.broadcast(
+        spark.createDataFrame(
+            sorted(idf.items()), "term string, idf double"
+        )
+    )
+    from smse_backend_spark.functions.bm25 import bm25_term_score_col
+
+    return (
+        pooled.join(cdl, "doc_id")
+        .join(idf_df, "term")
+        .withColumn(
+            "contrib",
+            bm25_term_score_col(
+                F.col("ctf"), F.col("idf"), F.col("cdl"), avgdl
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def sharded_bm25_topk(
     spark: SparkSession,
     paths: list[str],

@@ -607,3 +607,37 @@ def test_random_sampler_estimates_track_truth(corpus):
            for r in random_sampler_facets(corpus, 0.25).collect()}
     for f, t in truth.items():
         assert abs(est.get(f, 0) - t) <= max(20, 0.5 * t), (f, est.get(f), t)
+
+
+# ---------------------------------------------------------------------------
+# combined_fields on the index path
+
+
+def test_combined_fields_indexed_rank_identical_to_scan(spark, corpus,
+                                                        tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import (
+        InvertedIndex,
+        combined_fields_indexed_topk,
+    )
+    from smse_backend_spark.operators.search import combined_fields_scan
+
+    idxs = {}
+    for fname, col in (("content", "content"), ("path", "path")):
+        out = str(tmp_path_factory.mktemp(f"cfidx_{fname}"))
+        src = corpus if col == "content" else corpus.withColumn(
+            "content", F.col("path"))
+        build_index(spark, src, out, segment_size=64, n_buckets=4,
+                    block_size=16, n_batches=2)
+        idxs[fname] = InvertedIndex(spark, out)
+    for q in ("py f42 hash join", "table scan"):
+        got = [(r["doc_id"], r["score"]) for r in
+               combined_fields_indexed_topk(idxs, q, None or
+                                            {"content": 1.0, "path": 2.0},
+                                            10).collect()]
+        want = [(r["doc_id"], r["score"]) for r in
+                combined_fields_scan(corpus, q, None, 10).collect()]
+        assert got == want, q
+    assert got
