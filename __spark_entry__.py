@@ -1034,6 +1034,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sayt_bool_prefix": lambda spark, sf: sayt_scan(
             load_corpus(spark, sf), "table sc", 10
         ),
+        # intervals prefix rule: "sc*" expands from the dictionary (ES
+        # 128-term cap) and acts as one any_of source inside all_of
+        "intervals_prefix": lambda spark, sf: _pos_indexed(spark, sf)
+        .intervals_prefix_topk(
+            [["table"], "prefix:sc"], max_gaps=2, ordered=True, k=10
+        ),
         # Lucene SLOPPY phrase (match_phrase slop=2): queue algorithm
         # accumulates sum 1/(1+matchLength); BM25 on the fractional freq
         "bm25_phrase_slop": lambda spark, sf: _pos_indexed(spark, sf)
@@ -2073,6 +2079,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             [["table"], ["scan", "merge"]], 2, True, 10
         ),
         "bm25_phrase_slop": phrase_slop_oracle_sql("table scan", 2, 10),
+        "intervals_prefix": intervals_allof_oracle_sql(
+            [["table"], "prefix:sc"], 2, True, 10
+        ),
         "sayt_bool_prefix": sayt_oracle_sql("table sc", 10),
         "bm25_phrase_prefix": phrase_prefix_oracle_sql("hash jo", 10),
         "bm25_boosting": boosting_oracle_sql(FLAGSHIP_QUERY, ["window"], 0.5),

@@ -2836,6 +2836,38 @@ class InvertedIndex:
             matches = matches.join(self._tomb_df, "doc_id", "left_anti")
         return self._finish(matches, k)
 
+    def intervals_prefix_topk(
+        self,
+        sources: list,
+        max_gaps: int = 0,
+        ordered: bool = True,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+        max_expansions: int = 128,
+    ) -> DataFrame:
+        """ES ``intervals`` ``prefix`` rule as an ``all_of`` source: a
+        source written ``"prefix:sc"`` expands against the dictionary
+        and the expansion acts as ONE ``any_of`` source (its members'
+        occurrences union into one position list). ES caps the internal
+        expansion at 128 terms and REJECTS the query beyond it — same
+        here (so the uncapped corpus-side oracle stays exact: every
+        matching dictionary term is in the expansion). Everything else
+        is :meth:`intervals_allof_topk`."""
+        expanded: list[list[str]] = []
+        for s in sources:
+            if isinstance(s, str) and s.startswith("prefix:"):
+                pfx = s[len("prefix:"):]
+                exp = self.expand_prefix(pfx, lang, int(max_expansions) + 1)
+                if len(exp) > int(max_expansions):
+                    raise ValueError(
+                        f"intervals prefix {pfx!r} expands past "
+                        f"{max_expansions} terms (the ES limit)"
+                    )
+                expanded.append(exp)
+            else:
+                expanded.append(list(s))
+        return self.intervals_allof_topk(expanded, max_gaps, ordered, k, lang)
+
     def explain_scores(
         self,
         query_text: str,

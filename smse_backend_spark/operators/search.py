@@ -2579,31 +2579,55 @@ def intervals_allof_oracle_sql(
     table: str = "documents",
     content_col: str = "text",
 ) -> str:
-    """DuckDB twin of ``InvertedIndex.intervals_allof_topk``: one position
-    CTE per source (the UNION of its alternatives' occurrences), the
-    span-near window ``max_gaps + n_sources - 1`` with the optional
-    strictly-increasing order chain, scored as the BM25 sum over the
-    distinct member terms present in each matching doc."""
-    srcs = [tuple(dict.fromkeys(s)) for s in sources if s]
+    """DuckDB twin of ``InvertedIndex.intervals_allof_topk`` (and of
+    :meth:`intervals_prefix_topk` — a source written ``"prefix:sc"``
+    becomes a ``starts_with`` position predicate, the expansion
+    re-derived from the corpus itself): one position CTE per source
+    (the UNION of its alternatives' occurrences), the span-near window
+    ``max_gaps + n_sources - 1`` with the optional strictly-increasing
+    order chain, scored as the BM25 sum over the distinct member terms
+    present in each matching doc."""
+    def _is_prefix(s) -> bool:
+        return isinstance(s, str) and s.startswith("prefix:")
+
+    srcs = [s if _is_prefix(s) else tuple(dict.fromkeys(s))
+            for s in sources if s]
     if not srcs:
         return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
-    terms = sorted({t for s in srcs for t in s})
+    terms = sorted({t for s in srcs if not _is_prefix(s) for t in s})
+    prefixes = [s[len("prefix:"):] for s in srcs if _is_prefix(s)]
     window = int(max_gaps) + len(srcs) - 1
-    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tf_preds = []
+    if terms:
+        tf_preds.append(
+            "term IN (" + ", ".join(
+                "'" + t.replace("'", "''") + "'" for t in terms
+            ) + ")"
+        )
+    tf_preds += [
+        f"starts_with(term, '{p.replace(chr(39), chr(39) * 2)}')"
+        for p in prefixes
+    ]
+    tf_where = " OR ".join(tf_preds)
     where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
     toksql = tokenize_duckdb_sql(content_col)
     score = bm25_term_score_sql(
         "tf.tf", idf_sql("dfq.df", "stats.n"), "tf.doc_len", "stats.avgdl"
     )
+
+    def _pos_pred(s) -> str:
+        if _is_prefix(s):
+            p = s[len("prefix:"):].replace("'", "''")
+            return f"starts_with(toks[j], '{p}')"
+        alts = ", ".join("'" + t.replace("'", "''") + "'" for t in s)
+        return f"toks[j] IN ({alts})"
+
     pos_ctes = ",\n".join(
-        """p{i} AS (
+        f"""p{i} AS (
   SELECT doc_id, unnest(list_filter(generate_series(1, len(toks)),
-                                    j -> toks[j] IN ({alts}))) AS p
+                                    j -> {_pos_pred(s)})) AS p
   FROM dl
-)""".format(
-            i=i,
-            alts=", ".join("'" + t.replace("'", "''") + "'" for t in s),
-        )
+)"""
         for i, s in enumerate(srcs)
     )
     join_chain = " ".join(
@@ -2635,7 +2659,7 @@ tok AS (
 ),
 tf AS (
   SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
-  FROM tok WHERE term IN ({in_list})
+  FROM tok WHERE {tf_where}
   GROUP BY doc_id, doc_len, term
 ),
 dfq AS (

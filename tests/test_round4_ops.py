@@ -641,3 +641,39 @@ def test_combined_fields_indexed_rank_identical_to_scan(spark, corpus,
                 combined_fields_scan(corpus, q, None, 10).collect()]
         assert got == want, q
     assert got
+
+
+# ---------------------------------------------------------------------------
+# intervals prefix rule
+
+
+@pytest.mark.parametrize("sources,max_gaps,ordered", [
+    ([["table"], "prefix:sc"], 2, True),
+    (["prefix:ta", ["scan", "merge"]], 3, False),
+    ([["zzqq"], "prefix:sc"], 2, True),
+])
+def test_intervals_prefix_vs_oracle(pos_index, con, sources, max_gaps,
+                                    ordered):
+    from smse_backend_spark.operators.search import intervals_allof_oracle_sql
+
+    got = [(r["doc_id"], r["score"]) for r in pos_index.intervals_prefix_topk(
+        sources, max_gaps, ordered, 10).collect()]
+    want = [tuple(r) for r in con.execute(intervals_allof_oracle_sql(
+        sources, max_gaps, ordered, 10)).fetchall()]
+    assert got == want, (sources, got[:3], want[:3])
+
+
+def test_intervals_prefix_expansion_equals_explicit_anyof(pos_index):
+    """The prefix rule IS an any_of over the dictionary expansion."""
+    exp = pos_index.expand_prefix("sc", None, 128)
+    a = [(r["doc_id"], r["score"]) for r in pos_index.intervals_prefix_topk(
+        [["table"], "prefix:sc"], 2, True, 10).collect()]
+    b = [(r["doc_id"], r["score"]) for r in pos_index.intervals_allof_topk(
+        [["table"], exp], 2, True, 10).collect()]
+    assert a == b and a
+
+
+def test_intervals_prefix_cap_rejects_wide_expansion(pos_index):
+    with pytest.raises(ValueError):
+        pos_index.intervals_prefix_topk(
+            [["table"], "prefix:sc"], 2, True, 10, max_expansions=0)
