@@ -1040,6 +1040,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .intervals_prefix_topk(
             [["table"], "prefix:sc"], max_gaps=2, ordered=True, k=10
         ),
+        # intervals fuzzy rule: AUTO edit budget + ES transpositions,
+        # dictionary expansion as one any_of source
+        "intervals_fuzzy": lambda spark, sf: _pos_indexed(spark, sf)
+        .intervals_prefix_topk(
+            [["table"], "fuzzy:scna"], max_gaps=3, ordered=True, k=10
+        ),
         # Lucene SLOPPY phrase (match_phrase slop=2): queue algorithm
         # accumulates sum 1/(1+matchLength); BM25 on the fractional freq
         "bm25_phrase_slop": lambda spark, sf: _pos_indexed(spark, sf)
@@ -2081,6 +2087,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "bm25_phrase_slop": phrase_slop_oracle_sql("table scan", 2, 10),
         "intervals_prefix": intervals_allof_oracle_sql(
             [["table"], "prefix:sc"], 2, True, 10
+        ),
+        "intervals_fuzzy": intervals_allof_oracle_sql(
+            [["table"], "fuzzy:scna"], 3, True, 10
         ),
         "sayt_bool_prefix": sayt_oracle_sql("table sc", 10),
         "bm25_phrase_prefix": phrase_prefix_oracle_sql("hash jo", 10),

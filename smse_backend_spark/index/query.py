@@ -2845,25 +2845,46 @@ class InvertedIndex:
         lang: str | None = None,
         max_expansions: int = 128,
     ) -> DataFrame:
-        """ES ``intervals`` ``prefix`` rule as an ``all_of`` source: a
-        source written ``"prefix:sc"`` expands against the dictionary
-        and the expansion acts as ONE ``any_of`` source (its members'
-        occurrences union into one position list). ES caps the internal
-        expansion at 128 terms and REJECTS the query beyond it — same
-        here (so the uncapped corpus-side oracle stays exact: every
-        matching dictionary term is in the expansion). Everything else
-        is :meth:`intervals_allof_topk`."""
+        """ES ``intervals`` multi-term rules (``prefix`` / ``wildcard`` /
+        ``fuzzy``) as ``all_of`` sources: a source written
+        ``"prefix:sc"``, ``"wildcard:sc?n"`` or ``"fuzzy:scna"`` expands
+        against the dictionary and the expansion acts as ONE ``any_of``
+        source (its members' occurrences union into one position list).
+        The fuzzy budget is the AUTO ladder with ES's transpositions
+        default. ES caps each internal expansion at 128 terms and
+        REJECTS the query beyond it — same here (so the uncapped
+        corpus-side oracle stays exact: every matching dictionary term
+        is in the expansion). Everything else is
+        :meth:`intervals_allof_topk`."""
+        cap = int(max_expansions)
         expanded: list[list[str]] = []
         for s in sources:
-            if isinstance(s, str) and s.startswith("prefix:"):
-                pfx = s[len("prefix:"):]
-                exp = self.expand_prefix(pfx, lang, int(max_expansions) + 1)
-                if len(exp) > int(max_expansions):
+            if isinstance(s, str) and ":" in s:
+                kind, _, arg = s.partition(":")
+                if kind == "prefix":
+                    exp = self.expand_prefix(arg, lang, cap + 1)
+                elif kind == "wildcard":
+                    exp = self.expand_regex(
+                        wildcard_to_regex(arg), lang, cap + 1
+                    )
+                elif kind == "fuzzy":
+                    exp = self.expand_fuzzy(
+                        arg, self.auto_fuzziness(arg), lang, cap + 1,
+                        transpositions=True,
+                    )
+                else:
+                    raise ValueError(f"unknown intervals rule {kind!r}")
+                if len(exp) > cap:
                     raise ValueError(
-                        f"intervals prefix {pfx!r} expands past "
-                        f"{max_expansions} terms (the ES limit)"
+                        f"intervals {kind} {arg!r} expands past "
+                        f"{cap} terms (the ES limit)"
                     )
                 expanded.append(exp)
+            elif isinstance(s, str):
+                raise ValueError(
+                    f"string source {s!r} must be 'prefix:...', "
+                    "'wildcard:...' or 'fuzzy:...' (exact terms go in a list)"
+                )
             else:
                 expanded.append(list(s))
         return self.intervals_allof_topk(expanded, max_gaps, ordered, k, lang)

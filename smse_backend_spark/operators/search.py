@@ -2587,15 +2587,33 @@ def intervals_allof_oracle_sql(
     ``max_gaps + n_sources - 1`` with the optional strictly-increasing
     order chain, scored as the BM25 sum over the distinct member terms
     present in each matching doc."""
-    def _is_prefix(s) -> bool:
-        return isinstance(s, str) and s.startswith("prefix:")
+    def _is_rule(s) -> bool:
+        return isinstance(s, str) and ":" in s
 
-    srcs = [s if _is_prefix(s) else tuple(dict.fromkeys(s))
+    srcs = [s if _is_rule(s) else tuple(dict.fromkeys(s))
             for s in sources if s]
     if not srcs:
         return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
-    terms = sorted({t for s in srcs if not _is_prefix(s) for t in s})
-    prefixes = [s[len("prefix:"):] for s in srcs if _is_prefix(s)]
+    terms = sorted({t for s in srcs if not _is_rule(s) for t in s})
+
+    def _rule_pred(s: str, col: str) -> str:
+        from smse_backend_spark.index.query import (
+            InvertedIndex,
+            wildcard_to_regex,
+        )
+
+        kind, _, arg = s.partition(":")
+        esc = arg.replace("'", "''")
+        if kind == "prefix":
+            return f"starts_with({col}, '{esc}')"
+        if kind == "wildcard":
+            rx = wildcard_to_regex(arg).replace("'", "''")
+            return f"regexp_full_match({col}, '{rx}')"
+        if kind == "fuzzy":
+            b = InvertedIndex.auto_fuzziness(arg)
+            return f"damerau_levenshtein({col}, '{esc}') <= {b}"
+        raise ValueError(f"unknown intervals rule {kind!r}")
+
     window = int(max_gaps) + len(srcs) - 1
     tf_preds = []
     if terms:
@@ -2604,10 +2622,7 @@ def intervals_allof_oracle_sql(
                 "'" + t.replace("'", "''") + "'" for t in terms
             ) + ")"
         )
-    tf_preds += [
-        f"starts_with(term, '{p.replace(chr(39), chr(39) * 2)}')"
-        for p in prefixes
-    ]
+    tf_preds += [_rule_pred(s, "term") for s in srcs if _is_rule(s)]
     tf_where = " OR ".join(tf_preds)
     where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
     toksql = tokenize_duckdb_sql(content_col)
@@ -2616,9 +2631,8 @@ def intervals_allof_oracle_sql(
     )
 
     def _pos_pred(s) -> str:
-        if _is_prefix(s):
-            p = s[len("prefix:"):].replace("'", "''")
-            return f"starts_with(toks[j], '{p}')"
+        if _is_rule(s):
+            return _rule_pred(s, "toks[j]")
         alts = ", ".join("'" + t.replace("'", "''") + "'" for t in s)
         return f"toks[j] IN ({alts})"
 

@@ -677,3 +677,23 @@ def test_intervals_prefix_cap_rejects_wide_expansion(pos_index):
     with pytest.raises(ValueError):
         pos_index.intervals_prefix_topk(
             [["table"], "prefix:sc"], 2, True, 10, max_expansions=0)
+
+
+@pytest.mark.parametrize("sources", [
+    [["table"], "wildcard:sc?n"],
+    [["table"], "fuzzy:scna"],
+    ["prefix:ta", "wildcard:*oin*"],
+])
+def test_intervals_wildcard_fuzzy_vs_oracle(pos_index, con, sources):
+    from smse_backend_spark.operators.search import intervals_allof_oracle_sql
+
+    got = [(r["doc_id"], r["score"]) for r in pos_index.intervals_prefix_topk(
+        sources, 3, True, 10).collect()]
+    want = [tuple(r) for r in con.execute(intervals_allof_oracle_sql(
+        sources, 3, True, 10)).fetchall()]
+    assert got == want, (sources, got[:3], want[:3])
+
+
+def test_intervals_rule_rejects_bare_string(pos_index):
+    with pytest.raises(ValueError):
+        pos_index.intervals_prefix_topk([["table"], "scan"], 2, True, 10)
