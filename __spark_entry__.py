@@ -57,6 +57,8 @@ from smse_backend_spark.operators.search import (
     classic_tfidf_oracle_sql,
 )
 from smse_backend_spark.operators.similarities import (
+    axiomatic_f2exp_oracle_sql,
+    axiomatic_f2log_oracle_sql,
     boolean_sim_oracle_sql,
     dfi_chi2_oracle_sql,
     dfr_inl2_oracle_sql,
@@ -969,6 +971,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Lucene BooleanSimilarity: score = matched-term count
         "boolean_sim": lambda spark, sf: _indexed(spark, sf)
         .boolean_sim_topk(FLAGSHIP_QUERY, 10),
+        # Lucene AxiomaticF2EXP (Fang & Zhai 2005): ((N+1)/df)^0.35 idf
+        # over the F2 normalized tf — the axiomatic retrieval family
+        "axiomatic_f2exp": lambda spark, sf: _indexed(spark, sf)
+        .axiomatic_f2exp_topk(FLAGSHIP_QUERY, 10),
+        # Lucene AxiomaticF2LOG: log-idf sibling, same F2 tf norm
+        "axiomatic_f2log": lambda spark, sf: _indexed(spark, sf)
+        .axiomatic_f2log_topk(FLAGSHIP_QUERY, 10),
         # Lucene WildcardQuery: * and ? compiled onto the regex path
         "bm25_wildcard": lambda spark, sf: _indexed(spark, sf)
         .bm25_topk_wildcard("m?rg*", 10),
@@ -2060,6 +2069,8 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             "batch stream spark window", 10, lang="en"
         ),
         "dfr_pl2": dfr_pl2_oracle_sql(FLAGSHIP_QUERY, 10),
+        "axiomatic_f2exp": axiomatic_f2exp_oracle_sql(FLAGSHIP_QUERY, 10),
+        "axiomatic_f2log": axiomatic_f2log_oracle_sql(FLAGSHIP_QUERY, 10),
         "ib_ll": ib_ll_oracle_sql(FLAGSHIP_QUERY, 10),
         "dfi_chi2": dfi_chi2_oracle_sql(FLAGSHIP_QUERY, 10),
         "boolean_sim": boolean_sim_oracle_sql(FLAGSHIP_QUERY, 10),

@@ -4125,6 +4125,74 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def _ax_tfn(self, avgdl: float):
+        """Axiomatic F2 length-normalized tf (Fang & Zhai 2005):
+        ``tf / (tf + s + s·dl/avgdl)`` with Lucene's default s = 0.5 —
+        shared by the F2EXP and F2LOG models, same parenthesization as
+        the oracle's ``_AX_TFN``."""
+        from smse_backend_spark.operators.similarities import AX_S
+
+        tfd = F.col("tf").cast("double")
+        return tfd / (
+            tfd
+            + F.lit(AX_S)
+            + F.lit(AX_S) * F.col("dl").cast("double") / F.lit(avgdl)
+        )
+
+    def _ax_topk(
+        self, idf: dict[str, float], avgdl: float, k: int, lang: str | None
+    ) -> DataFrame:
+        """Shared Axiomatic scorer: per-term idf ships as a broadcast
+        literal (driver-side from the dictionary's integer df), F2 tfn
+        on the decoded postings, quantize-then-integer-sum — the same
+        decode plan and determinism discipline as every other pluggable
+        similarity (no corpus scan, one per-doc partial agg,
+        TakeOrderedAndProject)."""
+        decoded = self._decoded(self._blocks(sorted(idf), lang))
+        raw = F.col("idf") * self._ax_tfn(avgdl)
+        return self._qsum_finish(
+            decoded.join(self._idf_df(idf), "term")
+            .withColumn("cq", self._quantize(raw)),
+            k,
+        )
+
+    def axiomatic_f2exp_topk(
+        self,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Lucene ``AxiomaticF2EXP`` (Fang & Zhai 2005, SIGIR — the
+        axiomatic retrieval family): ``((N+1)/df)^k * tf/(tf + s +
+        s·dl/avgdl)`` with Lucene's defaults s=0.5, k=0.35. Completes
+        the pluggable-similarity surface next to BM25 / Classic /
+        Dirichlet / JM / InL2 / PL2 / IB-LL / DFI / Boolean."""
+        from smse_backend_spark.operators.similarities import f2exp_idf
+
+        terms = self._analyze(query_text)
+        n, avgdl = self.corpus_stats(lang)
+        dfs = self.term_df(terms, lang) if terms and n else {}
+        if not dfs:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        return self._ax_topk(f2exp_idf(n, dfs), avgdl, k, lang)
+
+    def axiomatic_f2log_topk(
+        self,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Lucene ``AxiomaticF2LOG``: ``ln((N+1)/df)`` idf over the same
+        F2 normalized tf — the log-idf sibling of :meth:`axiomatic_f2exp_topk`."""
+        from smse_backend_spark.operators.similarities import f2log_idf
+
+        terms = self._analyze(query_text)
+        n, avgdl = self.corpus_stats(lang)
+        dfs = self.term_df(terms, lang) if terms and n else {}
+        if not dfs:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        return self._ax_topk(f2log_idf(n, dfs), avgdl, k, lang)
+
     def synonym_query_topk(
         self,
         groups: list[list[str]],

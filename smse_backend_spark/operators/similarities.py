@@ -232,6 +232,59 @@ def dfi_chi2_oracle_sql(
     )
 
 
+AX_S = 0.5   # Lucene Axiomatic* growth-function default (s)
+AX_K = 0.35  # Lucene AxiomaticF2EXP idf exponent default (k)
+
+# F2 length-normalized tf (Fang & Zhai 2005, Lucene AxiomaticF2EXP /
+# AxiomaticF2LOG): tf / (tf + s + s·dl/avgdl) — written once, same
+# parenthesization on both engines.
+_AX_TFN = (
+    "(tf.tf::DOUBLE / (tf.tf::DOUBLE + {s}"
+    " + {s} * tf.doc_len::DOUBLE / stats.avgdl))"
+)
+
+
+def axiomatic_f2exp_oracle_sql(
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.axiomatic_f2exp_topk`` (Lucene
+    ``AxiomaticF2EXP``): ``((N+1)/df)^k * tf/(tf + s + s·dl/avgdl)``
+    with the Lucene defaults s=0.5, k=0.35. ``pow`` over the same
+    integer-derived doubles on both engines (libm on this host)."""
+    terms = query_terms(query_text)
+    if not terms:
+        return _EMPTY.format(table=table)
+    tfn = _AX_TFN.format(s=repr(AX_S))
+    idf = f"pow((stats.n + 1.0) / dfq.df, {AX_K!r})"
+    return _scan_scaffold(terms, lang, table, content_col) + _qsum_tail(
+        f"{idf} * {tfn}", k
+    )
+
+
+def axiomatic_f2log_oracle_sql(
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.axiomatic_f2log_topk`` (Lucene
+    ``AxiomaticF2LOG``): ``ln((N+1)/df) * tf/(tf + s + s·dl/avgdl)``,
+    s=0.5."""
+    terms = query_terms(query_text)
+    if not terms:
+        return _EMPTY.format(table=table)
+    tfn = _AX_TFN.format(s=repr(AX_S))
+    idf = "ln((stats.n + 1.0) / dfq.df)"
+    return _scan_scaffold(terms, lang, table, content_col) + _qsum_tail(
+        f"{idf} * {tfn}", k
+    )
+
+
 def boolean_sim_oracle_sql(
     query_text: str,
     k: int = DEFAULT_TOP_K,
@@ -277,3 +330,16 @@ def inl2_idf(n: float, dfs: dict[str, int]) -> dict[str, float]:
 def ll_lambda(n: float, dfs: dict[str, int]) -> dict[str, float]:
     """Per-term log-logistic λ_w = (df+1)/(N+1)."""
     return {t: (float(df) + 1.0) / (n + 1.0) for t, df in dfs.items()}
+
+
+def f2exp_idf(n: float, dfs: dict[str, int]) -> dict[str, float]:
+    """Per-term Axiomatic F2EXP idf ((N+1)/df)^k — driver-side from the
+    dictionary's exact integer df, the same libm pow the oracle uses."""
+    return {
+        t: math.pow((n + 1.0) / float(df), AX_K) for t, df in dfs.items()
+    }
+
+
+def f2log_idf(n: float, dfs: dict[str, int]) -> dict[str, float]:
+    """Per-term Axiomatic F2LOG idf ln((N+1)/df)."""
+    return {t: math.log((n + 1.0) / float(df)) for t, df in dfs.items()}

@@ -697,3 +697,36 @@ def test_intervals_wildcard_fuzzy_vs_oracle(pos_index, con, sources):
 def test_intervals_rule_rejects_bare_string(pos_index):
     with pytest.raises(ValueError):
         pos_index.intervals_prefix_topk([["table"], "scan"], 2, True, 10)
+
+
+# ---------------------------------------------------------------------------
+# Axiomatic similarities (Lucene AxiomaticF2EXP / AxiomaticF2LOG)
+
+
+@pytest.mark.parametrize("query,lang", [
+    ("hash join merge scan", None),
+    ("batch stream spark window", "en"),
+    ("zzqq", None),
+])
+def test_axiomatic_vs_oracle(plain_index, con, query, lang):
+    from smse_backend_spark.operators.similarities import (
+        axiomatic_f2exp_oracle_sql,
+        axiomatic_f2log_oracle_sql,
+    )
+
+    for meth, osql in [
+        (plain_index.axiomatic_f2exp_topk, axiomatic_f2exp_oracle_sql),
+        (plain_index.axiomatic_f2log_topk, axiomatic_f2log_oracle_sql),
+    ]:
+        got = [(r["doc_id"], r["score"])
+               for r in meth(query, 10, lang).collect()]
+        want = [tuple(w) for w in con.execute(osql(query, 10, lang)).fetchall()]
+        assert got == want, (query, got[:3], want[:3])
+
+
+def test_axiomatic_f2_tfn_bounded(plain_index):
+    # the F2 growth function is < 1 for every tf, so no per-term
+    # contribution can exceed its idf — scores stay finite and ordered
+    rows = plain_index.axiomatic_f2exp_topk("hash join", 5).collect()
+    assert rows == sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))
+    assert all(r["score"] > 0 for r in rows)
