@@ -1247,6 +1247,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_diversified": lambda spark, sf: AG.diversified_sample_facets(
             load_corpus(spark, sf), FLAGSHIP_QUERY, "repo", 3, "lang"
         ),
+        # ES sampler agg (best-docs): facet over the top-100 scored
+        # matches only — TakeOrderedAndProject cap, then metadata-sized
+        "search_sampler": lambda spark, sf: AG.sampler_facets(
+            load_corpus(spark, sf), FLAGSHIP_QUERY, 100, "lang"
+        ),
         # long-tail vocabulary: terms in <= 5% of docs (ES rare_terms,
         # corpus-relative cutoff so "rare" survives scale-up)
         "rare_terms": lambda spark, sf: AG.rare_terms(
@@ -2210,6 +2215,7 @@ LIMIT 10
         "bm25_indexed_range": bm25_scan_oracle_sql(
             FLAGSHIP_QUERY, 10, exclude_where="tf.doc_len BETWEEN 20 AND 40"
         ),
+        "search_sampler": AG.sampler_facets_sql(FLAGSHIP_QUERY, 100, "lang"),
         "search_diversified": AG.diversified_sample_facets_sql(
             FLAGSHIP_QUERY, "source", 3, "lang"
         ),

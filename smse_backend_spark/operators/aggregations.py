@@ -954,6 +954,68 @@ ORDER BY n DESC, {facet} ASC
 """
 
 
+def sampler_facets(
+    corpus: DataFrame,
+    query_text: str,
+    shard_size: int = 100,
+    facet: str = "lang",
+    lang: str | None = None,
+) -> DataFrame:
+    """ES ``sampler`` aggregation (the best-docs sibling of
+    ``random_sampler`` and ``diversified_sampler``): restrict the
+    sub-aggregation to the ``shard_size`` HIGHEST-SCORING matches of the
+    query, then run the inner agg (a ``facet`` terms count) over that
+    elite sample — ES's way to focus significant-terms / facet math on
+    high-relevance docs only. ES caps per shard; here the cap is the
+    GLOBAL deterministic top (score desc, doc_id asc — the repo's total
+    order), so the result is identical at any partitioning/cluster size
+    and exactly replayable in SQL. Returns (``facet``, n) ordered
+    (n desc, value asc).
+
+    Scale shape: the cap is a ``TakeOrderedAndProject`` over the scored
+    match set (never the corpus text); everything after it operates on
+    <= ``shard_size`` rows — driver-sized regardless of corpus scale.
+    """
+    from smse_backend_spark.operators.search import bm25_scored_scan
+
+    scored = bm25_scored_scan(corpus, query_text, lang).select(
+        "doc_id", "score"
+    )
+    sample = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(
+        int(shard_size)
+    )
+    attrs = corpus.select("doc_id", facet)
+    return (
+        sample.join(attrs, "doc_id")
+        .groupBy(facet)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc(facet))
+    )
+
+
+def sampler_facets_sql(
+    query_text: str,
+    shard_size: int = 100,
+    facet: str = "lang",
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`sampler_facets`."""
+    from smse_backend_spark.operators.search import bm25_scan_oracle_sql
+
+    scored = bm25_scan_oracle_sql(
+        query_text, int(shard_size), lang, table, content_col
+    )
+    return f"""
+WITH sample AS ({scored})
+SELECT d.{facet} AS {facet}, count(*)::BIGINT AS n
+FROM sample s JOIN {table} d USING (doc_id)
+GROUP BY d.{facet}
+ORDER BY n DESC, {facet} ASC
+"""
+
+
 def rare_terms(
     corpus: DataFrame,
     max_doc_frac: float = 0.05,

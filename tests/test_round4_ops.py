@@ -730,3 +730,32 @@ def test_axiomatic_f2_tfn_bounded(plain_index):
     rows = plain_index.axiomatic_f2exp_topk("hash join", 5).collect()
     assert rows == sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))
     assert all(r["score"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# ES sampler aggregation (best-docs)
+
+
+# corpus column -> raw documents-table column (repo is stored as source)
+@pytest.mark.parametrize("shard_size,facet,raw_facet", [
+    (5, "lang", "lang"), (50, "repo", "source"),
+])
+def test_sampler_facets_vs_oracle(spark, corpus, con, shard_size, facet,
+                                  raw_facet):
+    from smse_backend_spark.operators import aggregations as AG
+
+    got = [tuple(r) for r in AG.sampler_facets(
+        corpus, "hash join merge scan", shard_size, facet).collect()]
+    want = [tuple(r) for r in con.execute(AG.sampler_facets_sql(
+        "hash join merge scan", shard_size, raw_facet,
+        table="documents")).fetchall()]
+    assert got == want
+
+
+def test_sampler_total_is_min_of_matchset_and_cap(spark, corpus):
+    from smse_backend_spark.operators import aggregations as AG
+    from smse_backend_spark.operators.search import bm25_scored_scan
+
+    nmatch = bm25_scored_scan(corpus, "hash join").count()
+    rows = AG.sampler_facets(corpus, "hash join", 7, "lang").collect()
+    assert sum(r["n"] for r in rows) == min(7, nmatch)
