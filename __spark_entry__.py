@@ -1026,6 +1026,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_corpus(spark, sf), "vector window", 20,
             heuristic="mutual_information",
         ),
+        # ES GND heuristic: exp(-normalized-Google-distance) over the
+        # same contingency marginals — the 4th built-in significance
+        "significant_terms_gnd": lambda spark, sf: AG.significant_terms(
+            load_corpus(spark, sf), "vector window", 20,
+            heuristic="gnd",
+        ),
         "significant_terms_chi2": lambda spark, sf: AG.significant_terms(
             load_corpus(spark, sf), "vector window", 20,
             heuristic="chi_square",
@@ -2257,6 +2263,9 @@ LIMIT 10
         "span_or": span_or_oracle_sql("merge sort", 10),
         "significant_terms_mi": AG.significant_terms_sql(
             "vector window", 20, heuristic="mutual_information"
+        ),
+        "significant_terms_gnd": AG.significant_terms_sql(
+            "vector window", 20, heuristic="gnd"
         ),
         "facets_sampled": AG.random_sampler_facets_sql(0.25, "lang"),
         "significant_terms_chi2": AG.significant_terms_sql(

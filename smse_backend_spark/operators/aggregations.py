@@ -71,7 +71,7 @@ def significant_terms(
     the foreground doc set joins on doc_id (no broadcast assumption: the
     match set can be huge).
     """
-    if heuristic not in ("jlh", "chi_square", "mutual_information"):
+    if heuristic not in ("jlh", "chi_square", "mutual_information", "gnd"):
         raise ValueError(f"unknown significance heuristic {heuristic!r}")
     qterms = query_terms(query_text)
     if lang is not None:
@@ -121,6 +121,29 @@ def significant_terms(
         score = F.round(
             _mi(n11, n1x, nx1) + _mi(n10, n1x, nx0)
             + _mi(n01, n0x, nx1) + _mi(n00, n0x, nx0),
+            6,
+        )
+    elif heuristic == "gnd":
+        # ES GND heuristic (Cilibrasi & Vitányi 2007 normalized Google
+        # distance; ES inverts it with exp(-NGD) so relevant terms score
+        # HIGH): fx = bg_df (term marginal), fy = |fg| (set marginal),
+        # fxy = fg_df (co-occurrence), N = corpus size. fxy = 0 -> 0;
+        # perfect co-occurrence (fx = fy = fxy) -> 1.
+        fx = F.col("bg_df").cast("double")
+        fy = F.lit(float(fg_n))
+        fxy = F.col("fg_df").cast("double")
+        nd = F.lit(float(bg_n))
+        dist = (F.greatest(F.log(fx), F.log(fy)) - F.log(fxy)) / (
+            F.log(nd) - F.least(F.log(fx), F.log(fy))
+        )
+        score = F.round(
+            F.when(F.col("fg_df") == 0, F.lit(0.0))
+            .when(
+                (F.col("bg_df") == F.lit(int(fg_n)))
+                & (F.col("bg_df") == F.col("fg_df")),
+                F.lit(1.0),
+            )
+            .otherwise(F.exp(F.lit(-1.0) * dist)),
             6,
         )
     else:
@@ -196,6 +219,18 @@ def significant_terms_sql(
             for nxy, nx, ny in cells.values()
         ]
         score = "round(" + " + ".join(mi_terms) + ", 6)"
+    elif heuristic == "gnd":
+        dist = (
+            "((greatest(ln(bg_df::DOUBLE), ln(nn.fg_n))"
+            " - ln(fg_df::DOUBLE))"
+            " / (ln(nn.bg_n)"
+            " - least(ln(bg_df::DOUBLE), ln(nn.fg_n))))"
+        )
+        score = (
+            "round(CASE WHEN fg_df = 0 THEN 0.0\n"
+            "            WHEN bg_df = nn.fg_ni AND bg_df = fg_df THEN 1.0\n"
+            f"            ELSE exp(-1.0 * {dist}) END, 6)"
+        )
     else:
         raise ValueError(f"unknown significance heuristic {heuristic!r}")
     return f"""

@@ -759,3 +759,28 @@ def test_sampler_total_is_min_of_matchset_and_cap(spark, corpus):
     nmatch = bm25_scored_scan(corpus, "hash join").count()
     rows = AG.sampler_facets(corpus, "hash join", 7, "lang").collect()
     assert sum(r["n"] for r in rows) == min(7, nmatch)
+
+
+# ---------------------------------------------------------------------------
+# GND significance heuristic
+
+
+@pytest.mark.parametrize("query", ["vector window", "hash"])
+def test_significant_terms_gnd_vs_oracle(spark, corpus, con, query):
+    from smse_backend_spark.operators import aggregations as AG
+
+    got = [tuple(r) for r in AG.significant_terms(
+        corpus, query, 15, heuristic="gnd").collect()]
+    want = [tuple(r) for r in con.execute(AG.significant_terms_sql(
+        query, 15, heuristic="gnd", table="documents")).fetchall()]
+    assert got == want
+
+
+def test_significant_terms_gnd_query_term_scores_high(spark, corpus):
+    # a query term co-occurs perfectly with its own foreground, so it
+    # should sit at/near the top with score near exp(0) bounds (0, 1]
+    from smse_backend_spark.operators import aggregations as AG
+
+    rows = AG.significant_terms(corpus, "vector", 5, heuristic="gnd").collect()
+    assert rows and rows[0]["term"] == "vector"
+    assert all(0.0 <= r["score"] <= 1.0 for r in rows)
