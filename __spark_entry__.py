@@ -1689,6 +1689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES sibling pipeline aggs (stats_bucket family): one summary
         # row over the per-hour bucket counts
         "event_stats_bucket": R.event_stats_bucket,
+        # ES scripted_metric (the docs' profit example): map = Column
+        # expr, combine/reduce = Tungsten partial aggregation
+        "event_scripted_metric": R.event_scripted_metric,
         # ES percentiles_bucket sibling agg: exact interpolated
         # percentiles of per-hour doc counts (quantile_cont parity)
         "event_percentiles_bucket": R.event_percentiles_bucket,
@@ -2393,6 +2396,7 @@ LIMIT 10
         "event_date_range": R.event_date_range_agg_sql(),
         "event_bucket_pipeline": R.event_bucket_pipeline_sql(50, 10),
         "event_stats_bucket": R.event_stats_bucket_sql(),
+        "event_scripted_metric": R.event_scripted_metric_sql(),
         "event_percentiles_bucket": R.event_percentiles_bucket_sql(),
         "event_serial_diff": R.event_serial_diff_sql(24),
         "event_rate": R.event_rate_sql(),

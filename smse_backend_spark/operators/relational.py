@@ -934,6 +934,65 @@ ORDER BY pct
 """
 
 
+def event_scripted_metric(
+    spark: SparkSession,
+    sf_dir: str,
+    pos_types: tuple[str, ...] = ("click", "view"),
+) -> DataFrame:
+    """ES ``scripted_metric`` aggregation — the docs' canonical "profit"
+    example: a map script emits ``+value`` for positive event types and
+    ``-value`` otherwise; combine sums per shard; reduce sums the shard
+    states. Bucketed per UTC day so the result is a frame, not a scalar.
+
+    Spark-first shape: ES's map/combine/reduce contract IS Spark's
+    partial aggregation — the map script is a Column expression, the
+    combine script is the map-side partial sum, and the reduce script is
+    the exchange-then-final-merge that Tungsten generates for any
+    ``sum``. Nothing imperative to schedule: declaring the expression
+    gets the same three-phase execution the ES scripted agg hand-rolls.
+    Values are quantized to integer cents BEFORE summation (the repo's
+    order-independence discipline), so shard count / partitioning can
+    never flip a low bit.
+
+    Returns (day_start, n_tx, profit) ordered by day.
+    """
+    e = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    day = ((F.floor(epoch / F.lit(86400))) * F.lit(86400)).cast(
+        "long"
+    ).alias("day_start")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    signed = F.when(
+        F.col("event_type").isin(list(pos_types)), cents
+    ).otherwise(-cents)
+    return (
+        e.groupBy(day)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tx"),
+            (F.sum(signed).cast("double") / F.lit(100.0)).alias("profit"),
+        )
+        .orderBy("day_start")
+    )
+
+
+def event_scripted_metric_sql(
+    pos_types: tuple[str, ...] = ("click", "view"),
+) -> str:
+    """DuckDB twin of :func:`event_scripted_metric`."""
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in pos_types)
+    return f"""
+SELECT (floor(epoch(ts))::BIGINT // 86400) * 86400 AS day_start,
+       count(*)::BIGINT AS n_tx,
+       sum(CASE WHEN event_type IN ({in_list})
+                THEN floor(value * 100.0 + 0.5)::BIGINT
+                ELSE -(floor(value * 100.0 + 0.5)::BIGINT) END)::DOUBLE
+         / 100.0 AS profit
+FROM events
+GROUP BY 1
+ORDER BY day_start
+"""
+
+
 def event_serial_diff(
     spark: SparkSession, sf_dir: str, lag: int = 24
 ) -> DataFrame:

@@ -784,3 +784,40 @@ def test_significant_terms_gnd_query_term_scores_high(spark, corpus):
     rows = AG.significant_terms(corpus, "vector", 5, heuristic="gnd").collect()
     assert rows and rows[0]["term"] == "vector"
     assert all(0.0 <= r["score"] <= 1.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# ES scripted_metric (map/combine/reduce == partial aggregation)
+
+
+def test_event_scripted_metric_vs_oracle(spark, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators import relational as R
+
+    got = [tuple(r) for r in R.event_scripted_metric(spark, sf_smoke).collect()]
+    c = duckdb.connect()
+    c.execute(f"create view events as select * from '{sf_smoke}/events.parquet'")
+    want = [tuple(r) for r in c.execute(R.event_scripted_metric_sql()).fetchall()]
+    assert got == want and got
+
+
+def test_event_scripted_metric_partition_invariant(spark, sf_smoke):
+    # the reduce is an integer-cent sum: any repartitioning (ES "shard
+    # count") must produce the identical frame
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.operators import relational as R
+
+    base = R.event_scripted_metric(spark, sf_smoke).collect()
+    e = spark.read.parquet(f"{sf_smoke}/events.parquet").repartition(17)
+    e.createOrReplaceTempView("___smx")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    day = ((F.floor(epoch / F.lit(86400))) * F.lit(86400)).cast("long")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    signed = F.when(F.col("event_type").isin(["click", "view"]), cents).otherwise(-cents)
+    re = (e.groupBy(day.alias("day_start"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_tx"),
+               (F.sum(signed).cast("double") / F.lit(100.0)).alias("profit"))
+          .orderBy("day_start").collect())
+    assert [tuple(r) for r in base] == [tuple(r) for r in re]
