@@ -1071,6 +1071,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .intervals_allof_topk(
             [["table"], ["scan", "merge"]], max_gaps=2, ordered=True, k=10
         ),
+        # ES intervals filter.not_containing: some valid interval whose
+        # span holds no occurrence of the filter term (minimal-interval
+        # equivalence proven in the kernel docstring)
+        "intervals_not_containing": lambda spark, sf: _pos_indexed(spark, sf)
+        .intervals_not_containing_topk(
+            [["table"], ["scan", "merge"]], ["hash"],
+            max_gaps=4, ordered=True, k=10,
+        ),
         # ES match_phrase_prefix (search-as-you-type): last token expanded
         # from the dictionary, blended window frequency, one idf
         "bm25_phrase_prefix": lambda spark, sf: _pos_indexed(spark, sf)
@@ -2108,6 +2116,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
                                            in_order=True),
         "intervals_any_of": intervals_allof_oracle_sql(
             [["table"], ["scan", "merge"]], 2, True, 10
+        ),
+        "intervals_not_containing": intervals_allof_oracle_sql(
+            [["table"], ["scan", "merge"]], 4, True, 10,
+            not_containing=["hash"],
         ),
         "bm25_phrase_slop": phrase_slop_oracle_sql("table scan", 2, 10),
         "intervals_prefix": intervals_allof_oracle_sql(

@@ -558,9 +558,53 @@ def _make_sloppy_phrase_matcher(terms: list[str], slop: int, tomb_b=None):
     return kernel
 
 
+def _cover_avoiding(
+    lists: list[np.ndarray], window: int, in_order: bool, fpos
+) -> bool:
+    """Cover check with an optional ``not_containing`` exclusion: True
+    iff one pick per list fits the window (ordered if ``in_order``) AND
+    the picked span contains no position from ``fpos``. The filter
+    positions split the token axis into f-free segments; a combo avoids
+    ``fpos`` exactly when its whole span lies inside one segment, so we
+    slice every list to each segment (searchsorted) and re-run the plain
+    cover check — O(|fpos| · cover sweep) per doc, still bounded by the
+    doc's own position counts."""
+    if fpos is None or fpos.size == 0:
+        return (
+            _ordered_cover_within(lists, window)
+            if in_order
+            else _min_cover_within(lists, window)
+        )
+    bounds = np.concatenate(
+        (np.array([-1], dtype=np.int64), fpos,
+         np.array([np.iinfo(np.int64).max], dtype=np.int64))
+    )
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        if b - a < 2:
+            continue
+        sliced, ok = [], True
+        for pl in lists:
+            lo = np.searchsorted(pl, a, side="right")
+            hi = np.searchsorted(pl, b, side="left")
+            if lo >= hi:
+                ok = False
+                break
+            sliced.append(pl[lo:hi])
+        if not ok:
+            continue
+        if (
+            _ordered_cover_within(sliced, window)
+            if in_order
+            else _min_cover_within(sliced, window)
+        ):
+            return True
+    return False
+
+
 def _make_interval_sets_matcher(
     sources: list[tuple[str, ...]], window: int, idf: dict[str, float],
     avgdl: float, tomb_b=None, in_order: bool = False,
+    excludes: tuple[str, ...] = (),
 ):
     """mapInPandas kernel for the compositional ES ``intervals`` query
     ``all_of`` over ``any_of`` sub-sources: each source's position list
@@ -570,7 +614,12 @@ def _make_interval_sets_matcher(
     ``max - min <= window`` (and, ``in_order``, strictly increasing in
     source order). Scoring follows the span discipline: BM25 sum
     (global idf, full doc tf) over the distinct member terms PRESENT in
-    the doc — a source's absent alternatives contribute nothing."""
+    the doc — a source's absent alternatives contribute nothing.
+    ``excludes`` is the ES ``filter.not_containing`` rule: a doc matches
+    only if SOME valid combo's span contains no occurrence of any
+    exclude term — exactly Lucene's minimal-interval filter semantics
+    (an exclude-free valid combo always contains an exclude-free minimal
+    interval, and conversely). Exclude terms are decoded, never scored."""
     uniq = sorted({t for s in sources for t in s})
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -590,12 +639,15 @@ def _make_interval_sets_matcher(
                     parts[0] if len(parts) == 1
                     else np.unique(np.concatenate(parts))
                 )
-            ok = (
-                _ordered_cover_within(lists, window)
-                if in_order
-                else _min_cover_within(lists, window)
+            fparts = [
+                grouped[(doc, t)] for t in excludes if (doc, t) in grouped
+            ]
+            fpos = (
+                None if not fparts
+                else fparts[0] if len(fparts) == 1
+                else np.unique(np.concatenate(fparts))
             )
-            if not ok:
+            if not _cover_avoiding(lists, window, in_order, fpos):
                 continue
             dl = float(dl_of[doc])
             score = 0.0
@@ -2829,6 +2881,76 @@ class InvertedIndex:
         matches = blocks.mapInPandas(
             _make_interval_sets_matcher(
                 srcs, window, idf, avgdl, self._tomb_bcast, ordered
+            ),
+            "doc_id long, score double",
+        )
+        if self._tomb_df is not None:
+            matches = matches.join(self._tomb_df, "doc_id", "left_anti")
+        return self._finish(matches, k)
+
+    def intervals_not_containing_topk(
+        self,
+        sources: list[list[str] | tuple[str, ...]],
+        filter_terms: list[str] | tuple[str, ...],
+        max_gaps: int = 0,
+        ordered: bool = True,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``intervals`` query with a ``filter.not_containing`` rule:
+        :meth:`intervals_allof_topk` restricted to docs where some valid
+        interval's span contains NO occurrence of any ``filter_terms``
+        member (the filter interval is the any_of union of their
+        occurrences). This is exactly Lucene's minimal-interval filter
+        semantics: an exclude-free valid combo always contains an
+        exclude-free minimal interval and vice versa, so the
+        exists-combo formulation the kernel (and the SQL twin) evaluates
+        is equivalent. Scoring is unchanged — conjunctive BM25 over the
+        distinct SOURCE member terms present; filter terms are decoded
+        but never scored and never perturb df/idf.
+
+        Plan shape: the :meth:`intervals_allof_topk` plan with the
+        filter terms' postings added to the same partition-pruned block
+        scan; the exclusion is evaluated inside the vectorized kernel
+        (per-doc segment-sliced cover sweep), so no extra shuffle or
+        join appears."""
+        if not self.meta["config"].get("with_positions"):
+            raise ValueError(
+                "intervals_not_containing_topk requires an index built "
+                "with with_positions=True"
+            )
+        srcs = [tuple(dict.fromkeys(s)) for s in sources if s]
+        fterms = sorted({t for t in filter_terms})
+        if not srcs:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        n, avgdl = self.corpus_stats(lang)
+        if not n:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        all_terms = sorted({t for s in srcs for t in s} | set(fterms))
+        dfs = self.term_df(all_terms, lang)
+        srcs = [tuple(t for t in s if t in dfs) for s in srcs]
+        if any(not s for s in srcs):
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        live_f = tuple(t for t in fterms if t in dfs)
+        terms = sorted({t for s in srcs for t in s})
+        idf = {
+            t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            for t in terms
+        }
+        window = int(max_gaps) + len(srcs) - 1
+        read = sorted(set(terms) | set(live_f))
+        nparts = int(
+            min(1024, max(self.spark.sparkContext.defaultParallelism,
+                          sum(dfs[t] for t in read) // 200_000 + 1))
+        )
+        blocks = self._blocks(read, lang).select(
+            "segment", "term", "first_doc", "gaps", "tfs", "dls", "poss"
+        ).repartition(nparts, "segment")
+        self._load_tombs()
+        matches = blocks.mapInPandas(
+            _make_interval_sets_matcher(
+                srcs, window, idf, avgdl, self._tomb_bcast, ordered,
+                excludes=live_f,
             ),
             "doc_id long, score double",
         )

@@ -2578,6 +2578,7 @@ def intervals_allof_oracle_sql(
     lang: str | None = None,
     table: str = "documents",
     content_col: str = "text",
+    not_containing: list[str] | tuple[str, ...] | None = None,
 ) -> str:
     """DuckDB twin of ``InvertedIndex.intervals_allof_topk`` (and of
     :meth:`intervals_prefix_topk` — a source written ``"prefix:sc"``
@@ -2586,7 +2587,11 @@ def intervals_allof_oracle_sql(
     (the UNION of its alternatives' occurrences), the span-near window
     ``max_gaps + n_sources - 1`` with the optional strictly-increasing
     order chain, scored as the BM25 sum over the distinct member terms
-    present in each matching doc."""
+    present in each matching doc. ``not_containing`` (the ES intervals
+    ``filter`` rule / ``InvertedIndex.intervals_not_containing_topk``)
+    adds a NOT EXISTS over the filter terms' positions inside each
+    combo's [least, greatest] span — filter terms never enter the tf /
+    df CTEs, so scoring is untouched."""
     def _is_rule(s) -> bool:
         return isinstance(s, str) and ":" in s
 
@@ -2658,6 +2663,23 @@ def intervals_allof_oracle_sql(
             f"p{i}.p < p{i + 1}.p" for i in range(len(srcs) - 1)
         )
         win = f"({win}) AND {chain}"
+    pf_cte = ""
+    if not_containing:
+        falts = ", ".join(
+            "'" + t.replace("'", "''") + "'"
+            for t in sorted(set(not_containing))
+        )
+        pf_cte = f""",
+pf AS (
+  SELECT doc_id, unnest(list_filter(generate_series(1, len(toks)),
+                                    j -> toks[j] IN ({falts}))) AS p
+  FROM dl
+)"""
+        win = (
+            f"({win}) AND NOT EXISTS ("
+            f"SELECT 1 FROM pf WHERE pf.doc_id = p0.doc_id"
+            f" AND pf.p BETWEEN least({ps}) AND greatest({ps}))"
+        )
     return f"""
 WITH docs AS (
   SELECT doc_id, {toksql} AS toks FROM {table} {where_lang}
@@ -2679,7 +2701,7 @@ tf AS (
 dfq AS (
   SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
 ),
-{pos_ctes},
+{pos_ctes}{pf_cte},
 m AS (
   SELECT DISTINCT p0.doc_id FROM p0 {join_chain} WHERE {win}
 )

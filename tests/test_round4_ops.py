@@ -821,3 +821,47 @@ def test_event_scripted_metric_partition_invariant(spark, sf_smoke):
                (F.sum(signed).cast("double") / F.lit(100.0)).alias("profit"))
           .orderBy("day_start").collect())
     assert [tuple(r) for r in base] == [tuple(r) for r in re]
+
+
+# ---------------------------------------------------------------------------
+# intervals filter.not_containing
+
+
+@pytest.mark.parametrize("sources,filt,max_gaps,ordered", [
+    ([["table"], ["scan", "merge"]], ["hash"], 4, True),
+    ([["table"], ["scan"]], ["join"], 6, False),
+    ([["hash"], ["join"]], ["zznothere"], 3, True),
+])
+def test_intervals_not_containing_vs_oracle(pos_index, con, sources, filt,
+                                            max_gaps, ordered):
+    from smse_backend_spark.operators.search import intervals_allof_oracle_sql
+
+    got = [(r["doc_id"], r["score"])
+           for r in pos_index.intervals_not_containing_topk(
+               sources, filt, max_gaps, ordered, 10).collect()]
+    want = [tuple(r) for r in con.execute(intervals_allof_oracle_sql(
+        sources, max_gaps, ordered, 10,
+        not_containing=filt)).fetchall()]
+    assert got == want, (sources, filt, got[:3], want[:3])
+
+
+def test_intervals_not_containing_is_subset_and_strict(pos_index):
+    """The filtered match set is a subset of the unfiltered one, and on
+    the smoke corpus the filter must actually drop someone (else the
+    test data can't witness the semantics)."""
+    base = {r["doc_id"] for r in pos_index.intervals_allof_topk(
+        [["table"], ["scan", "merge"]], 4, True, 100_000).collect()}
+    kept = {r["doc_id"] for r in pos_index.intervals_not_containing_topk(
+        [["table"], ["scan", "merge"]], ["hash"], 4, True,
+        100_000).collect()}
+    assert kept <= base
+    assert kept < base, "filter term never fell inside any interval span"
+
+
+def test_intervals_not_containing_absent_filter_is_identity(pos_index):
+    a = [(r["doc_id"], r["score"]) for r in pos_index.intervals_allof_topk(
+        [["table"], ["scan"]], 3, True, 10).collect()]
+    b = [(r["doc_id"], r["score"])
+         for r in pos_index.intervals_not_containing_topk(
+             [["table"], ["scan"]], ["zznothere"], 3, True, 10).collect()]
+    assert a == b
