@@ -1700,6 +1700,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES scripted_metric (the docs' profit example): map = Column
         # expr, combine/reduce = Tungsten partial aggregation
         "event_scripted_metric": R.event_scripted_metric,
+        # ES cumulative_cardinality: exact incremental-uniques curve via
+        # the first-seen trick (per-user min, no HLL sketch needed)
+        "event_cumulative_cardinality": R.event_cumulative_cardinality,
+        # ES normalize pipeline agg (rescale_0_1 over sibling buckets)
+        "event_normalize": R.event_normalize_agg,
         # ES percentiles_bucket sibling agg: exact interpolated
         # percentiles of per-hour doc counts (quantile_cont parity)
         "event_percentiles_bucket": R.event_percentiles_bucket,
@@ -2409,6 +2414,8 @@ LIMIT 10
         "event_bucket_pipeline": R.event_bucket_pipeline_sql(50, 10),
         "event_stats_bucket": R.event_stats_bucket_sql(),
         "event_scripted_metric": R.event_scripted_metric_sql(),
+        "event_cumulative_cardinality": R.event_cumulative_cardinality_sql(),
+        "event_normalize": R.event_normalize_agg_sql(),
         "event_percentiles_bucket": R.event_percentiles_bucket_sql(),
         "event_serial_diff": R.event_serial_diff_sql(24),
         "event_rate": R.event_rate_sql(),

@@ -934,6 +934,128 @@ ORDER BY pct
 """
 
 
+def event_cumulative_cardinality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline aggregation: per hourly
+    bucket, the number of DISTINCT users seen so far (the "total users
+    to date" incremental-uniques curve), plus the per-bucket increment
+    (ES docs' derivative-of-cumulative-cardinality recipe for "new users
+    per hour"). ES approximates with HLL sketches; here the count is
+    EXACT via the first-seen trick: cumulative distinct at bucket b =
+    |{users whose FIRST event hour <= b}| — a per-user min() then one
+    histogram + running sum, no sketch needed.
+
+    Returns (hour_start, new_users, cum_users) ordered by hour.
+
+    Scale shape: the per-user min is one map-side-combined groupBy on
+    user_id (the corpus-sized stage); everything after operates on
+    first-seen rows (<= |users|) collapsed to BUCKET rows — the
+    single-partition running-sum window is over metadata-sized bucket
+    counts, the event_pipeline_aggs discipline.
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    hour = ((F.floor(epoch / F.lit(3600))) * F.lit(3600)).cast("long")
+    first_seen = e.select(F.col("user_id"), hour.alias("hour_start")).groupBy(
+        "user_id"
+    ).agg(F.min("hour_start").alias("hour_start"))
+    hist = first_seen.groupBy("hour_start").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("hour_start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.select(
+            "hour_start",
+            "new_users",
+            F.sum("new_users").over(w).cast("long").alias("cum_users"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+def event_cumulative_cardinality_sql() -> str:
+    """DuckDB twin of :func:`event_cumulative_cardinality`."""
+    return """
+WITH first_seen AS (
+  SELECT user_id,
+         min((floor(epoch(ts))::BIGINT // 3600) * 3600) AS hour_start
+  FROM events GROUP BY user_id
+),
+hist AS (
+  SELECT hour_start, count(*)::BIGINT AS new_users
+  FROM first_seen GROUP BY hour_start
+)
+SELECT hour_start, new_users,
+       sum(new_users) OVER (ORDER BY hour_start
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+FROM hist
+ORDER BY hour_start
+"""
+
+
+def event_normalize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``normalize`` pipeline aggregation (``method: rescale_0_1``)
+    over the daily event-count histogram: each bucket's count rescaled
+    to ``(n - min) / (max - min)`` across the sibling buckets — the
+    "shape of traffic" curve dashboards overlay across weeks. Constant
+    histograms (max == min) rescale to 0, matching ES. The rescaled
+    value goes through the shared 6 dp half-up floor so both engines
+    agree bit-for-bit.
+
+    Returns (day_start, n, rescaled) ordered by day.
+
+    Scale shape: histogram groupBy is the corpus-sized stage; min/max
+    are a sibling agg over BUCKET rows broadcast back — metadata-sized.
+    """
+    e = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    hist = (
+        e.groupBy(((F.floor(epoch / F.lit(86400))) * F.lit(86400))
+                  .cast("long").alias("day_start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    mm = hist.agg(
+        F.min("n").alias("mn"), F.max("n").alias("mx")
+    )
+    rescaled = F.when(
+        F.col("mx") == F.col("mn"), F.lit(0.0)
+    ).otherwise(
+        F.floor(
+            ((F.col("n") - F.col("mn")).cast("double")
+             / (F.col("mx") - F.col("mn")).cast("double")) * F.lit(1e6)
+            + F.lit(0.5)
+        ) / F.lit(1e6)
+    )
+    return (
+        hist.crossJoin(F.broadcast(mm))
+        .select("day_start", "n", rescaled.alias("rescaled"))
+        .orderBy("day_start")
+    )
+
+
+def event_normalize_agg_sql() -> str:
+    """DuckDB twin of :func:`event_normalize_agg`."""
+    return """
+WITH hist AS (
+  SELECT (floor(epoch(ts))::BIGINT // 86400) * 86400 AS day_start,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+mm AS (SELECT min(n) AS mn, max(n) AS mx FROM hist)
+SELECT day_start, n,
+       CASE WHEN mm.mx = mm.mn THEN 0.0
+            ELSE floor(((n - mm.mn)::DOUBLE / (mm.mx - mm.mn)::DOUBLE) * 1e6
+                       + 0.5) / 1e6 END AS rescaled
+FROM hist CROSS JOIN mm
+ORDER BY day_start
+"""
+
+
 def event_scripted_metric(
     spark: SparkSession,
     sf_dir: str,

@@ -865,3 +865,41 @@ def test_intervals_not_containing_absent_filter_is_identity(pos_index):
          for r in pos_index.intervals_not_containing_topk(
              [["table"], ["scan"]], ["zznothere"], 3, True, 10).collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# cumulative_cardinality + normalize pipeline aggs
+
+
+def test_event_cumulative_cardinality_vs_oracle(spark, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators import relational as R
+
+    got = [tuple(r) for r in
+           R.event_cumulative_cardinality(spark, sf_smoke).collect()]
+    c = duckdb.connect()
+    c.execute(f"create view events as select * from '{sf_smoke}/events.parquet'")
+    want = [tuple(r) for r in
+            c.execute(R.event_cumulative_cardinality_sql()).fetchall()]
+    assert got == want and got
+    # the cumulative column is the prefix sum of new_users and its last
+    # value equals the total distinct-user count (exactness, not HLL)
+    total = spark.read.parquet(f"{sf_smoke}/events.parquet") \
+        .select("user_id").distinct().count()
+    assert got[-1][2] == total
+    assert all(b[2] - a[2] == b[1] for a, b in zip(got, got[1:]))
+
+
+def test_event_normalize_vs_oracle(spark, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators import relational as R
+
+    got = [tuple(r) for r in R.event_normalize_agg(spark, sf_smoke).collect()]
+    c = duckdb.connect()
+    c.execute(f"create view events as select * from '{sf_smoke}/events.parquet'")
+    want = [tuple(r) for r in c.execute(R.event_normalize_agg_sql()).fetchall()]
+    assert got == want and got
+    vals = [r[2] for r in got]
+    assert min(vals) == 0.0 and max(vals) == 1.0
