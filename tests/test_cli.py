@@ -432,3 +432,34 @@ def test_cli_round4_query_and_search_flags(tmp_path, spark, sf_smoke, capsys):
     r2 = run(["search", "--corpus", sf_smoke, "--text", "hash join",
               "--random-seed", "42"])
     assert r1 == r2 and all(0.0 <= h["score"] < 1.0 for h in r1)
+
+
+def test_cli_similarity_family(tmp_path, spark, sf_smoke, capsys):
+    """Every pluggable similarity is reachable from the spark-submit
+    surface and returns a well-ordered top-k; f2exp/f2log agree with the
+    engine methods."""
+    out = str(tmp_path / "idx_sim")
+    cli.main([
+        "build", "--corpus", sf_smoke, "--out", out,
+        "--segment-size", "256", "--n-buckets", "8",
+        "--master", "local[4]",
+    ])
+    capsys.readouterr()
+    for sim in ("jm", "inl2", "pl2", "ib", "dfi", "boolean", "tfidf",
+                "f2exp", "f2log"):
+        cli.main(["query", "--index", out, "--text", "hash join merge scan",
+                  "--similarity", sim, "--master", "local[4]"])
+        hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert hits, sim
+        scores = [h["score"] for h in hits]
+        assert scores == sorted(scores, reverse=True), sim
+
+    from smse_backend_spark.index.query import InvertedIndex
+
+    idx = InvertedIndex(spark, out)
+    cli.main(["query", "--index", out, "--text", "hash join",
+              "--similarity", "f2exp", "--master", "local[4]"])
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = [{"doc_id": r["doc_id"], "score": r["score"]}
+            for r in idx.axiomatic_f2exp_topk("hash join", 10).collect()]
+    assert hits == want
