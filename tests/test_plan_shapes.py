@@ -226,3 +226,53 @@ def test_sliced_hits_slice_filter_precedes_sort(index):
     plan = plan_of(index.sliced_hits(Q, 1, 4, 100))
     assert "TakeOrderedAndProject" in plan
     assert "sha2" in plan  # the residue-class hash runs in the plan
+
+
+def test_axiomatic_index_path_never_reads_corpus(index):
+    """F2EXP/F2LOG run from postings + dictionary only: the plan must
+    contain the postings parquet scan with pushed term filters and NO
+    scan of the documents parquet."""
+    plan = plan_of(index.axiomatic_f2exp_topk(Q, 10))
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan
+    assert "documents.parquet" not in plan
+
+
+def test_sampler_cap_is_take_ordered(corpus):
+    """The ES sampler agg's best-docs cap must compile to a distributed
+    top-k (TakeOrderedAndProject), never a global Sort of the match
+    set."""
+    from smse_backend_spark.operators.aggregations import sampler_facets
+
+    plan = plan_of(sampler_facets(corpus, Q, 100, "lang"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_intervals_not_containing_single_block_scan(spark, corpus,
+                                                    tmp_path_factory):
+    """The not_containing filter rides the SAME positional block scan as
+    the sources — exactly one mapInPandas (the interval kernel), no
+    extra join or corpus read for the exclusion."""
+    out = str(tmp_path_factory.mktemp("planposidx"))
+    build_index(spark, corpus, out, segment_size=64, n_buckets=4,
+                block_size=16, with_positions=True)
+    idx = InvertedIndex(spark, out)
+    plan = plan_of(idx.intervals_not_containing_topk(
+        [["table"], ["scan"]], ["hash"], 3, True, 10))
+    assert plan.count("MapInPandas") == 1
+    assert "documents.parquet" not in plan
+
+
+def test_cumulative_cardinality_window_is_over_buckets(spark, sf_smoke):
+    """The serial running-sum window must sit ABOVE the two hash
+    aggregations (per-user min, per-bucket count) — i.e. the window's
+    input is bucket rows, never raw events."""
+    from smse_backend_spark.operators.relational import (
+        event_cumulative_cardinality,
+    )
+
+    plan = plan_of(event_cumulative_cardinality(spark, sf_smoke))
+    w = plan.index("Window")
+    # both aggregates appear below (later in the string = deeper child)
+    aggs = [i for i in range(len(plan)) if plan.startswith("HashAggregate", i)]
+    assert aggs and min(aggs) > w, "window is not the top of the plan"
