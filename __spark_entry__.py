@@ -16,6 +16,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from smse_backend_spark.corpus import load_corpus, load_corpus_from
 from smse_backend_spark.operators import aggregations as AG
+from smse_backend_spark.operators import luceneqs as LQS
 from smse_backend_spark.operators import querystring as QS
 from smse_backend_spark.operators.boolquery import (
     boolean_query_oracle_sql,
@@ -141,6 +142,13 @@ BOOL_QUERY = "hash AND (join OR merge) AND NOT window"
 # an OR-default list with an attached must_not clause
 SQS_QUERY = '"table scan" | (hash + join) merg*'
 SQS_QUERY_OR = "hash window -join"
+
+# classic Lucene query_string contract queries: fielded terms, must/must_not
+# prefixes, phrase boost, numeric range / fuzzy + prefix + term boost /
+# field-scoped group with keyword OR
+LQS_QUERY = 'lang:en +hash +join "table scan"^2 -repo:src18 n_chars:[100 TO 400]'
+LQS_QUERY_FUZZY = "hsh~1 tabl* merge^1.5"
+LQS_QUERY_GROUP = "repo:(src1 OR src2) AND (merge OR sort) doc_id:[* TO 4000}"
 
 # fixed query batch for the batch-kernel contract entry (one DataFrame job
 # scores them all; the oracle is the per-query scan SQL unioned)
@@ -1398,6 +1406,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_corpus(spark, sf), SQS_QUERY_OR, 10,
             default_operator="or",
         ),
+        # classic Lucene query_string (the Kibana / ES q= grammar):
+        # fielded keyword term, +must / -must_not, boosted phrase,
+        # inclusive numeric range — one scan, one stats row
+        "query_string": lambda spark, sf: LQS.query_string_topk(
+            load_corpus(spark, sf), LQS_QUERY, 10
+        ),
+        # fuzzy (~1 Levenshtein union), trailing-* prefix, term boost
+        "query_string_fuzzy": lambda spark, sf: LQS.query_string_topk(
+            load_corpus(spark, sf), LQS_QUERY_FUZZY, 10
+        ),
+        # field-scoped keyword group + AND keyword + half-open range
+        "query_string_group": lambda spark, sf: LQS.query_string_topk(
+            load_corpus(spark, sf), LQS_QUERY_GROUP, 10
+        ),
         # per-(doc,term) BM25 contribution rows for the top-k (explain())
         "score_explain": lambda spark, sf: _indexed(spark, sf)
         .explain_scores(FLAGSHIP_QUERY, 10),
@@ -1883,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # round-4 additions lead (never driver-checked), then the round-2/3
 # never-checked tail and round-1-only greens — see VERDICT.md
 _CHECK_FIRST = [
+    "query_string", "query_string_fuzzy", "query_string_group",
     "lm_jelinek_mercer", "dfr_inl2", "ib_ll", "dfi_chi2", "boolean_sim",
     "event_bucket_pipeline", "event_stats_bucket", "event_serial_diff",
     "event_rate", "event_frequent_item_sets",
@@ -2319,6 +2342,13 @@ LIMIT 10
         ),
         "simple_query_string_indexed": QS.simple_query_string_oracle_sql(
             SQS_QUERY, 10
+        ),
+        "query_string": LQS.query_string_oracle_sql(LQS_QUERY, 10),
+        "query_string_fuzzy": LQS.query_string_oracle_sql(
+            LQS_QUERY_FUZZY, 10
+        ),
+        "query_string_group": LQS.query_string_oracle_sql(
+            LQS_QUERY_GROUP, 10
         ),
         "score_explain": explain_scores_oracle_sql(FLAGSHIP_QUERY, 10),
         "search_highlight": highlight_snippets_oracle_sql(
