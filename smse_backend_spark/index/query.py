@@ -3694,6 +3694,162 @@ class InvertedIndex:
         ]
         return matches.join(vals, "doc_id").agg(*aggs)
 
+    def global_agg(
+        self,
+        query_text: str,
+        field: str = "n_chars",
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``global`` aggregation: one row holding the query-scoped
+        stats AND the whole-index stats side by side — the "your results
+        vs the catalog" comparison widget. Query scope = the OR match
+        set; global scope = every live doc (Lucene's global bucket
+        ignores the query but NOT deletes).
+
+        Plan: the match set joins doc-values once; the global side is a
+        doc-values-only aggregate (no postings at all) — two metadata-
+        sized aggregates, no corpus scan. Avgs use the shared half-up
+        floor formula."""
+        def _avg(sum_c: Column, n_c: Column) -> Column:
+            return (
+                F.floor(
+                    (sum_c.cast("double") / n_c.cast("double")) * F.lit(1e6)
+                    + F.lit(0.5)
+                ) / F.lit(1e6)
+            )
+
+        vals = self._live(self.doc_values([field, "lang"]))
+        if lang is not None:
+            vals = vals.filter(F.col("lang") == lang)
+        vals = vals.select("doc_id", field)
+        q = (
+            self.match_doc_ids(query_text, lang)
+            .join(vals, "doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("q_docs"),
+                F.sum(field).cast("long").alias("q_sum"),
+            )
+        )
+        g = vals.agg(
+            F.count(F.lit(1)).cast("long").alias("all_docs"),
+            F.sum(field).cast("long").alias("all_sum"),
+        )
+        return q.crossJoin(F.broadcast(g)).select(
+            "q_docs",
+            _avg(F.col("q_sum"), F.col("q_docs")).alias("q_avg"),
+            "all_docs",
+            _avg(F.col("all_sum"), F.col("all_docs")).alias("all_avg"),
+        )
+
+    def range_agg(
+        self,
+        query_text: str,
+        bounds: tuple[int, ...] = (200, 350),
+        field: str = "n_chars",
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES numeric ``range`` bucket aggregation in query context:
+        ``bounds`` (sorted cut points) induce len(bounds)+1 buckets
+        ``(-inf, b0) [b0, b1) ... [b_last, +inf)`` — from inclusive, to
+        exclusive, exactly the ES contract — and every bucket is emitted
+        even when empty (doc_count 0, avg NULL), like ES with its
+        explicit range list. Returns (bucket, lo, hi, n_docs, avg_v)
+        ordered by bucket index.
+
+        Plan: one when-chain assigns the bucket id inside the doc-values
+        join projection (no per-range scan), one map-side-combined
+        groupBy, then a broadcast left join from the constant range
+        frame fills empties."""
+        bs = sorted(int(b) for b in bounds)
+        if not bs:
+            raise ValueError("range_agg needs at least one bound")
+        matches = self.match_doc_ids(query_text, lang)
+        vals = self.doc_values([field])
+        v = F.col(field)
+        bucket = F.lit(len(bs))
+        for i, b in enumerate(reversed(bs)):
+            bucket = F.when(v < F.lit(b), F.lit(len(bs) - 1 - i)).otherwise(bucket)
+        got = (
+            matches.join(vals, "doc_id")
+            .groupBy(bucket.cast("long").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(field).cast("long").alias("sum_v"),
+            )
+        )
+        edges = [(i,
+                  None if i == 0 else bs[i - 1],
+                  None if i == len(bs) else bs[i])
+                 for i in range(len(bs) + 1)]
+        ranges = self.spark.createDataFrame(
+            edges, "bucket long, lo long, hi long"
+        )
+        avg = (
+            F.floor(
+                (F.col("sum_v").cast("double") / F.col("n_docs").cast("double"))
+                * F.lit(1e6) + F.lit(0.5)
+            ) / F.lit(1e6)
+        )
+        return (
+            ranges.join(got, "bucket", "left")
+            .select(
+                "bucket", "lo", "hi",
+                F.coalesce(F.col("n_docs"), F.lit(0)).cast("long")
+                .alias("n_docs"),
+                F.when(F.col("n_docs").isNotNull(), avg).alias("avg_v"),
+            )
+            .orderBy("bucket")
+        )
+
+    def vw_histogram_agg(
+        self,
+        query_text: str,
+        buckets: int = 4,
+        field: str = "n_chars",
+        lang: str | None = None,
+    ) -> DataFrame:
+        """ES ``variable_width_histogram``, deterministic flavor: ES's
+        version is a streaming 1-D clusterer whose buckets depend on doc
+        arrival order (explicitly non-deterministic in the ES docs) — a
+        property a distributed engine with an exactness contract must
+        not reproduce. This engine keeps the agg's CONTRACT (buckets
+        sized by data density, not fixed width: dense value regions get
+        narrow buckets) with a deterministic construction: ``ntile(B)``
+        over the total order (value asc, doc_id asc), i.e.
+        equal-frequency buckets. Returns (bucket, n_docs, min_v, max_v,
+        avg_v) — min/max are the variable bucket edges.
+
+        Plan: one doc-values join, one window over the match set (the
+        sort is the agg's semantic — same cost class as ES's collect
+        phase), one groupBy. The match set is doc-ids + one int column;
+        nothing corpus-wide shuffles."""
+        from pyspark.sql import Window
+
+        if buckets < 1:
+            raise ValueError("buckets must be >= 1")
+        matches = self.match_doc_ids(query_text, lang)
+        vals = self.doc_values([field])
+        w = Window.orderBy(F.col(field).asc(), F.col("doc_id").asc())
+        avg = (
+            F.floor(
+                (F.col("sum_v").cast("double") / F.col("n_docs").cast("double"))
+                * F.lit(1e6) + F.lit(0.5)
+            ) / F.lit(1e6)
+        )
+        return (
+            matches.join(vals, "doc_id")
+            .select("doc_id", field, F.ntile(buckets).over(w).alias("bucket"))
+            .groupBy(F.col("bucket").cast("long").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.min(field).cast("long").alias("min_v"),
+                F.max(field).cast("long").alias("max_v"),
+                F.sum(field).cast("long").alias("sum_v"),
+            )
+            .select("bucket", "n_docs", "min_v", "max_v", avg.alias("avg_v"))
+            .orderBy("bucket")
+        )
+
     def highlight_snippets(
         self,
         corpus: DataFrame,

@@ -667,6 +667,106 @@ SELECT count(*)::BIGINT AS n_docs, {qs}
 FROM {table} d JOIN m USING (doc_id)
 """
 
+def global_agg_sql(
+    query_text: str,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.global_agg`` (n_chars doc-value):
+    query-scoped and whole-corpus doc count + avg side by side, both
+    avgs through the shared half-up floor formula."""
+    return f"""{_match_set_cte(query_text, lang, table, content_col)},
+q AS (
+  SELECT count(*)::BIGINT AS q_docs,
+         sum(length(d.{content_col}))::BIGINT AS q_sum
+  FROM {table} d JOIN m USING (doc_id)
+),
+g AS (
+  SELECT count(*)::BIGINT AS all_docs,
+         sum(length({content_col}))::BIGINT AS all_sum
+  FROM {table}
+)
+SELECT q_docs,
+       floor((q_sum::DOUBLE / q_docs::DOUBLE) * 1e6 + 0.5) / 1e6 AS q_avg,
+       all_docs,
+       floor((all_sum::DOUBLE / all_docs::DOUBLE) * 1e6 + 0.5) / 1e6
+         AS all_avg
+FROM q CROSS JOIN g
+"""
+
+
+def range_agg_sql(
+    query_text: str,
+    bounds: tuple[int, ...] = (200, 350),
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.range_agg`` over the n_chars
+    doc-value: same when-chain bucket assignment (from inclusive, to
+    exclusive), same emit-empty-buckets left join."""
+    bs = sorted(int(b) for b in bounds)
+    v = f"length(d.{content_col})"
+    case = "CASE "
+    for i, b in enumerate(bs):
+        case += f"WHEN {v} < {b} THEN {i} "
+    case += f"ELSE {len(bs)} END"
+    edges = ", ".join(
+        f"({i}, {bs[i - 1] if i > 0 else 'NULL'}, "
+        f"{bs[i] if i < len(bs) else 'NULL'})"
+        for i in range(len(bs) + 1)
+    )
+    return f"""{_match_set_cte(query_text, lang, table, content_col)},
+got AS (
+  SELECT ({case})::BIGINT AS bucket,
+         count(*)::BIGINT AS n_docs,
+         sum({v})::BIGINT AS sum_v
+  FROM {table} d JOIN m USING (doc_id)
+  GROUP BY 1
+),
+ranges(bucket, lo, hi) AS (VALUES {edges})
+SELECT r.bucket::BIGINT AS bucket, r.lo::BIGINT AS lo, r.hi::BIGINT AS hi,
+       coalesce(got.n_docs, 0)::BIGINT AS n_docs,
+       CASE WHEN got.n_docs IS NOT NULL THEN
+         floor((got.sum_v::DOUBLE / got.n_docs::DOUBLE) * 1e6 + 0.5) / 1e6
+       END AS avg_v
+FROM ranges r LEFT JOIN got ON r.bucket = got.bucket
+ORDER BY r.bucket
+"""
+
+
+def vw_histogram_agg_sql(
+    query_text: str,
+    buckets: int = 4,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.vw_histogram_agg``: NTILE over the
+    identical total order (value asc, doc_id asc) — SQL NTILE's
+    first-buckets-get-the-remainder split is the same in Spark and
+    DuckDB, so the equal-frequency buckets agree exactly."""
+    v = f"length(d.{content_col})"
+    return f"""{_match_set_cte(query_text, lang, table, content_col)},
+tiled AS (
+  SELECT d.doc_id, {v} AS val,
+         ntile({int(buckets)}) OVER (ORDER BY {v} ASC, d.doc_id ASC)
+           AS bucket
+  FROM {table} d JOIN m USING (doc_id)
+)
+SELECT bucket::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs,
+       min(val)::BIGINT AS min_v,
+       max(val)::BIGINT AS max_v,
+       floor((sum(val)::DOUBLE / count(*)::DOUBLE) * 1e6 + 0.5) / 1e6
+         AS avg_v
+FROM tiled
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 def extended_stats_agg_sql(
     query_text: str,
     lang: str | None = None,

@@ -593,6 +593,73 @@ ORDER BY hour_start
 """
 
 
+def event_moving_percentiles(
+    spark: SparkSession, sf_dir: str, window_days: int = 3
+) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline aggregation, exact flavor: for
+    each daily bucket, the p50/p90 of the raw ``value``s in the trailing
+    ``window_days``-day window (current day included). ES slides the
+    window over per-bucket t-digest SKETCHES and merges them; merging
+    exact percentiles means recomputing over the window's union of raw
+    values — which is what this does, so the result is what ES
+    approximates. Returns (day_start epoch-seconds, n, p50, p90) ordered
+    by bucket.
+
+    Plan shape: the distinct-day frame is bucket-sized (metadata at any
+    corpus scale) and broadcast; events join it on the half-open day
+    interval, replicating each event row at most ``window_days`` times
+    (bounded fan-out, no corpus-sized shuffle beyond the final groupBy on
+    the day key). ``percentile`` == DuckDB ``quantile_cont``
+    bit-identically (same evidence as ``value_percentiles``). At 10^12
+    events you'd swap the exact percentile for a mergeable sketch per
+    bucket — the ES design — as documented for ``value_percentiles``.
+    """
+    day_s = 86400
+    e = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    ev = e.select(
+        ((F.floor(epoch / F.lit(day_s))) * F.lit(day_s)).cast("long")
+        .alias("day"),
+        F.col("value").alias("value"),
+    )
+    days = ev.select("day").distinct()
+    span = window_days * day_s
+    j = ev.alias("e").join(
+        F.broadcast(days.alias("d")),
+        (F.col("e.day") <= F.col("d.day"))
+        & (F.col("e.day") > F.col("d.day") - F.lit(span)),
+    )
+    return (
+        j.groupBy(F.col("d.day").alias("day_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.percentile("e.value", 0.5).alias("p50"),
+            F.percentile("e.value", 0.9).alias("p90"),
+        )
+        .orderBy("day_start")
+    )
+
+
+def event_moving_percentiles_sql(window_days: int = 3) -> str:
+    """DuckDB twin of :func:`event_moving_percentiles` (same half-open
+    interval join, same quantile definition)."""
+    span = window_days * 86400
+    return f"""
+WITH ev AS (
+  SELECT (floor(epoch(ts))::BIGINT // 86400) * 86400 AS day, value
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ev)
+SELECT d.day::BIGINT AS day_start,
+       count(*)::BIGINT AS n,
+       quantile_cont(e.value, 0.5) AS p50,
+       quantile_cont(e.value, 0.9) AS p90
+FROM days d JOIN ev e ON e.day <= d.day AND e.day > d.day - {span}
+GROUP BY d.day
+ORDER BY day_start
+"""
+
+
 DATE_RANGE_BUCKETS: tuple[tuple[str, int | None, int | None], ...] = (
     # (key, from epoch-seconds inclusive, to exclusive) — the ES
     # date_range agg contract; None = unbounded. 2024-01-01 / -08 / -15

@@ -641,3 +641,94 @@ def test_mad_boxplot_t_test_vs_oracle(spark, dv_index, sf_smoke):
         var(a) / n_a + var(b) / n_b
     )
     assert abs(t - ref_t) < 1e-6
+
+
+def test_global_agg_vs_oracle(spark, dv_index, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.aggregations import global_agg_sql
+
+    got = rows(dv_index.global_agg(Q))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(global_agg_sql(Q)).fetchall()]
+    assert got == want
+    q_docs, q_avg, all_docs, all_avg = got[0]
+    # the global bucket ignores the query: strictly more docs than scope
+    assert all_docs > q_docs > 0
+    assert q_avg > 0 and all_avg > 0
+
+
+def test_range_agg_vs_oracle_and_partition(spark, dv_index, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.aggregations import range_agg_sql
+
+    got = rows(dv_index.range_agg(Q, (200, 350)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    want = [tuple(r) for r in
+            con.execute(range_agg_sql(Q, (200, 350))).fetchall()]
+    assert got == want
+    # every bucket emitted, edges half-open, counts partition the match set
+    assert [r[0] for r in got] == [0, 1, 2]
+    assert (got[0][1], got[0][2]) == (None, 200)
+    assert (got[1][1], got[1][2]) == (200, 350)
+    assert (got[2][1], got[2][2]) == (350, None)
+    n_match = dv_index.match_doc_ids(Q).count()
+    assert sum(r[3] for r in got) == n_match
+    # an all-empty far-right bucket still appears with NULL avg
+    far = rows(dv_index.range_agg(Q, (200, 10_000)))
+    assert far[2][3] == 0 and far[2][4] is None
+
+
+def test_vw_histogram_vs_oracle_equal_frequency(spark, dv_index, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.aggregations import vw_histogram_agg_sql
+
+    got = rows(dv_index.vw_histogram_agg(Q, 4))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    want = [tuple(r) for r in
+            con.execute(vw_histogram_agg_sql(Q, 4)).fetchall()]
+    assert got == want
+    # equal-frequency contract: bucket sizes differ by at most 1 and the
+    # variable edges are non-overlapping and ordered
+    sizes = [r[1] for r in got]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(got, got[1:]):
+        assert a[3] <= b[2]  # prev max_v <= next min_v
+
+
+def test_event_moving_percentiles_vs_oracle(spark, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.relational import (
+        event_moving_percentiles,
+        event_moving_percentiles_sql,
+    )
+
+    got = rows(event_moving_percentiles(spark, sf_smoke, 3))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{sf_smoke}/events.parquet'"
+    )
+    want = [tuple(r) for r in
+            con.execute(event_moving_percentiles_sql(3)).fetchall()]
+    assert got == want and len(got) > 3
+    # the window accumulates: n of day k >= n of its own single day
+    single = rows(event_moving_percentiles(spark, sf_smoke, 1))
+    by_day = {r[0]: r[1] for r in single}
+    for day, n, _, _ in got:
+        assert n >= by_day[day]
