@@ -831,6 +831,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, _query_vecs(spark, sf_dir), 10, oversample=3.0
         ).withColumn("rank", F.col("rank").cast("long"))
 
+    def _ann_bbq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from smse_backend_spark.operators.ann import bbq_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return bbq_topk(
+            emb, _query_vecs(spark, sf_dir), 10, oversample=3.0
+        ).withColumn("rank", F.col("rank").cast("long"))
+
     def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
 
@@ -1656,6 +1666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES rescore_vector: sq8 phase-1 oversample (3x k), exact
         # full-precision re-rank of only the candidates
         "ann_rescore": _ann_rescore,
+        # ES BBQ binary quantization: 1-bit sign codes (Hamming phase 1,
+        # 32x-compressed store) + oversampled exact-cosine rescore
+        "ann_bbq": _ann_bbq,
         # ES knn `similarity` param: candidates below the cosine floor
         # are dropped (monotone in score, so a post-top-k filter is
         # exactly the pre-cut semantics)
@@ -1922,7 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CHECK_FIRST = [
     "query_string", "query_string_fuzzy", "query_string_group",
     "search_global_agg", "search_range_agg", "search_vw_histogram",
-    "event_moving_percentiles",
+    "event_moving_percentiles", "ann_bbq",
     "lm_jelinek_mercer", "dfr_inl2", "ib_ll", "dfi_chi2", "boolean_sim",
     "event_bucket_pipeline", "event_stats_bucket", "event_serial_diff",
     "event_rate", "event_frequent_item_sets",
@@ -2034,6 +2047,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
     from smse_backend_spark.operators import simhash as SH
     from smse_backend_spark.operators.lmsim import lm_dirichlet_oracle_sql
     from smse_backend_spark.operators.ann import (
+        bbq_topk_sql,
         ivf_topk_sql,
         ivf_trained_topk_sql,
         ivfpq_topk_sql,
@@ -2059,6 +2073,7 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "ann_lsh": lsh_topk_sql([0, 1, 2], dim=64, k=10, n_planes=8, n_tables=4),
         "ann_sq8": sq8_topk_sql([0, 1, 2], 10),
         "ann_rescore": rescore_topk_sql([0, 1, 2], 10, oversample=3.0),
+        "ann_bbq": bbq_topk_sql([0, 1, 2], 10, oversample=3.0),
         "ann_maxsim": __import__(
             "smse_backend_spark.operators.ann", fromlist=["maxsim_topk_sql"]
         ).maxsim_topk_sql([0, 1, 2], 8, 10),

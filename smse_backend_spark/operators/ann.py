@@ -43,9 +43,22 @@ def _topk_kernel(q_mat: np.ndarray, q_ids: np.ndarray, k: int):
             vec_ids = pdf["vec_id"].to_numpy(np.int64)
             kk = min(k, sims.shape[0])
             for j in range(sims.shape[1]):
-                col = sims[:, j]
-                idx = np.argpartition(-col, kk - 1)[:kk] if sims.shape[0] > kk else np.arange(sims.shape[0])
-                sc = np.round(col[idx], 6)
+                # cut on the ROUNDED score with the engine's exact tie
+                # policy (score desc, vec_id asc): quantized codes (±1 /
+                # int8) make boundary ties dense, and argpartition alone
+                # resolves them by memory order, not by vec_id
+                sc_all = np.round(sims[:, j], 6)
+                if sims.shape[0] > kk:
+                    part = np.argpartition(-sc_all, kk - 1)[:kk]
+                    t = sc_all[part].min()
+                    above = np.flatnonzero(sc_all > t)
+                    eq = np.flatnonzero(sc_all == t)
+                    need = kk - above.size
+                    eq = eq[np.argsort(vec_ids[eq], kind="stable")[:need]]
+                    idx = np.concatenate([above, eq])
+                else:
+                    idx = np.arange(sims.shape[0])
+                sc = sc_all[idx]
                 order = np.lexsort((vec_ids[idx], -sc))
                 best.append(
                     pd.DataFrame(
@@ -1304,6 +1317,135 @@ dq AS (
 z1 AS (
   SELECT q.qid, d.vec_id, unnest(d.dv)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
   FROM dq d, q
+),
+sims1 AS (
+  SELECT qid, vec_id,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score
+  FROM z1 GROUP BY qid, vec_id
+),
+cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, vec_id ASC) AS rank
+    FROM sims1
+  ) WHERE rank <= {n_cand}
+),
+z2 AS (
+  SELECT c.qid, e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+         unnest(q.qv)::DOUBLE AS y
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.qid = c.qid
+),
+sims2 AS (
+  SELECT qid, vec_id,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score
+  FROM z2 GROUP BY qid, vec_id
+),
+r AS (
+  SELECT qid AS query_id, vec_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM sims2
+)
+SELECT query_id, rank, vec_id, score FROM r WHERE rank <= {int(k)}
+"""
+
+
+def sign_bits_col(emb_col: str = "embedding"):
+    """1-bit (binary) quantization as pure Column algebra: each component
+    collapses to its sign, materialized as ±1.0 so the ordinary cosine
+    kernel scores the codes. At 100 TB the stored form is d/8 bytes of
+    packed bits per vector (32x smaller than float32) and phase-1 scoring
+    is XOR+popcount; the ±1 embedding here is the arithmetic-equivalent
+    form both engines replay exactly (dot of ±1 vectors = d - 2*Hamming,
+    a monotone transform of Hamming agreement)."""
+    return F.transform(
+        F.col(emb_col),
+        lambda x: F.when(x > F.lit(0.0), F.lit(1.0)).otherwise(F.lit(-1.0)),
+    )
+
+
+def bbq_topk(
+    emb: DataFrame,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    oversample: float = 3.0,
+) -> DataFrame:
+    """ES BBQ-style binary-quantized kNN: phase 1 ranks by the Hamming
+    agreement of 1-bit sign codes (query and corpus both quantized —
+    the symmetric-distance flavor; cosine of ±1 vectors is the exact
+    monotone transform), keeps ``k * oversample`` candidates per query;
+    phase 2 re-scores only those candidates against the full-precision
+    vectors and returns the exact-cosine top-k — the same oversample +
+    rescore discipline as :func:`rescore_topk`, with a 32x (vs 4x)
+    compressed phase-1 store.
+
+    Returns (query_id, rank, vec_id, score) — score is the EXACT cosine,
+    6 dp, rank by (score desc, vec_id asc).
+
+    Scale shape: phase 1 is one scan over packed-bit codes (XOR+popcount
+    at scale; here the ±1 matmul kernel); the candidate union is
+    driver-bounded at |Q| * k * oversample ids, so phase 2 is an
+    ``isin``-pushed row-group-pruned read of the full-precision store.
+    Deterministic end to end — the DuckDB twin replays both phases.
+    """
+    from pyspark.sql import Window
+
+    n_cand = int(k * oversample)
+    bq = {
+        qid: [1.0 if x > 0.0 else -1.0 for x in v]
+        for qid, v in queries.items()
+    }
+    cand = brute_force_topk(
+        emb.withColumn("embedding", sign_bits_col()), bq, n_cand
+    ).select("query_id", "vec_id")
+    cand = cand.cache()
+    pool_ids = sorted(
+        r["vec_id"] for r in cand.select("vec_id").distinct().collect()
+    )
+    if not pool_ids:
+        return cand.select(
+            "query_id", F.lit(0).alias("rank"), "vec_id",
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    pool = emb.filter(F.col("vec_id").isin(pool_ids))
+    exact = brute_force_topk(pool, queries, len(pool_ids))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        exact.select("query_id", "vec_id", "score")
+        .join(cand, ["query_id", "vec_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "score")
+    )
+
+
+def bbq_topk_sql(
+    query_ids: list[int], k: int = 10, oversample: float = 3.0
+) -> str:
+    """DuckDB twin of :func:`bbq_topk`: the same sign quantization on
+    both sides of phase 1 (±1 lists, cosine, 6dp round, (score desc,
+    vec_id asc) cut at k*oversample), then the exact full-precision
+    cosine over candidate pairs only."""
+    ids = ", ".join(str(int(q)) for q in sorted(query_ids))
+    n_cand = int(k * oversample)
+    sgn = "list_transform({0}, x -> CASE WHEN x > 0.0 THEN 1.0 ELSE -1.0 END)"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv,
+         {sgn.format('embedding')} AS qb
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+b AS (
+  SELECT vec_id, {sgn.format('embedding')} AS bv FROM embeddings
+),
+z1 AS (
+  SELECT q.qid, b.vec_id, unnest(b.bv)::DOUBLE AS x, unnest(q.qb)::DOUBLE AS y
+  FROM b, q
 ),
 sims1 AS (
   SELECT qid, vec_id,

@@ -372,3 +372,60 @@ def test_ivfpq_vs_duckdb_and_candidate_law(spark, sf_smoke):
             float(q @ d / (np.linalg.norm(q) * np.linalg.norm(d))), 6
         )
         assert abs(score - expect) < 2e-6, (qid, vid, score, expect)
+
+
+def test_bbq_vs_duckdb_and_rescore_semantics(spark, sf_smoke):
+    """Binary-quantized (1-bit sign code) ANN == its SQL twin exactly;
+    final scores are EXACT cosines (a subset of the brute-force score
+    map); oversampled rescore recovers most of the full-precision top-10
+    despite the 32x-compressed phase-1 codes."""
+    import duckdb
+
+    from smse_backend_spark.operators.ann import (
+        bbq_topk,
+        bbq_topk_sql,
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id in (0, 1, 2)").collect()
+    }
+    got = [tuple(r) for r in bbq_topk(emb, qvecs, 10, 3.0).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"create view embeddings as select * from '{sf_smoke}/embeddings.parquet'"
+    )
+    want = [tuple(w) for w in
+            con.execute(bbq_topk_sql([0, 1, 2], 10, 3.0)).fetchall()]
+    assert sorted(got) == sorted(want)
+
+    n = emb.count()
+    exact = brute_force_topk(emb, qvecs, n).collect()
+    score_map = {(r["query_id"], r["vec_id"]): r["score"] for r in exact}
+    for qid, _rank, vid, s in got:
+        assert score_map[(qid, vid)] == s  # phase 2 is the exact cosine
+    top_exact = {}
+    for r in exact:
+        if r["rank"] <= 10:
+            top_exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    by_q = {}
+    for qid, _rank, vid, _s in got:
+        by_q.setdefault(qid, set()).add(vid)
+    wide = [tuple(r) for r in bbq_topk(emb, qvecs, 10, 10.0).collect()]
+    by_q_wide = {}
+    for qid, _rank, vid, _s in wide:
+        by_q_wide.setdefault(qid, set()).add(vid)
+    for qid, ex in top_exact.items():
+        r3 = len(by_q[qid] & ex)
+        r10 = len(by_q_wide[qid] & ex)
+        # 1-bit codes are lossy; some recall must survive at 3x and a
+        # wider oversample must recover at least as much (the ES BBQ
+        # rescore_vector tuning contract)
+        assert r3 >= 3, (qid, by_q[qid], ex)
+        assert r10 >= r3
+        # each query's own vector survives 1-bit quantization at rank 1
+    for qid in qvecs:
+        first = min((r for r in got if r[0] == qid), key=lambda r: r[1])
+        assert first[2] == qid and first[3] == 1.0
