@@ -209,9 +209,11 @@ def _pos_indexed(spark: SparkSession, sf_dir: str):
         import tempfile
 
         out = tempfile.mkdtemp(prefix="smse_index_pos_")
+        # docvalues serve the query_string_indexed keyword/numeric leaves
         build_index(spark, load_corpus(spark, sf_dir), out,
                     segment_size=256, n_buckets=8, block_size=64,
-                    n_batches=2, with_positions=True)
+                    n_batches=2, with_positions=True,
+                    docvalues=("repo", "n_chars"))
         _POS_INDEX_CACHE[sf_dir] = out
     return InvertedIndex(spark, _POS_INDEX_CACHE[sf_dir])
 
@@ -1430,6 +1432,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string_group": lambda spark, sf: LQS.query_string_topk(
             load_corpus(spark, sf), LQS_QUERY_GROUP, 10
         ),
+        # the same grammar served from postings + positional kernel +
+        # dictionary expansions + doc-values alone — no corpus scan;
+        # shares the scan twin's oracle
+        "query_string_indexed": lambda spark, sf:
+        _pos_indexed(spark, sf).query_string_topk(LQS_QUERY, 10),
         # per-(doc,term) BM25 contribution rows for the top-k (explain())
         "score_explain": lambda spark, sf: _indexed(spark, sf)
         .explain_scores(FLAGSHIP_QUERY, 10),
@@ -1935,7 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CHECK_FIRST = [
     "query_string", "query_string_fuzzy", "query_string_group",
     "search_global_agg", "search_range_agg", "search_vw_histogram",
-    "event_moving_percentiles", "ann_bbq",
+    "event_moving_percentiles", "ann_bbq", "query_string_indexed",
     "lm_jelinek_mercer", "dfr_inl2", "ib_ll", "dfi_chi2", "boolean_sim",
     "event_bucket_pipeline", "event_stats_bucket", "event_serial_diff",
     "event_rate", "event_frequent_item_sets",
@@ -2382,6 +2389,7 @@ LIMIT 10
         "query_string_group": LQS.query_string_oracle_sql(
             LQS_QUERY_GROUP, 10
         ),
+        "query_string_indexed": LQS.query_string_oracle_sql(LQS_QUERY, 10),
         "score_explain": explain_scores_oracle_sql(FLAGSHIP_QUERY, 10),
         "search_highlight": highlight_snippets_oracle_sql(
             FLAGSHIP_QUERY, 10, window=3

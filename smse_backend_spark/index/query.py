@@ -1964,6 +1964,189 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def query_string_topk(
+        self,
+        q: str,
+        k: int = DEFAULT_TOP_K,
+        default_operator: str = "or",
+    ) -> DataFrame:
+        """Classic Lucene ``query_string`` served from the INDEX alone —
+        no corpus scan. Rank- and score-identical to the scan twin
+        (``operators.luceneqs.query_string_topk``), so both share one
+        DuckDB oracle. Per-leaf evidence comes from:
+
+        * text TERM / PREFIX / WILDCARD / FUZZY leaves — decoded posting
+          lists; the multi-term expansions walk the dictionary UNCAPPED
+          (scan presence semantics count every matching token, so a
+          rewrite cap would silently change the match set — same
+          discipline as the simple_query_string index twin);
+        * text PHRASE leaves — the positional kernel's (doc, phrase_tf)
+          match set (requires ``with_positions=True``);
+        * keyword / numeric leaves (``repo`` ``lang`` ``n_chars``
+          ``doc_id``) — stored doc-values (the Lucene docvalues/points
+          read), evaluated as predicates over the doc-values frame so a
+          range-only ``should`` clause can match docs with zero text
+          evidence, exactly like the scan.
+
+        Plan shape: one partition-pruned block scan per text-leaf
+        family, a union of tiny (doc_id, leaf, tf) match frames pivoted
+        in ONE groupBy, left-joined onto the doc-values frame (columnar
+        metadata — the only doc-wide read), one integer stats row,
+        constant-folded scoring → ``TakeOrderedAndProject``. The corpus
+        text is never touched.
+        """
+        from smse_backend_spark.operators.luceneqs import (
+            DEFAULT_FIELD,
+            LFuzzy,
+            LPhrase,
+            LPrefix,
+            LRange,
+            LTerm,
+            LWildcard,
+            _can_assert_positive,
+            _is_scored,
+            _pred_col,
+            _wild_regex,
+            collect_qs_leaves,
+            parse_query_string,
+            wild_regex_body,
+        )
+
+        root = parse_query_string(q, default_operator)
+        if not _can_assert_positive(root):
+            raise ValueError("pure-negative query matches nothing (Lucene "
+                             "MatchNoDocsQuery) — add a positive clause")
+        leaves, positive = collect_qs_leaves(root)
+        n, avgdl = self.corpus_stats(None)
+        if not n:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+
+        meta_fields = sorted({
+            leaf.field for leaf in leaves if leaf.field != DEFAULT_FIELD
+        })
+        dv_cols = ["doc_len"] + [f for f in meta_fields if f != "doc_id"]
+        base = self._live(self.doc_values(dv_cols))
+
+        empty = self.spark.createDataFrame([], "doc_id long, leaf int, tf long")
+        frames = [empty]
+        big = 1 << 31
+        for i, leaf in enumerate(leaves):
+            if leaf.field != DEFAULT_FIELD:
+                continue
+            if isinstance(leaf, LTerm):
+                terms = [leaf.term]
+            elif isinstance(leaf, LPrefix):
+                terms = self.expand_prefix(leaf.prefix, None, big)
+            elif isinstance(leaf, LWildcard):
+                terms = self.expand_regex(
+                    wild_regex_body(leaf.pattern), None, big
+                )
+            elif isinstance(leaf, LFuzzy):
+                terms = self.expand_fuzzy(leaf.term, leaf.max_edits, None, big)
+            elif isinstance(leaf, LPhrase):
+                m = self._phrase_matches(list(leaf.terms), None)
+                if m is not None:
+                    frames.append(
+                        m.select(
+                            "doc_id", F.lit(i).alias("leaf"),
+                            F.col("ptf").cast("long").alias("tf"),
+                        )
+                    )
+                continue
+            else:  # pragma: no cover — LRange is non-text by construction
+                continue
+            if not terms or not self.term_df(terms, None):
+                continue
+            dec = self._decoded(self._blocks(terms, None))
+            frames.append(
+                dec.groupBy("doc_id")
+                .agg(F.sum("tf").cast("long").alias("tf"))
+                .select("doc_id", F.lit(i).alias("leaf"), "tf")
+            )
+        union = frames[0]
+        for f in frames[1:]:
+            union = union.unionByName(f)
+        text_idx = [i for i, leaf in enumerate(leaves)
+                    if leaf.field == DEFAULT_FIELD]
+        pivot = union.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(F.col("leaf") == i, F.col("tf")).otherwise(F.lit(0))
+                ).cast("long").alias(f"tf{i}")
+                for i in text_idx
+            ]
+        )
+        lf = base.join(pivot, "doc_id", "left").select(
+            "doc_id", "doc_len",
+            *[c for c in dv_cols if c != "doc_len"],
+            *[
+                F.coalesce(F.col(f"tf{i}"), F.lit(0)).alias(f"tf{i}")
+                for i in text_idx
+            ],
+        )
+
+        present: dict = {}
+        for i, leaf in enumerate(leaves):
+            if leaf.field == DEFAULT_FIELD:
+                present[leaf] = F.col(f"tf{i}") > 0
+            elif isinstance(leaf, LRange):
+                c = F.col(leaf.field)
+                p = F.lit(True)
+                if leaf.lo is not None:
+                    p = p & (c >= F.lit(leaf.lo) if leaf.incl_lo
+                             else c > F.lit(leaf.lo))
+                if leaf.hi is not None:
+                    p = p & (c <= F.lit(leaf.hi) if leaf.incl_hi
+                             else c < F.lit(leaf.hi))
+                present[leaf] = p
+            elif isinstance(leaf, LTerm):
+                present[leaf] = F.col(leaf.field) == F.lit(leaf.term)
+            elif isinstance(leaf, LWildcard):
+                present[leaf] = F.col(leaf.field).rlike(
+                    _wild_regex(leaf.pattern)
+                )
+            else:
+                raise ValueError(
+                    f"unsupported leaf on field {leaf.field!r}: {leaf}"
+                )
+
+        scored = [i for i, leaf in enumerate(leaves) if _is_scored(leaf)]
+        stats = lf.agg(
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+                for i in scored
+            ]
+        ).first() if scored else {}
+
+        contribs = []
+        dl = F.col("doc_len")
+        for i, leaf in enumerate(leaves):
+            if leaf not in positive:
+                continue
+            if _is_scored(leaf):
+                tf = F.col(f"tf{i}")
+                df_i = float(stats[f"df{i}"] or 0)
+                idf = math.log(1.0 + (n - df_i + 0.5) / (df_i + 0.5))
+                c = F.when(
+                    tf > 0,
+                    F.lit(leaf.boost) * (F.lit(idf) * _tf_norm(tf, dl, avgdl)),
+                ).otherwise(F.lit(0.0))
+            else:
+                c = F.when(present[leaf], F.lit(float(leaf.boost))).otherwise(
+                    F.lit(0.0)
+                )
+            contribs.append(c)
+        score = contribs[0]
+        for c in contribs[1:]:
+            score = score + c
+        rounded = F.floor(score * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        return (
+            lf.filter(_pred_col(root, present))
+            .select("doc_id", rounded.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def multi_terms_agg(
         self,
         query_text: str,

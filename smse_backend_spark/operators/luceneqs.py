@@ -639,11 +639,10 @@ def _sq(s: str) -> str:
     return s.replace("'", "''")
 
 
-def _wild_regex(pattern: str) -> str:
-    """Anchored regex for a Lucene wildcard — identical string handed to
-    Spark ``rlike`` and DuckDB ``regexp_matches`` so both engines run the
-    same automaton."""
-    out = ["^"]
+def wild_regex_body(pattern: str) -> str:
+    """Unanchored regex body for a Lucene wildcard (``*``/``?``) — the
+    form full-match consumers (the index dictionary walk) take."""
+    out = []
     for ch in pattern:
         if ch == "*":
             out.append(".*")
@@ -651,8 +650,14 @@ def _wild_regex(pattern: str) -> str:
             out.append(".")
         else:
             out.append(re.escape(ch))
-    out.append("$")
     return "".join(out)
+
+
+def _wild_regex(pattern: str) -> str:
+    """Anchored regex for a Lucene wildcard — identical string handed to
+    Spark ``rlike`` and DuckDB ``regexp_matches`` so both engines run the
+    same automaton."""
+    return "^" + wild_regex_body(pattern) + "$"
 
 
 def _is_scored(leaf: LLeaf) -> bool:

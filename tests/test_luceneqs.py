@@ -182,3 +182,44 @@ def test_must_not_filters(corpus):
     joined = {r["doc_id"] for r in
               query_string_topk(corpus, "+hash +join", 100).collect()}
     assert not (with_neg & joined)
+
+
+# --------------------------------------------------------------------------
+# index path
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def qs_index(spark, corpus, tmp_path_factory):
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+
+    out = str(tmp_path_factory.mktemp("qsidx"))
+    build_index(
+        spark, corpus, out, segment_size=256, n_buckets=8, block_size=64,
+        n_batches=2, with_positions=True, docvalues=("repo", "n_chars"),
+    )
+    return InvertedIndex(spark, out)
+
+
+@pytest.mark.parametrize("q", GRAMMAR_QUERIES[:5])
+def test_query_string_indexed_rank_identity(corpus, qs_index, q):
+    """The index-served grammar is rank- and score-identical to the scan
+    twin for every leaf family (term, phrase, prefix, wildcard, fuzzy,
+    keyword, range, boost, must/must_not)."""
+    a = sorted(map(tuple, qs_index.query_string_topk(q, 10).collect()))
+    b = sorted(map(tuple, query_string_topk(corpus, q, 10).collect()))
+    assert a == b and a
+
+
+def test_query_string_indexed_missing_docvalue_raises(spark, corpus,
+                                                      tmp_path):
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+
+    out = str(tmp_path / "plain")
+    build_index(spark, corpus, out, segment_size=256, n_buckets=8,
+                block_size=64, n_batches=1)
+    ix = InvertedIndex(spark, out)
+    with pytest.raises(ValueError, match="doc-values.*not stored"):
+        ix.query_string_topk("repo:src1 OR hash", 10)
