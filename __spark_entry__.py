@@ -62,9 +62,12 @@ from smse_backend_spark.operators.similarities import (
     axiomatic_f2log_oracle_sql,
     boolean_sim_oracle_sql,
     dfi_chi2_oracle_sql,
+    dfi_saturated_oracle_sql,
+    dfi_standardized_oracle_sql,
     dfr_inl2_oracle_sql,
     dfr_pl2_oracle_sql,
     ib_ll_oracle_sql,
+    ib_spl_oracle_sql,
     lm_jelinek_mercer_oracle_sql,
 )
 from smse_backend_spark.operators.search import (
@@ -984,10 +987,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Lucene IBSimilarity(LL, DF, H2): information-based log-logistic
         "ib_ll": lambda spark, sf: _indexed(spark, sf)
         .ib_ll_topk(FLAGSHIP_QUERY, 10),
+        # Lucene IBSimilarity(SPL, DF, H2): smoothed power-law sibling —
+        # the power written exp(q·ln λ) identically on both engines
+        "ib_spl": lambda spark, sf: _indexed(spark, sf)
+        .ib_spl_topk(FLAGSHIP_QUERY, 10),
         # Lucene DFISimilarity(ChiSquared): divergence from independence —
         # a term scores only where tf exceeds its expectation
         "dfi_chi2": lambda spark, sf: _indexed(spark, sf)
         .dfi_chi2_topk(FLAGSHIP_QUERY, 10),
+        # the remaining Lucene independence measures (same gate)
+        "dfi_saturated": lambda spark, sf: _indexed(spark, sf)
+        .dfi_saturated_topk(FLAGSHIP_QUERY, 10),
+        "dfi_standardized": lambda spark, sf: _indexed(spark, sf)
+        .dfi_standardized_topk(FLAGSHIP_QUERY, 10),
         # Lucene BooleanSimilarity: score = matched-term count
         "boolean_sim": lambda spark, sf: _indexed(spark, sf)
         .boolean_sim_topk(FLAGSHIP_QUERY, 10),
@@ -1943,6 +1955,7 @@ _CHECK_FIRST = [
     "query_string", "query_string_fuzzy", "query_string_group",
     "search_global_agg", "search_range_agg", "search_vw_histogram",
     "event_moving_percentiles", "ann_bbq", "query_string_indexed",
+    "ib_spl", "dfi_saturated", "dfi_standardized",
     "lm_jelinek_mercer", "dfr_inl2", "ib_ll", "dfi_chi2", "boolean_sim",
     "event_bucket_pipeline", "event_stats_bucket", "event_serial_diff",
     "event_rate", "event_frequent_item_sets",
@@ -2161,7 +2174,10 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
         "axiomatic_f2exp": axiomatic_f2exp_oracle_sql(FLAGSHIP_QUERY, 10),
         "axiomatic_f2log": axiomatic_f2log_oracle_sql(FLAGSHIP_QUERY, 10),
         "ib_ll": ib_ll_oracle_sql(FLAGSHIP_QUERY, 10),
+        "ib_spl": ib_spl_oracle_sql(FLAGSHIP_QUERY, 10),
         "dfi_chi2": dfi_chi2_oracle_sql(FLAGSHIP_QUERY, 10),
+        "dfi_saturated": dfi_saturated_oracle_sql(FLAGSHIP_QUERY, 10),
+        "dfi_standardized": dfi_standardized_oracle_sql(FLAGSHIP_QUERY, 10),
         "boolean_sim": boolean_sim_oracle_sql(FLAGSHIP_QUERY, 10),
         "bm25_wildcard": bm25_regex_oracle_sql(
             wildcard_to_regex("m?rg*"), 10

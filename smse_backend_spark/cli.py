@@ -118,8 +118,14 @@ def cmd_query(args) -> None:
         out = idx.dfr_pl2_topk(args.text, args.k, args.lang)
     elif args.similarity == "ib":
         out = idx.ib_ll_topk(args.text, args.k, args.lang)
+    elif args.similarity == "ib_spl":
+        out = idx.ib_spl_topk(args.text, args.k, args.lang)
     elif args.similarity == "dfi":
         out = idx.dfi_chi2_topk(args.text, args.k, args.lang)
+    elif args.similarity == "dfi_saturated":
+        out = idx.dfi_saturated_topk(args.text, args.k, args.lang)
+    elif args.similarity == "dfi_standardized":
+        out = idx.dfi_standardized_topk(args.text, args.k, args.lang)
     elif args.similarity == "boolean":
         out = idx.boolean_sim_topk(args.text, args.k, args.lang)
     elif args.similarity == "tfidf":
@@ -524,8 +530,10 @@ def main(argv: list[str] | None = None) -> None:
                         "demoted by --negative-boost, not excluded")
     q.add_argument("--negative-boost", type=float, default=0.5)
     q.add_argument("--similarity",
-                   choices=("bm25", "lm", "jm", "inl2", "pl2", "ib", "dfi",
-                            "boolean", "tfidf", "f2exp", "f2log"),
+                   choices=("bm25", "lm", "jm", "inl2", "pl2", "ib",
+                            "ib_spl", "dfi", "dfi_saturated",
+                            "dfi_standardized", "boolean", "tfidf",
+                            "f2exp", "f2log"),
                    default="bm25",
                    help="pluggable ranking function (the Lucene similarity "
                         "family: BM25, Dirichlet LM, Jelinek-Mercer, DFR "

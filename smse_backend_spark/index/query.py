@@ -4564,6 +4564,109 @@ class InvertedIndex:
             k,
         )
 
+    def ib_spl_topk(
+        self,
+        query_text: str,
+        k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Lucene ``IBSimilarity(DistributionSPL, LambdaDF,
+        NormalizationH2)`` — the smoothed power-law sibling of
+        :meth:`ib_ll_topk` (Clinchant & Gaussier 2010):
+        ``-log2((λ_w^(tfn/(tfn+1)) - λ_w) / (1 - λ_w))`` with
+        ``λ_w = (df+1)/(N+1)`` and H2 tfn. The power is written
+        ``exp(q·ln λ)`` IDENTICALLY on both engines (libm pow differs
+        between JVM and C; exp∘ln composed the same way does not).
+        A term present in EVERY doc makes λ_w = 1 and the model
+        undefined (Lucene returns Infinity there); this engine rejects
+        it loudly instead. Same decode plan as BM25."""
+        from smse_backend_spark.operators.similarities import LN2, ll_lambda
+
+        terms = self._analyze(query_text)
+        n, avgdl = self.corpus_stats(lang)
+        dfs = self.term_df(terms, lang) if terms and n else {}
+        if not dfs:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        full = [t for t, df in dfs.items() if df >= n]
+        if full:
+            raise ValueError(
+                f"IB-SPL is undefined for terms in every document: {full}"
+            )
+        lw = ll_lambda(n, dfs)
+        lw_df = F.broadcast(
+            self.spark.createDataFrame(
+                sorted(lw.items()), "term string, lw double"
+            )
+        )
+        decoded = self._decoded(self._blocks(sorted(lw), lang))
+        tfn = self._h2_tfn(avgdl)
+        q = tfn / (tfn + F.lit(1.0))
+        powed = F.exp(q * F.log(F.col("lw")))
+        raw = -(
+            F.log((powed - F.col("lw")) / (F.lit(1.0) - F.col("lw")))
+            / F.lit(LN2)
+        )
+        return self._qsum_finish(
+            decoded.join(lw_df, "term").withColumn("cq", self._quantize(raw)),
+            k,
+        )
+
+    def _dfi_variant_topk(
+        self, query_text: str, k: int, lang: str | None, kind: str
+    ) -> DataFrame:
+        """Shared DFI scorer for the saturated / standardized independence
+        measures (chi-squared has its own method, kept verbatim since it
+        predates these): expected tf under independence is
+        ``((cf+1)·dl)/(T+1)``; a term only scores when tf EXCEEDS
+        expectation, contributing ``log2(measure + 1)`` where measure is
+
+        * ``saturated``    — ``(tf - expected) / expected``
+        * ``standardized`` — ``(tf - expected) / sqrt(expected)``
+
+        (Kocabas, Dinçer & Karaoğlan 2014; Lucene IndependenceSaturated /
+        IndependenceStandardized). Same decode plan as BM25."""
+        from smse_backend_spark.operators.similarities import LN2
+
+        terms = self._analyze(query_text)
+        cfs = self.term_cf(terms, lang) if terms else {}
+        if not cfs:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        t1 = float(self._sum_dl(lang)) + 1.0
+        cfp1 = {t: float(cf) + 1.0 for t, cf in cfs.items()}
+        c_df = F.broadcast(
+            self.spark.createDataFrame(
+                sorted(cfp1.items()), "term string, cfp1 double"
+            )
+        )
+        decoded = self._decoded(self._blocks(sorted(cfp1), lang))
+        tfd = F.col("tf").cast("double")
+        expected = (F.col("cfp1") * F.col("dl").cast("double")) / F.lit(t1)
+        if kind == "saturated":
+            measure = (tfd - expected) / expected
+        else:
+            measure = (tfd - expected) / F.sqrt(expected)
+        raw = F.when(
+            tfd > expected, F.log(measure + F.lit(1.0)) / F.lit(LN2)
+        ).otherwise(F.lit(0.0))
+        return self._qsum_finish(
+            decoded.join(c_df, "term").withColumn("cq", self._quantize(raw)),
+            k,
+        )
+
+    def dfi_saturated_topk(
+        self, query_text: str, k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Lucene ``DFISimilarity(IndependenceSaturated)``."""
+        return self._dfi_variant_topk(query_text, k, lang, "saturated")
+
+    def dfi_standardized_topk(
+        self, query_text: str, k: int = DEFAULT_TOP_K,
+        lang: str | None = None,
+    ) -> DataFrame:
+        """Lucene ``DFISimilarity(IndependenceStandardized)``."""
+        return self._dfi_variant_topk(query_text, k, lang, "standardized")
+
     def boolean_sim_topk(
         self,
         query_text: str,

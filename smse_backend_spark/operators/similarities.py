@@ -232,6 +232,81 @@ def dfi_chi2_oracle_sql(
     )
 
 
+def ib_spl_oracle_sql(
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.ib_spl_topk`` — the power written
+    as ``exp(q * ln(λ))`` exactly like the Spark side (libm pow differs
+    between engines; exp∘ln composed identically does not)."""
+    terms = query_terms(query_text)
+    if not terms:
+        return _EMPTY.format(table=table)
+    tfn = _TFN.format(ln2=repr(LN2))
+    lw = "((dfq.df + 1.0) / (stats.n + 1.0))"
+    powed = f"exp(({tfn} / ({tfn} + 1.0)) * ln({lw}))"
+    contrib = f"(-(ln(({powed} - {lw}) / (1.0 - {lw})) / {LN2!r}))"
+    return _scan_scaffold(terms, lang, table, content_col) + _qsum_tail(
+        contrib, k
+    )
+
+
+def _dfi_variant_oracle_sql(
+    query_text: str,
+    kind: str,
+    k: int,
+    lang: str | None,
+    table: str,
+    content_col: str,
+) -> str:
+    """Shared DuckDB twin of the saturated / standardized DFI variants
+    (same expected-tf, same tf > expected gate, same log2 as chi2)."""
+    terms = query_terms(query_text)
+    if not terms:
+        return _EMPTY.format(table=table)
+    e = "(((dfq.cf + 1.0) * tf.doc_len::DOUBLE) / (stats.t + 1.0))"
+    if kind == "saturated":
+        m = f"((tf.tf::DOUBLE - {e}) / {e})"
+    else:
+        m = f"((tf.tf::DOUBLE - {e}) / sqrt({e}))"
+    contrib = (
+        f"CASE WHEN tf.tf::DOUBLE > {e}"
+        f" THEN (ln({m} + 1.0) / {LN2!r}) ELSE 0.0 END"
+    )
+    return _scan_scaffold(terms, lang, table, content_col) + _qsum_tail(
+        contrib, k
+    )
+
+
+def dfi_saturated_oracle_sql(
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.dfi_saturated_topk``."""
+    return _dfi_variant_oracle_sql(
+        query_text, "saturated", k, lang, table, content_col
+    )
+
+
+def dfi_standardized_oracle_sql(
+    query_text: str,
+    k: int = DEFAULT_TOP_K,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of ``InvertedIndex.dfi_standardized_topk``."""
+    return _dfi_variant_oracle_sql(
+        query_text, "standardized", k, lang, table, content_col
+    )
+
+
 AX_S = 0.5   # Lucene Axiomatic* growth-function default (s)
 AX_K = 0.35  # Lucene AxiomaticF2EXP idf exponent default (k)
 

@@ -1824,8 +1824,13 @@ def test_similarity_family_vs_oracle(index, oracle_con):
         (lambda q, k, lg: index.dfr_inl2_topk(q, k, lg),
          S.dfr_inl2_oracle_sql),
         (lambda q, k, lg: index.ib_ll_topk(q, k, lg), S.ib_ll_oracle_sql),
+        (lambda q, k, lg: index.ib_spl_topk(q, k, lg), S.ib_spl_oracle_sql),
         (lambda q, k, lg: index.dfi_chi2_topk(q, k, lg),
          S.dfi_chi2_oracle_sql),
+        (lambda q, k, lg: index.dfi_saturated_topk(q, k, lg),
+         S.dfi_saturated_oracle_sql),
+        (lambda q, k, lg: index.dfi_standardized_topk(q, k, lg),
+         S.dfi_standardized_oracle_sql),
         (lambda q, k, lg: index.boolean_sim_topk(q, k, lg),
          S.boolean_sim_oracle_sql),
     ]
@@ -1851,6 +1856,27 @@ def test_similarity_family_vs_oracle(index, oracle_con):
     bs = index.boolean_sim_topk(q, 10).collect()
     assert bs and all(float(r["score"]).is_integer() for r in bs)
     assert max(r["score"] for r in bs) <= 4.0
+
+
+def test_ib_spl_rejects_ubiquitous_term(spark, tmp_path):
+    """A term present in EVERY doc makes λ_w = 1 and the SPL distribution
+    undefined (Lucene returns Infinity); this engine rejects it loudly."""
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+
+    rows = [(i, "r", f"p{i}", "c", "en", f"common word{i}") for i in range(8)]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, repo string, path string, commit string, "
+              "lang string, content string",
+    )
+    out = str(tmp_path / "splidx")
+    build_index(spark, corpus, out, segment_size=4, n_buckets=2,
+                block_size=4, n_batches=1)
+    ix = InvertedIndex(spark, out)
+    with pytest.raises(ValueError, match="undefined for terms"):
+        ix.ib_spl_topk("common", 5)
+    # a non-ubiquitous term works
+    assert ix.ib_spl_topk("word3", 5).count() == 1
 
 
 def test_span_contain_vs_oracle(pos_index, oracle_con):
