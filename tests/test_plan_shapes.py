@@ -276,3 +276,62 @@ def test_cumulative_cardinality_window_is_over_buckets(spark, sf_smoke):
     # both aggregates appear below (later in the string = deeper child)
     aggs = [i for i in range(len(plan)) if plan.startswith("HashAggregate", i)]
     assert aggs and min(aggs) > w, "window is not the top of the plan"
+
+
+def test_query_string_scan_is_one_pass_no_python(corpus):
+    """The scan-path query_string evaluates every leaf (term, phrase,
+    prefix, wildcard, fuzzy, keyword, range) inside ONE projection over
+    the corpus: no explode/Generate, no Python evaluation, a single
+    TakeOrderedAndProject tail."""
+    from smse_backend_spark.operators.luceneqs import query_string_topk
+
+    q = 'lang:en +hash "table scan"^2 hsh~1 tabl* -repo:src18 n_chars:[100 TO 400]'
+    plan = plan_of(query_string_topk(corpus, q, 10))
+    assert "Generate" not in plan          # no explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_query_string_index_path_never_reads_corpus(spark, corpus,
+                                                    tmp_path_factory):
+    """The index-served query_string reads postings + doc-values only —
+    the corpus parquet must not appear anywhere in the plan, and the
+    doc-values join input must not carry document text."""
+    from smse_backend_spark.index.query import InvertedIndex
+
+    out = str(tmp_path_factory.mktemp("planidx_qs"))
+    build_index(spark, corpus, out, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=2, with_positions=True,
+                docvalues=("repo", "n_chars"))
+    idx = InvertedIndex(spark, out)
+    q = 'lang:en +hash "table scan"^2 -repo:src18 n_chars:[100 TO 400]'
+    plan = plan_of(idx.query_string_topk(q, 10))
+    assert "documents.parquet" not in plan
+    assert "postings" in plan and "docstats" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "content" not in plan           # no text column anywhere
+
+
+def test_range_agg_empty_buckets_join_is_broadcast(spark, corpus,
+                                                   tmp_path_factory):
+    """The constant range frame (len(bounds)+1 rows) must join broadcast —
+    a shuffle keyed on 3 rows would be a plan bug."""
+    out = str(tmp_path_factory.mktemp("planidx_rng"))
+    build_index(spark, corpus, out, segment_size=64, n_buckets=4,
+                block_size=16, n_batches=2, docvalues=("repo", "n_chars"))
+    idx = InvertedIndex(spark, out)
+    plan = plan_of(idx.range_agg(Q, (200, 350)))
+    assert "BroadcastHashJoin" in plan
+    assert "documents.parquet" not in plan
+
+
+def test_moving_percentiles_day_join_is_broadcast(spark, sf_smoke):
+    """The distinct-day frame is bucket-sized and must broadcast; events
+    must never shuffle on a non-equi condition."""
+    from smse_backend_spark.operators.relational import (
+        event_moving_percentiles,
+    )
+
+    plan = plan_of(event_moving_percentiles(spark, sf_smoke, 3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
