@@ -223,3 +223,47 @@ def test_query_string_indexed_missing_docvalue_raises(spark, corpus,
     ix = InvertedIndex(spark, out)
     with pytest.raises(ValueError, match="doc-values.*not stored"):
         ix.query_string_topk("repo:src1 OR hash", 10)
+
+
+# --------------------------------------------------------------------------
+# adversarial inputs: every string either parses to the oracle-identical
+# result or fails loudly with ValueError — never a wrong answer, never a
+# crash of a different class
+# --------------------------------------------------------------------------
+
+ADVERSARIAL = [
+    '"unterminated phrase merge',       # ES: quote swallows the rest
+    "(hash OR (join AND merge))",       # nested groups
+    "-lang:en hash",                    # negated fielded clause
+    "repo:(src1 -src2) merge",          # must_not inside field scope
+    "n_chars:(100 200) OR hash",        # numeric terms in field scope
+    "hash AND OR join",                 # operator soup
+    "(a OR b",                          # unbalanced paren
+    "lang:",                            # dangling field
+    "^2 hash",                          # leading boost
+    "~ hash",                           # leading fuzzy
+    "n_chars:[abc TO 5]",               # non-numeric range edge
+    "hash~9",                           # fuzzy clamped to 2
+    "merge^0.25^2",                     # stacked boosts compose
+]
+
+
+@pytest.mark.parametrize("q", ADVERSARIAL)
+def test_adversarial_parse_or_oracle_identity(corpus, con, q):
+    try:
+        node = parse_query_string(q)
+    except ValueError:
+        return  # loud rejection is a valid outcome
+    # parsed: the engine and the oracle must still agree exactly
+    got = sorted(map(tuple, query_string_topk(corpus, q, 10).collect()))
+    want = sorted(map(tuple,
+                      con.execute(query_string_oracle_sql(q, 10)).fetchall()))
+    assert got == want, (q, node)
+
+
+def test_stacked_boosts_compose():
+    assert parse_query_string("merge^0.25^2") == LTerm("content", "merge", 0.5)
+
+
+def test_fuzzy_clamp():
+    assert parse_query_string("hash~9") == LFuzzy("content", "hash", 2)
