@@ -299,9 +299,9 @@ def cmd_search(args) -> None:
         sys.exit("search: --dismax/--bm25f require --fields")
     if args.dismax is not None and args.bm25f:
         sys.exit("search: --dismax and --bm25f are mutually exclusive")
-    if args.stem and (args.bool_query or args.fields):
+    if args.stem and (args.bool_query or args.fields or args.lucene_qs):
         sys.exit("search: --stem applies only to plain BM25 "
-                 "(boolean/fielded stemming not supported)")
+                 "(boolean/fielded/lucene stemming not supported)")
     spark = _spark(args)
     corpus = load_corpus(spark, args.corpus)
     if args.bool_query:
@@ -313,6 +313,11 @@ def cmd_search(args) -> None:
 
         out = simple_query_string_topk(corpus, args.text, args.k,
                                        args.lang, args.default_operator)
+    elif args.lucene_qs:
+        from smse_backend_spark.operators.luceneqs import query_string_topk
+
+        out = query_string_topk(corpus, args.text, args.k,
+                                args.default_operator)
     elif args.pin:
         from smse_backend_spark.operators.search import pinned_topk
 
@@ -645,9 +650,13 @@ def main(argv: list[str] | None = None) -> None:
     sr.add_argument("--simple", action="store_true", dest="simple_qs",
                     help="treat --text as ES simple_query_string "
                          "(| + - \"phrase\" prefix* parens)")
+    sr.add_argument("--lucene", action="store_true", dest="lucene_qs",
+                    help="treat --text as a classic Lucene query_string "
+                         "(field:term, +/-, AND/OR/NOT, ^boost, wild?card*, "
+                         "fuzzy~N, [lo TO hi] ranges, field:(...) groups)")
     sr.add_argument("--default-operator", choices=["and", "or"],
-                    default="and", help="with --simple: the operator "
-                    "bare whitespace means")
+                    default="and", help="with --simple/--lucene: the "
+                    "operator bare whitespace means")
     sr.add_argument("--pin", metavar="ID,ID,...",
                     help="pinned query: these doc_ids rank first, in order")
     sr.add_argument("--random-seed", type=int, metavar="SEED",

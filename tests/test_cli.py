@@ -424,6 +424,10 @@ def test_cli_round4_query_and_search_flags(tmp_path, spark, sf_smoke, capsys):
     sq = run(["search", "--corpus", sf_smoke,
               "--text", '"table scan" | (hash + join) merg*', "--simple"])
     assert sq and all(h["score"] > 0 for h in sq)
+    lq = run(["search", "--corpus", sf_smoke,
+              "--text", 'lang:en +hash "table scan"^2 n_chars:[100 TO 400]',
+              "--lucene", "--default-operator", "or"])
+    assert lq and all(h["score"] > 0 for h in lq)
     pinned = run(["search", "--corpus", sf_smoke, "--text", "hash join",
                   "--pin", "7,3"])
     assert [h["doc_id"] for h in pinned[:2]] == [7, 3]
@@ -445,7 +449,8 @@ def test_cli_similarity_family(tmp_path, spark, sf_smoke, capsys):
         "--master", "local[4]",
     ])
     capsys.readouterr()
-    for sim in ("jm", "inl2", "pl2", "ib", "dfi", "boolean", "tfidf",
+    for sim in ("jm", "inl2", "pl2", "ib", "ib_spl", "dfi",
+                "dfi_saturated", "dfi_standardized", "boolean", "tfidf",
                 "f2exp", "f2log"):
         cli.main(["query", "--index", out, "--text", "hash join merge scan",
                   "--similarity", sim, "--master", "local[4]"])
