@@ -267,3 +267,23 @@ def test_stacked_boosts_compose():
 
 def test_fuzzy_clamp():
     assert parse_query_string("hash~9") == LFuzzy("content", "hash", 2)
+
+
+def test_parser_is_total_over_arbitrary_input():
+    """Property: for ANY input string the parser either returns an AST or
+    raises ValueError — no IndexError/KeyError/RecursionError class ever
+    escapes (the never-crash bar a user-facing query box needs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = 'abc XY19 ()"[]{}^~+-!&|:*?.\\/_TO'
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=48))
+    def check(s):
+        try:
+            parse_query_string(s)
+        except ValueError:
+            pass
+
+    check()
