@@ -1068,6 +1068,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_corpus(spark, sf), "vector window", 20,
             heuristic="chi_square",
         ),
+        # ES percentage heuristic: fg_df/bg_df — the share of the term's
+        # usage inside the foreground (ratio-of-integers exact)
+        "significant_terms_pct": lambda spark, sf: AG.significant_terms(
+            load_corpus(spark, sf), "vector window", 20,
+            heuristic="percentage",
+        ),
+        # Count-min sketch heavy hitters: depth x width int64 cells,
+        # estimate = min over rows, reported beside the exact counts
+        "cms_term_counts": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.sampling",
+            fromlist=["cms_term_counts"],
+        ).cms_term_counts(_docs(spark, sf), 512, 3, 20),
+        # Bloom-filter dedup (Dolma discipline): per-bit first-setter
+        # replay; is_exact_dup separates true dups from false positives
+        "bloom_dedup": lambda spark, sf: D.bloom_dedup_flags(
+            _docs(spark, sf), 4096, 4
+        ),
+        # Zipf rank-frequency slope: integer-quantized log-log OLS over
+        # the top-20 terms (WIMBD corpus screen)
+        "zipf_slope": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.corpusstats",
+            fromlist=["zipf_slope"],
+        ).zipf_slope(_docs(spark, sf), 20),
+        # Heaps'-law vocabulary growth: distinct-shingle first-seen curve
+        # over doc-id-prefix deciles
+        "heaps_vocab_growth": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.corpusstats",
+            fromlist=["heaps_vocab_growth"],
+        ).heaps_vocab_growth(_docs(spark, sf), 3, 10),
         # Lucene SpanNotQuery: 'scan' occurrences not within 3 tokens of
         # 'table' — the negation member of the span family
         "span_not": lambda spark, sf: _pos_indexed(spark, sf)
@@ -1952,6 +1981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # round-4 additions lead (never driver-checked), then the round-2/3
 # never-checked tail and round-1-only greens — see VERDICT.md
 _CHECK_FIRST = [
+    "significant_terms_pct", "cms_term_counts", "bloom_dedup",
+    "zipf_slope", "heaps_vocab_growth",
     "query_string", "query_string_fuzzy", "query_string_group",
     "search_global_agg", "search_range_agg", "search_vw_histogram",
     "event_moving_percentiles", "ann_bbq", "query_string_indexed",
@@ -2369,6 +2400,25 @@ LIMIT 10
         "significant_terms_chi2": AG.significant_terms_sql(
             "vector window", 20, heuristic="chi_square"
         ),
+        "significant_terms_pct": AG.significant_terms_sql(
+            "vector window", 20, heuristic="percentage"
+        ),
+        "cms_term_counts": __import__(
+            "smse_backend_spark.operators.sampling",
+            fromlist=["cms_term_counts_sql"],
+        ).cms_term_counts_sql(512, 3, 20),
+        "bloom_dedup": __import__(
+            "smse_backend_spark.operators.dedup",
+            fromlist=["bloom_dedup_flags_sql"],
+        ).bloom_dedup_flags_sql(4096, 4),
+        "zipf_slope": __import__(
+            "smse_backend_spark.operators.corpusstats",
+            fromlist=["zipf_slope_sql"],
+        ).zipf_slope_sql(20),
+        "heaps_vocab_growth": __import__(
+            "smse_backend_spark.operators.corpusstats",
+            fromlist=["heaps_vocab_growth_sql"],
+        ).heaps_vocab_growth_sql(3, 10),
         "ann_threshold": ann_sql.replace(
             "WHERE rank <= 10", "WHERE rank <= 10 AND score >= 0.3"
         ),

@@ -64,6 +64,13 @@ def significant_terms(
       expression is identically parenthesized on both engines (shared
       LN2 literal).
 
+    * ``percentage``: fg_df/bg_df — the share of the term's background
+      usage that is inside the foreground (ES's simplest built-in);
+      shared half-up 6 dp floor.
+
+    * ``gnd``: exp(-NGD) over the (term, foreground) co-occurrence
+      marginals (see inline comment).
+
     Returns the top-k (term, fg_df, bg_df, score) by (score desc, term asc).
 
     Scale shape: two doc-frequency aggregations over distinct (doc, term)
@@ -71,7 +78,9 @@ def significant_terms(
     the foreground doc set joins on doc_id (no broadcast assumption: the
     match set can be huge).
     """
-    if heuristic not in ("jlh", "chi_square", "mutual_information", "gnd"):
+    if heuristic not in (
+        "jlh", "chi_square", "mutual_information", "gnd", "percentage",
+    ):
         raise ValueError(f"unknown significance heuristic {heuristic!r}")
     qterms = query_terms(query_text)
     if lang is not None:
@@ -123,6 +132,18 @@ def significant_terms(
             + _mi(n01, n0x, nx1) + _mi(n00, n0x, nx0),
             6,
         )
+    elif heuristic == "percentage":
+        # ES percentage heuristic: the plain fraction of the term's
+        # background occurrences that fall inside the foreground —
+        # fg_df/bg_df in [0, 1]. ES documents it as the heuristic for
+        # "what share of this term's usage is in my result set"; no
+        # corpus-size terms, so ratio-of-two-integers exactness holds.
+        # Shared half-up floor at 6 dp (not round()) so both engines
+        # agree at half boundaries.
+        score = F.floor(
+            (F.col("fg_df").cast("double") / F.col("bg_df").cast("double"))
+            * F.lit(1e6) + F.lit(0.5)
+        ) / F.lit(1e6)
     elif heuristic == "gnd":
         # ES GND heuristic (Cilibrasi & Vitányi 2007 normalized Google
         # distance; ES inverts it with exp(-NGD) so relevant terms score
@@ -219,6 +240,10 @@ def significant_terms_sql(
             for nxy, nx, ny in cells.values()
         ]
         score = "round(" + " + ".join(mi_terms) + ", 6)"
+    elif heuristic == "percentage":
+        score = (
+            "floor((fg_df::DOUBLE / bg_df::DOUBLE) * 1e6 + 0.5) / 1e6"
+        )
     elif heuristic == "gnd":
         dist = (
             "((greatest(ln(bg_df::DOUBLE), ln(nn.fg_n))"

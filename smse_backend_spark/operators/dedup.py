@@ -793,3 +793,115 @@ WHERE n_shared >= {int(min_shared)}
 ORDER BY n_shared DESC, doc_a ASC, doc_b ASC
 LIMIT {int(k)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter dedup (the Dolma / trillion-token streaming discipline)
+# ---------------------------------------------------------------------------
+
+BLOOM_SALT = "-bloom-h"
+
+
+def bloom_dedup_flags(
+    docs: DataFrame, m_bits: int = 4096, k_hashes: int = 4
+) -> DataFrame:
+    """Bloom-filter exact-dedup replayed deterministically in batch —
+    the fixed-memory discipline Dolma uses to dedup trillions of tokens
+    (a Bloom filter over content, docs whose bits are all already set
+    are dropped), with the filter's false-positive semantics made
+    first-class instead of hidden.
+
+    Stream order is ``doc_id`` ascending. Doc ``d``'s ``k_hashes`` bits
+    are ``sha256(text || salt_i) % m_bits``; ``d`` is FLAGGED iff every
+    one of its bits was already set by some earlier doc (``min`` setter
+    ``< d`` per bit). A later byte-identical copy is always flagged
+    (same bits, earlier setter); a flagged doc with no earlier identical
+    text is a false positive, whose rate is the textbook
+    ``(1 - exp(-k*n/m))^k``. Returns (doc_id, is_exact_dup) for flagged
+    docs, ``is_exact_dup`` distinguishing true duplicates from FPs —
+    ordered by doc_id.
+
+    Scale shape: the bits frame is ``k_hashes`` rows/doc; the filter
+    state is the per-bit ``min(doc_id)`` — a map-side-combined groupBy
+    onto at most ``m_bits`` keys (fixed-size, associatively mergeable,
+    exactly the Bloom array with "first setter" in place of "set"). The
+    verdict join keys on bit id (bounded keyspace — broadcast the state
+    when ``m_bits`` is small; at 10^12 docs shard the filter by bit
+    range, the standard partitioned-Bloom layout). ``is_exact_dup`` is
+    one window min over the content hash — the exact-dedup shuffle unit
+    (~100 B/row: hashes move, text never does).
+    """
+    from smse_backend_spark.operators.sampling import hash_u60
+
+    bits = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                (hash_u60(F.col("text"), f"{BLOOM_SALT}{i}") % int(m_bits))
+                .cast("long")
+                for i in range(k_hashes)
+            ])
+        ).alias("bit"),
+    )
+    state = bits.groupBy("bit").agg(F.min("doc_id").alias("first_doc"))
+    flagged = (
+        bits.join(state, "bit")
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.when(F.col("first_doc") >= F.col("doc_id"), 1).otherwise(0)
+            ).alias("any_first"),
+        )
+        .filter(F.col("any_first") == 0)
+        .select("doc_id")
+    )
+    first_text = docs.select(
+        "doc_id",
+        (
+            F.min("doc_id").over(
+                Window.partitionBy(F.sha2(F.col("text"), 256))
+            ) < F.col("doc_id")
+        ).alias("is_exact_dup"),
+    )
+    return (
+        flagged.join(first_text, "doc_id")
+        .select("doc_id", "is_exact_dup")
+        .orderBy("doc_id")
+    )
+
+
+def bloom_dedup_flags_sql(
+    m_bits: int = 4096, k_hashes: int = 4, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`bloom_dedup_flags` — same bit hashes, same
+    first-setter rule, same exact-dup witness."""
+    from smse_backend_spark.operators.sampling import _hash_u60_sql
+
+    bit_rows = " UNION ALL ".join(
+        f"SELECT doc_id, ({_hash_u60_sql('text', f'{BLOOM_SALT}{i}')}"
+        f" % {int(m_bits)}) AS bit FROM {table}"
+        for i in range(k_hashes)
+    )
+    return f"""
+WITH bits AS (
+  SELECT doc_id, bit FROM ({bit_rows})
+),
+state AS (
+  SELECT bit, min(doc_id) AS first_doc FROM bits GROUP BY bit
+),
+flagged AS (
+  SELECT doc_id
+  FROM bits JOIN state USING (bit)
+  GROUP BY doc_id
+  HAVING max(CASE WHEN first_doc >= doc_id THEN 1 ELSE 0 END) = 0
+),
+ft AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY sha256(text)) < doc_id
+         AS is_exact_dup
+  FROM {table}
+)
+SELECT doc_id, is_exact_dup
+FROM flagged JOIN ft USING (doc_id)
+ORDER BY doc_id
+"""

@@ -485,6 +485,122 @@ FROM a
 """
 
 
+# --- count-min sketch term counts --------------------------------------------
+
+CMS_SALT = "-cms-r"
+
+
+def _cms_buckets(term: Column, width: int, depth: int) -> Column:
+    """Array of ``depth`` independent bucket ids for a term — one sha256
+    row hash per sketch row (the KMV/split hash discipline)."""
+    return F.array(*[
+        (hash_u60(term, f"{CMS_SALT}{j}") % int(width)).cast("long")
+        for j in range(depth)
+    ])
+
+
+def cms_term_counts(
+    docs: DataFrame,
+    width: int = 512,
+    depth: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    token stream, reported as (term, exact, estimate) for the top-``k``
+    terms by exact occurrence count — the heavy-hitter workload WIMBD
+    runs over training corpora, with the sketch's one-sided error shown
+    against ground truth (estimate >= exact always; equality when none
+    of the term's ``depth`` buckets collides with another term).
+
+    The sketch is ``depth`` x ``width`` int64 cells; cell(j, b) = sum of
+    counts of every term whose row-``j`` hash lands in bucket ``b``;
+    estimate(t) = min_j cell(j, bucket_j(t)). All-integer arithmetic —
+    both engines agree exactly.
+
+    Scale shape: the ONLY corpus-sized work is the token-count partial
+    aggregation (map-side combined); the cell build then aggregates the
+    dictionary into ``depth*width`` cells (fixed-size, associatively
+    mergeable state — at 10^12 files you'd skip the exact column and
+    fold raw tokens straight into the cells, the identical integer sums
+    in one partial agg with no dictionary shuffle at all — documented
+    here because the contract reports exact-vs-estimate). The top-k cut
+    is TakeOrderedAndProject; the estimate probe joins ``k * depth``
+    rows against the cell frame (broadcast-sized both sides).
+    """
+    from smse_backend_spark.functions.tokenizer import tokenize_col
+
+    per_term = (
+        docs.select(F.explode(tokenize_col(F.col("text"))).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("buckets", _cms_buckets(F.col("term"), width, depth))
+    )
+    cells = (
+        per_term.select(
+            F.posexplode("buckets").alias("row_j", "bucket"), F.col("cnt")
+        )
+        .groupBy("row_j", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cell"))
+    )
+    top = (
+        per_term.orderBy(F.desc("cnt"), F.asc("term")).limit(int(k))
+        .select("term", "cnt", F.posexplode("buckets").alias("row_j", "bucket"))
+    )
+    return (
+        top.join(cells, ["row_j", "bucket"])
+        .groupBy("term")
+        .agg(
+            F.max("cnt").alias("exact"),
+            F.min("cell").cast("long").alias("estimate"),
+        )
+        .select("term", F.col("exact").cast("long").alias("exact"), "estimate")
+        .orderBy(F.desc("exact"), F.asc("term"))
+    )
+
+
+def cms_term_counts_sql(
+    width: int = 512,
+    depth: int = 3,
+    k: int = 20,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`cms_term_counts` — same hashes, same
+    integer cell sums, same min-over-rows estimate."""
+    from smse_backend_spark.functions.tokenizer import tokenize_duckdb_sql
+
+    toks = tokenize_duckdb_sql(content_col)
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT term, cnt, {j} AS row_j, "
+        f"({_hash_u60_sql('term', f'{CMS_SALT}{j}')} % {int(width)}) AS bucket "
+        "FROM per_term"
+        for j in range(depth)
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest({toks}) AS term FROM {table}
+),
+per_term AS (
+  SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term
+),
+tb AS (
+  {bucket_rows}
+),
+cells AS (
+  SELECT row_j, bucket, sum(cnt)::BIGINT AS cell
+  FROM tb GROUP BY row_j, bucket
+),
+top AS (
+  SELECT term, cnt FROM per_term ORDER BY cnt DESC, term ASC LIMIT {int(k)}
+)
+SELECT tb.term AS term, any_value(top.cnt)::BIGINT AS exact,
+       min(cells.cell)::BIGINT AS estimate
+FROM top JOIN tb USING (term)
+JOIN cells USING (row_j, bucket)
+GROUP BY tb.term
+ORDER BY exact DESC, term ASC
+"""
+
+
 # --- DSIR importance-resampling data selection -------------------------------
 
 DSIR_SALT = "-dsir-v1"
