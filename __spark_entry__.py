@@ -1097,6 +1097,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "smse_backend_spark.operators.corpusstats",
             fromlist=["heaps_vocab_growth"],
         ).heaps_vocab_growth(_docs(spark, sf), 3, 10),
+        # HyperLogLog cardinality (the ES cardinality agg's algorithm):
+        # integer harmonic sum, binary-string ranks, linear counting
+        "hll_cardinality": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.sketches",
+            fromlist=["hll_cardinality"],
+        ).hll_cardinality(
+            spark.read.parquet(f"{sf}/events.parquet"), "user_id", 10
+        ),
+        # Same estimate computed from per-shard register states merged
+        # by max — the associativity law that ships HLL across executors
+        "hll_merged": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.sketches",
+            fromlist=["hll_cardinality_merged"],
+        ).hll_cardinality_merged(
+            spark.read.parquet(f"{sf}/events.parquet"), "user_id", 10
+        ),
+        # KMV set algebra: union + intersection distinct-user estimates
+        # for two event types, exact counts alongside
+        "kmv_set_ops": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.sketches",
+            fromlist=["kmv_set_ops"],
+        ).kmv_set_ops(spark.read.parquet(f"{sf}/events.parquet")),
+        # Efraimidis-Spirakis A-ES: weighted sample w/o replacement,
+        # P(i) ∝ n_chars, via quantized ln(u)/w rank keys
+        "weighted_reservoir": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.sampling",
+            fromlist=["weighted_reservoir"],
+        ).weighted_reservoir(_docs(spark, sf), 32),
         # Lucene SpanNotQuery: 'scan' occurrences not within 3 tokens of
         # 'table' — the negation member of the span family
         "span_not": lambda spark, sf: _pos_indexed(spark, sf)
@@ -1983,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CHECK_FIRST = [
     "significant_terms_pct", "cms_term_counts", "bloom_dedup",
     "zipf_slope", "heaps_vocab_growth",
+    "hll_cardinality", "hll_merged", "kmv_set_ops", "weighted_reservoir",
     "query_string", "query_string_fuzzy", "query_string_group",
     "search_global_agg", "search_range_agg", "search_vw_histogram",
     "event_moving_percentiles", "ann_bbq", "query_string_indexed",
@@ -2419,6 +2448,22 @@ LIMIT 10
             "smse_backend_spark.operators.corpusstats",
             fromlist=["heaps_vocab_growth_sql"],
         ).heaps_vocab_growth_sql(3, 10),
+        "hll_cardinality": __import__(
+            "smse_backend_spark.operators.sketches",
+            fromlist=["hll_cardinality_sql"],
+        ).hll_cardinality_sql("user_id", 10),
+        "hll_merged": __import__(
+            "smse_backend_spark.operators.sketches",
+            fromlist=["hll_cardinality_sql"],
+        ).hll_cardinality_sql("user_id", 10),
+        "kmv_set_ops": __import__(
+            "smse_backend_spark.operators.sketches",
+            fromlist=["kmv_set_ops_sql"],
+        ).kmv_set_ops_sql(),
+        "weighted_reservoir": __import__(
+            "smse_backend_spark.operators.sampling",
+            fromlist=["weighted_reservoir_sql"],
+        ).weighted_reservoir_sql(32),
         "ann_threshold": ann_sql.replace(
             "WHERE rank <= 10", "WHERE rank <= 10 AND score >= 0.3"
         ),

@@ -601,6 +601,71 @@ ORDER BY exact DESC, term ASC
 """
 
 
+# --- weighted reservoir sampling (Efraimidis-Spirakis A-ES) ------------------
+
+AES_SALT = "-aes-v1"
+
+
+def weighted_reservoir(
+    docs: DataFrame, k: int = 32, weight_col: str = "n_chars"
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement, probability
+    proportional to ``weight_col`` — algorithm A-ES (Efraimidis &
+    Spirakis 2006): draw ``u_i`` uniform in (0,1], keep the k largest
+    ``u_i^(1/w_i)``. The standard way to weight-sample a corpus (by
+    length, by quality score) in one distributed pass: the per-item key
+    needs no global state, so the top-k cut IS the sample.
+
+    Determinism/parity: ``u = (h+1)/2^60`` from the sha-derived
+    ``hash_u60`` of doc_id; the rank key is the monotone transform
+    ``ln(u)/w`` (avoids the pow-ln-exp round trip entirely), quantized
+    half-up to 9 dp as int64 BEFORE ranking so both engines order
+    identically (|key| <= 41.6/min_w; 1 double ulp is ~1e-7 of the
+    quantum). Ties break doc_id asc. Weights clamp to >= 1.
+
+    Returns (doc_id, weight, skey) ordered by (skey desc, doc_id asc) —
+    skey is the quantized rank key (the A-ES threshold a streaming
+    reservoir would maintain).
+
+    Scale shape: one projection computes the key row-locally; the
+    sample is TakeOrderedAndProject(k). No shuffle beyond the top-k.
+    """
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    h = hash_u60(F.col("doc_id"), AES_SALT)
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(TWO60))
+    sq = F.floor((F.log(u) / w) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            F.col(weight_col).cast("long").alias("weight"),
+            (sq.cast("double") / F.lit(1e9)).alias("skey"),
+        )
+        .orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def weighted_reservoir_sql(
+    k: int = 32, weight_col: str = "n_chars", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`weighted_reservoir` — same hash draw, same
+    quantized ln(u)/w key, same tie-break."""
+    h = _hash_u60_sql("doc_id", AES_SALT)
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, {weight_col}::BIGINT AS weight,
+         floor((ln(({h}::DOUBLE + 1.0) / {float(TWO60)!r}::DOUBLE)
+                / greatest({weight_col}::DOUBLE, 1.0)) * 1e9 + 0.5)::BIGINT
+           AS sq
+  FROM {table}
+)
+SELECT doc_id, weight, sq::DOUBLE / 1e9 AS skey
+FROM keyed
+ORDER BY skey DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
 # --- DSIR importance-resampling data selection -------------------------------
 
 DSIR_SALT = "-dsir-v1"
