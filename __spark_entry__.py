@@ -1119,6 +1119,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "smse_backend_spark.operators.sketches",
             fromlist=["kmv_set_ops"],
         ).kmv_set_ops(spark.read.parquet(f"{sf}/events.parquet")),
+        # ES X-Pack Graph explore (one hop): foreground top terms as
+        # vertices, co-occurrence doc counts as edges
+        "graph_explore": lambda spark, sf: AG.graph_explore(
+            load_corpus(spark, sf), "vector window", 12, 20
+        ),
+        # ES _terms_enum: sorted dictionary walk under a prefix —
+        # dictionary-only, postings never decoded
+        "terms_enum": lambda spark, sf: __import__(
+            "smse_backend_spark.index.query", fromlist=["terms_enum"]
+        ).terms_enum(spark, _indexed(spark, sf).path, "sc", 20),
+        # Multinomial Naive Bayes lang classifier trained on the hash
+        # split, scored on the holdout: confusion matrix, integer scores
+        "nb_lang_confusion": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.classify",
+            fromlist=["nb_lang_confusion"],
+        ).nb_lang_confusion(_docs(spark, sf)),
         # Efraimidis-Spirakis A-ES: weighted sample w/o replacement,
         # P(i) ∝ n_chars, via quantized ln(u)/w rank keys
         "weighted_reservoir": lambda spark, sf: __import__(
@@ -2012,6 +2028,7 @@ _CHECK_FIRST = [
     "significant_terms_pct", "cms_term_counts", "bloom_dedup",
     "zipf_slope", "heaps_vocab_growth",
     "hll_cardinality", "hll_merged", "kmv_set_ops", "weighted_reservoir",
+    "nb_lang_confusion", "graph_explore", "terms_enum",
     "query_string", "query_string_fuzzy", "query_string_group",
     "search_global_agg", "search_range_agg", "search_vw_histogram",
     "event_moving_percentiles", "ann_bbq", "query_string_indexed",
@@ -2464,6 +2481,15 @@ LIMIT 10
             "smse_backend_spark.operators.sampling",
             fromlist=["weighted_reservoir_sql"],
         ).weighted_reservoir_sql(32),
+        "nb_lang_confusion": __import__(
+            "smse_backend_spark.operators.classify",
+            fromlist=["nb_lang_confusion_sql"],
+        ).nb_lang_confusion_sql(),
+        "graph_explore": AG.graph_explore_sql("vector window", 12, 20),
+        "terms_enum": __import__(
+            "smse_backend_spark.index.query",
+            fromlist=["terms_enum_oracle_sql"],
+        ).terms_enum_oracle_sql("sc", 20),
         "ann_threshold": ann_sql.replace(
             "WHERE rank <= 10", "WHERE rank <= 10 AND score >= 0.3"
         ),

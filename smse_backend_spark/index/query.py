@@ -6079,6 +6079,52 @@ FROM dl GROUP BY 1
 """
 
 
+def terms_enum(spark, path: str, prefix: str, k: int = 20) -> "DataFrame":
+    """ES ``_terms_enum`` API: the sorted dictionary walk under a prefix
+    — (term, df, cf) with per-lang rows summed to global counts, ordered
+    term asc, first ``k``. Dictionary-only: no postings blob is decoded
+    and the corpus is never touched; the read is a column-pruned scan of
+    ``<index>/dictionary`` with the prefix predicate pushed to parquet
+    (`StartsWith` pushes as a ``>= prefix AND < prefix+1`` range).
+
+    Reference analog: the reference exposes no term enumeration at all
+    (`routes/search.py` is ranked retrieval only); ES uses this for
+    search-as-you-type field exploration and Kibana autocomplete.
+    """
+    d = spark.read.parquet(f"{path}/dictionary")
+    return (
+        d.filter(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.sum("cf").cast("long").alias("cf"),
+        )
+        .orderBy(F.asc("term"))
+        .limit(int(k))
+    )
+
+
+def terms_enum_oracle_sql(
+    prefix: str, k: int = 20, table: str = "documents"
+) -> str:
+    """DuckDB recount twin of :func:`terms_enum`: df = distinct docs
+    containing the term, cf = total occurrences, via the same analyzer."""
+    from smse_backend_spark.functions.tokenizer import tokenize_duckdb_sql
+
+    toks = tokenize_duckdb_sql("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM {table}
+)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM tok
+WHERE starts_with(term, '{prefix}')
+GROUP BY term
+ORDER BY term ASC
+LIMIT {int(k)}
+"""
+
+
 def lineage_partitions(spark, path: str) -> "DataFrame":
     """The per-partition build lineage as a queryable DataFrame: one row
     per (batch, lang, term_bucket) with the term range and term / block /

@@ -290,6 +290,100 @@ LIMIT {k}
 """
 
 
+def graph_explore(
+    corpus: DataFrame,
+    query_text: str,
+    n_vertices: int = 12,
+    n_edges: int = 20,
+    lang: str | None = None,
+) -> DataFrame:
+    """ES X-Pack Graph explore, one hop: seed the match set with
+    ``query_text``, pick the ``n_vertices`` most-frequent terms of that
+    foreground as vertices, and return the top-``n_edges`` co-occurrence
+    edges (term_a, term_b, n_docs) — term_a < term_b, ordered by
+    (n_docs desc, term_a asc, term_b asc).
+
+    The Graph API's default vertex ranking is significance-based with a
+    frequency fallback; this uses foreground doc-frequency (ties term
+    asc) so the weights stay pure integers, and leaves significance
+    ranking to :func:`significant_terms` (same foreground machinery).
+
+    Scale shape: the corpus-sized work is the distinct (doc, term)
+    explode the significant-terms family already pays; the match set
+    joins on doc_id (no broadcast assumption). The vertex list is
+    ``n_vertices`` rows — broadcast into the edge self-join, which is
+    keyed by doc_id over a frame pre-filtered to vertex terms (<=
+    ``n_vertices`` rows per doc), so the pair blow-up is bounded by
+    ``n_vertices^2`` per doc, not vocabulary-sized.
+    """
+    qterms = query_terms(query_text)
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+    tok = _doc_terms(corpus)
+    m = tok.filter(F.col("term").isin(qterms)).select("doc_id").distinct()
+    fg = tok.join(m, "doc_id")
+    vertices = (
+        fg.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+        .orderBy(F.desc("fg_df"), F.asc("term"))
+        .limit(int(n_vertices))
+        .select("term")
+    )
+    vfg = fg.join(F.broadcast(vertices), "term")
+    a = vfg.select("doc_id", F.col("term").alias("term_a"))
+    b = vfg.select("doc_id", F.col("term").alias("term_b"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("term_a"), F.asc("term_b"))
+        .limit(int(n_edges))
+    )
+
+
+def graph_explore_sql(
+    query_text: str,
+    n_vertices: int = 12,
+    n_edges: int = 20,
+    lang: str | None = None,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`graph_explore` — same foreground, same
+    vertex cut, same pair count, same ordering."""
+    toks = tokenize_duckdb_sql(content_col)
+    qterms = query_terms(query_text)
+    in_list = ", ".join(f"'{t}'" for t in qterms) or "''"
+    where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
+    return f"""
+WITH dl AS (
+  SELECT doc_id, {toks} AS toks FROM {table} {where_lang}
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM dl
+),
+m AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ({in_list})
+),
+fg AS (
+  SELECT tok.doc_id, term FROM tok JOIN m USING (doc_id)
+),
+vertices AS (
+  SELECT term FROM fg GROUP BY term
+  ORDER BY count(*) DESC, term ASC LIMIT {int(n_vertices)}
+),
+vfg AS (
+  SELECT doc_id, term FROM fg JOIN vertices USING (term)
+)
+SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n_docs
+FROM vfg a JOIN vfg b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY a.term, b.term
+ORDER BY n_docs DESC, term_a ASC, term_b ASC
+LIMIT {int(n_edges)}
+"""
+
+
 AGG_SAMPLE_SALT = "-agg-sample-v1"
 
 
