@@ -335,3 +335,70 @@ def test_moving_percentiles_day_join_is_broadcast(spark, sf_smoke):
     plan = plan_of(event_moving_percentiles(spark, sf_smoke, 3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- round-4 session-5 additions -------------------------------------------
+
+def test_hll_is_all_jvm_and_shuffles_registers(spark, sf_smoke):
+    """The HLL register build must stay in whole-stage codegen (no
+    Python crossing at all — the rank comes from bin()/length Column
+    algebra) and its aggregation exchange must be keyed on the register
+    index, never on the raw key column."""
+    from smse_backend_spark.operators.sketches import hll_cardinality
+
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    plan = plan_of(hll_cardinality(ev, "user_id", 10))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning(idx#" in plan
+
+
+def test_bloom_dedup_exchange_carries_bits_not_text(spark, sf_smoke):
+    """The Bloom state shuffle is keyed on bit ids; document text is
+    consumed by the hash projection below every exchange."""
+    from smse_backend_spark.operators.dedup import bloom_dedup_flags
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    plan = plan_of(bloom_dedup_flags(docs))
+    first_exchange = plan.index("Exchange")
+    assert "text#" not in plan[:first_exchange], (
+        "document text flows through a Bloom shuffle"
+    )
+
+
+def test_weighted_reservoir_is_take_ordered(spark, sf_smoke):
+    """A-ES has no global state: the sample must be one
+    TakeOrderedAndProject over a row-local key projection — any full
+    sort or extra exchange is a regression."""
+    from smse_backend_spark.operators.sampling import weighted_reservoir
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    plan = plan_of(weighted_reservoir(docs, 16))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_nb_model_joins_broadcast(spark, sf_smoke):
+    """The NB model and class-constant frames are vocabulary-sized and
+    must broadcast into the scoring explode; BatchEvalPython is
+    forbidden anywhere."""
+    from smse_backend_spark.operators.classify import nb_lang_confusion
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    plan = plan_of(nb_lang_confusion(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_graph_explore_vertices_broadcast_pairs_keyed_on_doc(
+    spark, sf_smoke
+):
+    """The vertex list must broadcast into the edge build and the pair
+    self-join must be keyed on doc_id (never a cartesian)."""
+    from smse_backend_spark.operators.aggregations import graph_explore
+
+    plan = plan_of(
+        graph_explore(load_corpus(spark, sf_smoke), "vector window", 8, 20)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "doc_id" in plan
