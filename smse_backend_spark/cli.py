@@ -456,6 +456,64 @@ def cmd_curate(args) -> None:
     print(json.dumps({"mode": args.mode, "rows": n, "out": args.out}))
 
 
+def cmd_sketch(args) -> None:
+    """Corpus-statistics / sketch jobs over a documents or events parquet:
+    HyperLogLog cardinality, KMV set algebra, count-min heavy hitters,
+    Bloom dedup flags, weighted reservoir sample, Zipf slope, Heaps
+    curve, Naive Bayes confusion, graph explore; writes ``--out`` and
+    prints a one-line JSON summary."""
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if args.mode == "hll":
+        from smse_backend_spark.operators.sketches import hll_cardinality
+
+        out = hll_cardinality(df, args.key, args.precision)
+    elif args.mode == "kmv-set":
+        from smse_backend_spark.operators.sketches import kmv_set_ops
+
+        out = kmv_set_ops(df, args.key, "event_type", args.type_a,
+                          args.type_b, args.k)
+    elif args.mode == "cms":
+        from smse_backend_spark.operators.sampling import cms_term_counts
+
+        out = cms_term_counts(df, args.width, args.depth, args.k)
+    elif args.mode == "bloom":
+        from smse_backend_spark.operators.dedup import bloom_dedup_flags
+
+        out = bloom_dedup_flags(df, args.m_bits, args.k_hashes)
+    elif args.mode == "reservoir":
+        from smse_backend_spark.operators.sampling import weighted_reservoir
+
+        out = weighted_reservoir(df, args.k, args.weight_col)
+    elif args.mode == "zipf":
+        from smse_backend_spark.operators.corpusstats import zipf_slope
+
+        out = zipf_slope(df, args.k)
+    elif args.mode == "heaps":
+        from smse_backend_spark.operators.corpusstats import (
+            heaps_vocab_growth,
+        )
+
+        out = heaps_vocab_growth(df, args.ngram, args.points)
+    elif args.mode == "nb":
+        from smse_backend_spark.operators.classify import nb_lang_confusion
+
+        out = nb_lang_confusion(df, args.label_col)
+    else:  # graph
+        from smse_backend_spark.corpus import load_corpus
+        from smse_backend_spark.operators.aggregations import graph_explore
+
+        import os
+
+        out = graph_explore(
+            load_corpus(spark, os.path.dirname(args.input.rstrip("/"))),
+            args.query, args.vertices, args.edges,
+        )
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"mode": args.mode, "rows": n, "out": args.out}))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="smse_backend_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -729,6 +787,34 @@ def main(argv: list[str] | None = None) -> None:
     cu.add_argument("--rate", type=float, default=0.1)
     cu.add_argument("--master")
     cu.set_defaults(fn=cmd_curate)
+
+    sk = sub.add_parser(
+        "sketch", help="cardinality/heavy-hitter/corpus-stat sketches"
+    )
+    sk.add_argument("--input", required=True,
+                    help="documents or events parquet")
+    sk.add_argument("--out", required=True)
+    sk.add_argument("--mode", default="hll",
+                    choices=["hll", "kmv-set", "cms", "bloom", "reservoir",
+                             "zipf", "heaps", "nb", "graph"])
+    sk.add_argument("--key", default="user_id")
+    sk.add_argument("--precision", type=int, default=10)
+    sk.add_argument("--type-a", default="click")
+    sk.add_argument("--type-b", default="error")
+    sk.add_argument("--k", type=int, default=20)
+    sk.add_argument("--width", type=int, default=512)
+    sk.add_argument("--depth", type=int, default=3)
+    sk.add_argument("--m-bits", type=int, default=4096)
+    sk.add_argument("--k-hashes", type=int, default=4)
+    sk.add_argument("--weight-col", default="n_chars")
+    sk.add_argument("--ngram", type=int, default=3)
+    sk.add_argument("--points", type=int, default=10)
+    sk.add_argument("--label-col", default="lang")
+    sk.add_argument("--query", default="vector window")
+    sk.add_argument("--vertices", type=int, default=12)
+    sk.add_argument("--edges", type=int, default=20)
+    sk.add_argument("--master")
+    sk.set_defaults(fn=cmd_sketch)
 
     args = p.parse_args(argv)
     args.fn(args)

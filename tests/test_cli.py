@@ -468,3 +468,27 @@ def test_cli_similarity_family(tmp_path, spark, sf_smoke, capsys):
     want = [{"doc_id": r["doc_id"], "score": r["score"]}
             for r in idx.axiomatic_f2exp_topk("hash join", 10).collect()]
     assert hits == want
+
+
+def test_cli_sketch_modes(tmp_path, spark, sf_smoke, capsys):
+    """The sketch subcommand runs every mode end-to-end as a
+    spark-submit-shaped job and writes non-empty parquet."""
+    docs = f"{sf_smoke}/documents.parquet"
+    events = f"{sf_smoke}/events.parquet"
+    for mode, inp, extra, check in [
+        ("hll", events, ["--precision", "8"], lambda n: n == 1),
+        ("kmv-set", events, [], lambda n: n == 1),
+        ("cms", docs, ["--k", "10"], lambda n: n == 10),
+        ("bloom", docs, ["--m-bits", "1024"], lambda n: n >= 0),
+        ("reservoir", docs, ["--k", "8"], lambda n: n == 8),
+        ("zipf", docs, [], lambda n: n == 1),
+        ("heaps", docs, ["--points", "5"], lambda n: 0 < n <= 5),
+        ("nb", docs, [], lambda n: n > 0),
+        ("graph", docs, ["--vertices", "6", "--edges", "10"],
+         lambda n: 0 < n <= 10),
+    ]:
+        out = str(tmp_path / f"sk_{mode}")
+        cli.main(["sketch", "--input", inp, "--out", out, "--mode", mode,
+                  "--master", "local[4]", *extra])
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert check(summary["rows"]), (mode, summary)
