@@ -132,12 +132,22 @@ FROM m WHERE ext NOT IN ({text_exts})
 
 
 def _decode_image(buf: bytes) -> np.ndarray:
-    """STUB — deterministic fake decoder.
+    """Decode to a grayscale float64 array.
 
-    Real implementation: ``PIL.Image.open(io.BytesIO(buf))``; PIL is not in
-    this container. The fake derives a stable 8x8 grayscale "image" from
-    the bytes' sha256 so downstream feature math is testable end-to-end.
+    PNG bytes get a REAL decode — the pure-stdlib codec in
+    `sources/png.py` (zlib inflate + scanline defilter), channels
+    averaged to luma. Everything else still hits the deterministic
+    sha-fake (8x8 from the bytes' sha256): PIL is not in this container,
+    so JPEG/WebP/... remain honestly stubbed while the plumbing —
+    binaryFile source, mapInPandas batches, feature math — is identical
+    for both branches (and the contract's synthetic media never starts
+    with the PNG signature, so its oracle replay is unaffected).
     """
+    from smse_backend_spark.sources.png import PNG_SIG, decode_png
+
+    if buf[:8] == PNG_SIG:
+        img = decode_png(buf)
+        return img.astype(np.float64).mean(axis=2)
     h = hashlib.sha256(buf).digest()
     arr = np.frombuffer((h * 2)[:64], dtype=np.uint8).astype(np.float64)
     return arr.reshape(8, 8)
@@ -153,20 +163,30 @@ def image_features_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
     for pdf in batches:
         if pdf.empty:
             continue
-        imgs = np.stack([_decode_image(b) for b in pdf["content"]])
-        flat = imgs.reshape(len(pdf), -1)
-        mean = flat.mean(axis=1)
-        std = flat.std(axis=1)
-        normed = (flat - mean[:, None]) / np.where(std > 0, std, 1.0)[:, None]
-        # deterministic half-up rounding (floor(x*1e6+0.5)/1e6): the DuckDB
-        # oracle computes the identical formula, so the 6dp values are
-        # bit-for-bit equal across engines (np.round's banker's mode is not)
+        heights, widths, feats = [], [], []
+        # per-row decode + normalize: real images in one Arrow batch can
+        # have different dims, so no np.stack across rows (the per-row
+        # mean/std math is numerically identical to the old batched
+        # axis=1 version — the stub oracle replay is unchanged)
+        for b in pdf["content"]:
+            img = _decode_image(b)
+            flat = img.reshape(-1)
+            mean = flat.mean()
+            std = flat.std()
+            normed = (flat - mean) / (std if std > 0 else 1.0)
+            # deterministic half-up rounding (floor(x*1e6+0.5)/1e6): the
+            # DuckDB oracle computes the identical formula, so the 6dp
+            # values are bit-for-bit equal across engines (np.round's
+            # banker's mode is not)
+            feats.append(np.floor(normed * 1e6 + 0.5) / 1e6)
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
         yield pd.DataFrame(
             {
                 "path": pdf["path"],
-                "height": imgs.shape[1],
-                "width": imgs.shape[2],
-                "features": list(np.floor(normed * 1e6 + 0.5) / 1e6),
+                "height": np.array(heights, dtype=np.int32),
+                "width": np.array(widths, dtype=np.int32),
+                "features": feats,
             }
         )
 
