@@ -204,6 +204,89 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     )
 
 
+THUMBNAIL_SCHEMA = "path string, thumb binary, width int, height int"
+
+
+def derive_thumbnails(media: DataFrame, size: int = 32) -> DataFrame:
+    """REAL thumbnail derivation (S13, thumbnail.py:100-150) for PNG
+    blobs: decode -> PIL-exact fit-crop geometry -> nearest resample ->
+    re-encode, all inside one ``mapInPandas`` pass — the sink a media
+    pipeline writes next to the original. Non-PNG image rows are passed
+    over (no silent fake thumbnails).
+
+    Scale shape: pure per-row map over the binaryFile scan — no shuffle,
+    no driver involvement; thumbnail bytes are ~size² and write out as
+    an ordinary binary column.
+    """
+    ensure_pyfiles(media.sparkSession)
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from smse_backend_spark.sources.png import PNG_SIG, thumbnail_png
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [
+                (p, thumbnail_png(bytes(b), size))
+                for p, b in zip(pdf["path"], pdf["content"])
+                if bytes(b)[:8] == PNG_SIG
+            ]
+            yield pd.DataFrame(
+                {
+                    "path": [r[0] for r in rows],
+                    "thumb": [r[1] for r in rows],
+                    "width": np.full(len(rows), size, dtype=np.int32),
+                    "height": np.full(len(rows), size, dtype=np.int32),
+                }
+            )
+
+    return (
+        media.filter(F.col("modality") == "image")
+        .select("path", "content")
+        .mapInPandas(_kernel, THUMBNAIL_SCHEMA)
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "path string, sample_rate int, n_samples long, duration_s double, "
+    "rms double, zcr double"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio features for WAV/PCM blobs (`sources/wav.py` stdlib
+    decode): (path, sample_rate, n_samples, duration_s, rms, zcr) —
+    duration/energy/zero-crossing, each half-up 6 dp quantized. Non-RIFF
+    audio rows are skipped loudly absent (no fake numbers).
+    """
+    ensure_pyfiles(media.sparkSession)
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from smse_backend_spark.sources.wav import RIFF_MAGIC, audio_features
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = [
+                dict(path=p, **audio_features(bytes(b)))
+                for p, b in zip(pdf["path"], pdf["content"])
+                if bytes(b)[:4] == RIFF_MAGIC
+            ]
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "path", "sample_rate", "n_samples", "duration_s",
+                    "rms", "zcr",
+                ],
+            )
+
+    return (
+        media.filter(F.col("modality") == "audio")
+        .select("path", "content")
+        .mapInPandas(_kernel, AUDIO_FEATURES_SCHEMA)
+    )
+
+
 def extract_image_features_rows(media: DataFrame) -> DataFrame:
     """:func:`extract_image_features` flattened to scalar rows for the
     driver compare: (path, height, width, pos, value) — the harness

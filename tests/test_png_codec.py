@@ -127,3 +127,67 @@ def test_real_png_through_spark_media_path(spark, tmp_path):
         normed = (luma - luma.mean()) / (luma.std() if luma.std() > 0 else 1.0)
         want = np.floor(normed * 1e6 + 0.5) / 1e6
         assert np.array_equal(np.array(r["features"]), want)
+
+
+def test_wav_roundtrip_and_features():
+    from smse_backend_spark.sources.wav import (
+        audio_features,
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    t = np.arange(8000) / 8000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    buf = encode_wav_pcm16(8000, sig)
+    rate, x = decode_wav(buf)
+    assert rate == 8000 and len(x) == 8000
+    assert np.max(np.abs(x - sig)) < 1.0 / 32000  # 16-bit quantization
+    f = audio_features(buf)
+    assert f["duration_s"] == 1.0
+    # RMS of a 0.5-amp sine is 0.5/sqrt(2) ~ 0.353553
+    assert abs(f["rms"] - 0.353553) < 1e-3
+    # 440 Hz crosses zero 880 times/s -> zcr ~ 880/8000 = 0.11
+    assert abs(f["zcr"] - 0.11) < 5e-3
+
+
+def test_wav_rejects_non_pcm_loudly():
+    from smse_backend_spark.sources.wav import decode_wav, encode_wav_pcm16
+
+    with pytest.raises(ValueError):
+        decode_wav(b"nope" * 4)
+    buf = bytearray(encode_wav_pcm16(8000, np.zeros(10)))
+    buf[20] = 3  # audio format -> IEEE float
+    with pytest.raises(ValueError, match="non-PCM"):
+        decode_wav(bytes(buf))
+
+
+def test_real_thumbnails_and_audio_through_spark(spark, tmp_path):
+    """Mixed media dir: PNGs get real thumbnails, WAVs get real audio
+    features, through one binaryFile ingest."""
+    from smse_backend_spark.sources.multimodal import (
+        derive_thumbnails,
+        extract_audio_features,
+        ingest_binary_dir,
+    )
+    from smse_backend_spark.sources.png import decode_png, encode_png_rgb
+    from smse_backend_spark.sources.wav import encode_wav_pcm16
+
+    for i in range(2):
+        (tmp_path / f"pic{i}.png").write_bytes(
+            encode_png_rgb(_det_rgb(24 + i, 40, seed=i))
+        )
+        t = np.arange(4000) / 8000.0
+        (tmp_path / f"clip{i}.wav").write_bytes(
+            encode_wav_pcm16(8000, 0.25 * np.sin(2 * np.pi * (220 + i * 110) * t))
+        )
+    media = ingest_binary_dir(spark, str(tmp_path))
+    thumbs = {r["path"].split("/")[-1]: r
+              for r in derive_thumbnails(media, 16).collect()}
+    assert set(thumbs) == {"pic0.png", "pic1.png"}
+    for r in thumbs.values():
+        assert decode_png(bytes(r["thumb"])).shape == (16, 16, 3)
+    audio = {r["path"].split("/")[-1]: r
+             for r in extract_audio_features(media).collect()}
+    assert set(audio) == {"clip0.wav", "clip1.wav"}
+    assert all(r["duration_s"] == 0.5 for r in audio.values())
+    assert audio["clip0.wav"]["zcr"] < audio["clip1.wav"]["zcr"]
