@@ -398,6 +398,17 @@ def _streamed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_CACHE: dict[str, str] = {}
 _ROUNDTRIP_CACHE: dict[str, str] = {}
 _SDEDUP_CACHE: dict[str, str] = {}
+_STREND_CACHE: dict[str, str] = {}
+
+
+def _streamed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smse_backend_spark.streaming.events import streamed_trending_df
+
+    if sf_dir not in _STREND_CACHE:
+        import tempfile
+
+        _STREND_CACHE[sf_dir] = tempfile.mkdtemp(prefix="smse_strend_")
+    return streamed_trending_df(spark, sf_dir, _STREND_CACHE[sf_dir])
 
 
 def _streamed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1786,6 +1797,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidate scoring on the PQ-reconstructed store — the two
         # multiplicative cost cuts of billion-scale ANN in one pipeline
         "ann_ivfpq": _ann_ivfpq,
+        # ES nested query: same-child conjunction, score_mode=sum of
+        # constant child scores (= qualifying-children count)
+        "nested_order_search": lambda spark, sf: R.nested_order_search(spark, sf),
+        # the flattened-mapping false-positive count — why nested exists
+        "nested_vs_flattened": lambda spark, sf: R.nested_vs_flattened(spark, sf),
+        # calendar_interval=week + time_zone=+05:30 date_histogram
+        # (Monday-anchored local weeks, ES bucket-key convention)
+        "event_calendar_histogram": lambda spark, sf:
+        R.event_calendar_histogram(spark, sf),
+        # per-anchor different-label cosine top-k (DPR hard negatives)
+        "hard_negatives": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.ann",
+            fromlist=["hard_negatives_topk"],
+        ).hard_negatives_topk(
+            spark.read.parquet(f"{sf}/embeddings.parquet"), [0, 1, 2, 3], 8
+        ).withColumn("rank", F.col("rank").cast("long")),
+        # SLIDING-window trending event types (watermark append mode)
+        "streamed_trending": _streamed_trending,
         # streaming twin of hourly_event_rollup (append-mode watermark oracle)
         "streamed_event_rollup": _streamed_rollup,
         # streaming exact dedup (dropDuplicates state on content hash)
@@ -2025,6 +2054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # round-4 additions lead (never driver-checked), then the round-2/3
 # never-checked tail and round-1-only greens — see VERDICT.md
 _CHECK_FIRST = [
+    "nested_order_search", "nested_vs_flattened",
+    "event_calendar_histogram", "hard_negatives", "streamed_trending",
     "significant_terms_pct", "cms_term_counts", "bloom_dedup",
     "zipf_slope", "heaps_vocab_growth",
     "hll_cardinality", "hll_merged", "kmv_set_ops", "weighted_reservoir",
@@ -2766,6 +2797,17 @@ LIMIT 10
         ).value_percentiles_sql(),
         "streamed_event_rollup": streamed_rollup_sql(),
         "streamed_dedup": streamed_dedup_sql(),
+        "nested_order_search": R.nested_order_search_sql(),
+        "nested_vs_flattened": R.nested_vs_flattened_sql(),
+        "event_calendar_histogram": R.event_calendar_histogram_sql(),
+        "hard_negatives": __import__(
+            "smse_backend_spark.operators.ann",
+            fromlist=["hard_negatives_sql"],
+        ).hard_negatives_sql([0, 1, 2, 3], 8),
+        "streamed_trending": __import__(
+            "smse_backend_spark.streaming.events",
+            fromlist=["streamed_trending_sql"],
+        ).streamed_trending_sql(),
         "sessionized_events": sessionized_events_sql(),
         "media_ingest_meta": M.synth_media_meta_sql(),
         "media_frame_plan": M.frame_sample_sql(),

@@ -1560,3 +1560,113 @@ GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {int(k)}
 """
+
+
+def hard_negatives_topk(
+    emb: DataFrame, anchor_ids: list[int], k: int = 8
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training (the DPR /
+    sentence-transformers pipeline step): for each anchor vector, the
+    top-k most-similar vectors whose ``label`` DIFFERS from the anchor's
+    — the near-miss negatives that make training batches informative,
+    as opposed to random negatives cosine already separates. Exact
+    cosine, engine total order (score desc, vec_id asc). Returns
+    (anchor_id, rank, vec_id, label, score).
+
+    Distinct from ``ivf_topk(filter_label=…)``: the exclusion set is
+    PER-ANCHOR (each anchor bans its own class), not one global
+    metadata filter.
+
+    Scale shape: anchors are a driver-bounded collect (|anchor_ids|
+    rows); the corpus streams ONCE through a single Arrow-batched
+    matmul kernel shared by every anchor, the per-anchor label mask is
+    a row mask on the batch (no second scan, no join); per-partition
+    local top-k keeps only k rows per anchor per partition ahead of the
+    global TakeOrdered.
+    """
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    ensure_pyfiles(spark)
+    rows = (
+        emb.filter(F.col("vec_id").isin([int(a) for a in anchor_ids]))
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    by_id = {int(r["vec_id"]): r for r in rows}
+    a_ids = np.array(sorted(by_id), dtype=np.int64)
+    a_mat = np.array(
+        [by_id[int(a)]["embedding"] for a in a_ids], dtype=np.float64
+    )
+    a_lab = np.array([int(by_id[int(a)]["label"]) for a in a_ids],
+                     dtype=np.int64)
+    qn = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ qn.T
+            vec_ids = pdf["vec_id"].to_numpy(np.int64)
+            labels = pdf["label"].to_numpy(np.int64)
+            outs = []
+            for j in range(sims.shape[1]):
+                keep = np.flatnonzero(labels != a_lab[j])
+                if keep.size == 0:
+                    continue
+                sc_all = np.round(sims[keep, j], 6)
+                kk = min(k, keep.size)
+                # rounded-score cut with explicit (score desc, vec_id asc)
+                # tie policy — same discipline as _topk_kernel
+                order = np.lexsort((vec_ids[keep], -sc_all))[:kk]
+                sel = keep[order]
+                outs.append(pd.DataFrame({
+                    "anchor_id": a_ids[j], "vec_id": vec_ids[sel],
+                    "label": labels[sel], "score": sc_all[order],
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    local = emb.select("vec_id", "label", "embedding").mapInPandas(
+        kernel, "anchor_id long, vec_id long, label long, score double"
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "rank", "vec_id", "label", "score")
+    )
+
+
+def hard_negatives_sql(anchor_ids: list[int], k: int = 8) -> str:
+    """DuckDB twin of :func:`hard_negatives_topk`."""
+    ids = ", ".join(str(int(a)) for a in sorted(anchor_ids))
+    return f"""
+WITH a AS (
+  SELECT vec_id AS aid, label AS alabel, embedding AS av
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+z AS (
+  SELECT a.aid, a.alabel, e.vec_id, e.label,
+         unnest(e.embedding)::DOUBLE AS x, unnest(a.av)::DOUBLE AS y
+  FROM embeddings e, a
+  WHERE e.label <> a.alabel
+),
+s AS (
+  SELECT aid, vec_id, any_value(label) AS label,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score
+  FROM z GROUP BY aid, vec_id
+),
+r AS (
+  SELECT aid AS anchor_id, vec_id, label, score,
+         row_number() OVER (PARTITION BY aid
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT anchor_id, rank, vec_id, label::BIGINT AS label, score
+FROM r WHERE rank <= {int(k)}
+"""

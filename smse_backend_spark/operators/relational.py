@@ -1706,3 +1706,192 @@ WHERE d.source IN (SELECT source FROM lookup)
 ORDER BY score DESC, doc_id ASC
 LIMIT {int(k)}
 """
+
+
+# --- ES nested query + calendar date_histogram (round-4 session) -----------
+
+def nested_order_search(
+    spark: SparkSession,
+    sf_dir: str,
+    min_qty: float = 45.0,
+    min_disc: float = 0.07,
+    k: int = 15,
+) -> DataFrame:
+    """ES ``nested`` query over the order→lineitems parent/child shape:
+    parents whose SAME child satisfies every clause (``l_quantity >=
+    min_qty AND l_discount >= min_disc`` on one lineitem), scored with
+    ``score_mode="sum"`` over a constant inner score of 1 — i.e. the
+    number of qualifying children. This is the semantics a flattened
+    (object-mapped) document gets WRONG: flattening matches an order
+    whose quantity and discount come from DIFFERENT lineitems (see
+    :func:`nested_vs_flattened` for the false-positive count).
+
+    Reference analog: the 1:N ``contents``→``search_records`` traversal
+    (smse_backend/models/search_record.py:6-29) — the only nested-shaped
+    relation the reference walks; ES nested is its search-engine form.
+
+    Output (o_orderkey, n_matched, o_totalprice), top-k by
+    (n_matched desc, o_orderkey asc).
+
+    Scale shape: both clause predicates push into the lineitem parquet
+    scan (row-group pruning on the numeric columns); the surviving
+    children partial-aggregate map-side onto their order key, and only
+    the qualifying-parent frame (orders-with-a-qualifying-child
+    cardinality, far below |lineitem|) joins back to orders. The final
+    cut is a TakeOrderedAndProject — no full sort, no corpus-sized
+    shuffle of non-matching children.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    child = (
+        li.filter(
+            (F.col("l_quantity") >= F.lit(float(min_qty)))
+            & (F.col("l_discount") >= F.lit(float(min_disc)))
+        )
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )
+    return (
+        orders.join(
+            child, orders["o_orderkey"] == child["l_orderkey"]
+        )
+        .select("o_orderkey", "n_matched", "o_totalprice")
+        .orderBy(F.desc("n_matched"), F.asc("o_orderkey"))
+        .limit(int(k))
+    )
+
+
+def nested_order_search_sql(
+    min_qty: float = 45.0, min_disc: float = 0.07, k: int = 15
+) -> str:
+    """DuckDB twin of :func:`nested_order_search`."""
+    return f"""
+WITH child AS (
+  SELECT l_orderkey, count(*)::BIGINT AS n_matched
+  FROM lineitem
+  WHERE l_quantity >= {float(min_qty)} AND l_discount >= {float(min_disc)}
+  GROUP BY l_orderkey
+)
+SELECT o.o_orderkey AS o_orderkey, c.n_matched AS n_matched,
+       o.o_totalprice AS o_totalprice
+FROM orders o JOIN child c ON o.o_orderkey = c.l_orderkey
+ORDER BY n_matched DESC, o_orderkey ASC
+LIMIT {int(k)}
+"""
+
+
+def nested_vs_flattened(
+    spark: SparkSession,
+    sf_dir: str,
+    min_qty: float = 45.0,
+    min_disc: float = 0.07,
+) -> DataFrame:
+    """The one-row proof of WHY nested mapping exists (the ES docs'
+    canonical example): ``n_nested`` counts parents where one child
+    satisfies both clauses; ``n_flattened`` counts parents where the
+    clauses match across ANY children (the object-mapping cross-match);
+    ``n_false_positive`` is their difference — orders a flattened index
+    would wrongly return. Nested ⊆ flattened by construction (a child
+    satisfying both clauses satisfies each), so the difference is never
+    negative.
+
+    Scale shape: ONE pass over lineitem — three boolean conditions fold
+    map-side into per-order maxes, then a metadata-sized count. No join.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    q = (F.col("l_quantity") >= F.lit(float(min_qty))).cast("int")
+    d = (F.col("l_discount") >= F.lit(float(min_disc))).cast("int")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max(q * d).alias("both_same_child"),
+        F.max(q).alias("any_qty"),
+        F.max(d).alias("any_disc"),
+    )
+    return per_order.agg(
+        F.sum("both_same_child").cast("long").alias("n_nested"),
+        F.sum(
+            (F.col("any_qty") * F.col("any_disc"))
+        ).cast("long").alias("n_flattened"),
+        (
+            F.sum(F.col("any_qty") * F.col("any_disc"))
+            - F.sum("both_same_child")
+        ).cast("long").alias("n_false_positive"),
+    )
+
+
+def nested_vs_flattened_sql(
+    min_qty: float = 45.0, min_disc: float = 0.07
+) -> str:
+    """DuckDB twin of :func:`nested_vs_flattened`."""
+    return f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         max(CASE WHEN l_quantity >= {float(min_qty)}
+                   AND l_discount >= {float(min_disc)} THEN 1 ELSE 0 END)
+           AS both_same_child,
+         max(CASE WHEN l_quantity >= {float(min_qty)} THEN 1 ELSE 0 END)
+           AS any_qty,
+         max(CASE WHEN l_discount >= {float(min_disc)} THEN 1 ELSE 0 END)
+           AS any_disc
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT sum(both_same_child)::BIGINT AS n_nested,
+       sum(any_qty * any_disc)::BIGINT AS n_flattened,
+       (sum(any_qty * any_disc) - sum(both_same_child))::BIGINT
+         AS n_false_positive
+FROM per_order
+"""
+
+
+def event_calendar_histogram(
+    spark: SparkSession,
+    sf_dir: str,
+    tz_offset_min: int = 330,
+) -> DataFrame:
+    """ES ``date_histogram`` with ``calendar_interval: week`` and a fixed
+    ``time_zone`` offset (here +05:30): buckets are CALENDAR units —
+    ISO weeks anchored on Monday IN THE GIVEN TIME ZONE — not fixed
+    epoch multiples, so bucket boundaries shift with the zone and bucket
+    widths follow the calendar (the ES semantics
+    ``fixed_interval`` cannot express). An event late Sunday UTC lands
+    in the NEXT local week under +05:30 — exactly the boundary the
+    epoch-aligned :func:`hourly_event_rollup` / ``auto_date_histogram``
+    family cannot produce. Bucket key follows the ES convention: the
+    UTC instant of the local week start (local truncation shifted back).
+
+    Returns (bucket_start epoch-seconds, n, total_value) ordered by
+    bucket.
+
+    Scale shape: the bucket id is row-local Column arithmetic (shift,
+    truncate, shift back — no UDF), folded by ONE map-side-combined
+    groupBy onto a handful of weekly keys; output is calendar-bounded,
+    not corpus-bounded.
+    """
+    e = _t(spark, sf_dir, "events")
+    off = F.expr(f"INTERVAL {int(tz_offset_min)} MINUTES")
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the cast chain
+    # equals DuckDB's epoch() on the same naive value (the
+    # auto_date_histogram discipline)
+    local = F.col("ts").cast("timestamp") + off
+    bucket = (F.date_trunc("week", local) - off).cast("long")
+    return (
+        e.groupBy(bucket.alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("bucket_start")
+    )
+
+
+def event_calendar_histogram_sql(tz_offset_min: int = 330) -> str:
+    """DuckDB twin of :func:`event_calendar_histogram` — duckdb
+    ``date_trunc('week', ·)`` anchors Monday exactly like Spark."""
+    return f"""
+SELECT floor(epoch(date_trunc('week', ts + INTERVAL {int(tz_offset_min)} MINUTE)
+             - INTERVAL {int(tz_offset_min)} MINUTE))::BIGINT AS bucket_start,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY bucket_start
+"""

@@ -268,3 +268,132 @@ def streamed_percolate_df(
             os.rename(tmp, path)
         streamed_percolate(spark, src, out, ckpt, stored_queries, max_doc_id)
     return spark.read.parquet(out)
+
+
+def windowed_trending_terms(
+    spark: SparkSession,
+    source_dir: str,
+    out_path: str,
+    checkpoint: str,
+    window: str = "6 hours",
+    slide: str = "2 hours",
+    watermark: str = "1 hour",
+) -> None:
+    """SLIDING-window event-type counts with late-data watermarking — the
+    'trending now' shape (each event contributes to window/slide
+    overlapping windows, so rankings update every slide step while
+    smoothing over the full window). The tumbling
+    :func:`windowed_event_rollup` cannot express overlap; this is the
+    one Structured-Streaming window form the suite hadn't exercised.
+
+    Counts stream out in append mode (only watermark-closed windows
+    emit — restart-safe via the checkpoint); ranking happens at serve
+    time over the emitted frame, because append-mode streams cannot
+    hold a global rank. State is (windows × event_types) rows, bounded
+    by the watermark horizon.
+    """
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window, slide).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streamed_trending_df(
+    spark: SparkSession, sf_dir: str, out_root: str, top: int = 3
+) -> DataFrame:
+    """Driver-contract wrapper: drain :func:`windowed_trending_terms` over
+    the sf_dir events table (idempotent via checkpoint), then rank the
+    emitted windows top-``top`` per window by (n desc, event_type asc).
+    Returns (window_start epoch-seconds, rank, event_type, n)."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    src = os.path.join(out_root, "src")
+    out = os.path.join(out_root, "out")
+    ckpt = os.path.join(out_root, "ckpt")
+    if not os.path.exists(src):
+        os.makedirs(src)
+        shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                    os.path.join(src, "part-0.parquet"))
+    windowed_trending_terms(spark, src, out, ckpt)
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        spark.read.parquet(out)
+        .select(
+            F.col("window_start").cast("timestamp").cast("long")
+            .alias("window_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select("window_start", F.col("rank").cast("long").alias("rank"),
+                "event_type", "n")
+    )
+
+
+def streamed_trending_sql(
+    window_hours: int = 6,
+    slide_hours: int = 2,
+    watermark_hours: int = 1,
+    top: int = 3,
+) -> str:
+    """DuckDB twin of :func:`streamed_trending_df`: each event lands in
+    ``window/slide`` slide-aligned windows (Spark's epoch-aligned
+    origin), only windows the FINAL watermark (max ts - watermark) has
+    closed emit, rank top-``top`` per window by (n desc, type asc)."""
+    w = window_hours * 3600
+    s = slide_hours * 3600
+    n_over = window_hours // slide_hours
+    return f"""
+WITH expanded AS (
+  SELECT ((floor(epoch(ts))::BIGINT // {s}) - g.i) * {s} AS window_start,
+         event_type
+  FROM events,
+       (SELECT unnest(generate_series(0, {n_over - 1})) AS i) g
+  WHERE ((floor(epoch(ts))::BIGINT // {s}) - g.i) * {s} + {w}
+        > floor(epoch(ts))::BIGINT
+),
+counted AS (
+  SELECT window_start::BIGINT AS window_start, event_type,
+         count(*)::BIGINT AS n
+  FROM expanded GROUP BY 1, 2
+),
+closed AS (
+  SELECT * FROM counted
+  WHERE window_start + {w}
+        <= (SELECT floor(epoch(max(ts))) - {watermark_hours * 3600}
+            FROM events)
+),
+ranked AS (
+  SELECT window_start, event_type, n,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n DESC, event_type ASC) AS rank
+  FROM closed
+)
+SELECT window_start, rank, event_type, n
+FROM ranked WHERE rank <= {int(top)}
+"""

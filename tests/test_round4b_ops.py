@@ -1,0 +1,252 @@
+"""Round-4 session-6 additions: ES nested query semantics, calendar
+date_histogram with time_zone, hard-negative mining, sliding-window
+streaming trending."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+# --- nested query ----------------------------------------------------------
+
+
+def test_nested_same_child_vs_flattened(spark, tmp_path):
+    """The canonical ES nested lesson on planted data: order 1's quantity
+    and discount clauses are satisfied by DIFFERENT lineitems (flattened
+    matches, nested must not); order 2 has one child satisfying both."""
+    from smse_backend_spark.operators.relational import (
+        nested_order_search,
+        nested_vs_flattened,
+    )
+
+    li = spark.createDataFrame(
+        [
+            # order 1: qty hit on child A, discount hit on child B
+            (1, 50.0, 0.01),
+            (1, 1.0, 0.09),
+            # order 2: one child satisfies both clauses, twice
+            (2, 50.0, 0.09),
+            (2, 48.0, 0.08),
+            # order 3: matches neither
+            (3, 1.0, 0.01),
+        ],
+        "l_orderkey long, l_quantity double, l_discount double",
+    )
+    orders = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)],
+        "o_orderkey long, o_totalprice double",
+    )
+    sf = str(tmp_path)
+    li.write.parquet(f"{sf}/lineitem.parquet")
+    orders.write.parquet(f"{sf}/orders.parquet")
+
+    got = nested_order_search(spark, sf, 45.0, 0.07, 10).collect()
+    assert [(r["o_orderkey"], r["n_matched"]) for r in got] == [(2, 2)]
+
+    row = nested_vs_flattened(spark, sf, 45.0, 0.07).first()
+    assert row["n_nested"] == 1
+    assert row["n_flattened"] == 2  # order 1 is the cross-child FP
+    assert row["n_false_positive"] == 1
+
+
+def test_nested_search_matches_oracle(spark, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.relational import (
+        nested_order_search,
+        nested_order_search_sql,
+        nested_vs_flattened,
+        nested_vs_flattened_sql,
+    )
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"create view {t} as select * from '{sf_smoke}/{t}.parquet'"
+        )
+    got = sorted(map(tuple, nested_order_search(spark, sf_smoke).collect()))
+    want = sorted(map(tuple, con.execute(nested_order_search_sql()).fetchall()))
+    assert got == want
+    got1 = [tuple(nested_vs_flattened(spark, sf_smoke).first())]
+    want1 = [tuple(con.execute(nested_vs_flattened_sql()).fetchone())]
+    assert got1 == want1
+    # nested ⊆ flattened
+    assert got1[0][0] <= got1[0][1]
+
+
+# --- calendar date_histogram -----------------------------------------------
+
+
+def test_calendar_week_tz_boundary(spark, tmp_path):
+    """An event late Sunday UTC belongs to the NEXT local week under
+    +05:30 — the shift no epoch-aligned fixed interval reproduces.
+    2024-01-07 is a Sunday; 20:00 UTC = 01:30 Monday local."""
+    from smse_backend_spark.operators.relational import (
+        event_calendar_histogram,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 7, 10, 0, 0), 1.0),   # Sunday local+utc: week of Jan 1
+        (2, dt.datetime(2024, 1, 7, 20, 0, 0), 1.0),   # Monday 01:30 local: week of Jan 8
+        (3, dt.datetime(2024, 1, 9, 12, 0, 0), 1.0),   # Tuesday: week of Jan 8
+    ]
+    e = spark.createDataFrame(
+        [(i, ts, 7, "click", v, "{}") for i, ts, v in rows],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path)
+    e.write.parquet(f"{sf}/events.parquet")
+    got = {
+        r["bucket_start"]: r["n"]
+        for r in event_calendar_histogram(spark, sf, 330).collect()
+    }
+    # local week starts: Mon Jan 1 00:00+05:30 = Dec 31 18:30 UTC;
+    # Mon Jan 8 00:00+05:30 = Jan 7 18:30 UTC
+    wk1 = int(dt.datetime(2023, 12, 31, 18, 30).timestamp())
+    wk2 = int(dt.datetime(2024, 1, 7, 18, 30).timestamp())
+    assert got == {wk1: 1, wk2: 2}
+
+
+def test_calendar_histogram_matches_oracle(spark, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.relational import (
+        event_calendar_histogram,
+        event_calendar_histogram_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from '{sf_smoke}/events.parquet'"
+    )
+    got = sorted(map(tuple, event_calendar_histogram(spark, sf_smoke).collect()))
+    want = sorted(map(tuple,
+                      con.execute(event_calendar_histogram_sql()).fetchall()))
+    assert got == want
+    # weekly calendar buckets: starts are 7 days apart
+    starts = [g[0] for g in got]
+    assert all(b - a == 7 * 86400 for a, b in zip(starts, starts[1:]))
+
+
+# --- hard negatives ---------------------------------------------------------
+
+
+def test_hard_negatives_exclude_anchor_label(spark, sf_smoke):
+    from smse_backend_spark.operators.ann import hard_negatives_topk
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    anchors = {
+        int(r["vec_id"]): int(r["label"])
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    }
+    out = hard_negatives_topk(emb, [0, 1, 2, 3], 8).collect()
+    assert {int(r["anchor_id"]) for r in out} == set(anchors)
+    for r in out:
+        assert int(r["label"]) != anchors[int(r["anchor_id"])]
+        assert int(r["vec_id"]) != int(r["anchor_id"])
+
+
+def test_hard_negatives_equals_numpy_reference(spark, sf_smoke):
+    """Exact-mining check: per anchor, the engine's top-8 equals the
+    driver-side numpy ranking over different-label rows (rounded score,
+    score desc / vec_id asc)."""
+    from smse_backend_spark.operators.ann import hard_negatives_topk
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    labs = np.array([r["label"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    got = sorted(
+        map(tuple, hard_negatives_topk(emb, [0, 1], 8).collect())
+    )
+    want = []
+    for a in (0, 1):
+        ai = int(np.flatnonzero(ids == a)[0])
+        sims = np.round(mat @ mat[ai], 6)
+        keep = np.flatnonzero(labs != labs[ai])
+        order = np.lexsort((ids[keep], -sims[keep]))[:8]
+        for rk, j in enumerate(keep[order], start=1):
+            want.append((a, rk, int(ids[j]), int(labs[j]), float(sims[j])))
+    assert got == sorted(want)
+
+
+# --- sliding-window trending -------------------------------------------------
+
+
+def test_streamed_trending_overlap_and_watermark(spark, tmp_path):
+    """One event at 07:00 lands in the 02-08, 04-10 and 06-12 windows
+    (sliding overlap); only windows closed by the final watermark
+    (max_ts - 1h) emit."""
+    from smse_backend_spark.streaming.events import streamed_trending_df
+
+    base = dt.datetime(2024, 3, 4, 0, 0, 0)
+    rows = [
+        (1, base + dt.timedelta(hours=7), "click"),
+        # sentinel far ahead so the watermark closes the early windows
+        (2, base + dt.timedelta(hours=48), "view"),
+    ]
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [i for i, _, _ in rows],
+            "ts": [ts for _, ts, _ in rows],
+            "user_id": [7] * len(rows),
+            "event_type": [t for _, _, t in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema), f"{sf}/events.parquet"
+    )
+    out = streamed_trending_df(spark, sf, str(tmp_path / "stream"), 3)
+    got = {(r["window_start"], r["event_type"]): r["n"] for r in out.collect()}
+    ep = int(base.timestamp())
+    click_windows = {k[0] for k in got if k[1] == "click"}
+    assert click_windows == {ep + 2 * 3600, ep + 4 * 3600, ep + 6 * 3600}
+    assert all(v == 1 for v in got.values())
+    # the sentinel's own windows end after the watermark: never emitted
+    assert all(k[1] == "click" for k in got)
+
+
+def test_streamed_trending_matches_oracle(spark, sf_smoke, tmp_path):
+    import duckdb
+
+    from smse_backend_spark.streaming.events import (
+        streamed_trending_df,
+        streamed_trending_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from '{sf_smoke}/events.parquet'"
+    )
+    got = sorted(map(tuple,
+                     streamed_trending_df(spark, sf_smoke,
+                                          str(tmp_path / "t")).collect()))
+    want = sorted(map(tuple, con.execute(streamed_trending_sql()).fetchall()))
+    assert got == want
