@@ -752,6 +752,45 @@ def _pq_code_cols(cb: np.ndarray, emb_col: str = "embedding"):
     return out
 
 
+def _pq_codes_np(cb: np.ndarray, X: np.ndarray) -> np.ndarray:
+    """Numpy twin of :func:`_pq_code_cols` — bit-identical by
+    construction: the squared-distance accumulation is the SAME
+    left-associated chain (acc = d0²; acc += d1²; …) evaluated
+    elementwise in float64, the quantization is the shared half-up
+    floor formula, and ``argmin`` takes the FIRST minimum (== the
+    lexicographic (d, cid) struct-min's smallest-id tie-break).
+    X is (n, dim) float64; returns (n, m) int64 codes."""
+    m, ks, L = cb.shape
+    codes = np.empty((X.shape[0], m), dtype=np.int64)
+    for j in range(m):
+        S = X[:, j * L:(j + 1) * L]          # (n, L)
+        d0 = S[:, 0, None] - cb[None, j, :, 0]
+        acc = d0 * d0                         # (n, ks)
+        for i in range(1, L):
+            di = S[:, i, None] - cb[None, j, :, i]
+            acc = acc + di * di               # left-associated, like the
+            #                                   Column chain and SQL twin
+        qd = np.floor(acc * 1e6 + 0.5)
+        codes[:, j] = np.argmin(qd, axis=1)
+    return codes
+
+
+def pq_decode_np(cb: np.ndarray, X: np.ndarray) -> np.ndarray:
+    """Encode+decode (n, dim) float64 rows against the codebooks —
+    the numpy form of :func:`pq_decoded_col` used on the hot paths:
+    the inlined-literal Column form compiles to a >20k-line generated
+    class that Janino rejects (whole-stage codegen falls back to the
+    interpreted path and the plan ships the codebook as a multi-MiB
+    task binary), while this Arrow-kernel form keeps the plan compact
+    and the arithmetic bit-identical (see :func:`_pq_codes_np`)."""
+    m, ks, L = cb.shape
+    codes = _pq_codes_np(cb, X)
+    out = np.empty((X.shape[0], m * L), dtype=np.float64)
+    for j in range(m):
+        out[:, j * L:(j + 1) * L] = cb[j, codes[:, j]]
+    return out
+
+
 def pq_decoded_col(cb: np.ndarray, emb_col: str = "embedding"):
     """PQ encode+decode as PURE Column algebra: per subspace, assign the
     subvector to the centroid minimizing the squared distance (distance
@@ -790,31 +829,32 @@ def train_pq_codebooks(
     """
     cb = pq_codebooks(emb, m, ks)
     _, _, L = cb.shape
-    e = F.col("embedding")
     for _ in range(int(iters)):
-        codes = _pq_code_cols(cb)
-        qsl = [
-            F.transform(
-                F.slice(e, j * L + 1, L),
-                lambda x: F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5))
-                .cast("long"),
-            )
-            for j in range(cb.shape[0])
-        ]
+        cb_iter = cb  # bind the current codebooks for the kernel closure
+
+        def assign_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # codes + quantized subvectors in one Arrow pass (the Column
+            # form inlined the codebooks into a Janino-breaking class;
+            # arithmetic identical — see _pq_codes_np)
+            mm = cb_iter.shape[0]
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                codes = _pq_codes_np(cb_iter, X)
+                q = np.floor(X * 1e6 + 0.5).astype(np.int64)
+                outs = []
+                for j in range(mm):
+                    outs.append(pd.DataFrame({
+                        "j": j,
+                        "cid": codes[:, j],
+                        "q": list(q[:, j * L:(j + 1) * L]),
+                    }))
+                yield pd.concat(outs, ignore_index=True)
+
         rows = (
-            emb.select(
-                F.explode(
-                    F.array(*[
-                        F.struct(
-                            F.lit(j).alias("j"),
-                            codes[j].alias("cid"),
-                            qsl[j].alias("q"),
-                        )
-                        for j in range(cb.shape[0])
-                    ])
-                ).alias("s")
-            )
-            .select("s.j", "s.cid", "s.q")
+            emb.select("embedding")
+            .mapInPandas(assign_kernel, "j long, cid long, q array<long>")
             .groupBy("j", "cid")
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -853,9 +893,24 @@ def pq_topk(
         if train_iters
         else pq_codebooks(emb, m, ks)
     )
-    return brute_force_topk(
-        emb.withColumn("embedding", pq_decoded_col(cb)), queries, k
+    spark = emb.sparkSession
+    ensure_pyfiles(spark)
+
+    def decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            dec = pq_decode_np(cb, X)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(np.int64),
+                 "embedding": list(dec)}
+            )
+
+    decoded = emb.select("vec_id", "embedding").mapInPandas(
+        decode_kernel, "vec_id long, embedding array<double>"
     )
+    return brute_force_topk(decoded, queries, k)
 
 
 def _pq_decode_ctes(m: int, ks: int, dim: int) -> str:
@@ -993,7 +1048,9 @@ def ivfpq_topk(
             on = orig / np.linalg.norm(orig, axis=1, keepdims=True)
             a_sims = np.round(on @ cn.T, 6)
             assigned = c_ids[np.argmax(a_sims, axis=1)]
-            dec = np.vstack(pdf["demb"].to_numpy()).astype(np.float64)
+            # PQ encode+decode in-kernel (see pq_decode_np: the inlined
+            # Column form broke whole-stage codegen)
+            dec = pq_decode_np(cb, orig)
             dn = dec / np.linalg.norm(dec, axis=1, keepdims=True)
             vec_ids = pdf["vec_id"].to_numpy(np.int64)
             sims = np.round(dn @ qn.T, 6)
@@ -1015,9 +1072,9 @@ def ivfpq_topk(
             )
             yield out.groupby("query_id", sort=False).head(k)
 
-    local = emb.select(
-        "vec_id", "embedding", pq_decoded_col(cb).alias("demb")
-    ).mapInPandas(kernel, "query_id long, vec_id long, score double")
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "query_id long, vec_id long, score double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         local.withColumn("rank", F.row_number().over(w))
