@@ -1806,6 +1806,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (Monday-anchored local weeks, ES bucket-key convention)
         "event_calendar_histogram": lambda spark, sf:
         R.event_calendar_histogram(spark, sf),
+        # ES dense_vector similarity options: l2_norm + max_inner_product
+        # (knn metric is a mapping choice — cosine alone can't serve them)
+        "ann_l2": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.ann", fromlist=["metric_topk"]
+        ).metric_topk(
+            spark.read.parquet(f"{sf}/embeddings.parquet"),
+            _query_vecs(spark, sf), 10, "l2_norm",
+        ).withColumn("rank", F.col("rank").cast("long")),
+        "ann_mip": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.ann", fromlist=["metric_topk"]
+        ).metric_topk(
+            spark.read.parquet(f"{sf}/embeddings.parquet"),
+            _query_vecs(spark, sf), 10, "max_inner_product",
+        ).withColumn("rank", F.col("rank").cast("long")),
         # per-anchor different-label cosine top-k (DPR hard negatives)
         "hard_negatives": lambda spark, sf: __import__(
             "smse_backend_spark.operators.ann",
@@ -2056,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CHECK_FIRST = [
     "nested_order_search", "nested_vs_flattened",
     "event_calendar_histogram", "hard_negatives", "streamed_trending",
+    "ann_l2", "ann_mip",
     "significant_terms_pct", "cms_term_counts", "bloom_dedup",
     "zipf_slope", "heaps_vocab_growth",
     "hll_cardinality", "hll_merged", "kmv_set_ops", "weighted_reservoir",
@@ -2804,6 +2819,12 @@ LIMIT 10
             "smse_backend_spark.operators.ann",
             fromlist=["hard_negatives_sql"],
         ).hard_negatives_sql([0, 1, 2, 3], 8),
+        "ann_l2": __import__(
+            "smse_backend_spark.operators.ann", fromlist=["metric_topk_sql"]
+        ).metric_topk_sql([0, 1, 2], 10, "l2_norm"),
+        "ann_mip": __import__(
+            "smse_backend_spark.operators.ann", fromlist=["metric_topk_sql"]
+        ).metric_topk_sql([0, 1, 2], 10, "max_inner_product"),
         "streamed_trending": __import__(
             "smse_backend_spark.streaming.events",
             fromlist=["streamed_trending_sql"],

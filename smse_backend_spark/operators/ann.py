@@ -1727,3 +1727,123 @@ r AS (
 SELECT anchor_id, rank, vec_id, label::BIGINT AS label, score
 FROM r WHERE rank <= {int(k)}
 """
+
+
+def metric_topk(
+    emb: DataFrame,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    metric: str = "l2_norm",
+) -> DataFrame:
+    """ES ``dense_vector`` similarity options beyond cosine — the knn
+    metric is a MAPPING choice in ES, so an engine that only speaks
+    cosine cannot serve an l2/dot-mapped field. ES score transforms
+    (from the dense_vector docs):
+
+        l2_norm           score = 1 / (1 + d²)         (d = Euclidean)
+        max_inner_product mip >= 0: mip + 1; else 1 / (1 - mip)
+
+    Both transforms are strictly monotone in the raw metric, so rank ==
+    raw-metric rank; scores are 6 dp-rounded and the total order is the
+    engine's (score desc, vec_id asc). Returns (query_id, rank, vec_id,
+    score).
+
+    Scale shape: identical to :func:`brute_force_topk` — queries
+    broadcast, corpus streamed ONCE through a vectorized kernel,
+    per-batch local top-k ahead of the global TakeOrdered.
+    """
+    from pyspark.sql import Window
+
+    if metric not in ("l2_norm", "max_inner_product"):
+        raise ValueError(f"unknown metric {metric!r}")
+    spark = emb.sparkSession
+    ensure_pyfiles(spark)
+    q_ids = np.array(sorted(queries), dtype=np.int64)
+    q_mat = np.array([queries[int(q)] for q in q_ids], dtype=np.float64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: list[pd.DataFrame] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vec_ids = pdf["vec_id"].to_numpy(np.int64)
+            if metric == "l2_norm":
+                # ||x-q||² via the expansion; 6dp rounding absorbs the
+                # association delta vs the SQL sum((x-y)²), like every
+                # cosine oracle in this file
+                d2 = (
+                    (m * m).sum(axis=1)[:, None]
+                    + (q_mat * q_mat).sum(axis=1)[None, :]
+                    - 2.0 * (m @ q_mat.T)
+                )
+                sc = 1.0 / (1.0 + d2)
+            else:
+                mip = m @ q_mat.T
+                sc = np.where(mip >= 0.0, mip + 1.0, 1.0 / (1.0 - mip))
+            sc = np.round(sc, 6)
+            kk = min(k, sc.shape[0])
+            for j in range(sc.shape[1]):
+                order = np.lexsort((vec_ids, -sc[:, j]))[:kk]
+                best.append(
+                    pd.DataFrame(
+                        {"query_id": q_ids[j], "vec_id": vec_ids[order],
+                         "score": sc[order, j]}
+                    )
+                )
+        if best:
+            out = pd.concat(best, ignore_index=True)
+            out = out.sort_values(
+                ["query_id", "score", "vec_id"],
+                ascending=[True, False, True],
+                kind="stable", ignore_index=True,
+            )
+            yield out.groupby("query_id", sort=False).head(k)
+
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "query_id long, vec_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "score")
+    )
+
+
+def metric_topk_sql(
+    query_vec_ids: list[int], k: int = 10, metric: str = "l2_norm"
+) -> str:
+    """DuckDB twin of :func:`metric_topk`."""
+    ids = ", ".join(str(int(q)) for q in sorted(query_vec_ids))
+    if metric == "l2_norm":
+        score = "round(1.0 / (1.0 + sum((x - y) * (x - y))), 6)"
+    elif metric == "max_inner_product":
+        score = ("round(CASE WHEN sum(x * y) >= 0 THEN sum(x * y) + 1.0 "
+                 "ELSE 1.0 / (1.0 - sum(x * y)) END, 6)")
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({ids})
+),
+z AS (
+  SELECT q.qid, e.vec_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q
+),
+s AS (
+  SELECT qid, vec_id, {score} AS score
+  FROM z GROUP BY qid, vec_id
+),
+r AS (
+  SELECT qid AS query_id, vec_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id, score FROM r WHERE rank <= {int(k)}
+"""

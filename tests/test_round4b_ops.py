@@ -250,3 +250,56 @@ def test_streamed_trending_matches_oracle(spark, sf_smoke, tmp_path):
                                           str(tmp_path / "t")).collect()))
     want = sorted(map(tuple, con.execute(streamed_trending_sql()).fetchall()))
     assert got == want
+
+
+# --- dense_vector metric options ---------------------------------------------
+
+
+def test_metric_topk_l2_and_mip_vs_oracle(spark, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.ann import metric_topk, metric_topk_sql
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id in (0, 1, 2)").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view embeddings as select * from '{sf_smoke}/embeddings.parquet'"
+    )
+    for metric in ("l2_norm", "max_inner_product"):
+        got = sorted(map(tuple, metric_topk(emb, qvecs, 10, metric).collect()))
+        want = sorted(map(tuple,
+                          con.execute(metric_topk_sql([0, 1, 2], 10,
+                                                      metric)).fetchall()))
+        assert got == want, metric
+    # ES transform laws: l2 score in (0, 1]; the query's own vector is
+    # its own l2 nearest (d=0 -> score exactly 1.0)
+    l2 = metric_topk(emb, qvecs, 10, "l2_norm").collect()
+    for r in l2:
+        assert 0.0 < r["score"] <= 1.0
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"] and r["score"] == 1.0
+
+
+def test_metric_topk_mip_transform_monotone(spark, sf_smoke):
+    """max_inner_product transform: branches map to score > 1 (mip>=0)
+    and score in (0, 1) (mip<0); rank order == raw mip order."""
+    import numpy as np
+
+    from smse_backend_spark.operators.ann import metric_topk
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = {0: [float(x) for x in mat[ids == 0][0]]}
+    got = metric_topk(emb, q, 10, "max_inner_product").collect()
+    raw = {int(i): float(v) for i, v in zip(ids, mat @ np.asarray(q[0]))}
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    for r in got:
+        mip = raw[int(r["vec_id"])]
+        assert (r["score"] > 1.0) == (round(mip, 9) >= 0.0) or abs(mip) < 1e-9
