@@ -1806,6 +1806,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (Monday-anchored local weeks, ES bucket-key convention)
         "event_calendar_histogram": lambda spark, sf:
         R.event_calendar_histogram(spark, sf),
+        # one distributed BPE merge round (tokenizer-training inner loop):
+        # weighted pair counts -> deterministic winner -> corpus-wide merge
+        "bpe_merge_step": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.bpe", fromlist=["bpe_merge_step"]
+        ).bpe_merge_step(_docs(spark, sf), 5),
         # ES dense_vector similarity options: l2_norm + max_inner_product
         # (knn metric is a mapping choice — cosine alone can't serve them)
         "ann_l2": lambda spark, sf: __import__(
@@ -2070,7 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CHECK_FIRST = [
     "nested_order_search", "nested_vs_flattened",
     "event_calendar_histogram", "hard_negatives", "streamed_trending",
-    "ann_l2", "ann_mip",
+    "ann_l2", "ann_mip", "bpe_merge_step",
     "significant_terms_pct", "cms_term_counts", "bloom_dedup",
     "zipf_slope", "heaps_vocab_growth",
     "hll_cardinality", "hll_merged", "kmv_set_ops", "weighted_reservoir",
@@ -2819,6 +2824,9 @@ LIMIT 10
             "smse_backend_spark.operators.ann",
             fromlist=["hard_negatives_sql"],
         ).hard_negatives_sql([0, 1, 2, 3], 8),
+        "bpe_merge_step": __import__(
+            "smse_backend_spark.operators.bpe", fromlist=["bpe_merge_step_sql"]
+        ).bpe_merge_step_sql(5),
         "ann_l2": __import__(
             "smse_backend_spark.operators.ann", fromlist=["metric_topk_sql"]
         ).metric_topk_sql([0, 1, 2], 10, "l2_norm"),

@@ -303,3 +303,51 @@ def test_metric_topk_mip_transform_monotone(spark, sf_smoke):
     for r in got:
         mip = raw[int(r["vec_id"])]
         assert (r["score"] > 1.0) == (round(mip, 9) >= 0.0) or abs(mip) < 1e-9
+
+
+# --- BPE merge round ---------------------------------------------------------
+
+
+def test_bpe_merge_step_planted(spark):
+    """Planted corpus: 'ab' is the dominant pair; after the merge it
+    vanishes from the pair table and the merged symbol pairs with its
+    neighbors. Greedy left-to-right: 'aaa' with winner (a,a) yields
+    exactly one merged symbol + one leftover 'a'."""
+    from smse_backend_spark.operators.bpe import bpe_merge_step
+
+    docs = spark.createDataFrame(
+        [(0, "abc abc abd"), (1, "abc zq")],
+        "doc_id long, text string",
+    )
+    out = {(r["phase"], r["left"], r["right"]): (r["cnt"], r["rank"])
+           for r in bpe_merge_step(docs, 10).collect()}
+    assert out[("before", "a", "b")] == (4, 1)
+    # after: (a,b) gone; merged symbol 'ab' now pairs with c/d
+    assert ("after", "a", "b") not in out
+    assert out[("after", "ab", "c")][0] == 3
+    assert out[("after", "ab", "d")][0] == 1
+
+    docs2 = spark.createDataFrame([(0, "aaa aaa")], "doc_id long, text string")
+    out2 = [(r["phase"], r["left"], r["right"], r["cnt"])
+            for r in bpe_merge_step(docs2, 10).collect()]
+    # winner (a,a): 'aaa' -> ['aa', 'a'], so after-pairs = ('aa','a') x2
+    assert ("after", "aa", "a", 2) in out2
+    assert ("after", "a", "a", 2) not in out2
+
+
+def test_bpe_merge_step_matches_oracle(spark, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.bpe import (
+        bpe_merge_step,
+        bpe_merge_step_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{sf_smoke}/documents.parquet'"
+    )
+    got = sorted(map(tuple, bpe_merge_step(
+        spark.read.parquet(f"{sf_smoke}/documents.parquet"), 5).collect()))
+    want = sorted(map(tuple, con.execute(bpe_merge_step_sql(5)).fetchall()))
+    assert got == want
