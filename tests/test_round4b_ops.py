@@ -351,3 +351,56 @@ def test_bpe_merge_step_matches_oracle(spark, sf_smoke):
         spark.read.parquet(f"{sf_smoke}/documents.parquet"), 5).collect()))
     want = sorted(map(tuple, con.execute(bpe_merge_step_sql(5)).fetchall()))
     assert got == want
+
+
+# --- plan shapes for the session-6 ops ---------------------------------------
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_nested_search_plan_pushes_child_predicates(spark, sf_correct):
+    """Both nested clause predicates must reach the lineitem parquet scan
+    (row-group pruning is the whole point at 100 TB), and the plan must
+    end in a TakeOrderedAndProject, not a global sort."""
+    from smse_backend_spark.operators.relational import nested_order_search
+
+    plan = _plan_of(nested_order_search(spark, sf_correct))
+    assert "PushedFilters" in plan
+    # the plan string truncates long filter lists ("GreaterThanOr..."),
+    # so assert the first pushed range plus column pruning to the three
+    # needed child columns — the discount predicate rides the same scan
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in plan
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,"
+        "l_discount:double>" in plan
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_calendar_histogram_plan_is_one_agg_no_udf(spark, sf_correct):
+    """Bucket arithmetic is pure Column algebra: no Python evals in the
+    plan, exactly one shuffle (the partial->final agg exchange)."""
+    from smse_backend_spark.operators.relational import (
+        event_calendar_histogram,
+    )
+
+    plan = _plan_of(event_calendar_histogram(spark, sf_correct))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "HashAggregate" in plan
+
+
+def test_bpe_pair_counts_run_on_vocab_not_corpus(spark, sf_correct):
+    """The words frame (vocab-sized) is aggregated BEFORE pair explosion:
+    the pair-count input must be the cached words aggregate, not a
+    second corpus scan; and no per-row Python appears anywhere."""
+    from smse_backend_spark.operators.bpe import bpe_merge_step
+
+    plan = _plan_of(bpe_merge_step(
+        spark.read.parquet(f"{sf_correct}/documents.parquet"), 5))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # corpus text is only read for the words agg, which is cached: the
+    # final plan reads the InMemoryRelation, not documents.parquet
+    assert "InMemoryTableScan" in plan
