@@ -354,7 +354,9 @@ def cmd_ann(args) -> None:
     ``--query-ids``; writes (query_id, rank, vec_id, score) to ``--out``
     and prints a one-line JSON summary. Modes map to the engine's ANN
     family: exact brute force, hyperplane LSH, IVF (optionally trained),
-    PQ, and IVF-PQ."""
+    PQ, IVF-PQ, the ES dense_vector metrics (``l2``/``mip``), and
+    ``hardneg`` (per-anchor different-label mining; output carries the
+    extra ``label`` column, ``query_id`` = the anchor)."""
     from pyspark.sql import functions as F
 
     from smse_backend_spark.operators import ann as A
@@ -378,6 +380,13 @@ def cmd_ann(args) -> None:
     elif args.mode == "pq":
         out = A.pq_topk(emb, queries, args.k, args.m, args.ks,
                         train_iters=args.train_iters)
+    elif args.mode in ("l2", "mip"):
+        metric = "l2_norm" if args.mode == "l2" else "max_inner_product"
+        out = A.metric_topk(emb, queries, args.k, metric)
+    elif args.mode == "hardneg":
+        out = A.hard_negatives_topk(emb, qids, args.k).withColumnRenamed(
+            "anchor_id", "query_id"
+        )
     else:  # ivfpq
         out = A.ivfpq_topk(emb, queries, args.k, args.n_centroids,
                            args.n_probe, args.m, args.ks)
@@ -737,7 +746,8 @@ def main(argv: list[str] | None = None) -> None:
     an.add_argument("--query-ids", required=True,
                     help="comma-separated vec_ids used as query vectors")
     an.add_argument("--mode", default="brute",
-                    choices=["brute", "lsh", "ivf", "pq", "ivfpq"])
+                    choices=["brute", "lsh", "ivf", "pq", "ivfpq",
+                             "l2", "mip", "hardneg"])
     an.add_argument("--k", type=int, default=10)
     an.add_argument("--n-centroids", type=int, default=16)
     an.add_argument("--n-probe", type=int, default=4)

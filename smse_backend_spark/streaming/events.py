@@ -367,6 +367,12 @@ def streamed_trending_sql(
     closed emit, rank top-``top`` per window by (n desc, type asc)."""
     w = window_hours * 3600
     s = slide_hours * 3600
+    if window_hours % slide_hours:
+        raise ValueError(
+            "streamed_trending_sql requires window divisible by slide "
+            f"(got {window_hours}h / {slide_hours}h) — Spark emits "
+            "ceil(w/s) windows per event and this replay assumes w/s"
+        )
     n_over = window_hours // slide_hours
     return f"""
 WITH expanded AS (

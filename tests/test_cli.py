@@ -492,3 +492,35 @@ def test_cli_sketch_modes(tmp_path, spark, sf_smoke, capsys):
                   "--master", "local[4]", *extra])
         summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert check(summary["rows"]), (mode, summary)
+
+
+def test_cli_ann_metric_and_hardneg_modes(tmp_path, spark, sf_smoke, capsys):
+    """l2/mip == metric_topk; hardneg keeps the extra label column and
+    never returns the anchor's own class."""
+    import json as _json
+
+    from smse_backend_spark.operators.ann import metric_topk
+
+    out1 = str(tmp_path / "ann_l2")
+    cli.main(["ann", "--emb", f"{sf_smoke}/embeddings.parquet",
+              "--out", out1, "--query-ids", "0,1", "--mode", "l2",
+              "--master", "local[4]"])
+    meta = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["rows"] == 20
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    qv = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+          for r in emb.filter("vec_id in (0, 1)").collect()}
+    got = sorted(map(tuple, spark.read.parquet(out1).collect()))
+    want = sorted(map(tuple, metric_topk(emb, qv, 10, "l2_norm").collect()))
+    assert got == want
+
+    out2 = str(tmp_path / "ann_hardneg")
+    cli.main(["ann", "--emb", f"{sf_smoke}/embeddings.parquet",
+              "--out", out2, "--query-ids", "0,1", "--mode", "hardneg",
+              "--master", "local[4]"])
+    rows = spark.read.parquet(out2).collect()
+    labels = {int(r["vec_id"]): int(r["label"])
+              for r in emb.filter("vec_id in (0, 1)").collect()}
+    assert {r["query_id"] for r in rows} == {0, 1}
+    for r in rows:
+        assert int(r["label"]) != labels[int(r["query_id"])]
