@@ -1806,6 +1806,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (Monday-anchored local weeks, ES bucket-key convention)
         "event_calendar_histogram": lambda spark, sf:
         R.event_calendar_histogram(spark, sf),
+        # Lucene TermsDict front-coding stats over the index dictionary
+        # (prefix compression with block-16 restarts)
+        "dictionary_front_coding": lambda spark, sf: __import__(
+            "smse_backend_spark.index.codec",
+            fromlist=["front_coding_stats"],
+        ).front_coding_stats(
+            spark.read.parquet(f"{_indexed(spark, sf).path}/dictionary"), 16
+        ),
         # one distributed BPE merge round (tokenizer-training inner loop):
         # weighted pair counts -> deterministic winner -> corpus-wide merge
         "bpe_merge_step": lambda spark, sf: __import__(
@@ -2075,7 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CHECK_FIRST = [
     "nested_order_search", "nested_vs_flattened",
     "event_calendar_histogram", "hard_negatives", "streamed_trending",
-    "ann_l2", "ann_mip", "bpe_merge_step",
+    "ann_l2", "ann_mip", "bpe_merge_step", "dictionary_front_coding",
     "significant_terms_pct", "cms_term_counts", "bloom_dedup",
     "zipf_slope", "heaps_vocab_growth",
     "hll_cardinality", "hll_merged", "kmv_set_ops", "weighted_reservoir",
@@ -2827,6 +2835,10 @@ LIMIT 10
         "bpe_merge_step": __import__(
             "smse_backend_spark.operators.bpe", fromlist=["bpe_merge_step_sql"]
         ).bpe_merge_step_sql(5),
+        "dictionary_front_coding": __import__(
+            "smse_backend_spark.index.codec",
+            fromlist=["front_coding_stats_sql"],
+        ).front_coding_stats_sql(16),
         "ann_l2": __import__(
             "smse_backend_spark.operators.ann", fromlist=["metric_topk_sql"]
         ).metric_topk_sql([0, 1, 2], 10, "l2_norm"),

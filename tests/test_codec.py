@@ -75,3 +75,54 @@ def test_full_posting_pipeline_roundtrip():
     got_gaps, got_counts = decode_blocks(blobs)
     back = delta_decode(got_gaps.astype(np.int64), doc_ids[starts], got_counts)
     assert back.tolist() == doc_ids.tolist()
+
+
+def test_front_coding_stats_prefix_heavy_vocab(spark):
+    """Planted identifier-style vocabulary (long shared prefixes): front
+    coding must compress (ratio < 1), the block-restart terms must pay
+    full length, and the integer byte accounting must replay by hand."""
+    from smse_backend_spark.index.codec import front_coding_stats
+
+    terms = [f"get_user_field_{i:03d}" for i in range(40)]
+    d = spark.createDataFrame([("en", t) for t in terms], "lang string, term string")
+    row = front_coding_stats(d, block=16).first()
+    assert row["n_terms"] == 40
+    assert row["raw_bytes"] == sum(len(t) for t in terms)
+    # hand replay: rn 1, 17, 33 are restarts (full length); others store
+    # 2 + len - lcp(prev)
+    coded = 0
+    for i, t in enumerate(sorted(terms)):
+        if i % 16 == 0:
+            coded += len(t)
+        else:
+            prev = sorted(terms)[i - 1]
+            lcp = 0
+            while lcp < min(len(t), len(prev)) and t[lcp] == prev[lcp]:
+                lcp += 1
+            coded += 2 + len(t) - lcp
+    assert row["coded_bytes"] == coded
+    assert row["ratio"] < 0.35  # 15-char shared prefixes compress hard
+
+
+def test_front_coding_stats_matches_oracle(spark, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.index.codec import (
+        front_coding_stats,
+        front_coding_stats_sql,
+    )
+    from smse_backend_spark.functions.tokenizer import tokenize_col
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    dic = docs.select(
+        "lang", F.explode(tokenize_col(F.col("text"))).alias("term")
+    ).distinct()
+    got = sorted(map(tuple, front_coding_stats(dic, 16).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{sf_smoke}/documents.parquet'"
+    )
+    want = sorted(map(tuple,
+                      con.execute(front_coding_stats_sql(16)).fetchall()))
+    assert got == want
