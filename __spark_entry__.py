@@ -1806,6 +1806,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (Monday-anchored local weeks, ES bucket-key convention)
         "event_calendar_histogram": lambda spark, sf:
         R.event_calendar_histogram(spark, sf),
+        # posting-list codec-selection stats: exact delta+varint bytes vs
+        # the RoaringBitmap array/bitmap container rule, per lang
+        "postings_size_stats": lambda spark, sf: __import__(
+            "smse_backend_spark.index.codec",
+            fromlist=["postings_size_stats"],
+        ).postings_size_stats(_docs(spark, sf)),
         # Lucene TermsDict front-coding stats over the index dictionary
         # (prefix compression with block-16 restarts)
         "dictionary_front_coding": lambda spark, sf: __import__(
@@ -2084,6 +2090,7 @@ _CHECK_FIRST = [
     "nested_order_search", "nested_vs_flattened",
     "event_calendar_histogram", "hard_negatives", "streamed_trending",
     "ann_l2", "ann_mip", "bpe_merge_step", "dictionary_front_coding",
+    "postings_size_stats",
     "significant_terms_pct", "cms_term_counts", "bloom_dedup",
     "zipf_slope", "heaps_vocab_growth",
     "hll_cardinality", "hll_merged", "kmv_set_ops", "weighted_reservoir",
@@ -2839,6 +2846,10 @@ LIMIT 10
             "smse_backend_spark.index.codec",
             fromlist=["front_coding_stats_sql"],
         ).front_coding_stats_sql(16),
+        "postings_size_stats": __import__(
+            "smse_backend_spark.index.codec",
+            fromlist=["postings_size_stats_sql"],
+        ).postings_size_stats_sql(),
         "ann_l2": __import__(
             "smse_backend_spark.operators.ann", fromlist=["metric_topk_sql"]
         ).metric_topk_sql([0, 1, 2], 10, "l2_norm"),

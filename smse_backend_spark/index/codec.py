@@ -233,3 +233,127 @@ FROM coded
 GROUP BY lang
 ORDER BY lang
 """
+
+
+def postings_size_stats(docs):
+    """Codec-selection statistics for doc-id posting lists, per lang:
+    the exact bytes the engine's delta+varint coding pays (first doc id
+    raw, then gaps; varint length by the 7-bit-group thresholds) versus
+    the RoaringBitmap container rule (per 2^16 doc-id chunk: array
+    container = 2 bytes/posting when <= 4096 postings in the chunk,
+    bitmap container = 8192 bytes flat otherwise) — the analysis Lucene
+    does when choosing doc-id-set encodings. Returns one row per lang:
+    (lang, n_terms, n_postings, varint_bytes, array_containers,
+    bitmap_containers, roaring_bytes), all exact integers.
+
+    Scale shape: distinct (lang, term, doc_id) is the index build's own
+    shuffle unit; the gap lag-window partitions by (lang, term) — the
+    same key the postings groupBy uses, so the sort is the build's sort,
+    not a new global one. Container counting is one more partial agg on
+    (lang, term, chunk). Nothing here exceeds the build's cost class.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.functions.tokenizer import tokenize_col
+
+    post = (
+        docs.select(
+            "lang", "doc_id",
+            F.explode(F.array_distinct(tokenize_col(F.col("text"))))
+            .alias("term"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("lang", "term").orderBy("doc_id")
+    gap = F.when(
+        F.lag("doc_id").over(w).isNull(), F.col("doc_id")
+    ).otherwise(F.col("doc_id") - F.lag("doc_id").over(w))
+    vb = (
+        F.when(gap < (1 << 7), 1)
+        .when(gap < (1 << 14), 2)
+        .when(gap < (1 << 21), 3)
+        .when(gap < (1 << 28), 4)
+        .otherwise(5)
+    )
+    sized = post.withColumn("vbytes", vb).withColumn(
+        "chunk", (F.col("doc_id") / (1 << 16)).cast("long")
+    )
+    containers = (
+        sized.groupBy("lang", "term", "chunk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("lang")
+        .agg(
+            F.sum((F.col("cnt") <= 4096).cast("long")).alias("array_containers"),
+            F.sum((F.col("cnt") > 4096).cast("long")).alias("bitmap_containers"),
+            F.sum(
+                F.when(F.col("cnt") <= 4096, 2 * F.col("cnt"))
+                .otherwise(F.lit(8192))
+            ).cast("long").alias("roaring_bytes"),
+        )
+    )
+    flat = sized.groupBy("lang").agg(
+        F.count_distinct("term").cast("long").alias("n_terms"),
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.sum("vbytes").cast("long").alias("varint_bytes"),
+    )
+    return (
+        flat.join(containers, "lang")
+        .select("lang", "n_terms", "n_postings", "varint_bytes",
+                "array_containers", "bitmap_containers", "roaring_bytes")
+        .orderBy("lang")
+    )
+
+
+def postings_size_stats_sql(table: str = "documents",
+                            content_col: str = "text") -> str:
+    """DuckDB twin of :func:`postings_size_stats` — identical integer
+    varint thresholds and Roaring container rule."""
+    from smse_backend_spark.functions.tokenizer import tokenize_duckdb_sql
+
+    toks = tokenize_duckdb_sql(content_col)
+    return f"""
+WITH post AS (
+  SELECT DISTINCT lang, doc_id, term
+  FROM (SELECT lang, doc_id, unnest({toks}) AS term FROM {table})
+),
+gaps AS (
+  SELECT lang, term, doc_id,
+         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY lang, term
+                                             ORDER BY doc_id), doc_id)
+           AS gap,
+         doc_id // 65536 AS chunk
+  FROM post
+),
+sized AS (
+  SELECT lang, term, chunk,
+         CASE WHEN gap < 128 THEN 1
+              WHEN gap < 16384 THEN 2
+              WHEN gap < 2097152 THEN 3
+              WHEN gap < 268435456 THEN 4
+              ELSE 5 END AS vbytes
+  FROM gaps
+),
+containers AS (
+  SELECT lang,
+         sum(CASE WHEN cnt <= 4096 THEN 1 ELSE 0 END)::BIGINT
+           AS array_containers,
+         sum(CASE WHEN cnt > 4096 THEN 1 ELSE 0 END)::BIGINT
+           AS bitmap_containers,
+         sum(CASE WHEN cnt <= 4096 THEN 2 * cnt ELSE 8192 END)::BIGINT
+           AS roaring_bytes
+  FROM (SELECT lang, term, chunk, count(*)::BIGINT AS cnt
+        FROM sized GROUP BY 1, 2, 3)
+  GROUP BY lang
+),
+flat AS (
+  SELECT lang, count(DISTINCT term)::BIGINT AS n_terms,
+         count(*)::BIGINT AS n_postings,
+         sum(vbytes)::BIGINT AS varint_bytes
+  FROM sized GROUP BY lang
+)
+SELECT f.lang, f.n_terms, f.n_postings, f.varint_bytes,
+       c.array_containers, c.bitmap_containers, c.roaring_bytes
+FROM flat f JOIN containers c USING (lang)
+ORDER BY lang
+"""

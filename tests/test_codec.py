@@ -126,3 +126,46 @@ def test_front_coding_stats_matches_oracle(spark, sf_smoke):
     want = sorted(map(tuple,
                       con.execute(front_coding_stats_sql(16)).fetchall()))
     assert got == want
+
+
+def test_postings_size_stats_container_rule(spark):
+    """Planted density: a term present in >4096 docs of one 2^16 chunk
+    must flip to a bitmap container (8192 B flat), while a sparse term
+    stays an array container at 2 B/posting; varint gaps of 1 cost one
+    byte each."""
+    from smse_backend_spark.index.codec import postings_size_stats
+
+    rows = [(i, "hot", "en") for i in range(5000)]           # dense chunk
+    rows += [(i, "rare", "en") for i in range(0, 5000, 500)]  # 10 docs
+    docs = spark.createDataFrame(
+        [(d, t, lang) for d, t, lang in rows],
+        "doc_id long, text string, lang string",
+    )
+    row = postings_size_stats(docs).first()
+    assert row["n_terms"] == 2
+    assert row["n_postings"] == 5010
+    assert row["bitmap_containers"] == 1      # 'hot' chunk 0: 5000 > 4096
+    assert row["array_containers"] == 1       # 'rare' chunk 0
+    assert row["roaring_bytes"] == 8192 + 2 * 10
+    # hot: first id 0 (1 B) + 4999 gaps of 1 (1 B each); rare: first 0 +
+    # 9 gaps of 500 (2 B each)
+    assert row["varint_bytes"] == 5000 + 1 + 9 * 2
+
+
+def test_postings_size_stats_matches_oracle(spark, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.index.codec import (
+        postings_size_stats,
+        postings_size_stats_sql,
+    )
+
+    got = sorted(map(tuple, postings_size_stats(
+        spark.read.parquet(f"{sf_smoke}/documents.parquet")).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{sf_smoke}/documents.parquet'"
+    )
+    want = sorted(map(tuple,
+                      con.execute(postings_size_stats_sql()).fetchall()))
+    assert got == want
