@@ -54,3 +54,24 @@ def test_query_contract(name, spark, sf_smoke, ddb):
         return
     want = sorted(map(tuple, ddb.execute(ORACLES[name]).fetchall()))
     assert got == want, f"{name}: {got[:3]} != {want[:3]}"
+
+
+def test_readme_and_ledger_counts_match_contract():
+    """Doc-drift guard (a round-2 verdict item): the README's entry count
+    must equal the real len(queries()), and every queries() entry must
+    have an oracle_sql() twin."""
+    import re
+
+    src = open("/root/repo/__spark_entry__.py").read()
+    qsrc = src[src.index("def queries()"):src.index("def oracle_sql()")]
+    osrc = src[src.index("def oracle_sql()"):]
+    qk = re.findall(r'^\s{8}"([a-z0-9_]+)":', qsrc, re.M)
+    ok = re.findall(r'^\s{8}"([a-z0-9_]+)":', osrc, re.M)
+    assert len(qk) == len(set(qk)), "duplicate queries() keys"
+    assert set(qk) == set(ok), set(qk) ^ set(ok)
+    readme = open("/root/repo/README.md").read()
+    m = re.search(r"`entry\(\)`, (\d+) `queries\(\)` entries, ALL (\d+)", readme)
+    assert m, "README contract line missing"
+    assert int(m.group(1)) == len(qk) == int(m.group(2)), (
+        f"README says {m.group(1)}, contract has {len(qk)}"
+    )
