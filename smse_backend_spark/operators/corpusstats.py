@@ -135,7 +135,11 @@ def heaps_vocab_growth(
     """
     n_docs = docs.count()
     ts = sorted({math.ceil(n_docs * i / points) for i in range(1, points + 1)})
-    sh = docs.select(
+    # spread the tokenize+shingle stage across the executor width — a
+    # single-file corpus arrives as one input split and serializes this
+    # stage on one core otherwise. Result-invariant.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(par, "doc_id").select(
         "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("g")
     )
     first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))

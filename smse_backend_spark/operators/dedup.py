@@ -141,7 +141,11 @@ def ngram_jaccard_pairs(
     Jaccard is then computed consistently over the filtered shingle sets
     (stopword-filtered Jaccard). The oracle applies the identical cut.
     """
-    sh = docs.select(
+    # spread the tokenize+shingle Column work across the executor width:
+    # a single-file corpus arrives as one input split and would serialize
+    # this stage on one core (see minhash_lsh_pairs). Result-invariant.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(par, "doc_id").select(
         "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle")
     )
     if max_df is not None:
@@ -236,7 +240,16 @@ def minhash_lsh_pairs(
     deduped across bands). Quadratic-free: one explode to (band, band_sig)
     keys, self-equijoin on the bucket."""
     r = num_hashes // bands
-    sig = docs.select("doc_id", minhash_signature_col(F.col("text"), num_hashes, n).alias("sig"))
+    # the signature Column (shingle explode + num_hashes min-folds of
+    # sha-derived values) is the CPU-heavy stage; a single-file corpus
+    # under maxPartitionBytes arrives as ONE input split, which serializes
+    # it on one core (measured 13 min for 100k docs at sf0.1) — spread it
+    # across the executor width first. Result-invariant: the output is a
+    # distinct pair set.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sig = docs.repartition(par, "doc_id").select(
+        "doc_id", minhash_signature_col(F.col("text"), num_hashes, n).alias("sig")
+    )
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -304,7 +317,12 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
     """
     from smse_backend_spark.functions.vectors import cosine_col
 
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    # the nested-loop pair join parallelizes over the STREAMED side's
+    # partitions; a single-file input would run it on one core
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    a = emb.repartition(par, "vec_id").select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
@@ -656,7 +674,10 @@ def substring_dup_pairs(
     (``dedup.py`` hash discipline); at oracle scale the window text
     itself is the key, which is collision-free by construction.
     """
-    w = docs.select(
+    # spread the shingle stage (single-input-split serialization — see
+    # minhash_lsh_pairs); result-invariant
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    w = docs.repartition(par, "doc_id").select(
         "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("win")
     )
     if max_df is not None:
@@ -700,7 +721,10 @@ def dup_ngram_fraction(
     window-df agg is map-side combined and vocabulary-bounded, the
     per-doc roll-up re-uses the exploded frame — no pair join at all,
     which is why WIMBD can report this at corpus scale."""
-    w = docs.select(
+    # spread the shingle stage (single-input-split serialization — see
+    # minhash_lsh_pairs); result-invariant
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    w = docs.repartition(par, "doc_id").select(
         "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("win")
     )
     dfw = w.groupBy("win").agg(F.count(F.lit(1)).alias("wdf"))
