@@ -1806,6 +1806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (Monday-anchored local weeks, ES bucket-key convention)
         "event_calendar_histogram": lambda spark, sf:
         R.event_calendar_histogram(spark, sf),
+        # ES EQL sequence-by-key correlation (view -> click -> purchase
+        # within 24h): minimal strictly-increasing chain span per user
+        "eql_sequence": lambda spark, sf: R.eql_sequence(spark, sf),
         # posting-list codec-selection stats: exact delta+varint bytes vs
         # the RoaringBitmap array/bitmap container rule, per lang
         "postings_size_stats": lambda spark, sf: __import__(
@@ -2092,7 +2095,7 @@ _CHECK_FIRST = [
     "nested_order_search", "nested_vs_flattened",
     "event_calendar_histogram", "hard_negatives", "streamed_trending",
     "ann_l2", "ann_mip", "bpe_merge_step", "dictionary_front_coding",
-    "postings_size_stats", "bm25_fuzzy_dl", "bm25_synonym_query",
+    "postings_size_stats", "eql_sequence", "bm25_fuzzy_dl", "bm25_synonym_query",
     "classic_tfidf", "lm_jelinek_mercer", "dfr_inl2", "dfr_pl2", "ib_ll",
     "ib_spl", "dfi_chi2", "dfi_saturated", "dfi_standardized",
     "boolean_sim", "axiomatic_f2exp", "axiomatic_f2log", "bm25_wildcard",
@@ -2827,6 +2830,7 @@ LIMIT 10
             "smse_backend_spark.index.codec",
             fromlist=["postings_size_stats_sql"],
         ).postings_size_stats_sql(),
+        "eql_sequence": R.eql_sequence_sql(),
         "ann_l2": __import__(
             "smse_backend_spark.operators.ann", fromlist=["metric_topk_sql"]
         ).metric_topk_sql([0, 1, 2], 10, "l2_norm"),

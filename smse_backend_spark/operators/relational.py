@@ -1895,3 +1895,116 @@ FROM events
 GROUP BY 1
 ORDER BY bucket_start
 """
+
+
+def eql_sequence(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    within_hours: int = 24,
+) -> DataFrame:
+    """ES EQL ``sequence by <key> [step1] [step2] ... with maxspan``:
+    per user, does a strictly time-increasing chain of events matching
+    the step predicates exist with (last.ts - first.ts) <= maxspan —
+    and what is the MINIMAL such span? The SIEM/funnel correlation
+    primitive (view -> click -> purchase) that windowed aggregation
+    cannot express: order matters, each step must strictly follow the
+    previous pick, and the span constraint binds the ends of the chain.
+
+    Returns (user_id, min_span_us) for every key with a qualifying
+    sequence, ordered by user_id. Exact: timestamps compare as integer
+    epoch-microseconds on both engines.
+
+    Plan shape: events pre-filter to the step types and project to
+    (key, step, ts_us) — ~16 B/row of MATCHING events shuffles, never
+    the event payload; one applyInPandas per key runs the same
+    monotone-pointer minimal-cover sweep as the positional span-near
+    kernel (O(events-per-key), pointers never rewind). At 10^12 events
+    the per-key state is the per-type timestamp lists — the exact state
+    ES's EQL engine keeps per join key.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from smse_backend_spark.session import ensure_pyfiles
+
+    ensure_pyfiles(spark)
+    within_us = int(within_hours) * 3_600_000_000
+    e = _t(spark, sf_dir, "events")
+    step_list = list(steps)
+    typed = (
+        e.filter(F.col("event_type").isin(step_list))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        lists = []
+        for s in step_list:
+            arr = np.sort(pdf.loc[pdf["event_type"] == s, "us"].to_numpy(np.int64))
+            if arr.size == 0:
+                return pd.DataFrame({"user_id": [], "min_span_us": []})
+            lists.append(arr)
+        ptrs = [0] * len(lists)
+        best = None
+        for p1 in lists[0]:
+            prev = p1
+            dead = False
+            for i in range(1, len(lists)):
+                li = lists[i]
+                j = ptrs[i]
+                while j < li.size and li[j] <= prev:
+                    j += 1
+                ptrs[i] = j
+                if j >= li.size:
+                    dead = True
+                    break
+                prev = li[j]
+            if dead:
+                break
+            span = int(prev - p1)
+            if best is None or span < best:
+                best = span
+        if best is None or best > within_us:
+            return pd.DataFrame({"user_id": [], "min_span_us": []})
+        return pd.DataFrame(
+            {"user_id": [int(pdf["user_id"].iloc[0])], "min_span_us": [best]}
+        )
+
+    return (
+        typed.groupBy("user_id")
+        .applyInPandas(kernel, "user_id long, min_span_us long")
+        .orderBy("user_id")
+    )
+
+
+def eql_sequence_sql(
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    within_hours: int = 24,
+) -> str:
+    """DuckDB twin of :func:`eql_sequence` — the explicit ordered join
+    chain with min(last - first) per key (tractable at oracle scale; the
+    Spark side is the linear-sweep algorithm)."""
+    within_us = int(within_hours) * 3_600_000_000
+    ctes = ",\n".join(
+        f"s{i} AS (SELECT user_id, epoch_us(ts) AS us FROM events "
+        f"WHERE event_type = '{s}')"
+        for i, s in enumerate(steps)
+    )
+    joins = " ".join(
+        f"JOIN s{i} ON s{i}.user_id = s0.user_id AND s{i}.us > s{i - 1}.us"
+        for i in range(1, len(steps))
+    )
+    last = f"s{len(steps) - 1}"
+    return f"""
+WITH {ctes}
+SELECT s0.user_id AS user_id,
+       min({last}.us - s0.us)::BIGINT AS min_span_us
+FROM s0 {joins}
+GROUP BY s0.user_id
+HAVING min({last}.us - s0.us) <= {within_us}
+ORDER BY user_id
+"""

@@ -404,3 +404,102 @@ def test_bpe_pair_counts_run_on_vocab_not_corpus(spark, sf_correct):
     # corpus text is only read for the words agg, which is cached: the
     # final plan reads the InMemoryRelation, not documents.parquet
     assert "InMemoryTableScan" in plan
+
+
+# --- EQL sequence ------------------------------------------------------------
+
+
+def _write_events(tmp_path, rows):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": list(range(len(rows))),
+            "ts": [ts for _, ts, _ in rows],
+            "user_id": [u for u, _, _ in rows],
+            "event_type": [t for _, _, t in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir(exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema),
+                   f"{sf}/events.parquet")
+    return sf
+
+
+def test_eql_sequence_later_start_beats_greedy(spark, tmp_path):
+    """The case a first-match-only engine gets wrong: user 1's earliest
+    view leads to a chain spanning 101 min, but a later view completes
+    within 3 — the minimal-cover sweep must find it. User 2 has the
+    steps OUT OF ORDER (purchase before click): no match."""
+    from smse_backend_spark.operators.relational import eql_sequence
+
+    base = dt.datetime(2024, 5, 6, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, base, "view"),
+        (1, base + 100 * m, "view"),
+        (1, base + 101 * m, "click"),
+        (1, base + 102 * m, "purchase"),
+        (2, base, "view"),
+        (2, base + 1 * m, "purchase"),
+        (2, base + 2 * m, "click"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {r["user_id"]: r["min_span_us"]
+           for r in eql_sequence(spark, sf, within_hours=1).collect()}
+    assert got == {1: 2 * 60_000_000}
+
+
+def test_eql_sequence_strictly_increasing_and_window(spark, tmp_path):
+    """Equal timestamps do not chain (strict >); a chain spanning exactly
+    the window passes, one microsecond over fails."""
+    from smse_backend_spark.operators.relational import eql_sequence
+
+    base = dt.datetime(2024, 5, 6, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # user 1: click shares the view's timestamp -> no chain
+        (1, base, "view"),
+        (1, base, "click"),
+        (1, base + h, "purchase"),
+        # user 2: exactly 24h end-to-end -> passes (<=)
+        (2, base, "view"),
+        (2, base + h, "click"),
+        (2, base + 24 * h, "purchase"),
+        # user 3: 24h + 1us -> fails
+        (3, base, "view"),
+        (3, base + h, "click"),
+        (3, base + 24 * h + us, "purchase"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {r["user_id"]: r["min_span_us"]
+           for r in eql_sequence(spark, sf, within_hours=24).collect()}
+    assert got == {2: 24 * 3_600_000_000}
+
+
+def test_eql_sequence_matches_oracle(spark, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.relational import (
+        eql_sequence,
+        eql_sequence_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from '{sf_smoke}/events.parquet'"
+    )
+    got = sorted(map(tuple, eql_sequence(spark, sf_smoke).collect()))
+    want = sorted(map(tuple, con.execute(eql_sequence_sql()).fetchall()))
+    assert got == want
