@@ -138,6 +138,22 @@ SYN_GROUPS: list[list[str]] = [["join", "merge"], ["scan", "window"], ["hash"]]
 
 FLAGSHIP_QUERY = "hash join merge scan"
 
+# ES|QL contract pipelines (operators/esql.py — one parser, two emitters)
+_ESQL_STATS = (
+    'FROM documents | WHERE lang == "en" AND n_chars >= 200 '
+    "| STATS count() AS n, avg(n_chars) AS avg_chars BY source "
+    "| SORT n DESC, source ASC | LIMIT 10"
+)
+_ESQL_MATCH = (
+    'FROM documents | WHERE match(text, "hash join") AND NOT lang == "zh" '
+    "| KEEP doc_id, lang, n_chars | SORT doc_id ASC | LIMIT 20"
+)
+_ESQL_EVAL = (
+    "FROM documents | EVAL bucket = n_chars % 100 "
+    "| STATS count() AS n BY bucket, lang "
+    "| SORT n DESC, bucket ASC, lang ASC | LIMIT 15"
+)
+
 # boolean-DSL contract query: AND/OR composition with a MUST_NOT clause
 BOOL_QUERY = "hash AND (join OR merge) AND NOT window"
 
@@ -1806,6 +1822,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (Monday-anchored local weeks, ES bucket-key convention)
         "event_calendar_histogram": lambda spark, sf:
         R.event_calendar_histogram(spark, sf),
+        # ES|QL piped query language: one parser, two code generators
+        # (DataFrame chain + DuckDB SQL from the same AST)
+        "esql_stats": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_STATS),
+        "esql_match": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_MATCH),
+        "esql_eval_bucket": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_EVAL),
         # ES EQL sequence-by-key correlation (view -> click -> purchase
         # within 24h): minimal strictly-increasing chain span per user
         "eql_sequence": lambda spark, sf: R.eql_sequence(spark, sf),
@@ -2095,7 +2122,8 @@ _CHECK_FIRST = [
     "nested_order_search", "nested_vs_flattened",
     "event_calendar_histogram", "hard_negatives", "streamed_trending",
     "ann_l2", "ann_mip", "bpe_merge_step", "dictionary_front_coding",
-    "postings_size_stats", "eql_sequence", "bm25_fuzzy_dl", "bm25_synonym_query",
+    "postings_size_stats", "eql_sequence",
+    "esql_stats", "esql_match", "esql_eval_bucket", "bm25_fuzzy_dl", "bm25_synonym_query",
     "classic_tfidf", "lm_jelinek_mercer", "dfr_inl2", "dfr_pl2", "ib_ll",
     "ib_spl", "dfi_chi2", "dfi_saturated", "dfi_standardized",
     "boolean_sim", "axiomatic_f2exp", "axiomatic_f2log", "bm25_wildcard",
@@ -2831,6 +2859,15 @@ LIMIT 10
             fromlist=["postings_size_stats_sql"],
         ).postings_size_stats_sql(),
         "eql_sequence": R.eql_sequence_sql(),
+        "esql_stats": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_STATS),
+        "esql_match": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_MATCH),
+        "esql_eval_bucket": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_EVAL),
         "ann_l2": __import__(
             "smse_backend_spark.operators.ann", fromlist=["metric_topk_sql"]
         ).metric_topk_sql([0, 1, 2], 10, "l2_norm"),

@@ -1,0 +1,395 @@
+"""ES|QL front-end: the piped query language (ES 8.11+) compiled to
+DataFrame pipelines.
+
+Supported subset (each stage maps 1:1 to an ES|QL processing command):
+
+    FROM <table>
+    | WHERE <boolean expr>      ==  !=  >  >=  <  <=  AND OR NOT ( )
+                                match(col, "text")   length(col)
+                                arithmetic  + - * / %  (`/` is float
+                                division on both engines — identical
+                                IEEE results; use % for bucketing)
+    | EVAL <name> = <expr>
+    | STATS <agg> AS <name> [, ...] BY <col>[, <col>...]
+                                count() count(col) sum avg min max
+    | KEEP col [, col...]
+    | SORT col [ASC|DESC] [, ...]
+    | LIMIT n
+
+ONE parser produces ONE AST; two code generators walk it — a Spark
+Column/DataFrame emitter and a DuckDB SQL emitter — so the oracle twin
+is derived from the same tree, never hand-written per query.
+``match(col, "text")`` is the WHERE-context (unscored) conjunctive
+token match: every query term present in the tokenized column, the
+filter-context semantics ES gives a match clause when no score is
+requested. ``avg`` rounds to 6 dp on both engines.
+
+Scale shape: the compiler emits a single declarative DataFrame chain —
+filters and projections reach Catalyst exactly as a hand-written
+pipeline would (pushdown/pruning verified in tests); STATS is one
+partial-aggregated groupBy; SORT+LIMIT ends in TakeOrderedAndProject.
+Nothing about the front-end adds a pass.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_TOKEN_RE = re.compile(
+    r'\s*(>=|<=|==|!=|[(),=+\-*/%<>|]|"(?:[^"\\]|\\.)*"|[A-Za-z_][A-Za-z_0-9]*|\d+\.\d+|\d+)'
+)
+
+_AGGS = {"count", "sum", "avg", "min", "max"}
+
+
+def _tokenize(src: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(src):
+        if src[pos].isspace():
+            pos += 1
+            continue
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise ValueError(f"ES|QL: cannot tokenize at {src[pos:pos+20]!r}")
+        out.append(m.group(1))
+        pos = m.end()
+    return out
+
+
+class _P:
+    """Recursive-descent expression parser over the shared token list."""
+
+    def __init__(self, toks: list[str]):
+        self.t = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.t[self.i] if self.i < len(self.t) else None
+
+    def next(self) -> str:
+        tok = self.t[self.i]
+        self.i += 1
+        return tok
+
+    def expect(self, tok: str) -> None:
+        got = self.next()
+        if got.upper() != tok.upper():
+            raise ValueError(f"ES|QL: expected {tok!r}, got {got!r}")
+
+    # expr := or_
+    def expr(self):
+        return self.or_()
+
+    def or_(self):
+        node = self.and_()
+        while self.peek() and self.peek().upper() == "OR":
+            self.next()
+            node = ("or", node, self.and_())
+        return node
+
+    def and_(self):
+        node = self.not_()
+        while self.peek() and self.peek().upper() == "AND":
+            self.next()
+            node = ("and", node, self.not_())
+        return node
+
+    def not_(self):
+        if self.peek() and self.peek().upper() == "NOT":
+            self.next()
+            return ("not", self.not_())
+        return self.cmp()
+
+    def cmp(self):
+        node = self.add()
+        if self.peek() in ("==", "!=", ">", ">=", "<", "<="):
+            op = self.next()
+            node = ("cmp", op, node, self.add())
+        return node
+
+    def add(self):
+        node = self.mul()
+        while self.peek() in ("+", "-"):
+            op = self.next()
+            node = ("arith", op, node, self.mul())
+        return node
+
+    def mul(self):
+        node = self.prim()
+        while self.peek() in ("*", "/", "%"):
+            op = self.next()
+            node = ("arith", op, node, self.prim())
+        return node
+
+    def prim(self):
+        tok = self.next()
+        if tok == "(":
+            node = self.expr()
+            self.expect(")")
+            return node
+        if tok.startswith('"'):
+            return ("str", tok[1:-1].replace('\\"', '"'))
+        if re.fullmatch(r"\d+\.\d+", tok):
+            return ("num", float(tok))
+        if re.fullmatch(r"\d+", tok):
+            return ("int", int(tok))
+        if self.peek() == "(":
+            self.next()
+            args = []
+            if self.peek() != ")":
+                args.append(self.expr())
+                while self.peek() == ",":
+                    self.next()
+                    args.append(self.expr())
+            self.expect(")")
+            return ("call", tok.lower(), args)
+        return ("col", tok)
+
+
+def parse_esql(query: str) -> list[tuple]:
+    """Parse the pipe-separated stages into an AST list."""
+    stages = []
+    parts = [p.strip() for p in query.strip().split("|")]
+    for k, part in enumerate(parts):
+        toks = _tokenize(part)
+        if not toks:
+            continue
+        head = toks[0].upper()
+        p = _P(toks[1:])
+        if head == "FROM":
+            if k != 0:
+                raise ValueError("ES|QL: FROM must be the first stage")
+            stages.append(("from", p.next()))
+        elif head == "WHERE":
+            stages.append(("where", p.expr()))
+        elif head == "EVAL":
+            name = p.next()
+            p.expect("=")
+            stages.append(("eval", name, p.expr()))
+        elif head == "STATS":
+            aggs = []
+            while True:
+                e = p.expr()
+                if e[0] != "call" or e[1] not in _AGGS:
+                    raise ValueError(f"ES|QL: STATS expects an aggregate, got {e}")
+                p.expect("AS")
+                aggs.append((e, p.next()))
+                if p.peek() == ",":
+                    p.next()
+                    continue
+                break
+            by = []
+            if p.peek() and p.peek().upper() == "BY":
+                p.next()
+                by.append(p.next())
+                while p.peek() == ",":
+                    p.next()
+                    by.append(p.next())
+            stages.append(("stats", aggs, by))
+        elif head == "KEEP":
+            cols = [p.next()]
+            while p.peek() == ",":
+                p.next()
+                cols.append(p.next())
+            stages.append(("keep", cols))
+        elif head == "SORT":
+            keys = []
+            while True:
+                col = p.next()
+                direc = "ASC"
+                if p.peek() and p.peek().upper() in ("ASC", "DESC"):
+                    direc = p.next().upper()
+                keys.append((col, direc))
+                if p.peek() == ",":
+                    p.next()
+                    continue
+                break
+            stages.append(("sort", keys))
+        elif head == "LIMIT":
+            stages.append(("limit", int(p.next())))
+        else:
+            raise ValueError(f"ES|QL: unknown command {head!r}")
+        if p.peek() is not None:
+            raise ValueError(f"ES|QL: trailing tokens in {part!r}: {p.t[p.i:]}")
+    if not stages or stages[0][0] != "from":
+        raise ValueError("ES|QL: query must start with FROM")
+    return stages
+
+
+# --- Spark emitter ----------------------------------------------------------
+
+def _col_spark(node):
+    from smse_backend_spark.functions.tokenizer import (
+        tokenize_col,
+        tokenize_py,
+    )
+
+    kind = node[0]
+    if kind == "col":
+        return F.col(node[1])
+    if kind == "str":
+        return F.lit(node[1])
+    if kind in ("num", "int"):
+        return F.lit(node[1])
+    if kind == "cmp":
+        op, a, b = node[1], _col_spark(node[2]), _col_spark(node[3])
+        return {
+            "==": a == b, "!=": a != b, ">": a > b,
+            ">=": a >= b, "<": a < b, "<=": a <= b,
+        }[op]
+    if kind == "and":
+        return _col_spark(node[1]) & _col_spark(node[2])
+    if kind == "or":
+        return _col_spark(node[1]) | _col_spark(node[2])
+    if kind == "not":
+        return ~_col_spark(node[1])
+    if kind == "arith":
+        op = node[1]
+        ca, cb = _col_spark(node[2]), _col_spark(node[3])
+        # `/` is float division on BOTH engines (Spark Column `/` and
+        # DuckDB `/` both promote integers to double; IEEE division of
+        # identical operands is bit-identical)
+        return {"+": ca + cb, "-": ca - cb, "*": ca * cb,
+                "/": ca / cb, "%": ca % cb}[op]
+    if kind == "call":
+        fn, args = node[1], node[2]
+        if fn == "match":
+            col_node, q_node = args
+            terms = sorted(set(tokenize_py(q_node[1])))
+            toks = tokenize_col(_col_spark(col_node))
+            cond = F.lit(True)
+            for t in terms:
+                cond = cond & F.array_contains(toks, t)
+            return cond
+        if fn == "length":
+            return F.length(_col_spark(args[0]))
+        raise ValueError(f"ES|QL: unknown function {fn!r}")
+    raise ValueError(f"ES|QL: bad node {node!r}")
+
+
+def _agg_spark(node, name):
+    fn, args = node[1], node[2]
+    if fn == "count":
+        c = F.count(F.lit(1)) if not args else F.count(_col_spark(args[0]))
+        return c.cast("long").alias(name)
+    target = _col_spark(args[0])
+    if fn == "avg":
+        return F.round(F.avg(target), 6).alias(name)
+    return {"sum": F.sum, "min": F.min, "max": F.max}[fn](target).alias(name)
+
+
+def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Execute an ES|QL query against the sf_dir parquet tables."""
+    stages = parse_esql(query)
+    df = None
+    for st in stages:
+        if st[0] == "from":
+            df = spark.read.parquet(f"{sf_dir}/{st[1]}.parquet")
+        elif st[0] == "where":
+            df = df.filter(_col_spark(st[1]))
+        elif st[0] == "eval":
+            df = df.withColumn(st[1], _col_spark(st[2]))
+        elif st[0] == "stats":
+            aggs, by = st[1], st[2]
+            exprs = [_agg_spark(e, name) for e, name in aggs]
+            df = df.groupBy(*by).agg(*exprs) if by else df.agg(*exprs)
+        elif st[0] == "keep":
+            df = df.select(*st[1])
+        elif st[0] == "sort":
+            keys = [
+                F.col(c).asc() if d == "ASC" else F.col(c).desc()
+                for c, d in st[1]
+            ]
+            df = df.orderBy(*keys)
+        elif st[0] == "limit":
+            df = df.limit(st[1])
+    return df
+
+
+# --- DuckDB emitter ---------------------------------------------------------
+
+def _col_sql(node) -> str:
+    from smse_backend_spark.functions.tokenizer import (
+        tokenize_duckdb_sql,
+        tokenize_py,
+    )
+
+    kind = node[0]
+    if kind == "col":
+        return node[1]
+    if kind == "str":
+        return "'" + node[1].replace("'", "''") + "'"
+    if kind == "num":
+        return repr(node[1])
+    if kind == "int":
+        return str(node[1])
+    if kind == "cmp":
+        op = {"==": "=", "!=": "<>"}.get(node[1], node[1])
+        return f"({_col_sql(node[2])} {op} {_col_sql(node[3])})"
+    if kind == "and":
+        return f"({_col_sql(node[1])} AND {_col_sql(node[2])})"
+    if kind == "or":
+        return f"({_col_sql(node[1])} OR {_col_sql(node[2])})"
+    if kind == "not":
+        return f"(NOT {_col_sql(node[1])})"
+    if kind == "arith":
+        return f"({_col_sql(node[2])} {node[1]} {_col_sql(node[3])})"
+    if kind == "call":
+        fn, args = node[1], node[2]
+        if fn == "match":
+            col_sql = tokenize_duckdb_sql(_col_sql(args[0]))
+            terms = sorted(set(tokenize_py(args[1][1])))
+            conds = " AND ".join(
+                f"list_contains({col_sql}, '" + t.replace("'", "''") + "')"
+                for t in terms
+            )
+            return f"({conds})"
+        if fn == "length":
+            return f"length({_col_sql(args[0])})"
+        raise ValueError(f"ES|QL: unknown function {fn!r}")
+    raise ValueError(f"ES|QL: bad node {node!r}")
+
+
+def _agg_sql(node, name) -> str:
+    fn, args = node[1], node[2]
+    if fn == "count":
+        inner = "*" if not args else _col_sql(args[0])
+        return f"count({inner})::BIGINT AS {name}"
+    target = _col_sql(args[0])
+    if fn == "avg":
+        return f"round(avg({target}), 6) AS {name}"
+    return f"{fn}({target}) AS {name}"
+
+
+def esql_to_sql(query: str) -> str:
+    """Compile the SAME AST to DuckDB SQL (the oracle twin)."""
+    stages = parse_esql(query)
+    sql = None
+    order = limit = None
+    for st in stages:
+        if st[0] == "from":
+            sql = f"SELECT * FROM {st[1]}"
+        elif st[0] == "where":
+            sql = f"SELECT * FROM ({sql}) WHERE {_col_sql(st[1])}"
+        elif st[0] == "eval":
+            sql = f"SELECT *, {_col_sql(st[2])} AS {st[1]} FROM ({sql})"
+        elif st[0] == "stats":
+            aggs, by = st[1], st[2]
+            sels = ", ".join([*by, *[_agg_sql(e, n) for e, n in aggs]])
+            group = f" GROUP BY {', '.join(by)}" if by else ""
+            sql = f"SELECT {sels} FROM ({sql}){group}"
+        elif st[0] == "keep":
+            sql = f"SELECT {', '.join(st[1])} FROM ({sql})"
+        elif st[0] == "sort":
+            order = ", ".join(f"{c} {d}" for c, d in st[1])
+        elif st[0] == "limit":
+            limit = st[1]
+    out = f"SELECT * FROM ({sql})"
+    if order:
+        out += f" ORDER BY {order}"
+    if limit is not None:
+        out += f" LIMIT {limit}"
+    return out

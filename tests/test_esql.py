@@ -1,0 +1,85 @@
+"""ES|QL front-end: one parser, two emitters (DataFrame + DuckDB SQL)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from smse_backend_spark.operators.esql import (
+    esql_to_sql,
+    parse_esql,
+    run_esql,
+)
+
+
+def _both(spark, sf, q):
+    con = duckdb.connect()
+    for t in ("documents", "events", "orders"):
+        con.execute(f"create view {t} as select * from '{sf}/{t}.parquet'")
+    s = sorted(map(tuple, run_esql(spark, sf, q).collect()))
+    o = sorted(map(tuple, con.execute(esql_to_sql(q)).fetchall()))
+    return s, o
+
+
+def test_esql_stats_by_matches_oracle(spark, sf_smoke):
+    q = ('FROM documents | WHERE lang == "en" AND n_chars >= 200 '
+         "| STATS count() AS n, avg(n_chars) AS avg_chars BY source "
+         "| SORT n DESC, source ASC | LIMIT 10")
+    s, o = _both(spark, sf_smoke, q)
+    assert s == o and len(s) > 0
+
+
+def test_esql_match_filter_semantics(spark, sf_smoke):
+    """match() in WHERE is the unscored conjunctive token match: every
+    returned doc contains EVERY query term as a token."""
+    from smse_backend_spark.functions.tokenizer import tokenize_py
+
+    q = ('FROM documents | WHERE match(text, "hash join") '
+         "| KEEP doc_id, text | SORT doc_id ASC | LIMIT 50")
+    rows = run_esql(spark, sf_smoke, q).collect()
+    assert rows
+    for r in rows:
+        toks = set(tokenize_py(r["text"]))
+        assert {"hash", "join"} <= toks
+    s, o = _both(spark, sf_smoke, q)
+    assert s == o
+
+
+def test_esql_eval_arith_and_grouping(spark, sf_smoke):
+    q = ("FROM events | EVAL vb = value * 2.0 + 1.0 "
+         '| WHERE event_type == "purchase" OR event_type == "view" '
+         "| STATS count() AS n, min(vb) AS lo, max(vb) AS hi BY event_type "
+         "| SORT event_type ASC | LIMIT 5")
+    s, o = _both(spark, sf_smoke, q)
+    assert s == o and len(s) == 2
+
+
+def test_esql_parser_rejects_malformed():
+    with pytest.raises(ValueError, match="must start with FROM"):
+        parse_esql('WHERE lang == "en"')
+    with pytest.raises(ValueError, match="FROM must be the first"):
+        parse_esql('FROM documents | FROM events')
+    with pytest.raises(ValueError, match="STATS expects an aggregate"):
+        parse_esql("FROM documents | STATS n_chars AS x")
+    with pytest.raises(ValueError, match="trailing tokens"):
+        parse_esql("FROM documents extra")
+    with pytest.raises(ValueError, match="unknown command"):
+        parse_esql("FROM documents | FROBNICATE 3")
+    with pytest.raises(ValueError, match="unknown function"):
+        esql_to_sql('FROM documents | WHERE frob(text) == 1')
+
+
+def test_esql_where_pushes_to_scan(spark, sf_correct):
+    """The compiled WHERE must reach the parquet scan as a pushed filter
+    and the STATS+SORT+LIMIT plan must end in TakeOrderedAndProject —
+    the front-end adds no pass over a hand-written pipeline."""
+    q = ('FROM documents | WHERE lang == "en" AND n_chars >= 200 '
+         "| STATS count() AS n BY source | SORT n DESC, source ASC "
+         "| LIMIT 5")
+    df = run_esql(spark, sf_correct, q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "EqualTo(lang,en)" in plan
+    assert "GreaterThanOrEqual(n_chars,200)" in plan
+    assert "TakeOrderedAndProject" in plan
