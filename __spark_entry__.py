@@ -153,6 +153,16 @@ _ESQL_EVAL = (
     "| STATS count() AS n BY bucket, lang "
     "| SORT n DESC, bucket ASC, lang ASC | LIMIT 15"
 )
+_ESQL_DISSECT = (
+    'FROM documents | DISSECT text "%{first} %{second} %{rest}" '
+    "| STATS count() AS n BY first | SORT n DESC, first ASC | LIMIT 10"
+)
+_ESQL_GROK = (
+    'FROM events | GROK props "%{NUMBER:k:int}" '
+    '| WHERE event_type == "purchase" '
+    "| STATS count() AS n, avg(k) AS avg_k, max(k) AS max_k BY event_type "
+    "| SORT event_type ASC | LIMIT 3"
+)
 
 # boolean-DSL contract query: AND/OR composition with a MUST_NOT clause
 BOOL_QUERY = "hash AND (join OR merge) AND NOT window"
@@ -1833,6 +1843,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_eval_bucket": lambda spark, sf: __import__(
             "smse_backend_spark.operators.esql", fromlist=["run_esql"]
         ).run_esql(spark, sf, _ESQL_EVAL),
+        "esql_dissect": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_DISSECT),
+        "esql_grok": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_GROK),
         # ES EQL sequence-by-key correlation (view -> click -> purchase
         # within 24h): minimal strictly-increasing chain span per user
         "eql_sequence": lambda spark, sf: R.eql_sequence(spark, sf),
@@ -2123,7 +2139,8 @@ _CHECK_FIRST = [
     "event_calendar_histogram", "hard_negatives", "streamed_trending",
     "ann_l2", "ann_mip", "bpe_merge_step", "dictionary_front_coding",
     "postings_size_stats", "eql_sequence",
-    "esql_stats", "esql_match", "esql_eval_bucket", "bm25_fuzzy_dl", "bm25_synonym_query",
+    "esql_stats", "esql_match", "esql_eval_bucket", "esql_dissect",
+    "esql_grok", "bm25_fuzzy_dl", "bm25_synonym_query",
     "classic_tfidf", "lm_jelinek_mercer", "dfr_inl2", "dfr_pl2", "ib_ll",
     "ib_spl", "dfi_chi2", "dfi_saturated", "dfi_standardized",
     "boolean_sim", "axiomatic_f2exp", "axiomatic_f2log", "bm25_wildcard",
@@ -2868,6 +2885,12 @@ LIMIT 10
         "esql_eval_bucket": __import__(
             "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
         ).esql_to_sql(_ESQL_EVAL),
+        "esql_dissect": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_DISSECT),
+        "esql_grok": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_GROK),
         "ann_l2": __import__(
             "smse_backend_spark.operators.ann", fromlist=["metric_topk_sql"]
         ).metric_topk_sql([0, 1, 2], 10, "l2_norm"),

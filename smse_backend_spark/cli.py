@@ -465,6 +465,19 @@ def cmd_curate(args) -> None:
     print(json.dumps({"mode": args.mode, "rows": n, "out": args.out}))
 
 
+def cmd_esql(args) -> None:
+    """Run an ES|QL pipeline (operators/esql.py) against a directory of
+    parquet tables as a spark-submit job: writes the result to --out and
+    prints a one-line JSON summary."""
+    from smse_backend_spark.operators.esql import run_esql
+
+    spark = _spark(args)
+    out = run_esql(spark, args.sf_dir, args.query)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"rows": n, "out": args.out}))
+
+
 def cmd_sketch(args) -> None:
     """Corpus-statistics / sketch jobs over a documents or events parquet:
     HyperLogLog cardinality, KMV set algebra, count-min heavy hitters,
@@ -825,6 +838,14 @@ def main(argv: list[str] | None = None) -> None:
     sk.add_argument("--edges", type=int, default=20)
     sk.add_argument("--master")
     sk.set_defaults(fn=cmd_sketch)
+
+    eq = sub.add_parser(
+        "esql", help="run an ES|QL pipeline over a parquet table dir")
+    eq.add_argument("--sf-dir", required=True)
+    eq.add_argument("--query", required=True)
+    eq.add_argument("--out", required=True)
+    eq.add_argument("--master")
+    eq.set_defaults(fn=cmd_esql)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -15,6 +15,10 @@ Supported subset (each stage maps 1:1 to an ES|QL processing command):
     | KEEP col [, col...]
     | SORT col [ASC|DESC] [, ...]
     | LIMIT n
+    | DISSECT col "%{a} ... %{z}"      (delimiter splitting)
+    | GROK col "%{NUMBER:k:int} ..."   (base grok patterns WORD NUMBER
+                                        INT NOTSPACE DATA GREEDYDATA;
+                                        :int/:float type suffixes)
 
 ONE parser produces ONE AST; two code generators walk it — a Spark
 Column/DataFrame emitter and a DuckDB SQL emitter — so the oracle twin
@@ -208,6 +212,12 @@ def parse_esql(query: str) -> list[tuple]:
                     continue
                 break
             stages.append(("sort", keys))
+        elif head in ("DISSECT", "GROK"):
+            col = p.next()
+            pat = p.next()
+            if not pat.startswith('"'):
+                raise ValueError(f"ES|QL: {head} expects a quoted pattern")
+            stages.append((head.lower(), col, pat[1:-1].replace('\\"', '"')))
         elif head == "LIMIT":
             stages.append(("limit", int(p.next())))
         else:
@@ -296,6 +306,23 @@ def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             aggs, by = st[1], st[2]
             exprs = [_agg_spark(e, name) for e, name in aggs]
             df = df.groupBy(*by).agg(*exprs) if by else df.agg(*exprs)
+        elif st[0] in ("dissect", "grok"):
+            from smse_backend_spark.operators.esql import (
+                _dissect_to_regex,
+                _grok_to_regex,
+            )
+
+            regex, fields = (
+                _dissect_to_regex(st[2]) if st[0] == "dissect"
+                else _grok_to_regex(st[2])
+            )
+            for idx, (name, typ) in enumerate(fields, start=1):
+                c = F.regexp_extract(F.col(st[1]), regex, idx)
+                if typ == "int":
+                    c = c.cast("long")
+                elif typ == "float":
+                    c = c.cast("double")
+                df = df.withColumn(name, c)
         elif st[0] == "keep":
             df = df.select(*st[1])
         elif st[0] == "sort":
@@ -381,6 +408,23 @@ def esql_to_sql(query: str) -> str:
             sels = ", ".join([*by, *[_agg_sql(e, n) for e, n in aggs]])
             group = f" GROUP BY {', '.join(by)}" if by else ""
             sql = f"SELECT {sels} FROM ({sql}){group}"
+        elif st[0] in ("dissect", "grok"):
+            regex, fields = (
+                _dissect_to_regex(st[2]) if st[0] == "dissect"
+                else _grok_to_regex(st[2])
+            )
+            # DuckDB single-quoted literals are escape-free: only quotes
+            # need doubling; backslashes pass through verbatim
+            rx = regex.replace("'", "''")
+            exts = []
+            for idx, (name, typ) in enumerate(fields, start=1):
+                e = f"regexp_extract({st[1]}, '{rx}', {idx})"
+                if typ == "int":
+                    e = f"TRY_CAST({e} AS BIGINT)"
+                elif typ == "float":
+                    e = f"TRY_CAST({e} AS DOUBLE)"
+                exts.append(f"{e} AS {name}")
+            sql = f"SELECT *, {', '.join(exts)} FROM ({sql})"
         elif st[0] == "keep":
             sql = f"SELECT {', '.join(st[1])} FROM ({sql})"
         elif st[0] == "sort":
@@ -393,3 +437,56 @@ def esql_to_sql(query: str) -> str:
     if limit is not None:
         out += f" LIMIT {limit}"
     return out
+
+
+# --- DISSECT / GROK (the ES|QL parsing commands) ----------------------------
+
+_GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "NUMBER": r"\d+(?:\.\d+)?",
+    "INT": r"\d+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+}
+
+_FIELD_RE = re.compile(r"%\{([A-Za-z_][A-Za-z_0-9]*)(?::([A-Za-z_][A-Za-z_0-9]*))?(?::(int|float))?\}")
+
+
+def _dissect_to_regex(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
+    """DISSECT pattern -> anchored regex with one lazy group per field.
+    ``%{name}`` fields separated by literal delimiters; lazy groups plus
+    the ^...$ anchors reproduce dissect's left-to-right minimal-match
+    splitting on both regex engines."""
+    fields, regex, pos = [], "^", 0
+    for m in re.finditer(r"%\{([A-Za-z_][A-Za-z_0-9]*)\}", pattern):
+        regex += re.escape(pattern[pos:m.start()]) + "(.*?)"
+        fields.append((m.group(1), None))
+        pos = m.end()
+    regex += re.escape(pattern[pos:]) + "$"
+    if not fields:
+        raise ValueError(f"DISSECT pattern has no %{{field}}s: {pattern!r}")
+    return regex, fields
+
+
+def _grok_to_regex(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
+    """GROK pattern -> unanchored regex. ``%{SYNTAX:field[:type]}``
+    references the classic grok base patterns; literals are escaped.
+    Unnamed syntaxes (``%{WORD}``) match without capturing."""
+    fields, regex, pos = [], "", 0
+    for m in _FIELD_RE.finditer(pattern):
+        regex += re.escape(pattern[pos:m.start()])
+        syntax, name, typ = m.group(1), m.group(2), m.group(3)
+        if syntax not in _GROK_PATTERNS:
+            raise ValueError(f"GROK: unknown pattern %{{{syntax}}}")
+        body = _GROK_PATTERNS[syntax]
+        if name:
+            regex += f"({body})"
+            fields.append((name, typ))
+        else:
+            regex += f"(?:{body})"
+        pos = m.end()
+    regex += re.escape(pattern[pos:])
+    if not fields:
+        raise ValueError(f"GROK pattern captures no fields: {pattern!r}")
+    return regex, fields

@@ -83,3 +83,67 @@ def test_esql_where_pushes_to_scan(spark, sf_correct):
     assert "EqualTo(lang,en)" in plan
     assert "GreaterThanOrEqual(n_chars,200)" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_esql_dissect_and_grok(spark, sf_smoke):
+    qd = ('FROM documents | DISSECT text "%{first} %{second} %{rest}" '
+          "| STATS count() AS n BY first | SORT n DESC, first ASC | LIMIT 10")
+    qg = ('FROM events | GROK props "%{NUMBER:k:int}" '
+          '| WHERE event_type == "purchase" '
+          "| STATS count() AS n, avg(k) AS avg_k BY event_type "
+          "| SORT event_type ASC | LIMIT 3")
+    for q in (qd, qg):
+        s, o = _both(spark, sf_smoke, q)
+        assert s == o and len(s) > 0
+
+
+def test_esql_dissect_splitting_semantics(spark, tmp_path):
+    """Left-to-right minimal splitting: the first field never swallows a
+    delimiter, the last extends to the end; non-matching rows yield
+    empty fields (and NULL after an :int grok cast)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["alpha beta gamma delta", "single"],
+        "lang": ["en", "en"], "source": ["s", "s"], "n_chars": [22, 6],
+    })
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(pdf), f"{sf}/documents.parquet")
+    from smse_backend_spark.operators.esql import run_esql
+
+    rows = {r["doc_id"]: (r["a"], r["b"], r["c"]) for r in run_esql(
+        spark, sf,
+        'FROM documents | DISSECT text "%{a} %{b} %{c}" '
+        "| KEEP doc_id, a, b, c | SORT doc_id ASC | LIMIT 10",
+    ).collect()}
+    assert rows[0] == ("alpha", "beta", "gamma delta")
+    assert rows[1] == ("", "", "")  # pattern needs two spaces: no match
+
+
+def test_esql_grok_unknown_pattern_rejected():
+    from smse_backend_spark.operators.esql import esql_to_sql
+
+    with pytest.raises(ValueError, match="unknown pattern"):
+        esql_to_sql('FROM events | GROK props "%{BOGUS:x}" | LIMIT 1')
+
+
+def test_cli_esql(tmp_path, spark, sf_smoke, capsys):
+    import json
+
+    from smse_backend_spark import cli
+
+    out = str(tmp_path / "esql_out")
+    cli.main([
+        "esql", "--sf-dir", sf_smoke, "--out", out,
+        "--query",
+        'FROM documents | WHERE lang == "en" | STATS count() AS n BY source '
+        "| SORT n DESC, source ASC | LIMIT 5",
+        "--master", "local[4]",
+    ])
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["rows"] == 5
+    rows = spark.read.parquet(out).collect()
+    assert {r["source"] for r in rows} and all(r["n"] > 0 for r in rows)
