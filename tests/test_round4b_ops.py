@@ -503,3 +503,17 @@ def test_eql_sequence_matches_oracle(spark, sf_smoke):
     got = sorted(map(tuple, eql_sequence(spark, sf_smoke).collect()))
     want = sorted(map(tuple, con.execute(eql_sequence_sql()).fetchall()))
     assert got == want
+
+
+def test_eql_sequence_plan_projects_before_shuffle(spark, sf_correct):
+    """Only (user_id, event_type, us) may cross the per-key shuffle —
+    event payloads (props/value) must be pruned at the scan, and the
+    step-type filter must be pushed."""
+    from smse_backend_spark.operators.relational import eql_sequence
+
+    plan = _plan_of(eql_sequence(spark, sf_correct))
+    assert "PushedFilters" in plan
+    assert "In(event_type" in plan
+    assert "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint," \
+           "event_type:string>" in plan
+    assert "props" not in plan.split("ReadSchema")[1][:200]
