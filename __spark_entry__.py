@@ -157,6 +157,13 @@ _ESQL_DISSECT = (
     'FROM documents | DISSECT text "%{first} %{second} %{rest}" '
     "| STATS count() AS n BY first | SORT n DESC, first ASC | LIMIT 10"
 )
+_ESQL_RENAME_DROP = (
+    "FROM orders | RENAME o_totalprice AS price "
+    "| DROP o_orderdate, o_orderpriority "
+    '| WHERE o_orderstatus == "F" '
+    "| STATS count() AS n, avg(price) AS avg_price BY o_orderstatus "
+    "| SORT o_orderstatus ASC | LIMIT 3"
+)
 _ESQL_GROK = (
     'FROM events | GROK props "%{NUMBER:k:int}" '
     '| WHERE event_type == "purchase" '
@@ -1849,6 +1856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_grok": lambda spark, sf: __import__(
             "smse_backend_spark.operators.esql", fromlist=["run_esql"]
         ).run_esql(spark, sf, _ESQL_GROK),
+        "esql_rename_drop": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_RENAME_DROP),
         # ES EQL sequence-by-key correlation (view -> click -> purchase
         # within 24h): minimal strictly-increasing chain span per user
         "eql_sequence": lambda spark, sf: R.eql_sequence(spark, sf),
@@ -2140,7 +2150,7 @@ _CHECK_FIRST = [
     "ann_l2", "ann_mip", "bpe_merge_step", "dictionary_front_coding",
     "postings_size_stats", "eql_sequence",
     "esql_stats", "esql_match", "esql_eval_bucket", "esql_dissect",
-    "esql_grok", "bm25_fuzzy_dl", "bm25_synonym_query",
+    "esql_grok", "esql_rename_drop", "bm25_fuzzy_dl", "bm25_synonym_query",
     "classic_tfidf", "lm_jelinek_mercer", "dfr_inl2", "dfr_pl2", "ib_ll",
     "ib_spl", "dfi_chi2", "dfi_saturated", "dfi_standardized",
     "boolean_sim", "axiomatic_f2exp", "axiomatic_f2log", "bm25_wildcard",
@@ -2891,6 +2901,9 @@ LIMIT 10
         "esql_grok": __import__(
             "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
         ).esql_to_sql(_ESQL_GROK),
+        "esql_rename_drop": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_RENAME_DROP),
         "ann_l2": __import__(
             "smse_backend_spark.operators.ann", fromlist=["metric_topk_sql"]
         ).metric_topk_sql([0, 1, 2], 10, "l2_norm"),

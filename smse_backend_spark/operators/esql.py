@@ -212,6 +212,23 @@ def parse_esql(query: str) -> list[tuple]:
                     continue
                 break
             stages.append(("sort", keys))
+        elif head == "RENAME":
+            pairs = []
+            while True:
+                old = p.next()
+                p.expect("AS")
+                pairs.append((old, p.next()))
+                if p.peek() == ",":
+                    p.next()
+                    continue
+                break
+            stages.append(("rename", pairs))
+        elif head == "DROP":
+            cols = [p.next()]
+            while p.peek() == ",":
+                p.next()
+                cols.append(p.next())
+            stages.append(("drop", cols))
         elif head in ("DISSECT", "GROK"):
             col = p.next()
             pat = p.next()
@@ -323,6 +340,11 @@ def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 elif typ == "float":
                     c = c.cast("double")
                 df = df.withColumn(name, c)
+        elif st[0] == "rename":
+            for old, new in st[1]:
+                df = df.withColumnRenamed(old, new)
+        elif st[0] == "drop":
+            df = df.drop(*st[1])
         elif st[0] == "keep":
             df = df.select(*st[1])
         elif st[0] == "sort":
@@ -425,6 +447,12 @@ def esql_to_sql(query: str) -> str:
                     e = f"TRY_CAST({e} AS DOUBLE)"
                 exts.append(f"{e} AS {name}")
             sql = f"SELECT *, {', '.join(exts)} FROM ({sql})"
+        elif st[0] == "rename":
+            ren = ", ".join(f"{old} AS {new}" for old, new in st[1])
+            olds = ", ".join(old for old, _ in st[1])
+            sql = f"SELECT * EXCLUDE ({olds}), {ren} FROM ({sql})"
+        elif st[0] == "drop":
+            sql = f"SELECT * EXCLUDE ({', '.join(st[1])}) FROM ({sql})"
         elif st[0] == "keep":
             sql = f"SELECT {', '.join(st[1])} FROM ({sql})"
         elif st[0] == "sort":

@@ -147,3 +147,23 @@ def test_cli_esql(tmp_path, spark, sf_smoke, capsys):
     assert meta["rows"] == 5
     rows = spark.read.parquet(out).collect()
     assert {r["source"] for r in rows} and all(r["n"] > 0 for r in rows)
+
+
+def test_esql_rename_drop(spark, sf_smoke):
+    q = ('FROM orders | RENAME o_totalprice AS price '
+         "| DROP o_orderdate, o_orderpriority "
+         '| WHERE o_orderstatus == "F" '
+         "| STATS count() AS n, avg(price) AS avg_price BY o_orderstatus "
+         "| SORT o_orderstatus ASC | LIMIT 3")
+    s, o = _both(spark, sf_smoke, q)
+    assert s == o and len(s) == 1
+    # dropped/renamed columns are really gone
+    from smse_backend_spark.operators.esql import run_esql
+
+    cols = run_esql(
+        spark, sf_smoke,
+        "FROM orders | RENAME o_totalprice AS price | DROP o_orderdate "
+        "| LIMIT 1",
+    ).columns
+    assert "price" in cols and "o_totalprice" not in cols
+    assert "o_orderdate" not in cols
