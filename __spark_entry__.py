@@ -1862,6 +1862,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES EQL sequence-by-key correlation (view -> click -> purchase
         # within 24h): minimal strictly-increasing chain span per user
         "eql_sequence": lambda spark, sf: R.eql_sequence(spark, sf),
+        # ... with the until clause: error events cancel pending chains
+        "eql_sequence_until": lambda spark, sf: R.eql_sequence(
+            spark, sf, until="error"
+        ),
         # posting-list codec-selection stats: exact delta+varint bytes vs
         # the RoaringBitmap array/bitmap container rule, per lang
         "postings_size_stats": lambda spark, sf: __import__(
@@ -2148,7 +2152,7 @@ _CHECK_FIRST = [
     "nested_order_search", "nested_vs_flattened",
     "event_calendar_histogram", "hard_negatives", "streamed_trending",
     "ann_l2", "ann_mip", "bpe_merge_step", "dictionary_front_coding",
-    "postings_size_stats", "eql_sequence",
+    "postings_size_stats", "eql_sequence", "eql_sequence_until",
     "esql_stats", "esql_match", "esql_eval_bucket", "esql_dissect",
     "esql_grok", "esql_rename_drop", "bm25_fuzzy_dl", "bm25_synonym_query",
     "classic_tfidf", "lm_jelinek_mercer", "dfr_inl2", "dfr_pl2", "ib_ll",
@@ -2886,6 +2890,7 @@ LIMIT 10
             fromlist=["postings_size_stats_sql"],
         ).postings_size_stats_sql(),
         "eql_sequence": R.eql_sequence_sql(),
+        "eql_sequence_until": R.eql_sequence_sql(until="error"),
         "esql_stats": __import__(
             "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
         ).esql_to_sql(_ESQL_STATS),

@@ -1902,6 +1902,7 @@ def eql_sequence(
     sf_dir: str,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
     within_hours: int = 24,
+    until: str | None = None,
 ) -> DataFrame:
     """ES EQL ``sequence by <key> [step1] [step2] ... with maxspan``:
     per user, does a strictly time-increasing chain of events matching
@@ -1914,6 +1915,15 @@ def eql_sequence(
     Returns (user_id, min_span_us) for every key with a qualifying
     sequence, ordered by user_id. Exact: timestamps compare as integer
     epoch-microseconds on both engines.
+
+    ``until`` (EQL's ``until [event]`` clause) cancels a pending
+    sequence when the terminating event fires: a chain is valid only if
+    no ``until`` event for the same key lies strictly inside
+    (first.ts, last.ts). Validity depends only on the chain's ENDPOINTS,
+    and for a fixed start the greedy chain minimizes the endpoint, so
+    per-start validity is decided by the greedy chain alone — which is
+    what keeps the sweep linear AND exactly equal to the oracle's
+    NOT-EXISTS over all chains (argued in the docstring of the kernel).
 
     Plan shape: events pre-filter to the step types and project to
     (key, step, ts_us) — ~16 B/row of MATCHING events shuffles, never
@@ -1932,8 +1942,9 @@ def eql_sequence(
     within_us = int(within_hours) * 3_600_000_000
     e = _t(spark, sf_dir, "events")
     step_list = list(steps)
+    wanted = step_list + ([until] if until else [])
     typed = (
-        e.filter(F.col("event_type").isin(step_list))
+        e.filter(F.col("event_type").isin(wanted))
         .select(
             "user_id",
             "event_type",
@@ -1948,6 +1959,10 @@ def eql_sequence(
             if arr.size == 0:
                 return pd.DataFrame({"user_id": [], "min_span_us": []})
             lists.append(arr)
+        u_arr = (
+            np.sort(pdf.loc[pdf["event_type"] == until, "us"].to_numpy(np.int64))
+            if until else None
+        )
         ptrs = [0] * len(lists)
         best = None
         for p1 in lists[0]:
@@ -1965,6 +1980,13 @@ def eql_sequence(
                 prev = li[j]
             if dead:
                 break
+            if u_arr is not None and u_arr.size:
+                # an until event strictly inside (p1, prev) cancels every
+                # chain from this start (their endpoints only widen)
+                lo = np.searchsorted(u_arr, p1, side="right")
+                hi = np.searchsorted(u_arr, prev, side="left")
+                if hi > lo:
+                    continue
             span = int(prev - p1)
             if best is None or span < best:
                 best = span
@@ -1984,6 +2006,7 @@ def eql_sequence(
 def eql_sequence_sql(
     steps: tuple[str, ...] = ("view", "click", "purchase"),
     within_hours: int = 24,
+    until: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`eql_sequence` — the explicit ordered join
     chain with min(last - first) per key (tractable at oracle scale; the
@@ -1999,11 +2022,18 @@ def eql_sequence_sql(
         for i in range(1, len(steps))
     )
     last = f"s{len(steps) - 1}"
+    until_clause = ""
+    if until:
+        until_clause = (
+            f"\nWHERE NOT EXISTS (SELECT 1 FROM events u "
+            f"WHERE u.event_type = '{until}' AND u.user_id = s0.user_id "
+            f"AND epoch_us(u.ts) > s0.us AND epoch_us(u.ts) < {last}.us)"
+        )
     return f"""
 WITH {ctes}
 SELECT s0.user_id AS user_id,
        min({last}.us - s0.us)::BIGINT AS min_span_us
-FROM s0 {joins}
+FROM s0 {joins}{until_clause}
 GROUP BY s0.user_id
 HAVING min({last}.us - s0.us) <= {within_us}
 ORDER BY user_id

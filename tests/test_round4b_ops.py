@@ -517,3 +517,61 @@ def test_eql_sequence_plan_projects_before_shuffle(spark, sf_correct):
     assert "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint," \
            "event_type:string>" in plan
     assert "props" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_eql_sequence_until_cancels(spark, tmp_path):
+    """An until event strictly inside the chain interval cancels it; one
+    at or outside the endpoints does not (EQL's until fires BETWEEN
+    sequence events, not on them)."""
+    from smse_backend_spark.operators.relational import eql_sequence
+
+    base = dt.datetime(2024, 5, 6, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: error strictly inside (view, purchase) -> cancelled
+        (1, base, "view"),
+        (1, base + 1 * m, "click"),
+        (1, base + 2 * m, "error"),
+        (1, base + 3 * m, "purchase"),
+        # user 2: error exactly AT the purchase timestamp -> not inside
+        (2, base, "view"),
+        (2, base + 1 * m, "click"),
+        (2, base + 2 * m, "purchase"),
+        (2, base + 2 * m, "error"),
+        # user 3: error before the chain starts -> unaffected
+        (3, base - 5 * m, "error"),
+        (3, base, "view"),
+        (3, base + 1 * m, "click"),
+        (3, base + 2 * m, "purchase"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {r["user_id"]: r["min_span_us"]
+           for r in eql_sequence(spark, sf, within_hours=1,
+                                 until="error").collect()}
+    assert got == {2: 2 * 60_000_000, 3: 2 * 60_000_000}
+    # without until, user 1 matches too
+    plain = {r["user_id"] for r in eql_sequence(spark, sf,
+                                                within_hours=1).collect()}
+    assert plain == {1, 2, 3}
+
+
+def test_eql_sequence_until_matches_oracle(spark, sf_smoke):
+    import duckdb
+
+    from smse_backend_spark.operators.relational import (
+        eql_sequence,
+        eql_sequence_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from '{sf_smoke}/events.parquet'"
+    )
+    got = sorted(map(tuple,
+                     eql_sequence(spark, sf_smoke, until="error").collect()))
+    want = sorted(map(tuple,
+                      con.execute(eql_sequence_sql(until="error")).fetchall()))
+    assert got == want
+    # until only removes keys, never adds
+    plain = {t[0] for t in map(tuple, eql_sequence(spark, sf_smoke).collect())}
+    assert {t[0] for t in got} <= plain
