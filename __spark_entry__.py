@@ -164,6 +164,12 @@ _ESQL_RENAME_DROP = (
     "| STATS count() AS n, avg(price) AS avg_price BY o_orderstatus "
     "| SORT o_orderstatus ASC | LIMIT 3"
 )
+_ESQL_ENRICH = (
+    "FROM orders | ENRICH customer ON o_custkey == c_custkey "
+    "WITH c_mktsegment "
+    "| STATS count() AS n, avg(o_totalprice) AS avg_price BY c_mktsegment "
+    "| SORT n DESC, c_mktsegment ASC | LIMIT 10"
+)
 _ESQL_GROK = (
     'FROM events | GROK props "%{NUMBER:k:int}" '
     '| WHERE event_type == "purchase" '
@@ -1859,6 +1865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_rename_drop": lambda spark, sf: __import__(
             "smse_backend_spark.operators.esql", fromlist=["run_esql"]
         ).run_esql(spark, sf, _ESQL_RENAME_DROP),
+        "esql_enrich": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_ENRICH),
         # ES EQL sequence-by-key correlation (view -> click -> purchase
         # within 24h): minimal strictly-increasing chain span per user
         "eql_sequence": lambda spark, sf: R.eql_sequence(spark, sf),
@@ -2154,7 +2163,7 @@ _CHECK_FIRST = [
     "ann_l2", "ann_mip", "bpe_merge_step", "dictionary_front_coding",
     "postings_size_stats", "eql_sequence", "eql_sequence_until",
     "esql_stats", "esql_match", "esql_eval_bucket", "esql_dissect",
-    "esql_grok", "esql_rename_drop", "bm25_fuzzy_dl", "bm25_synonym_query",
+    "esql_grok", "esql_rename_drop", "esql_enrich", "bm25_fuzzy_dl", "bm25_synonym_query",
     "classic_tfidf", "lm_jelinek_mercer", "dfr_inl2", "dfr_pl2", "ib_ll",
     "ib_spl", "dfi_chi2", "dfi_saturated", "dfi_standardized",
     "boolean_sim", "axiomatic_f2exp", "axiomatic_f2log", "bm25_wildcard",
@@ -2909,6 +2918,9 @@ LIMIT 10
         "esql_rename_drop": __import__(
             "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
         ).esql_to_sql(_ESQL_RENAME_DROP),
+        "esql_enrich": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_ENRICH),
         "ann_l2": __import__(
             "smse_backend_spark.operators.ann", fromlist=["metric_topk_sql"]
         ).metric_topk_sql([0, 1, 2], 10, "l2_norm"),

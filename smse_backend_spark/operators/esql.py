@@ -15,6 +15,12 @@ Supported subset (each stage maps 1:1 to an ES|QL processing command):
     | KEEP col [, col...]
     | SORT col [ASC|DESC] [, ...]
     | LIMIT n
+    | RENAME old AS new [, ...]
+    | DROP col [, col...]
+    | ENRICH table ON lkey == rkey WITH col [, col...]
+                                        (dimension lookup -> broadcast
+                                         left join; fact side never
+                                         shuffles)
     | DISSECT col "%{a} ... %{z}"      (delimiter splitting)
     | GROK col "%{NUMBER:k:int} ..."   (base grok patterns WORD NUMBER
                                         INT NOTSPACE DATA GREEDYDATA;
@@ -212,6 +218,18 @@ def parse_esql(query: str) -> list[tuple]:
                     continue
                 break
             stages.append(("sort", keys))
+        elif head == "ENRICH":
+            table = p.next()
+            p.expect("ON")
+            lk = p.next()
+            p.expect("==")
+            rk = p.next()
+            p.expect("WITH")
+            cols = [p.next()]
+            while p.peek() == ",":
+                p.next()
+                cols.append(p.next())
+            stages.append(("enrich", table, lk, rk, cols))
         elif head == "RENAME":
             pairs = []
             while True:
@@ -340,6 +358,16 @@ def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 elif typ == "float":
                     c = c.cast("double")
                 df = df.withColumn(name, c)
+        elif st[0] == "enrich":
+            _, table, lk, rk, cols = st
+            dim = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(
+                rk, *cols
+            )
+            # enrich policies are dimension-sized: broadcast, never shuffle
+            # the fact stream
+            df = df.join(
+                F.broadcast(dim), df[lk] == dim[rk], "left"
+            ).drop(rk)
         elif st[0] == "rename":
             for old, new in st[1]:
                 df = df.withColumnRenamed(old, new)
@@ -447,6 +475,12 @@ def esql_to_sql(query: str) -> str:
                     e = f"TRY_CAST({e} AS DOUBLE)"
                 exts.append(f"{e} AS {name}")
             sql = f"SELECT *, {', '.join(exts)} FROM ({sql})"
+        elif st[0] == "enrich":
+            _, table, lk, rk, cols = st
+            sel = ", ".join([rk, *cols])
+            sql = (f"SELECT * EXCLUDE ({rk}) FROM ({sql}) "
+                   f"LEFT JOIN (SELECT {sel} FROM {table}) _dim "
+                   f"ON {lk} = {rk}")
         elif st[0] == "rename":
             ren = ", ".join(f"{old} AS {new}" for old, new in st[1])
             olds = ", ".join(old for old, _ in st[1])

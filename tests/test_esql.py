@@ -15,7 +15,7 @@ from smse_backend_spark.operators.esql import (
 
 def _both(spark, sf, q):
     con = duckdb.connect()
-    for t in ("documents", "events", "orders"):
+    for t in ("documents", "events", "orders", "customer"):
         con.execute(f"create view {t} as select * from '{sf}/{t}.parquet'")
     s = sorted(map(tuple, run_esql(spark, sf, q).collect()))
     o = sorted(map(tuple, con.execute(esql_to_sql(q)).fetchall()))
@@ -167,3 +167,20 @@ def test_esql_rename_drop(spark, sf_smoke):
     ).columns
     assert "price" in cols and "o_totalprice" not in cols
     assert "o_orderdate" not in cols
+
+
+def test_esql_enrich_broadcast_join(spark, sf_correct):
+    """ENRICH == a left broadcast lookup join: values match the SQL twin
+    and the physical plan broadcasts the dimension (the fact stream
+    never shuffles for the enrichment)."""
+    from smse_backend_spark.operators.esql import run_esql
+
+    q = ('FROM orders | ENRICH customer ON o_custkey == c_custkey '
+         "WITH c_mktsegment "
+         "| STATS count() AS n, avg(o_totalprice) AS avg_price "
+         "BY c_mktsegment | SORT n DESC, c_mktsegment ASC | LIMIT 10")
+    s, o = _both(spark, sf_correct, q)
+    assert s == o and len(s) > 1
+    plan = run_esql(spark, sf_correct, q) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
