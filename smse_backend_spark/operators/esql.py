@@ -6,6 +6,8 @@ Supported subset (each stage maps 1:1 to an ES|QL processing command):
     FROM <table>
     | WHERE <boolean expr>      ==  !=  >  >=  <  <=  AND OR NOT ( )
                                 match(col, "text")   length(col)
+                                starts_with/ends_with/to_lower/
+                                to_upper/concat
                                 arithmetic  + - * / %  (`/` is float
                                 division on both engines — identical
                                 IEEE results; use % for bucketing)
@@ -311,6 +313,16 @@ def _col_spark(node):
             return cond
         if fn == "length":
             return F.length(_col_spark(args[0]))
+        if fn == "starts_with":
+            return _col_spark(args[0]).startswith(_col_spark(args[1]))
+        if fn == "ends_with":
+            return _col_spark(args[0]).endswith(_col_spark(args[1]))
+        if fn == "to_lower":
+            return F.lower(_col_spark(args[0]))
+        if fn == "to_upper":
+            return F.upper(_col_spark(args[0]))
+        if fn == "concat":
+            return F.concat(*[_col_spark(a) for a in args])
         raise ValueError(f"ES|QL: unknown function {fn!r}")
     raise ValueError(f"ES|QL: bad node {node!r}")
 
@@ -426,6 +438,16 @@ def _col_sql(node) -> str:
             return f"({conds})"
         if fn == "length":
             return f"length({_col_sql(args[0])})"
+        if fn == "starts_with":
+            return f"starts_with({_col_sql(args[0])}, {_col_sql(args[1])})"
+        if fn == "ends_with":
+            return f"ends_with({_col_sql(args[0])}, {_col_sql(args[1])})"
+        if fn == "to_lower":
+            return f"lower({_col_sql(args[0])})"
+        if fn == "to_upper":
+            return f"upper({_col_sql(args[0])})"
+        if fn == "concat":
+            return "(" + " || ".join(_col_sql(a) for a in args) + ")"
         raise ValueError(f"ES|QL: unknown function {fn!r}")
     raise ValueError(f"ES|QL: bad node {node!r}")
 

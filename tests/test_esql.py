@@ -184,3 +184,13 @@ def test_esql_enrich_broadcast_join(spark, sf_correct):
     plan = run_esql(spark, sf_correct, q) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_esql_string_functions(spark, sf_smoke):
+    q = ('FROM documents '
+         '| EVAL tag = concat(to_upper(lang), "_", source) '
+         '| WHERE starts_with(tag, "EN") AND ends_with(source, "0") '
+         "| STATS count() AS n BY tag | SORT n DESC, tag ASC | LIMIT 5")
+    s, o = _both(spark, sf_smoke, q)
+    assert s == o and len(s) > 0
+    assert all(t.startswith("EN") for t, _ in s)
