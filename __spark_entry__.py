@@ -164,6 +164,11 @@ _ESQL_RENAME_DROP = (
     "| STATS count() AS n, avg(price) AS avg_price BY o_orderstatus "
     "| SORT o_orderstatus ASC | LIMIT 3"
 )
+_ESQL_SCORED = (
+    "FROM documents METADATA _score "
+    '| WHERE match(text, "hash join merge scan") '
+    "| KEEP doc_id, _score | SORT _score DESC, doc_id ASC | LIMIT 10"
+)
 _ESQL_ENRICH = (
     "FROM orders | ENRICH customer ON o_custkey == c_custkey "
     "WITH c_mktsegment "
@@ -1868,6 +1873,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_enrich": lambda spark, sf: __import__(
             "smse_backend_spark.operators.esql", fromlist=["run_esql"]
         ).run_esql(spark, sf, _ESQL_ENRICH),
+        # relevance-ranked search THROUGH the query language: _score is
+        # the BM25 core's score, rank-identical to bm25_topk
+        "esql_scored_search": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_SCORED),
         # ES EQL sequence-by-key correlation (view -> click -> purchase
         # within 24h): minimal strictly-increasing chain span per user
         "eql_sequence": lambda spark, sf: R.eql_sequence(spark, sf),
@@ -2163,7 +2173,7 @@ _CHECK_FIRST = [
     "ann_l2", "ann_mip", "bpe_merge_step", "dictionary_front_coding",
     "postings_size_stats", "eql_sequence", "eql_sequence_until",
     "esql_stats", "esql_match", "esql_eval_bucket", "esql_dissect",
-    "esql_grok", "esql_rename_drop", "esql_enrich", "bm25_fuzzy_dl", "bm25_synonym_query",
+    "esql_grok", "esql_rename_drop", "esql_enrich", "esql_scored_search", "bm25_fuzzy_dl", "bm25_synonym_query",
     "classic_tfidf", "lm_jelinek_mercer", "dfr_inl2", "dfr_pl2", "ib_ll",
     "ib_spl", "dfi_chi2", "dfi_saturated", "dfi_standardized",
     "boolean_sim", "axiomatic_f2exp", "axiomatic_f2log", "bm25_wildcard",
@@ -2921,6 +2931,9 @@ LIMIT 10
         "esql_enrich": __import__(
             "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
         ).esql_to_sql(_ESQL_ENRICH),
+        "esql_scored_search": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_SCORED),
         "ann_l2": __import__(
             "smse_backend_spark.operators.ann", fromlist=["metric_topk_sql"]
         ).metric_topk_sql([0, 1, 2], 10, "l2_norm"),

@@ -174,7 +174,14 @@ def parse_esql(query: str) -> list[tuple]:
         if head == "FROM":
             if k != 0:
                 raise ValueError("ES|QL: FROM must be the first stage")
-            stages.append(("from", p.next()))
+            table = p.next()
+            meta_score = False
+            if p.peek() and p.peek().upper() == "METADATA":
+                p.next()
+                if p.next() != "_score":
+                    raise ValueError("ES|QL: only METADATA _score is supported")
+                meta_score = True
+            stages.append(("from", table, meta_score))
         elif head == "WHERE":
             stages.append(("where", p.expr()))
         elif head == "EVAL":
@@ -266,6 +273,37 @@ def parse_esql(query: str) -> list[tuple]:
     return stages
 
 
+def _find_match_calls(node, out):
+    if not isinstance(node, tuple):
+        return
+    if node[0] == "call" and node[1] == "match":
+        out.append(node)
+    for child in node[1:]:
+        if isinstance(child, tuple):
+            _find_match_calls(child, out)
+        elif isinstance(child, list):
+            for c in child:
+                _find_match_calls(c, out)
+
+
+def _score_query_text(stages) -> str | None:
+    """When FROM ... METADATA _score: the single match() clause whose
+    BM25 score becomes _score (ES|QL accumulates scores from scoring
+    functions in WHERE; this subset supports exactly one)."""
+    if not stages[0][2]:
+        return None
+    calls = []
+    for st in stages:
+        if st[0] == "where":
+            _find_match_calls(st[1], calls)
+    if len(calls) != 1:
+        raise ValueError(
+            "ES|QL: METADATA _score requires exactly ONE match() clause "
+            f"in WHERE (found {len(calls)})"
+        )
+    return calls[0][2][1][1]
+
+
 # --- Spark emitter ----------------------------------------------------------
 
 def _col_spark(node):
@@ -341,12 +379,27 @@ def _agg_spark(node, name):
 def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     """Execute an ES|QL query against the sf_dir parquet tables."""
     stages = parse_esql(query)
+    score_q = _score_query_text(stages)
     df = None
+    raw = None
     for st in stages:
         if st[0] == "from":
-            df = spark.read.parquet(f"{sf_dir}/{st[1]}.parquet")
+            raw = spark.read.parquet(f"{sf_dir}/{st[1]}.parquet")
+            df = raw
         elif st[0] == "where":
             df = df.filter(_col_spark(st[1]))
+            calls = []
+            _find_match_calls(st[1], calls)
+            if score_q is not None and calls:
+                from smse_backend_spark.operators.search import (
+                    bm25_scored_scan,
+                )
+
+                scored = bm25_scored_scan(
+                    raw.withColumnRenamed("text", "content"), score_q
+                ).select("doc_id", F.col("score").alias("_score"))
+                df = df.join(scored, "doc_id")
+                score_q = None
         elif st[0] == "eval":
             df = df.withColumn(st[1], _col_spark(st[2]))
         elif st[0] == "stats":
@@ -466,6 +519,8 @@ def _agg_sql(node, name) -> str:
 def esql_to_sql(query: str) -> str:
     """Compile the SAME AST to DuckDB SQL (the oracle twin)."""
     stages = parse_esql(query)
+    score_q = _score_query_text(stages)
+    from_table = stages[0][1]
     sql = None
     order = limit = None
     for st in stages:
@@ -473,6 +528,20 @@ def esql_to_sql(query: str) -> str:
             sql = f"SELECT * FROM {st[1]}"
         elif st[0] == "where":
             sql = f"SELECT * FROM ({sql}) WHERE {_col_sql(st[1])}"
+            calls = []
+            _find_match_calls(st[1], calls)
+            if score_q is not None and calls:
+                from smse_backend_spark.operators.search import (
+                    _ALL_ROWS,
+                    bm25_scan_oracle_sql,
+                )
+
+                scored = bm25_scan_oracle_sql(
+                    score_q, _ALL_ROWS, None, from_table, "text"
+                )
+                sql = (f"SELECT p.*, s.score AS _score FROM ({sql}) p "
+                       f"JOIN ({scored}) s USING (doc_id)")
+                score_q = None
         elif st[0] == "eval":
             sql = f"SELECT *, {_col_sql(st[2])} AS {st[1]} FROM ({sql})"
         elif st[0] == "stats":

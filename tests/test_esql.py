@@ -194,3 +194,37 @@ def test_esql_string_functions(spark, sf_smoke):
     s, o = _both(spark, sf_smoke, q)
     assert s == o and len(s) > 0
     assert all(t.startswith("EN") for t, _ in s)
+
+
+def test_esql_metadata_score_rank_identical_to_bm25(spark, sf_smoke):
+    """Relevance search through ES|QL: _score is the engine's BM25 and
+    the ranked prefix equals bm25_topk_scan for the conjunctive match
+    subset — the query language fronts the search core, it does not
+    reimplement it."""
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.operators.esql import run_esql
+    from smse_backend_spark.operators.search import bm25_topk_scan
+
+    q = ('FROM documents METADATA _score '
+         '| WHERE match(text, "hash join merge scan") '
+         "| KEEP doc_id, _score | SORT _score DESC, doc_id ASC | LIMIT 10")
+    got = [(r["doc_id"], r["_score"]) for r in run_esql(
+        spark, sf_smoke, q).collect()]
+    s, o = _both(spark, sf_smoke, q)
+    assert s == o
+    # conjunctive subset of the OR-mode ranking keeps relative order and
+    # scores: every (doc, score) pair must appear in the scan ranking
+    scan = {(r["doc_id"], r["score"]) for r in bm25_topk_scan(
+        load_corpus(spark, sf_smoke), "hash join merge scan", 1000).collect()}
+    assert set(got) <= scan and len(got) == 10
+
+
+def test_esql_metadata_score_requires_one_match():
+    from smse_backend_spark.operators.esql import esql_to_sql
+
+    with pytest.raises(ValueError, match="exactly ONE match"):
+        esql_to_sql("FROM documents METADATA _score | LIMIT 5")
+    with pytest.raises(ValueError, match="exactly ONE match"):
+        esql_to_sql(
+            'FROM documents METADATA _score | WHERE match(text, "a") '
+            '| WHERE match(text, "b") | LIMIT 5')
