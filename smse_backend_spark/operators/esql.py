@@ -407,11 +407,6 @@ def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             exprs = [_agg_spark(e, name) for e, name in aggs]
             df = df.groupBy(*by).agg(*exprs) if by else df.agg(*exprs)
         elif st[0] in ("dissect", "grok"):
-            from smse_backend_spark.operators.esql import (
-                _dissect_to_regex,
-                _grok_to_regex,
-            )
-
             regex, fields = (
                 _dissect_to_regex(st[2]) if st[0] == "dissect"
                 else _grok_to_regex(st[2])
