@@ -169,6 +169,10 @@ _ESQL_SCORED = (
     '| WHERE match(text, "hash join merge scan") '
     "| KEEP doc_id, _score | SORT _score DESC, doc_id ASC | LIMIT 10"
 )
+_ESQL_MV = (
+    'FROM documents | EVAL words = split(text, " ") | MV_EXPAND words '
+    "| STATS count() AS n BY words | SORT n DESC, words ASC | LIMIT 10"
+)
 _ESQL_ENRICH = (
     "FROM orders | ENRICH customer ON o_custkey == c_custkey "
     "WITH c_mktsegment "
@@ -1878,6 +1882,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_scored_search": lambda spark, sf: __import__(
             "smse_backend_spark.operators.esql", fromlist=["run_esql"]
         ).run_esql(spark, sf, _ESQL_SCORED),
+        # multivalue handling: split() -> MV_EXPAND (explode) -> STATS
+        "esql_mv_expand": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_MV),
         # ES EQL sequence-by-key correlation (view -> click -> purchase
         # within 24h): minimal strictly-increasing chain span per user
         "eql_sequence": lambda spark, sf: R.eql_sequence(spark, sf),
@@ -2173,7 +2181,8 @@ _CHECK_FIRST = [
     "ann_l2", "ann_mip", "bpe_merge_step", "dictionary_front_coding",
     "postings_size_stats", "eql_sequence", "eql_sequence_until",
     "esql_stats", "esql_match", "esql_eval_bucket", "esql_dissect",
-    "esql_grok", "esql_rename_drop", "esql_enrich", "esql_scored_search", "bm25_fuzzy_dl", "bm25_synonym_query",
+    "esql_grok", "esql_rename_drop", "esql_enrich", "esql_scored_search",
+    "esql_mv_expand", "bm25_fuzzy_dl", "bm25_synonym_query",
     "classic_tfidf", "lm_jelinek_mercer", "dfr_inl2", "dfr_pl2", "ib_ll",
     "ib_spl", "dfi_chi2", "dfi_saturated", "dfi_standardized",
     "boolean_sim", "axiomatic_f2exp", "axiomatic_f2log", "bm25_wildcard",
@@ -2934,6 +2943,9 @@ LIMIT 10
         "esql_scored_search": __import__(
             "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
         ).esql_to_sql(_ESQL_SCORED),
+        "esql_mv_expand": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_MV),
         "ann_l2": __import__(
             "smse_backend_spark.operators.ann", fromlist=["metric_topk_sql"]
         ).metric_topk_sql([0, 1, 2], 10, "l2_norm"),

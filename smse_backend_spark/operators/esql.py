@@ -227,6 +227,8 @@ def parse_esql(query: str) -> list[tuple]:
                     continue
                 break
             stages.append(("sort", keys))
+        elif head == "MV_EXPAND":
+            stages.append(("mv_expand", p.next()))
         elif head == "ENRICH":
             table = p.next()
             p.expect("ON")
@@ -361,6 +363,9 @@ def _col_spark(node):
             return F.upper(_col_spark(args[0]))
         if fn == "concat":
             return F.concat(*[_col_spark(a) for a in args])
+        if fn == "split":
+            return F.split(_col_spark(args[0]),
+                           re.escape(args[1][1]))
         raise ValueError(f"ES|QL: unknown function {fn!r}")
     raise ValueError(f"ES|QL: bad node {node!r}")
 
@@ -418,6 +423,8 @@ def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 elif typ == "float":
                     c = c.cast("double")
                 df = df.withColumn(name, c)
+        elif st[0] == "mv_expand":
+            df = df.withColumn(st[1], F.explode(st[1]))
         elif st[0] == "enrich":
             _, table, lk, rk, cols = st
             dim = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(
@@ -496,6 +503,9 @@ def _col_sql(node) -> str:
             return f"upper({_col_sql(args[0])})"
         if fn == "concat":
             return "(" + " || ".join(_col_sql(a) for a in args) + ")"
+        if fn == "split":
+            sep = args[1][1].replace("'", "''")
+            return f"string_split({_col_sql(args[0])}, '{sep}')"
         raise ValueError(f"ES|QL: unknown function {fn!r}")
     raise ValueError(f"ES|QL: bad node {node!r}")
 
@@ -561,6 +571,9 @@ def esql_to_sql(query: str) -> str:
                     e = f"TRY_CAST({e} AS DOUBLE)"
                 exts.append(f"{e} AS {name}")
             sql = f"SELECT *, {', '.join(exts)} FROM ({sql})"
+        elif st[0] == "mv_expand":
+            sql = (f"SELECT * EXCLUDE ({st[1]}), "
+                   f"unnest({st[1]}) AS {st[1]} FROM ({sql})")
         elif st[0] == "enrich":
             _, table, lk, rk, cols = st
             sel = ", ".join([rk, *cols])

@@ -228,3 +228,12 @@ def test_esql_metadata_score_requires_one_match():
         esql_to_sql(
             'FROM documents METADATA _score | WHERE match(text, "a") '
             '| WHERE match(text, "b") | LIMIT 5')
+
+
+def test_esql_split_mv_expand(spark, sf_smoke):
+    """split() + MV_EXPAND: multivalue explode with identical
+    empty-string and consecutive-separator semantics on both engines."""
+    q = ('FROM documents | EVAL words = split(text, " ") | MV_EXPAND words '
+         "| STATS count() AS n BY words | SORT n DESC, words ASC | LIMIT 10")
+    s, o = _both(spark, sf_smoke, q)
+    assert s == o and len(s) == 10
