@@ -2171,29 +2171,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Driver-coverage seeding, recomputed 2026-08-21 against CORRECTNESS_r01-r03:
-# this session's 10 additions lead, then every entry with NO driver row in
-# any round (165), in declaration order; driver-checked entries follow in
-# declaration order via the dict-update in queries().
+# Driver-coverage seeding, recomputed 2026-08-21 for round 5 against
+# CORRECTNESS_r01-r04: the four entries that FAILED in r01 (harness-side
+# issues, since fixed and judge-verified MATCH at sf0.01 in the round-4
+# VERDICT) lead so the official driver record finally shows them green;
+# then every entry with NO driver row in any round (136), in declaration
+# order; driver-checked entries follow via the dict-update in queries().
 _CHECK_FIRST = [
-    "nested_order_search", "nested_vs_flattened",
-    "event_calendar_histogram", "hard_negatives", "streamed_trending",
-    "ann_l2", "ann_mip", "bpe_merge_step", "dictionary_front_coding",
-    "postings_size_stats", "eql_sequence", "eql_sequence_until",
-    "esql_stats", "esql_match", "esql_eval_bucket", "esql_dissect",
-    "esql_grok", "esql_rename_drop", "esql_enrich", "esql_scored_search",
-    "esql_mv_expand", "bm25_fuzzy_dl", "bm25_synonym_query",
-    "classic_tfidf", "lm_jelinek_mercer", "dfr_inl2", "dfr_pl2", "ib_ll",
-    "ib_spl", "dfi_chi2", "dfi_saturated", "dfi_standardized",
-    "boolean_sim", "axiomatic_f2exp", "axiomatic_f2log", "bm25_wildcard",
-    "bm25_bool_prefix", "span_first", "span_multi_first",
-    "span_containing", "span_within", "span_or", "rank_feature_log",
-    "rank_feature_sigmoid", "facets_sampled", "significant_terms_mi",
-    "significant_terms_gnd", "significant_terms_chi2",
-    "significant_terms_pct", "cms_term_counts", "bloom_dedup",
-    "zipf_slope", "heaps_vocab_growth", "hll_cardinality", "hll_merged",
-    "kmv_set_ops", "graph_explore", "terms_enum", "nb_lang_confusion",
-    "weighted_reservoir", "span_not", "intervals_match",
+    "fusion_multipart", "simhash_neardup", "ann_lsh", "media_image_features",
+    "bloom_dedup", "zipf_slope", "heaps_vocab_growth", "hll_cardinality",
+    "hll_merged", "kmv_set_ops", "graph_explore", "terms_enum",
+    "nb_lang_confusion", "weighted_reservoir", "span_not", "intervals_match",
     "sayt_bool_prefix", "intervals_prefix", "intervals_fuzzy",
     "bm25_phrase_slop", "intervals_any_of", "intervals_not_containing",
     "mlt_unlike", "suggest_popular", "bm25_match_fuzzy_auto",
@@ -2209,26 +2197,25 @@ _CHECK_FIRST = [
     "rank_eval", "has_parent_search", "event_anomalies", "bm25_topk_jsonl",
     "bm25_topk_csv", "bm25_topk_orc", "sparse_vector_search",
     "sparse_vector_indexed", "simple_query_string",
-    "simple_query_string_indexed", "simple_query_string_or",
-    "query_string", "query_string_fuzzy", "query_string_group",
-    "query_string_indexed", "bm25_search_after_indexed",
-    "search_collapse_indexed", "facet_top_hits_indexed",
-    "sort_by_field_indexed", "function_score_indexed",
-    "rank_feature_indexed", "search_highlight_indexed",
-    "significant_terms_indexed", "search_global_agg", "search_range_agg",
-    "search_vw_histogram", "search_extended_stats", "search_weighted_avg",
-    "search_top_metrics", "search_string_stats", "search_filters_agg",
-    "search_mad", "search_boxplot", "search_t_test", "bm25_routed",
-    "ccs_search", "rollup_weekly", "ingest_pipeline", "terms_lookup",
-    "reindex_filtered", "substring_dup", "dup_ngram_frac", "semdedup",
-    "tfidf_vectors", "gopher_filter", "ann_ivf_filtered", "ann_mmr",
-    "ann_ivf_trained", "ann_rescore", "ann_bbq", "ann_threshold",
-    "ann_maxsim", "ccnet_buckets", "auto_date_histogram",
-    "event_pipeline_aggs", "event_moving_percentiles", "event_date_range",
-    "event_bucket_pipeline", "event_stats_bucket", "event_scripted_metric",
-    "event_cumulative_cardinality", "event_normalize",
-    "event_percentiles_bucket", "event_serial_diff", "event_rate",
-    "event_frequent_item_sets", "runtime_field_agg",
+    "simple_query_string_indexed", "simple_query_string_or", "query_string",
+    "query_string_fuzzy", "query_string_group", "query_string_indexed",
+    "bm25_search_after_indexed", "search_collapse_indexed",
+    "facet_top_hits_indexed", "sort_by_field_indexed",
+    "function_score_indexed", "rank_feature_indexed",
+    "search_highlight_indexed", "significant_terms_indexed",
+    "search_global_agg", "search_range_agg", "search_vw_histogram",
+    "search_extended_stats", "search_weighted_avg", "search_top_metrics",
+    "search_string_stats", "search_filters_agg", "search_mad",
+    "search_boxplot", "search_t_test", "bm25_routed", "ccs_search",
+    "rollup_weekly", "ingest_pipeline", "terms_lookup", "reindex_filtered",
+    "substring_dup", "dup_ngram_frac", "semdedup", "tfidf_vectors",
+    "gopher_filter", "ann_ivf_filtered", "ann_mmr", "ann_ivf_trained",
+    "ann_rescore", "ann_bbq", "ann_threshold", "ann_maxsim", "ccnet_buckets",
+    "auto_date_histogram", "event_pipeline_aggs", "event_moving_percentiles",
+    "event_date_range", "event_bucket_pipeline", "event_stats_bucket",
+    "event_scripted_metric", "event_cumulative_cardinality",
+    "event_normalize", "event_percentiles_bucket", "event_serial_diff",
+    "event_rate", "event_frequent_item_sets", "runtime_field_agg",
     "event_value_histogram_empty", "terms_shard_error",
     "search_percentile_ranks", "events_asof_orders", "doc_chunks",
     "chunk_hash_embed", "decontaminate", "pii_redact", "term_vectors",

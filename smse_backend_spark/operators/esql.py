@@ -161,10 +161,37 @@ class _P:
         return ("col", tok)
 
 
+def _split_stages(query: str) -> list[str]:
+    """Split on `|` only OUTSIDE double-quoted strings, so a literal
+    pipe inside a DISSECT pattern ("%{a}|%{b}") or a string argument
+    (concat(x, "|")) never mis-splits the query."""
+    parts, buf, in_str, esc = [], [], False, False
+    for ch in query:
+        if in_str:
+            buf.append(ch)
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+            buf.append(ch)
+        elif ch == "|":
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
 def parse_esql(query: str) -> list[tuple]:
     """Parse the pipe-separated stages into an AST list."""
     stages = []
-    parts = [p.strip() for p in query.strip().split("|")]
+    parts = [p.strip() for p in _split_stages(query.strip())]
     for k, part in enumerate(parts):
         toks = _tokenize(part)
         if not toks:
@@ -240,6 +267,14 @@ def parse_esql(query: str) -> list[tuple]:
             while p.peek() == ",":
                 p.next()
                 cols.append(p.next())
+            if lk == rk:
+                # df.join(...).drop(rk) would drop BOTH ambiguous columns
+                # on Spark while DuckDB errors differently — reject the
+                # ambiguous form up front on both engines
+                raise ValueError(
+                    "ES|QL: ENRICH requires distinct fact/dimension key "
+                    f"names (got {lk!r} == {rk!r}); RENAME one side first"
+                )
             stages.append(("enrich", table, lk, rk, cols))
         elif head == "RENAME":
             pairs = []
@@ -419,9 +454,12 @@ def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             for idx, (name, typ) in enumerate(fields, start=1):
                 c = F.regexp_extract(F.col(st[1]), regex, idx)
                 if typ == "int":
-                    c = c.cast("long")
+                    # try_cast (ANSI-safe) via double + floor on both
+                    # engines: a decimal capture ("3.5") under :int would
+                    # otherwise go null on Spark but round on DuckDB
+                    c = F.floor(c.try_cast("double")).cast("long")
                 elif typ == "float":
-                    c = c.cast("double")
+                    c = c.try_cast("double")
                 df = df.withColumn(name, c)
         elif st[0] == "mv_expand":
             df = df.withColumn(st[1], F.explode(st[1]))
@@ -527,8 +565,17 @@ def esql_to_sql(query: str) -> str:
     score_q = _score_query_text(stages)
     from_table = stages[0][1]
     sql = None
-    order = limit = None
+    # SORT/LIMIT apply IN PIPELINE POSITION (same as run_esql), not
+    # hoisted to the end: 'SORT ts | LIMIT 100 | STATS ...' must
+    # aggregate the top-100, and repeated SORT/LIMIT stages must not
+    # overwrite each other. A SORT is held pending only until the next
+    # stage so an adjacent LIMIT fuses into one well-defined top-n
+    # subquery (ORDER BY alone in a subquery has no guaranteed order).
+    pending_order = None
     for st in stages:
+        if pending_order is not None and st[0] != "limit":
+            sql = f"SELECT * FROM ({sql}) ORDER BY {pending_order}"
+            pending_order = None
         if st[0] == "from":
             sql = f"SELECT * FROM {st[1]}"
         elif st[0] == "where":
@@ -566,14 +613,16 @@ def esql_to_sql(query: str) -> str:
             for idx, (name, typ) in enumerate(fields, start=1):
                 e = f"regexp_extract({st[1]}, '{rx}', {idx})"
                 if typ == "int":
-                    e = f"TRY_CAST({e} AS BIGINT)"
+                    e = f"CAST(floor(TRY_CAST({e} AS DOUBLE)) AS BIGINT)"
                 elif typ == "float":
                     e = f"TRY_CAST({e} AS DOUBLE)"
                 exts.append(f"{e} AS {name}")
             sql = f"SELECT *, {', '.join(exts)} FROM ({sql})"
         elif st[0] == "mv_expand":
-            sql = (f"SELECT * EXCLUDE ({st[1]}), "
-                   f"unnest({st[1]}) AS {st[1]} FROM ({sql})")
+            # REPLACE keeps the exploded column in its original position,
+            # matching Spark's withColumn-in-place semantics
+            sql = (f"SELECT * REPLACE (unnest({st[1]}) AS {st[1]}) "
+                   f"FROM ({sql})")
         elif st[0] == "enrich":
             _, table, lk, rk, cols = st
             sel = ", ".join([rk, *cols])
@@ -581,6 +630,11 @@ def esql_to_sql(query: str) -> str:
                    f"LEFT JOIN (SELECT {sel} FROM {table}) _dim "
                    f"ON {lk} = {rk}")
         elif st[0] == "rename":
+            # EXCLUDE+re-add moves renamed columns to the END on the
+            # oracle side while Spark's withColumnRenamed keeps position
+            # (DuckDB 1.0 has no `* RENAME` star modifier). Known,
+            # documented divergence: the oracle compare keys columns by
+            # NAME, so position never affects the correctness gate.
             ren = ", ".join(f"{old} AS {new}" for old, new in st[1])
             olds = ", ".join(old for old, _ in st[1])
             sql = f"SELECT * EXCLUDE ({olds}), {ren} FROM ({sql})"
@@ -589,15 +643,17 @@ def esql_to_sql(query: str) -> str:
         elif st[0] == "keep":
             sql = f"SELECT {', '.join(st[1])} FROM ({sql})"
         elif st[0] == "sort":
-            order = ", ".join(f"{c} {d}" for c, d in st[1])
+            pending_order = ", ".join(f"{c} {d}" for c, d in st[1])
         elif st[0] == "limit":
-            limit = st[1]
-    out = f"SELECT * FROM ({sql})"
-    if order:
-        out += f" ORDER BY {order}"
-    if limit is not None:
-        out += f" LIMIT {limit}"
-    return out
+            if pending_order is not None:
+                sql = (f"SELECT * FROM ({sql}) "
+                       f"ORDER BY {pending_order} LIMIT {st[1]}")
+                pending_order = None
+            else:
+                sql = f"SELECT * FROM ({sql}) LIMIT {st[1]}"
+    if pending_order is not None:
+        return f"SELECT * FROM ({sql}) ORDER BY {pending_order}"
+    return sql
 
 
 # --- DISSECT / GROK (the ES|QL parsing commands) ----------------------------
@@ -624,7 +680,9 @@ def _dissect_to_regex(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
         regex += re.escape(pattern[pos:m.start()]) + "(.*?)"
         fields.append((m.group(1), None))
         pos = m.end()
-    regex += re.escape(pattern[pos:]) + "$"
+    # \z, not $: Java regex lets $ match before a final trailing newline
+    # while RE2's $ is true end-of-string — \z means end-of-text on BOTH
+    regex += re.escape(pattern[pos:]) + r"\z"
     if not fields:
         raise ValueError(f"DISSECT pattern has no %{{field}}s: {pattern!r}")
     return regex, fields

@@ -237,3 +237,96 @@ def test_esql_split_mv_expand(spark, sf_smoke):
          "| STATS count() AS n BY words | SORT n DESC, words ASC | LIMIT 10")
     s, o = _both(spark, sf_smoke, q)
     assert s == o and len(s) == 10
+
+
+# --- round-5 ADVICE fixes ---------------------------------------------------
+
+def test_esql_pipe_inside_quoted_pattern(spark, tmp_path):
+    """A literal `|` inside a quoted string (pipe is a common dissect
+    delimiter) must not split the query into bogus stages."""
+    import pandas as pd
+
+    pd.DataFrame({"doc_id": [1, 2], "line": ["a|b", "x|y"]}).to_parquet(
+        f"{tmp_path}/logs.parquet"
+    )
+    q = ('FROM logs | DISSECT line "%{lhs}|%{rhs}" '
+         "| KEEP doc_id, lhs, rhs | SORT doc_id ASC | LIMIT 5")
+    rows = run_esql(spark, str(tmp_path), q).collect()
+    assert [(r["lhs"], r["rhs"]) for r in rows] == [("a", "b"), ("x", "y")]
+    con = duckdb.connect()
+    con.execute(f"create view logs as select * from '{tmp_path}/logs.parquet'")
+    o = con.execute(esql_to_sql(q)).fetchall()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, o))
+
+
+def test_esql_midstream_sort_limit_twin(spark, sf_smoke):
+    """SORT|LIMIT in PIPELINE position (before STATS) must aggregate the
+    top-n on BOTH engines — the SQL emitter may not hoist it to the end."""
+    q = ("FROM events | SORT value DESC, event_id ASC | LIMIT 100 "
+         "| STATS count() AS n, sum(value) AS sv BY event_type "
+         "| SORT event_type ASC | LIMIT 20")
+    s, o = _both(spark, sf_smoke, q)
+    assert s == o and sum(r[1] for r in s) == 100
+
+
+def test_esql_repeated_limit_stages(spark, sf_smoke):
+    """Two LIMIT stages compose (min), not overwrite."""
+    q = ("FROM events | SORT event_id ASC | LIMIT 50 "
+         "| WHERE value >= 0.0 | SORT event_id DESC | LIMIT 7")
+    s, o = _both(spark, sf_smoke, q)
+    assert s == o and len(s) <= 7
+
+
+def test_esql_enrich_same_key_rejected():
+    with pytest.raises(ValueError, match="distinct fact/dimension key"):
+        parse_esql("FROM orders | ENRICH customer ON c_custkey == c_custkey "
+                   "WITH c_name")
+
+
+def test_esql_dissect_trailing_newline_twin(spark, tmp_path):
+    """\\z anchoring: a doc ending in '\\n' must fail the dissect match on
+    BOTH engines (Java $ would sneak a match before the newline)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {"doc_id": [1, 2], "line": ["k=v", "k=w\n"]}
+    ).to_parquet(f"{tmp_path}/logs.parquet")
+    q = ('FROM logs | DISSECT line "%{key}=%{val}" '
+         "| KEEP doc_id, key, val | SORT doc_id ASC | LIMIT 5")
+    rows = run_esql(spark, str(tmp_path), q).collect()
+    con = duckdb.connect()
+    con.execute(f"create view logs as select * from '{tmp_path}/logs.parquet'")
+    o = con.execute(esql_to_sql(q)).fetchall()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, o))
+    byid = {r["doc_id"]: (r["key"], r["val"]) for r in rows}
+    assert byid[1] == ("k", "v")
+    assert byid[2] == ("", "")  # no match: empty extract on both engines
+
+
+def test_esql_grok_int_on_decimal_capture_twin(spark, tmp_path):
+    """%{NUMBER:k:int} over a decimal capture floors identically on both
+    engines (was: Spark null vs DuckDB round)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "line": ["t=3.7", "t=12", "t=oops"]}
+    ).to_parquet(f"{tmp_path}/logs.parquet")
+    q = ('FROM logs | GROK line "t=%{NUMBER:t:int}" '
+         "| KEEP doc_id, t | SORT doc_id ASC | LIMIT 5")
+    rows = run_esql(spark, str(tmp_path), q).collect()
+    con = duckdb.connect()
+    con.execute(f"create view logs as select * from '{tmp_path}/logs.parquet'")
+    o = con.execute(esql_to_sql(q)).fetchall()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, o))
+    byid = {r["doc_id"]: r["t"] for r in rows}
+    assert byid[1] == 3 and byid[2] == 12 and byid[3] is None
+
+
+def test_esql_mv_expand_preserves_column_position(spark, sf_smoke):
+    """REPLACE-based unnest keeps the exploded column in place on the
+    oracle side, matching Spark's withColumn-in-place schema."""
+    q = ('FROM documents | WHERE doc_id < 5 | EVAL parts = split(text, " ") '
+         "| MV_EXPAND parts | KEEP doc_id, parts | SORT doc_id ASC, parts ASC "
+         "| LIMIT 40")
+    s, o = _both(spark, sf_smoke, q)
+    assert s == o and len(s) > 0
