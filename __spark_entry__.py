@@ -185,6 +185,47 @@ _ESQL_GROK = (
     "| STATS count() AS n, avg(k) AS avg_k, max(k) AS max_k BY event_type "
     "| SORT event_type ASC | LIMIT 3"
 )
+# round-5 ES|QL widening (operators/esql.py): IN / LIKE / RLIKE / CASE /
+# DATE_TRUNC / COUNT_DISTINCT + MEDIAN / TOP / STATS BY CATEGORIZE —
+# every oracle below is emitted from the SAME AST by esql_to_sql
+_ESQL_IN = (
+    'FROM events | WHERE event_type IN ("purchase", "view") '
+    "| STATS n = count(), sv = sum(value) BY event_type "
+    "| SORT event_type ASC | LIMIT 5"
+)
+_ESQL_LIKE = (
+    'FROM documents | WHERE source LIKE "src1*" AND lang NOT IN ("zh") '
+    "| STATS n = count() BY source, lang "
+    "| SORT n DESC, source ASC, lang ASC | LIMIT 15"
+)
+_ESQL_RLIKE = (
+    'FROM documents | WHERE source RLIKE "src1.?" '
+    "| STATS n = count() BY source | SORT source ASC | LIMIT 25"
+)
+_ESQL_CASE = (
+    'FROM events | EVAL size = CASE(value < 50.0, "small", '
+    'value < 200.0, "mid", "big") '
+    "| STATS n = count(), avg_v = avg(value) BY size, event_type "
+    "| SORT size ASC, event_type ASC | LIMIT 20"
+)
+_ESQL_DATE_TRUNC = (
+    'FROM events | EVAL wk = DATE_TRUNC("week", ts) '
+    '| WHERE event_type == "purchase" '
+    "| STATS n = count() BY wk | SORT wk ASC | LIMIT 60"
+)
+_ESQL_CDIST_MEDIAN = (
+    "FROM events | STATS u = count_distinct(user_id), "
+    "med = median(value), n = count() BY event_type "
+    "| SORT event_type ASC | LIMIT 10"
+)
+_ESQL_TOP = (
+    'FROM events | STATS t = top(value, 5, "desc") BY event_type '
+    "| MV_EXPAND t | SORT event_type ASC, t DESC | LIMIT 40"
+)
+_ESQL_CATEGORIZE = (
+    "FROM documents | STATS n = count() BY CATEGORIZE(text) "
+    "| SORT n DESC, category ASC | LIMIT 15"
+)
 
 # boolean-DSL contract query: AND/OR composition with a MUST_NOT clause
 BOOL_QUERY = "hash AND (join OR merge) AND NOT window"
@@ -1886,6 +1927,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_mv_expand": lambda spark, sf: __import__(
             "smse_backend_spark.operators.esql", fromlist=["run_esql"]
         ).run_esql(spark, sf, _ESQL_MV),
+        # round-5 widening: one entry per new command/function
+        "esql_in": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_IN),
+        "esql_like": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_LIKE),
+        "esql_rlike": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_RLIKE),
+        "esql_case": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_CASE),
+        "esql_date_trunc": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_DATE_TRUNC),
+        "esql_count_distinct_median": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_CDIST_MEDIAN),
+        "esql_top": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_TOP),
+        "esql_categorize": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_CATEGORIZE),
         # ES EQL sequence-by-key correlation (view -> click -> purchase
         # within 24h): minimal strictly-increasing chain span per user
         "eql_sequence": lambda spark, sf: R.eql_sequence(spark, sf),
@@ -2179,6 +2245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # order; driver-checked entries follow via the dict-update in queries().
 _CHECK_FIRST = [
     "fusion_multipart", "simhash_neardup", "ann_lsh", "media_image_features",
+    # round-5 additions (no driver row yet)
+    "esql_in", "esql_like", "esql_rlike", "esql_case", "esql_date_trunc",
+    "esql_count_distinct_median", "esql_top", "esql_categorize",
     "bloom_dedup", "zipf_slope", "heaps_vocab_growth", "hll_cardinality",
     "hll_merged", "kmv_set_ops", "graph_explore", "terms_enum",
     "nb_lang_confusion", "weighted_reservoir", "span_not", "intervals_match",
@@ -2933,6 +3002,30 @@ LIMIT 10
         "esql_mv_expand": __import__(
             "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
         ).esql_to_sql(_ESQL_MV),
+        "esql_in": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_IN),
+        "esql_like": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_LIKE),
+        "esql_rlike": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_RLIKE),
+        "esql_case": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_CASE),
+        "esql_date_trunc": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_DATE_TRUNC),
+        "esql_count_distinct_median": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_CDIST_MEDIAN),
+        "esql_top": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_TOP),
+        "esql_categorize": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_CATEGORIZE),
         "ann_l2": __import__(
             "smse_backend_spark.operators.ann", fromlist=["metric_topk_sql"]
         ).metric_topk_sql([0, 1, 2], 10, "l2_norm"),

@@ -5,15 +5,28 @@ Supported subset (each stage maps 1:1 to an ES|QL processing command):
 
     FROM <table>
     | WHERE <boolean expr>      ==  !=  >  >=  <  <=  AND OR NOT ( )
+                                x IN (lit, ...)   [NOT] LIKE "pat*?"
+                                [NOT] RLIKE "regex"  (whole-string, as
+                                the ES regexp query; \A..\z anchored so
+                                Java regex == RE2)
                                 match(col, "text")   length(col)
                                 starts_with/ends_with/to_lower/
-                                to_upper/concat
+                                to_upper/concat/coalesce/abs/round
+                                CASE(cond, val, ..., [default])
+                                DATE_TRUNC("day"|"week"|..., ts)
                                 arithmetic  + - * / %  (`/` is float
                                 division on both engines — identical
                                 IEEE results; use % for bucketing)
     | EVAL <name> = <expr>
-    | STATS <agg> AS <name> [, ...] BY <col>[, <col>...]
+    | STATS <agg> AS <name> [, ...] BY <key>[, <key>...]
                                 count() count(col) sum avg min max
+                                count_distinct(col) median(col)
+                                top(col, n, "desc") values(col)
+                                key := col | name = <expr>
+                                     | CATEGORIZE(col)  (the
+                                       deterministic prefix-skeleton
+                                       categorizer, shared with the
+                                       categorize_text aggregation)
     | KEEP col [, col...]
     | SORT col [ASC|DESC] [, ...]
     | LIMIT n
@@ -54,7 +67,10 @@ _TOKEN_RE = re.compile(
     r'\s*(>=|<=|==|!=|[(),=+\-*/%<>|]|"(?:[^"\\]|\\.)*"|[A-Za-z_][A-Za-z_0-9]*|\d+\.\d+|\d+)'
 )
 
-_AGGS = {"count", "sum", "avg", "min", "max"}
+_AGGS = {"count", "sum", "avg", "min", "max",
+         "count_distinct", "median", "top", "values"}
+
+_TRUNC_UNITS = {"year", "month", "week", "day", "hour", "minute", "second"}
 
 
 def _tokenize(src: str) -> list[str]:
@@ -119,7 +135,31 @@ class _P:
         node = self.add()
         if self.peek() in ("==", "!=", ">", ">=", "<", "<="):
             op = self.next()
-            node = ("cmp", op, node, self.add())
+            return ("cmp", op, node, self.add())
+        # infix IN / LIKE / RLIKE, with the NOT-infix forms (x NOT IN ...)
+        neg = False
+        if (self.peek() and self.peek().upper() == "NOT"
+                and self.i + 1 < len(self.t)
+                and self.t[self.i + 1].upper() in ("IN", "LIKE", "RLIKE")):
+            self.next()
+            neg = True
+        if self.peek() and self.peek().upper() in ("IN", "LIKE", "RLIKE"):
+            op = self.next().upper()
+            if op == "IN":
+                self.expect("(")
+                lits = [self.prim()]
+                while self.peek() == ",":
+                    self.next()
+                    lits.append(self.prim())
+                self.expect(")")
+                node = ("in", node, lits)
+            else:
+                pat = self.prim()
+                if pat[0] != "str":
+                    raise ValueError(f"ES|QL: {op} expects a quoted pattern")
+                node = (op.lower(), node, pat[1])
+            if neg:
+                node = ("not", node)
         return node
 
     def add(self):
@@ -212,17 +252,33 @@ def parse_esql(query: str) -> list[tuple]:
         elif head == "WHERE":
             stages.append(("where", p.expr()))
         elif head == "EVAL":
-            name = p.next()
-            p.expect("=")
-            stages.append(("eval", name, p.expr()))
+            assigns = []
+            while True:
+                name = p.next()
+                p.expect("=")
+                assigns.append((name, p.expr()))
+                if p.peek() == ",":
+                    p.next()
+                    continue
+                break
+            stages.append(("eval", assigns))
         elif head == "STATS":
             aggs = []
             while True:
+                # both naming forms: `name = agg()` (ES|QL-native) and
+                # `agg() AS name`
+                name = None
+                if (p.i + 1 < len(p.t) and p.t[p.i + 1] == "="
+                        and re.fullmatch(r"[A-Za-z_]\w*", p.peek() or "")):
+                    name = p.next()
+                    p.next()
                 e = p.expr()
                 if e[0] != "call" or e[1] not in _AGGS:
                     raise ValueError(f"ES|QL: STATS expects an aggregate, got {e}")
-                p.expect("AS")
-                aggs.append((e, p.next()))
+                if name is None:
+                    p.expect("AS")
+                    name = p.next()
+                aggs.append((e, name))
                 if p.peek() == ",":
                     p.next()
                     continue
@@ -230,10 +286,28 @@ def parse_esql(query: str) -> list[tuple]:
             by = []
             if p.peek() and p.peek().upper() == "BY":
                 p.next()
-                by.append(p.next())
-                while p.peek() == ",":
-                    p.next()
-                    by.append(p.next())
+                while True:
+                    # BY col | BY name = <expr> | BY CATEGORIZE(col)
+                    if (p.i + 1 < len(p.t) and p.t[p.i + 1] == "="
+                            and re.fullmatch(r"[A-Za-z_]\w*", p.peek())):
+                        name = p.next()
+                        p.next()
+                        by.append((name, p.expr()))
+                    else:
+                        e = p.expr()
+                        if e[0] == "col":
+                            by.append((e[1], e))
+                        elif e[0] == "call" and e[1] == "categorize":
+                            by.append(("category", e))
+                        else:
+                            raise ValueError(
+                                "ES|QL: STATS BY expects a column, "
+                                f"name = expr, or CATEGORIZE(col); got {e}"
+                            )
+                    if p.peek() == ",":
+                        p.next()
+                        continue
+                    break
             stages.append(("stats", aggs, by))
         elif head == "KEEP":
             cols = [p.next()]
@@ -310,6 +384,25 @@ def parse_esql(query: str) -> list[tuple]:
     return stages
 
 
+def _wildcard_to_like(pat: str) -> str:
+    """ES|QL LIKE uses `*`/`?` wildcards; translate to SQL LIKE `%`/`_`
+    (identical on Spark and DuckDB). Literal `%`/`_` inside the pattern
+    would need engine-specific ESCAPE plumbing — rejected explicitly."""
+    if "%" in pat or "_" in pat:
+        raise ValueError(
+            "ES|QL: LIKE pattern may not contain literal % or _ "
+            f"(use RLIKE for those): {pat!r}"
+        )
+    return pat.replace("*", "%").replace("?", "_")
+
+
+def _anchored(pat: str) -> str:
+    r"""ES|QL RLIKE (like the ES regexp query) matches the ENTIRE string.
+    \A/\z anchors mean end-of-text on BOTH Java regex and RE2 ($ differs
+    on trailing newlines)."""
+    return r"\A(?:" + pat + r")\z"
+
+
 def _find_match_calls(node, out):
     if not isinstance(node, tuple):
         return
@@ -376,6 +469,12 @@ def _col_spark(node):
         # identical operands is bit-identical)
         return {"+": ca + cb, "-": ca - cb, "*": ca * cb,
                 "/": ca / cb, "%": ca % cb}[op]
+    if kind == "in":
+        return _col_spark(node[1]).isin([lit[1] for lit in node[2]])
+    if kind == "like":
+        return _col_spark(node[1]).like(_wildcard_to_like(node[2]))
+    if kind == "rlike":
+        return _col_spark(node[1]).rlike(_anchored(node[2]))
     if kind == "call":
         fn, args = node[1], node[2]
         if fn == "match":
@@ -401,6 +500,44 @@ def _col_spark(node):
         if fn == "split":
             return F.split(_col_spark(args[0]),
                            re.escape(args[1][1]))
+        if fn == "case":
+            # CASE(cond1, val1[, cond2, val2...][, default])
+            if len(args) < 2:
+                raise ValueError("ES|QL: CASE needs a condition and value")
+            c = None
+            for i in range(0, len(args) - 1, 2):
+                cond, val = _col_spark(args[i]), _col_spark(args[i + 1])
+                c = F.when(cond, val) if c is None else c.when(cond, val)
+            if len(args) % 2 == 1:
+                c = c.otherwise(_col_spark(args[-1]))
+            return c
+        if fn == "date_trunc":
+            unit = args[0]
+            if unit[0] != "str" or unit[1] not in _TRUNC_UNITS:
+                raise ValueError(
+                    f"ES|QL: DATE_TRUNC unit must be one of {_TRUNC_UNITS}"
+                )
+            return F.date_trunc(unit[1], _col_spark(args[1]))
+        if fn == "coalesce":
+            return F.coalesce(*[_col_spark(a) for a in args])
+        if fn == "abs":
+            return F.abs(_col_spark(args[0]))
+        if fn == "round":
+            scale = args[1][1] if len(args) > 1 else 0
+            return F.round(_col_spark(args[0]), int(scale))
+        if fn == "categorize":
+            # the deterministic prefix-skeleton categorizer shared with
+            # operators/aggregations.categorize_text (n_tokens=4): first
+            # 4 analyzed tokens, digit-bearing tokens masked to '#'
+            toks = tokenize_col(_col_spark(args[0]))
+            return F.concat_ws(
+                " ",
+                F.transform(
+                    F.slice(toks, 1, 4),
+                    lambda t: F.when(t.rlike("[0-9]"),
+                                     F.lit("#")).otherwise(t),
+                ),
+            )
         raise ValueError(f"ES|QL: unknown function {fn!r}")
     raise ValueError(f"ES|QL: bad node {node!r}")
 
@@ -413,6 +550,20 @@ def _agg_spark(node, name):
     target = _col_spark(args[0])
     if fn == "avg":
         return F.round(F.avg(target), 6).alias(name)
+    if fn == "count_distinct":
+        return F.countDistinct(target).cast("long").alias(name)
+    if fn == "median":
+        return F.round(F.median(target), 6).alias(name)
+    if fn == "top":
+        # TOP(col, n, "asc"|"desc") -> the n extreme values as an array
+        n, direc = int(args[1][1]), args[2][1].lower()
+        if direc not in ("asc", "desc"):
+            raise ValueError("ES|QL: TOP order must be \"asc\" or \"desc\"")
+        return F.slice(
+            F.sort_array(F.collect_list(target), asc=direc == "asc"), 1, n
+        ).alias(name)
+    if fn == "values":
+        return F.sort_array(F.collect_set(target)).alias(name)
     return {"sum": F.sum, "min": F.min, "max": F.max}[fn](target).alias(name)
 
 
@@ -441,11 +592,13 @@ def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 df = df.join(scored, "doc_id")
                 score_q = None
         elif st[0] == "eval":
-            df = df.withColumn(st[1], _col_spark(st[2]))
+            for name, expr_node in st[1]:
+                df = df.withColumn(name, _col_spark(expr_node))
         elif st[0] == "stats":
             aggs, by = st[1], st[2]
             exprs = [_agg_spark(e, name) for e, name in aggs]
-            df = df.groupBy(*by).agg(*exprs) if by else df.agg(*exprs)
+            keys = [_col_spark(node).alias(name) for name, node in by]
+            df = df.groupBy(*keys).agg(*exprs) if by else df.agg(*exprs)
         elif st[0] in ("dissect", "grok"):
             regex, fields = (
                 _dissect_to_regex(st[2]) if st[0] == "dissect"
@@ -519,6 +672,15 @@ def _col_sql(node) -> str:
         return f"(NOT {_col_sql(node[1])})"
     if kind == "arith":
         return f"({_col_sql(node[2])} {node[1]} {_col_sql(node[3])})"
+    if kind == "in":
+        items = ", ".join(_col_sql(lit) for lit in node[2])
+        return f"({_col_sql(node[1])} IN ({items}))"
+    if kind == "like":
+        pat = _wildcard_to_like(node[2]).replace("'", "''")
+        return f"({_col_sql(node[1])} LIKE '{pat}')"
+    if kind == "rlike":
+        pat = _anchored(node[2]).replace("'", "''")
+        return f"regexp_matches({_col_sql(node[1])}, '{pat}')"
     if kind == "call":
         fn, args = node[1], node[2]
         if fn == "match":
@@ -544,6 +706,40 @@ def _col_sql(node) -> str:
         if fn == "split":
             sep = args[1][1].replace("'", "''")
             return f"string_split({_col_sql(args[0])}, '{sep}')"
+        if fn == "case":
+            if len(args) < 2:
+                raise ValueError("ES|QL: CASE needs a condition and value")
+            parts = [
+                f"WHEN {_col_sql(args[i])} THEN {_col_sql(args[i + 1])}"
+                for i in range(0, len(args) - 1, 2)
+            ]
+            default = (f" ELSE {_col_sql(args[-1])}"
+                       if len(args) % 2 == 1 else "")
+            return "(CASE " + " ".join(parts) + default + " END)"
+        if fn == "date_trunc":
+            unit = args[0]
+            if unit[0] != "str" or unit[1] not in _TRUNC_UNITS:
+                raise ValueError(
+                    f"ES|QL: DATE_TRUNC unit must be one of {_TRUNC_UNITS}"
+                )
+            # DuckDB date_trunc returns DATE for day-and-coarser units
+            # while Spark always returns TIMESTAMP — cast to align
+            return (f"CAST(date_trunc('{unit[1]}', {_col_sql(args[1])}) "
+                    f"AS TIMESTAMP)")
+        if fn == "coalesce":
+            return "COALESCE(" + ", ".join(_col_sql(a) for a in args) + ")"
+        if fn == "abs":
+            return f"abs({_col_sql(args[0])})"
+        if fn == "round":
+            scale = int(args[1][1]) if len(args) > 1 else 0
+            return f"round({_col_sql(args[0])}, {scale})"
+        if fn == "categorize":
+            toks = tokenize_duckdb_sql(_col_sql(args[0]))
+            return (
+                f"array_to_string(list_transform(({toks})[1:4], "
+                "t -> CASE WHEN regexp_matches(t, '[0-9]') THEN '#' "
+                "ELSE t END), ' ')"
+            )
         raise ValueError(f"ES|QL: unknown function {fn!r}")
     raise ValueError(f"ES|QL: bad node {node!r}")
 
@@ -556,6 +752,19 @@ def _agg_sql(node, name) -> str:
     target = _col_sql(args[0])
     if fn == "avg":
         return f"round(avg({target}), 6) AS {name}"
+    if fn == "count_distinct":
+        return f"count(DISTINCT {target})::BIGINT AS {name}"
+    if fn == "median":
+        return f"round(median({target}), 6) AS {name}"
+    if fn == "top":
+        n, direc = int(args[1][1]), args[2][1].upper()
+        # FILTER matches Spark collect_list's null-dropping
+        return (f"list_sort(list({target}) "
+                f"FILTER ({target} IS NOT NULL), '{direc}')[1:{n}] "
+                f"AS {name}")
+    if fn == "values":
+        return (f"list_sort(list(DISTINCT {target}) "
+                f"FILTER ({target} IS NOT NULL)) AS {name}")
     return f"{fn}({target}) AS {name}"
 
 
@@ -595,11 +804,23 @@ def esql_to_sql(query: str) -> str:
                        f"JOIN ({scored}) s USING (doc_id)")
                 score_q = None
         elif st[0] == "eval":
-            sql = f"SELECT *, {_col_sql(st[2])} AS {st[1]} FROM ({sql})"
+            # sequential wrapping: a later assignment may reference an
+            # earlier one in the same EVAL, as in ES|QL
+            for name, expr_node in st[1]:
+                sql = f"SELECT *, {_col_sql(expr_node)} AS {name} FROM ({sql})"
         elif st[0] == "stats":
             aggs, by = st[1], st[2]
-            sels = ", ".join([*by, *[_agg_sql(e, n) for e, n in aggs]])
-            group = f" GROUP BY {', '.join(by)}" if by else ""
+            derived = [(n, node) for n, node in by if node != ("col", n)]
+            if derived:
+                # materialize computed keys (name = expr, CATEGORIZE)
+                # in a wrapper projection, then group by name
+                exts = ", ".join(
+                    f"{_col_sql(node)} AS {n}" for n, node in derived
+                )
+                sql = f"SELECT *, {exts} FROM ({sql})"
+            names = [n for n, _ in by]
+            sels = ", ".join([*names, *[_agg_sql(e, n) for e, n in aggs]])
+            group = f" GROUP BY {', '.join(names)}" if by else ""
             sql = f"SELECT {sels} FROM ({sql}){group}"
         elif st[0] in ("dissect", "grok"):
             regex, fields = (

@@ -330,3 +330,79 @@ def test_esql_mv_expand_preserves_column_position(spark, sf_smoke):
          "| LIMIT 40")
     s, o = _both(spark, sf_smoke, q)
     assert s == o and len(s) > 0
+
+
+# --- round-5 widening: IN/LIKE/RLIKE/CASE/DATE_TRUNC/aggs/CATEGORIZE --------
+
+def test_esql_in_like_rlike_twins(spark, sf_smoke):
+    for q in [
+        ('FROM events | WHERE event_type IN ("purchase", "view") '
+         "| STATS n = count() BY event_type | SORT event_type ASC | LIMIT 5"),
+        ('FROM documents | WHERE source LIKE "web*" '
+         "| STATS n = count() | LIMIT 1"),
+        ('FROM documents | WHERE lang RLIKE "e.|d." '
+         "| STATS n = count() BY lang | SORT lang ASC | LIMIT 10"),
+        ('FROM documents | WHERE lang NOT IN ("en") AND source NOT LIKE "b*" '
+         "| STATS n = count() BY lang | SORT lang ASC | LIMIT 10"),
+    ]:
+        s, o = _both(spark, sf_smoke, q)
+        assert s == o and len(s) > 0, q
+
+
+def test_esql_rlike_is_whole_string(spark, sf_smoke):
+    """RLIKE follows the ES regexp query: the pattern must match the
+    ENTIRE value, not a substring."""
+    rows = run_esql(
+        spark, sf_smoke,
+        'FROM documents | WHERE lang RLIKE "e" | STATS n = count() | LIMIT 1'
+    ).collect()
+    assert rows[0]["n"] == 0  # "en" does not whole-string-match /e/
+
+
+def test_esql_case_date_trunc_twin(spark, sf_smoke):
+    q = ('FROM events | EVAL wk = DATE_TRUNC("week", ts), '
+         'sz = CASE(value < 50.0, "s", value < 200.0, "m", "l") '
+         "| STATS n = count() BY wk, sz | SORT wk ASC, sz ASC | LIMIT 40")
+    s, o = _both(spark, sf_smoke, q)
+    assert s == o and len(s) > 0
+
+
+def test_esql_new_aggs_twin(spark, sf_smoke):
+    q = ("FROM events | STATS u = count_distinct(user_id), "
+         "med = median(value), n = count() BY event_type "
+         "| SORT event_type ASC | LIMIT 10")
+    s, o = _both(spark, sf_smoke, q)
+    assert s == o and len(s) > 0
+
+
+def test_esql_top_and_values_twin(spark, sf_smoke):
+    for q in [
+        ('FROM events | STATS t = top(value, 3, "desc") BY event_type '
+         "| MV_EXPAND t | SORT event_type ASC, t DESC | LIMIT 30"),
+        ("FROM events | STATS v = values(event_type) | MV_EXPAND v "
+         "| SORT v ASC | LIMIT 20"),
+    ]:
+        s, o = _both(spark, sf_smoke, q)
+        assert s == o and len(s) > 0, q
+
+
+def test_esql_categorize_matches_categorize_text_agg(spark, sf_smoke):
+    """STATS BY CATEGORIZE(text) reuses the deterministic prefix-skeleton
+    categorizer — top buckets must agree with the standalone
+    categorize_text aggregation."""
+    from smse_backend_spark.operators.aggregations import categorize_text
+
+    q = ("FROM documents | STATS doc_count = count() BY CATEGORIZE(text) "
+         "| SORT doc_count DESC, category ASC | LIMIT 10")
+    s, o = _both(spark, sf_smoke, q)
+    assert s == o and len(s) == 10
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    agg = categorize_text(
+        docs.withColumnRenamed("text", "content"), n_tokens=4, size=10
+    ).select("category", "doc_count").collect()
+    assert sorted((r["category"], r["doc_count"]) for r in agg) == sorted(s)
+
+
+def test_esql_stats_rejects_non_aggregate():
+    with pytest.raises(ValueError, match="STATS expects an aggregate"):
+        parse_esql("FROM events | STATS n = length(props)")
