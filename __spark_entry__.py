@@ -310,6 +310,27 @@ def _pos_indexed(spark: SparkSession, sf_dir: str):
     return InvertedIndex(spark, _POS_INDEX_CACHE[sf_dir])
 
 
+_STEMPOS_INDEX_CACHE: dict[str, str] = {}
+
+
+def _stempos_indexed(spark: SparkSession, sf_dir: str):
+    """STEMMED positional index — analyzer="stem" composed with
+    with_positions (stems map tokens 1:1, positions never move), so
+    phrase queries run in stemmed term space. Built once per process."""
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+
+    if sf_dir not in _STEMPOS_INDEX_CACHE:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="smse_index_stempos_")
+        build_index(spark, load_corpus(spark, sf_dir), out,
+                    segment_size=256, n_buckets=8, block_size=64,
+                    n_batches=2, with_positions=True, analyzer="stem")
+        _STEMPOS_INDEX_CACHE[sf_dir] = out
+    return InvertedIndex(spark, _STEMPOS_INDEX_CACHE[sf_dir])
+
+
 def _deleted_indexes(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """(soft, hard): a fresh index with every 7th doc tombstoned (soft),
     then compacted so the deletes are applied physically (hard)."""
@@ -1063,6 +1084,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact phrase search over the positional index
         "bm25_phrase": lambda spark, sf: _pos_indexed(spark, sf)
         .phrase_topk("table scan", 10),
+        # phrase over a STEMMED positional index: the plural query folds
+        # to the same stemmed term space the index stores ("table scans"
+        # -> "table scan"), positions unchanged
+        "bm25_phrase_stemmed": lambda spark, sf: _stempos_indexed(spark, sf)
+        .phrase_topk("tables scans", 10),
         # Lucene SynonymQuery: blended scoring (tf = sum over group,
         # df = max over group) against an UNMODIFIED index — the
         # query-time synonym-graph shape; 'digest' is absent and must
@@ -2248,6 +2274,7 @@ _CHECK_FIRST = [
     # round-5 additions (no driver row yet)
     "esql_in", "esql_like", "esql_rlike", "esql_case", "esql_date_trunc",
     "esql_count_distinct_median", "esql_top", "esql_categorize",
+    "bm25_phrase_stemmed",
     "bloom_dedup", "zipf_slope", "heaps_vocab_growth", "hll_cardinality",
     "hll_merged", "kmv_set_ops", "graph_explore", "terms_enum",
     "nb_lang_confusion", "weighted_reservoir", "span_not", "intervals_match",
@@ -2426,6 +2453,9 @@ SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 10
             "tabel", 1, 10, transpositions=True
         ),
         "bm25_phrase": bm25_phrase_oracle_sql("table scan", 10),
+        "bm25_phrase_stemmed": bm25_phrase_oracle_sql(
+            "tables scans", 10, stem=True
+        ),
         "bm25_synonym_query": synonym_query_oracle_sql(
             [["hash", "digest"], ["join", "merge"]], 10
         ),

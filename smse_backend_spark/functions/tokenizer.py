@@ -335,6 +335,48 @@ def term_positions_map_in_pandas(
         yield out[["doc_id", "term", "tf", "doc_len", "lang", "positions"]]
 
 
+def stemmed_term_positions_map_in_pandas(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """:func:`term_positions_map_in_pandas` with the Harman S-stemmer
+    applied in the SAME Arrow pass (the Lucene analyzed-positional-field
+    rule: stemming maps tokens, never positions). Where stems collide in
+    one doc ("table"+"tables"), the posting's position list is the merged
+    ascending offsets of ALL surface forms — exactly what a phrase/span
+    query over a stemmed index needs. ``doc_len`` stays the raw count."""
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "term": pd.Series(dtype="object"),
+         "tf": pd.Series(dtype="int64"), "doc_len": pd.Series(dtype="int64"),
+         "lang": pd.Series(dtype="object"),
+         "positions": pd.Series(dtype="object")}
+    )
+    for pdf in batches:
+        toks = _fold_series(pdf["content"].fillna("")).str.findall(_PY_TOKEN)
+        dl = toks.str.len().astype("int64")
+        frame = pd.DataFrame(
+            {"doc_id": pdf["doc_id"].values, "term": toks.values,
+             "doc_len": dl.values,
+             "lang": pdf["lang"].values if "lang" in pdf.columns else ""}
+        ).explode("term", ignore_index=True)
+        frame["pos"] = frame.groupby("doc_id").cumcount()
+        frame = frame.dropna(subset=["term"])
+        if frame.empty:
+            yield empty
+            continue
+        lowered = frame["term"].str.lower()
+        stems = {t: stem_py(t) for t in pd.unique(lowered)}
+        frame["term"] = lowered.map(stems)
+        # explode preserves document order, so within a (doc, stem) group
+        # the rows arrive in ascending pos — the list agg stays sorted
+        # even when two surface forms merge
+        out = (
+            frame.groupby(["doc_id", "term", "doc_len", "lang"], sort=False)
+            .agg(tf=("pos", "size"), positions=("pos", list))
+            .reset_index()
+        )
+        yield out[["doc_id", "term", "tf", "doc_len", "lang", "positions"]]
+
+
 # ---------------------------------------------------------------------------
 # 3. Plain-Python (numpy-oracle side)
 # ---------------------------------------------------------------------------

@@ -377,8 +377,10 @@ def build_index(
     (Lucene SynonymGraphFilter, contract flavor): tokens fold to their
     group's canonical term, so a group scores as ONE term with pooled
     tf/df, and the recorded map folds query terms identically.
-    Positional builds support neither (adjacency over folded tokens is
-    ambiguous).
+    ``"stem"`` composes with ``with_positions`` (tokens map 1:1 and
+    positions never move, so phrase/span queries run over stemmed
+    indexes); ``"synonym"`` does not (a graph fold collapses multi-token
+    groups — adjacency over folded tokens is ambiguous).
 
     Batches partition the doc-id space; each batch commits postings +
     docstats + a lineage row atomically-enough (data first, lineage JSON
@@ -390,8 +392,11 @@ def build_index(
     ensure_pyfiles(spark)
     if analyzer not in ("standard", "stem", "synonym"):
         raise ValueError(f"unknown analyzer {analyzer!r}")
-    if analyzer in ("stem", "synonym") and with_positions:
-        raise NotImplementedError(f"{analyzer} positional index not supported")
+    if analyzer == "synonym" and with_positions:
+        # a synonym GRAPH fold collapses multi-token groups to one
+        # canonical term, so adjacency over folded tokens is ambiguous —
+        # stemming is 1:1 per token and composes with positions fine
+        raise NotImplementedError("synonym positional index not supported")
     if analyzer == "synonym" and not synonyms:
         raise ValueError("analyzer='synonym' requires a non-empty synonyms map")
     if sort_field is not None and sort_field != "doc_len" \
@@ -554,10 +559,19 @@ def _build_batch(
     if with_positions:
         from smse_backend_spark.functions.tokenizer import (
             TERM_POSITIONS_LANG_SCHEMA,
+            stemmed_term_positions_map_in_pandas,
             term_positions_map_in_pandas,
         )
 
-        kernel, schema = term_positions_map_in_pandas, TERM_POSITIONS_LANG_SCHEMA
+        # the stemmed variant stems INSIDE the same Arrow pass that emits
+        # positions (tokens map 1:1, positions never move) — so phrase/
+        # span/intervals queries run over analyzer="stem" indexes
+        kernel = (
+            stemmed_term_positions_map_in_pandas
+            if analyzer == "stem"
+            else term_positions_map_in_pandas
+        )
+        schema = TERM_POSITIONS_LANG_SCHEMA
         out_schema = BLOCKS_SCHEMA_POS
         tc = part.select("doc_id", "content", "lang").mapInPandas(kernel, schema)
     else:

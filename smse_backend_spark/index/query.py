@@ -2676,9 +2676,10 @@ class InvertedIndex:
         """Rounded (doc_id, score) for EVERY doc containing the exact
         phrase (no top-k cut) — the match-set kernel shared by
         :meth:`phrase_topk` and :meth:`rescore_phrase_topk`."""
-        from smse_backend_spark.functions.tokenizer import tokenize_py
-
-        terms = tokenize_py(phrase_text)  # ordered, duplicates preserved
+        # ordered, duplicates preserved, folded through the index-time
+        # analyzer (stemmed positional indexes store stemmed term space;
+        # positions are unaffected by the 1:1 stem map)
+        terms = self._analyze_seq(phrase_text)
         if not terms:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         n, avgdl = self.corpus_stats(lang)
@@ -2744,9 +2745,7 @@ class InvertedIndex:
         postings, the queue sweep runs per doc over decoded numpy arrays;
         only (doc_id, freq, dl) matches leave Python.
         """
-        from smse_backend_spark.functions.tokenizer import tokenize_py
-
-        terms = tokenize_py(phrase_text)
+        terms = self._analyze_seq(phrase_text)
         if len(terms) < 2:
             raise ValueError("phrase_slop_topk needs >= 2 tokens")
         if len(set(terms)) != len(terms):
@@ -2818,9 +2817,7 @@ class InvertedIndex:
         kernel as :meth:`phrase_topk` (bounded by ``max_expansions``,
         typically <= 8 in search-as-you-type); the union is tiny (only
         full-phrase matches leave the kernels)."""
-        from smse_backend_spark.functions.tokenizer import tokenize_py
-
-        terms = tokenize_py(phrase_text)
+        terms = self._analyze_seq(phrase_text)
         if not terms:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         fixed, prefix = terms[:-1], terms[-1]
@@ -2943,12 +2940,11 @@ class InvertedIndex:
             raise ValueError(
                 "near_topk requires an index built with with_positions=True"
             )
-        from smse_backend_spark.functions.tokenizer import tokenize_py
-
         # the in-order constraint is over the QUERY's token sequence —
         # order and duplicates preserved (Lucene SpanNearQuery clause
-        # order), NOT the sorted/deduped BM25 term set.
-        seq = tokenize_py(query_text)
+        # order), NOT the sorted/deduped BM25 term set — folded through
+        # the index-time analyzer.
+        seq = self._analyze_seq(query_text)
         terms = sorted(set(seq))
         if not terms:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
@@ -2996,9 +2992,7 @@ class InvertedIndex:
         positional kernel (one derivation, one code path, no semantic
         fork); scoring follows the span discipline (conjunctive BM25
         restricted to the interval match set)."""
-        from smse_backend_spark.functions.tokenizer import tokenize_py
-
-        seq = tokenize_py(query_text)
+        seq = self._analyze_seq(query_text)
         n_terms = len(seq) if ordered else len(set(seq))
         if n_terms == 0:
             return self.spark.createDataFrame([], RESULT_SCHEMA)

@@ -1420,13 +1420,19 @@ def bm25_phrase_oracle_sql(
     lang: str | None = None,
     table: str = "documents",
     content_col: str = "text",
+    stem: bool = False,
 ) -> str:
     """DuckDB twin of ``InvertedIndex.phrase_topk``: phrase tf counted by
     scanning each doc's token list for consecutive matches; phrase df
-    (docs with >=1 occurrence) drives a single idf."""
-    from smse_backend_spark.functions.tokenizer import tokenize_py
+    (docs with >=1 occurrence) drives a single idf. ``stem=True`` twins a
+    ``analyzer="stem"`` positional index: both the doc token list and the
+    query terms are S-stemmed per token (positions are unaffected — the
+    stem map is 1:1), matching the index's Arrow-pass stemming."""
+    from smse_backend_spark.functions.tokenizer import stem_py, tokenize_py
 
     terms = tokenize_py(phrase_text)
+    if stem:
+        terms = [stem_py(t) for t in terms]
     if not terms:
         return f"SELECT doc_id, 0.0 AS score FROM {table} WHERE false"
     L = len(terms)
@@ -1436,6 +1442,10 @@ def bm25_phrase_oracle_sql(
     )
     where_lang = f"WHERE lang = '{lang}'" if lang is not None else ""
     toks = tokenize_duckdb_sql(content_col)
+    if stem:
+        from smse_backend_spark.functions.tokenizer import stem_duckdb_sql
+
+        toks = stem_duckdb_sql(toks)
     score = bm25_term_score_sql(
         "h.ptf", idf_sql("dfp.df", "stats.n"), "h.doc_len", "stats.avgdl"
     )

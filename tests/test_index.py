@@ -959,20 +959,6 @@ def test_stemmed_index_rank_identity(spark, sf_smoke):
     assert batch == single
 
 
-def test_stemmed_positional_build_rejected(spark, sf_smoke):
-    import tempfile
-
-    import pytest as _pytest
-
-    from smse_backend_spark.corpus import load_corpus
-    from smse_backend_spark.index.build import build_index
-
-    with _pytest.raises(NotImplementedError):
-        build_index(spark, load_corpus(spark, sf_smoke),
-                    tempfile.mkdtemp(prefix="smse_idx_bad_"),
-                    analyzer="stem", with_positions=True)
-
-
 def test_arrow_block_kernel_builds_identical_index(spark, corpus, tmp_path):
     """SMSE_BLOCK_KERNEL=arrow (applyInArrow twin) must produce a
     row-identical index to the default pandas kernel — plain AND
@@ -2062,3 +2048,74 @@ def test_mlt_unlike_vs_oracle(corpus, index, oracle_con):
     self_neg = index.more_like_this(corpus, 42, 50, 8,
                                     unlike_doc_id=42).collect()
     assert self_neg == []
+
+
+def test_stemmed_positional_index_phrase(spark, sf_smoke):
+    """analyzer="stem" now composes with with_positions: phrase queries
+    run in stemmed term space with unmoved positions, and match the
+    stemmed DuckDB phrase oracle exactly."""
+    import tempfile
+
+    import duckdb
+
+    from smse_backend_spark.corpus import load_corpus
+    from smse_backend_spark.index.build import build_index
+    from smse_backend_spark.index.query import InvertedIndex
+    from smse_backend_spark.operators.search import bm25_phrase_oracle_sql
+
+    corpus = load_corpus(spark, sf_smoke)
+    out = tempfile.mkdtemp(prefix="smse_idx_stempos_")
+    build_index(spark, corpus, out, segment_size=256, n_buckets=8,
+                block_size=64, n_batches=2, with_positions=True,
+                analyzer="stem")
+    idx = InvertedIndex(spark, out)
+    assert idx.analyzer == "stem"
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    for phrase in ["tables scans", "table scan", "hash join"]:
+        got = [(r["doc_id"], r["score"])
+               for r in idx.phrase_topk(phrase, 10).collect()]
+        want = con.execute(
+            bm25_phrase_oracle_sql(phrase, 10, stem=True)
+        ).fetchall()
+        assert got == [(d, s) for d, s in want], phrase
+    # plural and singular phrase forms fold to the SAME stemmed phrase
+    a = [(r["doc_id"], r["score"])
+         for r in idx.phrase_topk("tables scans", 10).collect()]
+    b = [(r["doc_id"], r["score"])
+         for r in idx.phrase_topk("table scan", 10).collect()]
+    assert a == b and a
+
+
+def test_stemmed_positions_kernel_merges_collisions():
+    """When two surface forms stem to one term in a doc, the posting's
+    position list is the merged ascending offsets of both forms."""
+    import pandas as pd
+
+    from smse_backend_spark.functions.tokenizer import (
+        stemmed_term_positions_map_in_pandas,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1], "content": ["table scans table tables"],
+         "lang": ["en"]}
+    )
+    (out,) = stemmed_term_positions_map_in_pandas(iter([pdf]))
+    row = out[out["term"] == "table"].iloc[0]
+    assert row["tf"] == 3 and list(row["positions"]) == [0, 2, 3]
+    scan = out[out["term"] == "scan"].iloc[0]
+    assert scan["tf"] == 1 and list(scan["positions"]) == [1]
+    assert set(out["doc_len"]) == {4}
+
+
+def test_synonym_positional_still_rejected(spark):
+    import pytest as _pytest
+
+    from smse_backend_spark.index.build import build_index
+
+    with _pytest.raises(NotImplementedError, match="synonym positional"):
+        build_index(spark, None, "/tmp/x", with_positions=True,
+                    analyzer="synonym", synonyms={"a": ["b"]})
