@@ -1985,6 +1985,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_sequence_until": lambda spark, sf: R.eql_sequence(
             spark, sf, until="error"
         ),
+        # ... with runs=N: [view] [click] with runs=2 — the step repeats
+        # in place (EQL's documented equivalence), same sweep kernel
+        "eql_sequence_runs": lambda spark, sf: R.eql_sequence(
+            spark, sf, steps=("view", "click"), runs=(1, 2)
+        ),
+        # ... multi-field by: every step must agree on user AND the
+        # JSON-derived k bucket (host+process style second key)
+        "eql_sequence_multikey": lambda spark, sf: R.eql_sequence(
+            spark, sf, steps=("view", "purchase"),
+            by_cols=("user_id", "k_bucket")
+        ),
         # posting-list codec-selection stats: exact delta+varint bytes vs
         # the RoaringBitmap array/bitmap container rule, per lang
         "postings_size_stats": lambda spark, sf: __import__(
@@ -2274,7 +2285,7 @@ _CHECK_FIRST = [
     # round-5 additions (no driver row yet)
     "esql_in", "esql_like", "esql_rlike", "esql_case", "esql_date_trunc",
     "esql_count_distinct_median", "esql_top", "esql_categorize",
-    "bm25_phrase_stemmed",
+    "bm25_phrase_stemmed", "eql_sequence_runs", "eql_sequence_multikey",
     "bloom_dedup", "zipf_slope", "heaps_vocab_growth", "hll_cardinality",
     "hll_merged", "kmv_set_ops", "graph_explore", "terms_enum",
     "nb_lang_confusion", "weighted_reservoir", "span_not", "intervals_match",
@@ -3005,6 +3016,12 @@ LIMIT 10
         ).postings_size_stats_sql(),
         "eql_sequence": R.eql_sequence_sql(),
         "eql_sequence_until": R.eql_sequence_sql(until="error"),
+        "eql_sequence_runs": R.eql_sequence_sql(
+            steps=("view", "click"), runs=(1, 2)
+        ),
+        "eql_sequence_multikey": R.eql_sequence_sql(
+            steps=("view", "purchase"), by_cols=("user_id", "k_bucket")
+        ),
         "esql_stats": __import__(
             "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
         ).esql_to_sql(_ESQL_STATS),

@@ -1897,12 +1897,43 @@ ORDER BY bucket_start
 """
 
 
+def _expand_runs(
+    steps: tuple[str, ...], runs: tuple[int, ...] | None
+) -> list[str]:
+    """EQL ``[step] with runs=N`` is defined as repeating the step query
+    N times in place (the documented equivalence) — so runs expand to a
+    longer step list before the sweep, and the SAME kernel/oracle serve
+    both forms."""
+    if runs is None:
+        return list(steps)
+    if len(runs) != len(steps) or any(r < 1 for r in runs):
+        raise ValueError("runs must align with steps and be >= 1")
+    out: list[str] = []
+    for s, r in zip(steps, runs):
+        out.extend([s] * r)
+    return out
+
+
+# the one derived join key both engines compute identically: the JSON
+# props k bucketed mod 4 — the multi-`by` demo key (host+process style)
+_EQL_KEY_SPARK = {
+    "k_bucket": lambda: (
+        F.get_json_object("props", "$.k").cast("long") % 4
+    ).alias("k_bucket"),
+}
+_EQL_KEY_SQL = {
+    "k_bucket": "(json_extract(props, '$.k')::BIGINT % 4)",
+}
+
+
 def eql_sequence(
     spark: SparkSession,
     sf_dir: str,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
     within_hours: int = 24,
     until: str | None = None,
+    runs: tuple[int, ...] | None = None,
+    by_cols: tuple[str, ...] = ("user_id",),
 ) -> DataFrame:
     """ES EQL ``sequence by <key> [step1] [step2] ... with maxspan``:
     per user, does a strictly time-increasing chain of events matching
@@ -1925,13 +1956,24 @@ def eql_sequence(
     what keeps the sweep linear AND exactly equal to the oracle's
     NOT-EXISTS over all chains (argued in the docstring of the kernel).
 
+    ``runs`` (EQL's ``with runs=N``): per-step repeat counts — a step
+    with runs=N is the documented equivalent of writing the step query N
+    times, so the expansion happens before the sweep and the same kernel
+    serves both forms (repeated step types are already what the
+    strictly-increasing pointer sweep handles).
+
+    ``by_cols`` (EQL's multi-field ``by k1, k2``): every step of a chain
+    must agree on ALL join keys. Keys are event columns, plus the
+    derived ``"k_bucket"`` (props JSON ``k`` mod 4 — the host+process
+    style second key) computed identically on both engines.
+
     Plan shape: events pre-filter to the step types and project to
-    (key, step, ts_us) — ~16 B/row of MATCHING events shuffles, never
-    the event payload; one applyInPandas per key runs the same
-    monotone-pointer minimal-cover sweep as the positional span-near
-    kernel (O(events-per-key), pointers never rewind). At 10^12 events
-    the per-key state is the per-type timestamp lists — the exact state
-    ES's EQL engine keeps per join key.
+    (keys, step, ts_us) — ~16-24 B/row of MATCHING events shuffles,
+    never the event payload; one applyInPandas per key tuple runs the
+    same monotone-pointer minimal-cover sweep as the positional
+    span-near kernel (O(events-per-key), pointers never rewind). At
+    10^12 events the per-key state is the per-type timestamp lists — the
+    exact state ES's EQL engine keeps per join key.
     """
     import numpy as np
     import pandas as pd
@@ -1941,23 +1983,30 @@ def eql_sequence(
     ensure_pyfiles(spark)
     within_us = int(within_hours) * 3_600_000_000
     e = _t(spark, sf_dir, "events")
-    step_list = list(steps)
-    wanted = step_list + ([until] if until else [])
+    step_list = _expand_runs(steps, runs)
+    keys = list(by_cols)
+    key_exprs = [
+        _EQL_KEY_SPARK[c]() if c in _EQL_KEY_SPARK else F.col(c)
+        for c in keys
+    ]
+    wanted = list(steps) + ([until] if until else [])
     typed = (
         e.filter(F.col("event_type").isin(wanted))
         .select(
-            "user_id",
+            *key_exprs,
             "event_type",
             F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         )
     )
+    schema = ", ".join(f"{k} long" for k in keys) + ", min_span_us long"
+    empty = {k: [] for k in keys} | {"min_span_us": []}
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         lists = []
         for s in step_list:
             arr = np.sort(pdf.loc[pdf["event_type"] == s, "us"].to_numpy(np.int64))
             if arr.size == 0:
-                return pd.DataFrame({"user_id": [], "min_span_us": []})
+                return pd.DataFrame(empty)
             lists.append(arr)
         u_arr = (
             np.sort(pdf.loc[pdf["event_type"] == until, "us"].to_numpy(np.int64))
@@ -1991,15 +2040,15 @@ def eql_sequence(
             if best is None or span < best:
                 best = span
         if best is None or best > within_us:
-            return pd.DataFrame({"user_id": [], "min_span_us": []})
-        return pd.DataFrame(
-            {"user_id": [int(pdf["user_id"].iloc[0])], "min_span_us": [best]}
-        )
+            return pd.DataFrame(empty)
+        row = {k: [int(pdf[k].iloc[0])] for k in keys}
+        row["min_span_us"] = [best]
+        return pd.DataFrame(row)
 
     return (
-        typed.groupBy("user_id")
-        .applyInPandas(kernel, "user_id long, min_span_us long")
-        .orderBy("user_id")
+        typed.groupBy(*keys)
+        .applyInPandas(kernel, schema)
+        .orderBy(*keys)
     )
 
 
@@ -2007,34 +2056,54 @@ def eql_sequence_sql(
     steps: tuple[str, ...] = ("view", "click", "purchase"),
     within_hours: int = 24,
     until: str | None = None,
+    runs: tuple[int, ...] | None = None,
+    by_cols: tuple[str, ...] = ("user_id",),
 ) -> str:
     """DuckDB twin of :func:`eql_sequence` — the explicit ordered join
     chain with min(last - first) per key (tractable at oracle scale; the
-    Spark side is the linear-sweep algorithm)."""
+    Spark side is the linear-sweep algorithm). ``runs`` expands to
+    repeated join steps exactly like the Spark side; multi-``by`` keys
+    join on every key column."""
     within_us = int(within_hours) * 3_600_000_000
+    step_list = _expand_runs(steps, runs)
+    keys = list(by_cols)
+    key_sels = ", ".join(
+        f"{_EQL_KEY_SQL[c]} AS {c}" if c in _EQL_KEY_SQL else c
+        for c in keys
+    )
     ctes = ",\n".join(
-        f"s{i} AS (SELECT user_id, epoch_us(ts) AS us FROM events "
+        f"s{i} AS (SELECT {key_sels}, epoch_us(ts) AS us FROM events "
         f"WHERE event_type = '{s}')"
-        for i, s in enumerate(steps)
+        for i, s in enumerate(step_list)
     )
     joins = " ".join(
-        f"JOIN s{i} ON s{i}.user_id = s0.user_id AND s{i}.us > s{i - 1}.us"
-        for i in range(1, len(steps))
+        "JOIN s{i} ON ".format(i=i)
+        + " AND ".join(f"s{i}.{k} = s0.{k}" for k in keys)
+        + f" AND s{i}.us > s{i - 1}.us"
+        for i in range(1, len(step_list))
     )
-    last = f"s{len(steps) - 1}"
+    last = f"s{len(step_list) - 1}"
     until_clause = ""
     if until:
+        u_keys = " AND ".join(
+            (f"({_EQL_KEY_SQL[k]}) = s0.{k}" if k in _EQL_KEY_SQL
+             else f"u.{k} = s0.{k}")
+            for k in keys
+        )
         until_clause = (
             f"\nWHERE NOT EXISTS (SELECT 1 FROM events u "
-            f"WHERE u.event_type = '{until}' AND u.user_id = s0.user_id "
+            f"WHERE u.event_type = '{until}' AND {u_keys} "
             f"AND epoch_us(u.ts) > s0.us AND epoch_us(u.ts) < {last}.us)"
         )
+    sel_keys = ", ".join(f"s0.{k} AS {k}" for k in keys)
+    group_keys = ", ".join(f"s0.{k}" for k in keys)
+    order_keys = ", ".join(keys)
     return f"""
 WITH {ctes}
-SELECT s0.user_id AS user_id,
+SELECT {sel_keys},
        min({last}.us - s0.us)::BIGINT AS min_span_us
 FROM s0 {joins}{until_clause}
-GROUP BY s0.user_id
+GROUP BY {group_keys}
 HAVING min({last}.us - s0.us) <= {within_us}
-ORDER BY user_id
+ORDER BY {order_keys}
 """
