@@ -310,6 +310,130 @@ def _pos_indexed(spark: SparkSession, sf_dir: str):
     return InvertedIndex(spark, _POS_INDEX_CACHE[sf_dir])
 
 
+_JPEG_FIXTURE_DIR: dict[str, str] = {}
+
+
+def _jpeg_fixture_bufs() -> dict[str, bytes]:
+    """Six deterministic baseline JPEGs (smooth gradients, mixed
+    4:4:4 / 4:2:0, odd dims) built IN-PROCESS by
+    `sources/jpeg.encode_jpeg_rgb` — no external data, byte-identical on
+    every build, so the oracle can replay the decode locally."""
+    import numpy as np
+
+    from smse_backend_spark.sources.jpeg import encode_jpeg_rgb
+
+    out = {}
+    for i in range(6):
+        h, w = 16 + 3 * i, 24 + 5 * i
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = (128 + 100 * np.sin(xx / (9 + i))).astype(np.uint8)
+        g = (128 + 100 * np.cos(yy / (7 + i))).astype(np.uint8)
+        b = (128 + 60 * np.sin((xx + yy) / (11 + i))).astype(np.uint8)
+        img = np.stack([r, g, b], axis=2)
+        out[f"jfix{i}.jpg"] = encode_jpeg_rgb(img, 90, subsample=bool(i % 2))
+    return out
+
+
+def _jpeg_media(spark: SparkSession) -> DataFrame:
+    """The JPEG fixtures as a binaryFile media frame (dir cached per
+    process)."""
+    from smse_backend_spark.sources.multimodal import ingest_binary_dir
+
+    if "d" not in _JPEG_FIXTURE_DIR:
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="smse_jpeg_fix_")
+        for name, buf in _jpeg_fixture_bufs().items():
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(buf)
+        _JPEG_FIXTURE_DIR["d"] = d
+    return ingest_binary_dir(spark, _JPEG_FIXTURE_DIR["d"])
+
+
+def _jpeg_features_query(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL JPEG decode through the distributed media path: binaryFile
+    -> mapInPandas -> huffman+IDCT decode -> luma feature vector; the
+    first 16 feature positions per image flow to the compare."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.sources.multimodal import (
+        extract_image_features_rows,
+    )
+
+    return (
+        extract_image_features_rows(_jpeg_media(spark))
+        .withColumn("img", F.element_at(F.split("path", "/"), -1))
+        .filter(F.col("pos") < 16)
+        .select("img", "height", "width", "pos", "value")
+    )
+
+
+def _jpeg_features_oracle_sql() -> str:
+    """Literal replay of the SAME fixture decode, computed locally at
+    oracle-build time (the ann_lsh inlined-literals discipline): the
+    driver compare then proves the DISTRIBUTED path — binaryFile scan,
+    Arrow batching, kernel math — reproduces the local ground truth."""
+    import numpy as np
+
+    from smse_backend_spark.sources.jpeg import decode_jpeg
+
+    rows = []
+    for name, buf in sorted(_jpeg_fixture_bufs().items()):
+        arr = decode_jpeg(buf)
+        luma = arr.astype(np.float64).mean(axis=2).reshape(-1)
+        std = luma.std()
+        normed = (luma - luma.mean()) / (std if std > 0 else 1.0)
+        vals = np.floor(normed * 1e6 + 0.5) / 1e6
+        for pos in range(16):
+            rows.append(
+                f"('{name}', {arr.shape[0]}, {arr.shape[1]}, "
+                f"{pos}, {vals[pos]!r})"
+            )
+    return (
+        "SELECT img, height::INT AS height, width::INT AS width, "
+        "pos::INT AS pos, value::DOUBLE AS value FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(img, height, width, pos, value)"
+    )
+
+
+def _jpeg_thumbs_query(spark: SparkSession, sf: str) -> DataFrame:
+    """The thumbnail SINK over JPEG inputs (decode -> fit-crop ->
+    resample -> re-encode JPEG q85, the reference's output format):
+    compared by output sha256 + byte length."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.sources.multimodal import derive_thumbnails
+
+    return (
+        derive_thumbnails(_jpeg_media(spark), 16)
+        .withColumn("img", F.element_at(F.split("path", "/"), -1))
+        .select(
+            "img",
+            F.sha2("thumb", 256).alias("thumb_sha"),
+            F.length("thumb").cast("long").alias("n_bytes"),
+        )
+    )
+
+
+def _jpeg_thumbs_oracle_sql() -> str:
+    import hashlib
+
+    from smse_backend_spark.sources.jpeg import thumbnail_jpeg
+
+    rows = []
+    for name, buf in sorted(_jpeg_fixture_bufs().items()):
+        t = thumbnail_jpeg(buf, 16)
+        rows.append(
+            f"('{name}', '{hashlib.sha256(t).hexdigest()}', {len(t)})"
+        )
+    return (
+        "SELECT img, thumb_sha, n_bytes::BIGINT AS n_bytes FROM (VALUES "
+        + ", ".join(rows) + ") t(img, thumb_sha, n_bytes)"
+    )
+
+
 _STEMPOS_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -2057,6 +2181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_thumbnail_plan": lambda spark, sf: M.media_thumbnail_plan(
             M.synth_media(_docs(spark, sf))
         ),
+        # REAL JPEG decode (the reference's default image format) +
+        # thumbnail sink, over deterministic in-process fixtures
+        "media_jpeg_features": _jpeg_features_query,
+        "media_jpeg_thumbs": _jpeg_thumbs_query,
         # blob-store metadata ops + score normalization (reference parity)
         "blob_listing": lambda spark, sf: ST.blob_listing(spark, sf),
         "dir_size_rollup": ST.dir_size_rollup,
@@ -2286,6 +2414,7 @@ _CHECK_FIRST = [
     "esql_in", "esql_like", "esql_rlike", "esql_case", "esql_date_trunc",
     "esql_count_distinct_median", "esql_top", "esql_categorize",
     "bm25_phrase_stemmed", "eql_sequence_runs", "eql_sequence_multikey",
+    "media_jpeg_features", "media_jpeg_thumbs",
     "bloom_dedup", "zipf_slope", "heaps_vocab_growth", "hll_cardinality",
     "hll_merged", "kmv_set_ops", "graph_explore", "terms_enum",
     "nb_lang_confusion", "weighted_reservoir", "span_not", "intervals_match",
@@ -3087,6 +3216,8 @@ LIMIT 10
         "media_ingest_meta": M.synth_media_meta_sql(),
         "media_frame_plan": M.frame_sample_sql(),
         "media_image_features": M.image_features_rows_sql(),
+        "media_jpeg_features": _jpeg_features_oracle_sql(),
+        "media_jpeg_thumbs": _jpeg_thumbs_oracle_sql(),
         "media_thumbnail_plan": M.media_thumbnail_plan_sql(),
         "blob_listing": ST.blob_listing_sql(),
         "dir_size_rollup": ST.dir_size_rollup_sql(),

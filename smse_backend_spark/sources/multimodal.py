@@ -135,18 +135,25 @@ def _decode_image(buf: bytes) -> np.ndarray:
     """Decode to a grayscale float64 array.
 
     PNG bytes get a REAL decode — the pure-stdlib codec in
-    `sources/png.py` (zlib inflate + scanline defilter), channels
-    averaged to luma. Everything else still hits the deterministic
-    sha-fake (8x8 from the bytes' sha256): PIL is not in this container,
-    so JPEG/WebP/... remain honestly stubbed while the plumbing —
-    binaryFile source, mapInPandas batches, feature math — is identical
-    for both branches (and the contract's synthetic media never starts
-    with the PNG signature, so its oracle replay is unaffected).
+    `sources/png.py` (zlib inflate + scanline defilter) — and JPEG/JFIF
+    bytes get a REAL baseline decode — `sources/jpeg.py` (huffman +
+    dequant + IDCT + YCbCr; the reference's DEFAULT image format,
+    file_extensions.py:9) — channels averaged to luma in both cases.
+    Everything else still hits the deterministic sha-fake (8x8 from the
+    bytes' sha256): PIL is not in this container, so GIF/WebP/... remain
+    honestly stubbed while the plumbing — binaryFile source, mapInPandas
+    batches, feature math — is identical for all branches (and the
+    contract's synthetic media never starts with either signature, so
+    its oracle replay is unaffected).
     """
+    from smse_backend_spark.sources.jpeg import JPEG_MAGIC, decode_jpeg
     from smse_backend_spark.sources.png import PNG_SIG, decode_png
 
     if buf[:8] == PNG_SIG:
         img = decode_png(buf)
+        return img.astype(np.float64).mean(axis=2)
+    if buf[:3] == JPEG_MAGIC:
+        img = decode_jpeg(buf)
         return img.astype(np.float64).mean(axis=2)
     h = hashlib.sha256(buf).digest()
     arr = np.frombuffer((h * 2)[:64], dtype=np.uint8).astype(np.float64)
@@ -208,11 +215,13 @@ THUMBNAIL_SCHEMA = "path string, thumb binary, width int, height int"
 
 
 def derive_thumbnails(media: DataFrame, size: int = 32) -> DataFrame:
-    """REAL thumbnail derivation (S13, thumbnail.py:100-150) for PNG
-    blobs: decode -> PIL-exact fit-crop geometry -> nearest resample ->
-    re-encode, all inside one ``mapInPandas`` pass — the sink a media
-    pipeline writes next to the original. Non-PNG image rows are passed
-    over (no silent fake thumbnails).
+    """REAL thumbnail derivation (S13, thumbnail.py:100-150) for PNG and
+    JPEG blobs: decode -> PIL-exact fit-crop geometry -> nearest
+    resample -> re-encode (JPEG inputs re-encode JPEG q85, the
+    reference's output format; PNG inputs re-encode PNG), all inside one
+    ``mapInPandas`` pass — the sink a media pipeline writes next to the
+    original. Other image rows are passed over (no silent fake
+    thumbnails).
 
     Scale shape: pure per-row map over the binaryFile scan — no shuffle,
     no driver involvement; thumbnail bytes are ~size² and write out as
@@ -221,16 +230,19 @@ def derive_thumbnails(media: DataFrame, size: int = 32) -> DataFrame:
     ensure_pyfiles(media.sparkSession)
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from smse_backend_spark.sources.jpeg import JPEG_MAGIC, thumbnail_jpeg
         from smse_backend_spark.sources.png import PNG_SIG, thumbnail_png
 
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = [
-                (p, thumbnail_png(bytes(b), size))
-                for p, b in zip(pdf["path"], pdf["content"])
-                if bytes(b)[:8] == PNG_SIG
-            ]
+            rows = []
+            for p, b in zip(pdf["path"], pdf["content"]):
+                bb = bytes(b)
+                if bb[:8] == PNG_SIG:
+                    rows.append((p, thumbnail_png(bb, size)))
+                elif bb[:3] == JPEG_MAGIC:
+                    rows.append((p, thumbnail_jpeg(bb, size)))
             yield pd.DataFrame(
                 {
                     "path": [r[0] for r in rows],
