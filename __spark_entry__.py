@@ -434,6 +434,80 @@ def _jpeg_thumbs_oracle_sql() -> str:
     )
 
 
+_TEXTDOC_FIXTURE_DIR: dict[str, str] = {}
+
+
+def _textdoc_fixture_files() -> dict[str, bytes]:
+    """A mixed .txt/.md/.pdf fixture set built in-process from
+    deterministic text (the reference maps all three to the text
+    modality, utils/file_extensions.py:13-29); PDFs alternate
+    uncompressed / FlateDecode streams."""
+    from smse_backend_spark.sources.textdoc import encode_pdf_text
+
+    out = {}
+    for i in range(4):
+        text = (f"Document {i} about distributed search.\n"
+                f"Line two mentions hash join number {i * 37}.\n"
+                f"Closing line {i}.")
+        out[f"doc{i}.txt"] = text.encode()
+        out[f"doc{i}.md"] = (
+            f"# doc{i}\n\n{text}\n\n- tag: t{i}\n".encode()
+        )
+        out[f"doc{i}.pdf"] = encode_pdf_text(text, compress=bool(i % 2))
+    out["skip.bin"] = b"\x00\x01\x02"
+    return out
+
+
+def _textdoc_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixed-format text ingest through the distributed path: binaryFile
+    -> mapInPandas markdown/PDF extraction -> per-row sha256; the .bin
+    file quarantines (modality whitelist)."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.sources.textdoc import ingest_text_documents
+
+    if "d" not in _TEXTDOC_FIXTURE_DIR:
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="smse_textdoc_fix_")
+        for name, buf in _textdoc_fixture_files().items():
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(buf)
+        _TEXTDOC_FIXTURE_DIR["d"] = d
+    return (
+        ingest_text_documents(spark, _TEXTDOC_FIXTURE_DIR["d"])
+        .withColumn("file", F.element_at(F.split("path", "/"), -1))
+        .select(
+            "file", "fmt",
+            F.length("content").cast("long").alias("n_chars"),
+            "content_sha256",
+        )
+    )
+
+
+def _textdoc_oracle_sql() -> str:
+    """Literal replay: the same extraction run locally over the same
+    fixture bytes — the compare proves the distributed kernel (and the
+    JVM/Python double-hash of the sha invariant) reproduces it."""
+    import hashlib
+
+    from smse_backend_spark.sources.textdoc import extract_text
+
+    rows = []
+    for name, buf in sorted(_textdoc_fixture_files().items()):
+        if name.endswith(".bin"):
+            continue
+        fmt, text = extract_text(name, buf)
+        sha = hashlib.sha256(text.encode("utf-8")).hexdigest()
+        rows.append(f"('{name}', '{fmt}', {len(text)}, '{sha}')")
+    return (
+        "SELECT file, fmt, n_chars::BIGINT AS n_chars, content_sha256 "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") t(file, fmt, n_chars, content_sha256)"
+    )
+
+
 _STEMPOS_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -2185,6 +2259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # thumbnail sink, over deterministic in-process fixtures
         "media_jpeg_features": _jpeg_features_query,
         "media_jpeg_thumbs": _jpeg_thumbs_query,
+        # .md/.pdf -> text-modality ingestion (file_extensions.py:13-29)
+        # with the F14 sha256 invariant over a mixed-format fixture dir
+        "text_ingest_mixed": _textdoc_query,
         # blob-store metadata ops + score normalization (reference parity)
         "blob_listing": lambda spark, sf: ST.blob_listing(spark, sf),
         "dir_size_rollup": ST.dir_size_rollup,
@@ -2414,7 +2491,7 @@ _CHECK_FIRST = [
     "esql_in", "esql_like", "esql_rlike", "esql_case", "esql_date_trunc",
     "esql_count_distinct_median", "esql_top", "esql_categorize",
     "bm25_phrase_stemmed", "eql_sequence_runs", "eql_sequence_multikey",
-    "media_jpeg_features", "media_jpeg_thumbs",
+    "media_jpeg_features", "media_jpeg_thumbs", "text_ingest_mixed",
     "bloom_dedup", "zipf_slope", "heaps_vocab_growth", "hll_cardinality",
     "hll_merged", "kmv_set_ops", "graph_explore", "terms_enum",
     "nb_lang_confusion", "weighted_reservoir", "span_not", "intervals_match",
@@ -3218,6 +3295,7 @@ LIMIT 10
         "media_image_features": M.image_features_rows_sql(),
         "media_jpeg_features": _jpeg_features_oracle_sql(),
         "media_jpeg_thumbs": _jpeg_thumbs_oracle_sql(),
+        "text_ingest_mixed": _textdoc_oracle_sql(),
         "media_thumbnail_plan": M.media_thumbnail_plan_sql(),
         "blob_listing": ST.blob_listing_sql(),
         "dir_size_rollup": ST.dir_size_rollup_sql(),
