@@ -434,6 +434,86 @@ def _jpeg_thumbs_oracle_sql() -> str:
     )
 
 
+def _gif_fixture_bufs() -> dict[str, bytes]:
+    """Four deterministic palette GIFs (structured index patterns, mixed
+    palette sizes) built in-process by `sources/gif.encode_gif_indexed`."""
+    import numpy as np
+
+    from smse_backend_spark.sources.gif import encode_gif_indexed
+
+    out = {}
+    for i in range(4):
+        ncol = (4, 16, 64, 256)[i]
+        h, w = 14 + 4 * i, 22 + 6 * i
+        pal = np.array(
+            [[(37 * k + i) % 256, (91 * k + 7 * i) % 256,
+              (53 * k + 13 * i) % 256] for k in range(ncol)],
+            dtype=np.uint8,
+        )
+        idx = ((np.add.outer(np.arange(h), 2 * np.arange(w)) // (i + 1))
+               % ncol).astype(np.uint8)
+        out[f"gfix{i}.gif"] = encode_gif_indexed(idx, pal)
+    return out
+
+
+_GIF_FIXTURE_DIR: dict[str, str] = {}
+
+
+def _gif_features_query(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL GIF decode (LZW + palette) through the distributed media
+    path; first 16 feature positions per image."""
+    from pyspark.sql import functions as F
+
+    from smse_backend_spark.sources.multimodal import (
+        extract_image_features_rows,
+    )
+    from smse_backend_spark.sources.multimodal import ingest_binary_dir
+
+    if "d" not in _GIF_FIXTURE_DIR:
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="smse_gif_fix_")
+        for name, buf in _gif_fixture_bufs().items():
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(buf)
+        _GIF_FIXTURE_DIR["d"] = d
+    media = ingest_binary_dir(spark, _GIF_FIXTURE_DIR["d"])
+    return (
+        extract_image_features_rows(media)
+        .withColumn("img", F.element_at(F.split("path", "/"), -1))
+        .filter(F.col("pos") < 16)
+        .select("img", "height", "width", "pos", "value")
+    )
+
+
+def _gif_features_oracle_sql() -> str:
+    """Literal replay of the same fixture decode (the media_jpeg_features
+    discipline)."""
+    import numpy as np
+
+    from smse_backend_spark.sources.gif import decode_gif
+
+    rows = []
+    for name, buf in sorted(_gif_fixture_bufs().items()):
+        arr = decode_gif(buf)
+        luma = arr.astype(np.float64).mean(axis=2).reshape(-1)
+        std = luma.std()
+        normed = (luma - luma.mean()) / (std if std > 0 else 1.0)
+        vals = np.floor(normed * 1e6 + 0.5) / 1e6
+        for pos in range(16):
+            rows.append(
+                f"('{name}', {arr.shape[0]}, {arr.shape[1]}, "
+                f"{pos}, {vals[pos]!r})"
+            )
+    return (
+        "SELECT img, height::INT AS height, width::INT AS width, "
+        "pos::INT AS pos, value::DOUBLE AS value FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(img, height, width, pos, value)"
+    )
+
+
 _TEXTDOC_FIXTURE_DIR: dict[str, str] = {}
 
 
@@ -2262,6 +2342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # .md/.pdf -> text-modality ingestion (file_extensions.py:13-29)
         # with the F14 sha256 invariant over a mixed-format fixture dir
         "text_ingest_mixed": _textdoc_query,
+        # REAL GIF decode (LZW + palette) through the same path
+        "media_gif_features": _gif_features_query,
         # blob-store metadata ops + score normalization (reference parity)
         "blob_listing": lambda spark, sf: ST.blob_listing(spark, sf),
         "dir_size_rollup": ST.dir_size_rollup,
@@ -2492,6 +2574,7 @@ _CHECK_FIRST = [
     "esql_count_distinct_median", "esql_top", "esql_categorize",
     "bm25_phrase_stemmed", "eql_sequence_runs", "eql_sequence_multikey",
     "media_jpeg_features", "media_jpeg_thumbs", "text_ingest_mixed",
+    "media_gif_features",
     "bloom_dedup", "zipf_slope", "heaps_vocab_growth", "hll_cardinality",
     "hll_merged", "kmv_set_ops", "graph_explore", "terms_enum",
     "nb_lang_confusion", "weighted_reservoir", "span_not", "intervals_match",
@@ -3296,6 +3379,7 @@ LIMIT 10
         "media_jpeg_features": _jpeg_features_oracle_sql(),
         "media_jpeg_thumbs": _jpeg_thumbs_oracle_sql(),
         "text_ingest_mixed": _textdoc_oracle_sql(),
+        "media_gif_features": _gif_features_oracle_sql(),
         "media_thumbnail_plan": M.media_thumbnail_plan_sql(),
         "blob_listing": ST.blob_listing_sql(),
         "dir_size_rollup": ST.dir_size_rollup_sql(),

@@ -139,13 +139,15 @@ def _decode_image(buf: bytes) -> np.ndarray:
     bytes get a REAL baseline decode — `sources/jpeg.py` (huffman +
     dequant + IDCT + YCbCr; the reference's DEFAULT image format,
     file_extensions.py:9) — channels averaged to luma in both cases.
+    GIF bytes (LZW + palette, `sources/gif.py`) decode for real too.
     Everything else still hits the deterministic sha-fake (8x8 from the
-    bytes' sha256): PIL is not in this container, so GIF/WebP/... remain
+    bytes' sha256): PIL is not in this container, so WebP/TIFF/... remain
     honestly stubbed while the plumbing — binaryFile source, mapInPandas
     batches, feature math — is identical for all branches (and the
-    contract's synthetic media never starts with either signature, so
+    contract's synthetic media never starts with any real signature, so
     its oracle replay is unaffected).
     """
+    from smse_backend_spark.sources.gif import GIF_MAGICS, decode_gif
     from smse_backend_spark.sources.jpeg import JPEG_MAGIC, decode_jpeg
     from smse_backend_spark.sources.png import PNG_SIG, decode_png
 
@@ -154,6 +156,9 @@ def _decode_image(buf: bytes) -> np.ndarray:
         return img.astype(np.float64).mean(axis=2)
     if buf[:3] == JPEG_MAGIC:
         img = decode_jpeg(buf)
+        return img.astype(np.float64).mean(axis=2)
+    if buf[:6] in GIF_MAGICS:
+        img = decode_gif(buf)
         return img.astype(np.float64).mean(axis=2)
     h = hashlib.sha256(buf).digest()
     arr = np.frombuffer((h * 2)[:64], dtype=np.uint8).astype(np.float64)
@@ -230,7 +235,12 @@ def derive_thumbnails(media: DataFrame, size: int = 32) -> DataFrame:
     ensure_pyfiles(media.sparkSession)
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from smse_backend_spark.sources.jpeg import JPEG_MAGIC, thumbnail_jpeg
+        from smse_backend_spark.sources.gif import GIF_MAGICS, decode_gif
+        from smse_backend_spark.sources.jpeg import (
+            JPEG_MAGIC,
+            encode_jpeg_rgb,
+            thumbnail_jpeg,
+        )
         from smse_backend_spark.sources.png import PNG_SIG, thumbnail_png
 
         for pdf in batches:
@@ -243,6 +253,12 @@ def derive_thumbnails(media: DataFrame, size: int = 32) -> DataFrame:
                     rows.append((p, thumbnail_png(bb, size)))
                 elif bb[:3] == JPEG_MAGIC:
                     rows.append((p, thumbnail_jpeg(bb, size)))
+                elif bb[:6] in GIF_MAGICS:
+                    # GIF in -> JPEG q85 thumb out (the reference's
+                    # thumbnail service always emits JPEG)
+                    img = fit_resize_nearest(decode_gif(bb), size, size)
+                    rows.append((p, encode_jpeg_rgb(
+                        np.ascontiguousarray(img, dtype=np.uint8))))
             yield pd.DataFrame(
                 {
                     "path": [r[0] for r in rows],
