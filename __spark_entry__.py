@@ -226,6 +226,13 @@ _ESQL_CATEGORIZE = (
     "FROM documents | STATS n = count() BY CATEGORIZE(text) "
     "| SORT n DESC, category ASC | LIMIT 15"
 )
+_ESQL_MV_FUNCS = (
+    "FROM embeddings | WHERE vec_id < 25 "
+    "| EVAL n = mv_count(embedding), s = mv_sum(embedding), "
+    "a = mv_avg(embedding), lo = mv_min(embedding), "
+    "hi = mv_max(embedding) "
+    "| KEEP vec_id, n, s, a, lo, hi | SORT vec_id ASC | LIMIT 25"
+)
 
 # boolean-DSL contract query: AND/OR composition with a MUST_NOT clause
 BOOL_QUERY = "hash AND (join OR merge) AND NOT window"
@@ -2256,6 +2263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_categorize": lambda spark, sf: __import__(
             "smse_backend_spark.operators.esql", fromlist=["run_esql"]
         ).run_esql(spark, sf, _ESQL_CATEGORIZE),
+        "esql_mv_functions": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_MV_FUNCS),
         # ES EQL sequence-by-key correlation (view -> click -> purchase
         # within 24h): minimal strictly-increasing chain span per user
         "eql_sequence": lambda spark, sf: R.eql_sequence(spark, sf),
@@ -2572,6 +2582,7 @@ _CHECK_FIRST = [
     # round-5 additions (no driver row yet)
     "esql_in", "esql_like", "esql_rlike", "esql_case", "esql_date_trunc",
     "esql_count_distinct_median", "esql_top", "esql_categorize",
+    "esql_mv_functions",
     "bm25_phrase_stemmed", "eql_sequence_runs", "eql_sequence_multikey",
     "media_jpeg_features", "media_jpeg_thumbs", "text_ingest_mixed",
     "media_gif_features",
@@ -3362,6 +3373,9 @@ LIMIT 10
         "esql_categorize": __import__(
             "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
         ).esql_to_sql(_ESQL_CATEGORIZE),
+        "esql_mv_functions": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_MV_FUNCS),
         "ann_l2": __import__(
             "smse_backend_spark.operators.ann", fromlist=["metric_topk_sql"]
         ).metric_topk_sql([0, 1, 2], 10, "l2_norm"),

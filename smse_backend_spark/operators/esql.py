@@ -525,6 +525,27 @@ def _col_spark(node):
         if fn == "round":
             scale = args[1][1] if len(args) > 1 else 0
             return F.round(_col_spark(args[0]), int(scale))
+        if fn == "mv_count":
+            return F.size(_col_spark(args[0])).cast("long")
+        if fn == "mv_min":
+            return F.array_min(_col_spark(args[0]))
+        if fn == "mv_max":
+            return F.array_max(_col_spark(args[0]))
+        if fn == "mv_sum":
+            # double fold in element order — IEEE-identical to the
+            # oracle's list_sum
+            return F.aggregate(
+                _col_spark(args[0]), F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            )
+        if fn == "mv_avg":
+            c = _col_spark(args[0])
+            total = F.aggregate(
+                c, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            )
+            return F.round(total / F.size(c), 6)
+        if fn == "mv_join":
+            return F.array_join(_col_spark(args[0]), args[1][1])
         if fn == "categorize":
             # the deterministic prefix-skeleton categorizer shared with
             # operators/aggregations.categorize_text (n_tokens=4): first
@@ -733,6 +754,20 @@ def _col_sql(node) -> str:
         if fn == "round":
             scale = int(args[1][1]) if len(args) > 1 else 0
             return f"round({_col_sql(args[0])}, {scale})"
+        if fn == "mv_count":
+            return f"len({_col_sql(args[0])})::BIGINT"
+        if fn == "mv_min":
+            return f"list_min({_col_sql(args[0])})"
+        if fn == "mv_max":
+            return f"list_max({_col_sql(args[0])})"
+        if fn == "mv_sum":
+            return f"list_sum({_col_sql(args[0])})::DOUBLE"
+        if fn == "mv_avg":
+            x = _col_sql(args[0])
+            return f"round(list_sum({x})::DOUBLE / len({x}), 6)"
+        if fn == "mv_join":
+            sep = args[1][1].replace("'", "''")
+            return f"array_to_string({_col_sql(args[0])}, '{sep}')"
         if fn == "categorize":
             toks = tokenize_duckdb_sql(_col_sql(args[0]))
             return (

@@ -15,7 +15,7 @@ from smse_backend_spark.operators.esql import (
 
 def _both(spark, sf, q):
     con = duckdb.connect()
-    for t in ("documents", "events", "orders", "customer"):
+    for t in ("documents", "events", "orders", "customer", "embeddings"):
         con.execute(f"create view {t} as select * from '{sf}/{t}.parquet'")
     s = sorted(map(tuple, run_esql(spark, sf, q).collect()))
     o = sorted(map(tuple, con.execute(esql_to_sql(q)).fetchall()))
@@ -406,3 +406,24 @@ def test_esql_categorize_matches_categorize_text_agg(spark, sf_smoke):
 def test_esql_stats_rejects_non_aggregate():
     with pytest.raises(ValueError, match="STATS expects an aggregate"):
         parse_esql("FROM events | STATS n = length(props)")
+
+
+def test_esql_mv_functions_twin(spark, sf_smoke):
+    """MV_COUNT / MV_MIN / MV_MAX / MV_SUM / MV_AVG / MV_JOIN over a
+    split() multivalue — IEEE-identical fold order on both engines."""
+    q = ('FROM documents | WHERE doc_id < 20 '
+         '| EVAL parts = split(text, " "), n = mv_count(parts), '
+         'lo = mv_min(parts), hi = mv_max(parts), '
+         'joined = mv_join(parts, "-") '
+         "| KEEP doc_id, n, lo, hi, joined | SORT doc_id ASC | LIMIT 20")
+    s, o = _both(spark, sf_smoke, q)
+    assert s == o and len(s) == 20
+    q2 = ('FROM documents | WHERE doc_id < 20 '
+          '| EVAL lens = split(text, " "), sub = mv_count(lens) * 1.0 '
+          "| STATS tot = sum(sub) AS t2 | LIMIT 1")
+    # numeric mv_sum / mv_avg over a double array column
+    q3 = ("FROM embeddings | WHERE vec_id < 10 "
+          "| EVAL s = mv_sum(embedding), a = mv_avg(embedding) "
+          "| KEEP vec_id, s, a | SORT vec_id ASC | LIMIT 10")
+    s3, o3 = _both(spark, sf_smoke, q3)
+    assert s3 == o3 and len(s3) == 10
