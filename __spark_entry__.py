@@ -226,6 +226,20 @@ _ESQL_CATEGORIZE = (
     "FROM documents | STATS n = count() BY CATEGORIZE(text) "
     "| SORT n DESC, category ASC | LIMIT 15"
 )
+_ESQL_SCALARS = (
+    "FROM documents | WHERE text IS NOT NULL AND doc_id < 40 "
+    '| EVAL head = substring(text, 1, 10), l3 = left(source, 3), '
+    'rep = replace(lang, "e", "E"), fl = floor(n_chars / 7.0), '
+    "rt = sqrt(n_chars * 1.0), lg = log10(n_chars * 1.0), "
+    "gi = greatest(doc_id, n_chars), td = to_double(to_string(doc_id)) "
+    "| KEEP doc_id, head, l3, rep, fl, rt, lg, gi, td "
+    "| SORT doc_id ASC | LIMIT 40"
+)
+_ESQL_PCTL_WAVG = (
+    "FROM events | STATS p50 = percentile(value, 0.5), "
+    "p90 = percentile(value, 0.9), wa = weighted_avg(value, user_id) "
+    "BY event_type | SORT event_type ASC | LIMIT 10"
+)
 _ESQL_MV_FUNCS = (
     "FROM embeddings | WHERE vec_id < 25 "
     "| EVAL n = mv_count(embedding), s = mv_sum(embedding), "
@@ -2266,6 +2280,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_mv_functions": lambda spark, sf: __import__(
             "smse_backend_spark.operators.esql", fromlist=["run_esql"]
         ).run_esql(spark, sf, _ESQL_MV_FUNCS),
+        "esql_scalar_functions": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_SCALARS),
+        "esql_percentile_wavg": lambda spark, sf: __import__(
+            "smse_backend_spark.operators.esql", fromlist=["run_esql"]
+        ).run_esql(spark, sf, _ESQL_PCTL_WAVG),
         # ES EQL sequence-by-key correlation (view -> click -> purchase
         # within 24h): minimal strictly-increasing chain span per user
         "eql_sequence": lambda spark, sf: R.eql_sequence(spark, sf),
@@ -2582,7 +2602,7 @@ _CHECK_FIRST = [
     # round-5 additions (no driver row yet)
     "esql_in", "esql_like", "esql_rlike", "esql_case", "esql_date_trunc",
     "esql_count_distinct_median", "esql_top", "esql_categorize",
-    "esql_mv_functions",
+    "esql_mv_functions", "esql_scalar_functions", "esql_percentile_wavg",
     "bm25_phrase_stemmed", "eql_sequence_runs", "eql_sequence_multikey",
     "media_jpeg_features", "media_jpeg_thumbs", "text_ingest_mixed",
     "media_gif_features",
@@ -3376,6 +3396,12 @@ LIMIT 10
         "esql_mv_functions": __import__(
             "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
         ).esql_to_sql(_ESQL_MV_FUNCS),
+        "esql_scalar_functions": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_SCALARS),
+        "esql_percentile_wavg": __import__(
+            "smse_backend_spark.operators.esql", fromlist=["esql_to_sql"]
+        ).esql_to_sql(_ESQL_PCTL_WAVG),
         "ann_l2": __import__(
             "smse_backend_spark.operators.ann", fromlist=["metric_topk_sql"]
         ).metric_topk_sql([0, 1, 2], 10, "l2_norm"),

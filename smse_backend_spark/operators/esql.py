@@ -9,9 +9,17 @@ Supported subset (each stage maps 1:1 to an ES|QL processing command):
                                 [NOT] RLIKE "regex"  (whole-string, as
                                 the ES regexp query; \A..\z anchored so
                                 Java regex == RE2)
+                                x IS [NOT] NULL
                                 match(col, "text")   length(col)
                                 starts_with/ends_with/to_lower/
                                 to_upper/concat/coalesce/abs/round
+                                substring/trim/replace/left/right
+                                to_string/to_integer/to_double
+                                greatest/least/sqrt/floor/ceil
+                                pow/log10 (6 dp quantized — libm
+                                implementations differ by an ulp)
+                                mv_count/mv_min/mv_max/mv_sum/
+                                mv_avg/mv_join (element-order folds)
                                 CASE(cond, val, ..., [default])
                                 DATE_TRUNC("day"|"week"|..., ts)
                                 arithmetic  + - * / %  (`/` is float
@@ -22,6 +30,9 @@ Supported subset (each stage maps 1:1 to an ES|QL processing command):
                                 count() count(col) sum avg min max
                                 count_distinct(col) median(col)
                                 top(col, n, "desc") values(col)
+                                percentile(col, p) (exact,
+                                interpolating == quantile_cont)
+                                weighted_avg(col, w)
                                 key := col | name = <expr>
                                      | CATEGORIZE(col)  (the
                                        deterministic prefix-skeleton
@@ -68,7 +79,8 @@ _TOKEN_RE = re.compile(
 )
 
 _AGGS = {"count", "sum", "avg", "min", "max",
-         "count_distinct", "median", "top", "values"}
+         "count_distinct", "median", "top", "values",
+         "percentile", "weighted_avg"}
 
 _TRUNC_UNITS = {"year", "month", "week", "day", "hour", "minute", "second"}
 
@@ -136,6 +148,17 @@ class _P:
         if self.peek() in ("==", "!=", ">", ">=", "<", "<="):
             op = self.next()
             return ("cmp", op, node, self.add())
+        # postfix IS [NOT] NULL
+        if (self.peek() and self.peek().upper() == "IS"
+                and self.i + 1 < len(self.t)):
+            self.next()
+            neg_null = False
+            if self.peek() and self.peek().upper() == "NOT":
+                self.next()
+                neg_null = True
+            self.expect("NULL")
+            node = ("isnull", node)
+            return ("not", node) if neg_null else node
         # infix IN / LIKE / RLIKE, with the NOT-infix forms (x NOT IN ...)
         neg = False
         if (self.peek() and self.peek().upper() == "NOT"
@@ -469,6 +492,8 @@ def _col_spark(node):
         # identical operands is bit-identical)
         return {"+": ca + cb, "-": ca - cb, "*": ca * cb,
                 "/": ca / cb, "%": ca % cb}[op]
+    if kind == "isnull":
+        return _col_spark(node[1]).isNull()
     if kind == "in":
         return _col_spark(node[1]).isin([lit[1] for lit in node[2]])
     if kind == "like":
@@ -525,6 +550,52 @@ def _col_spark(node):
         if fn == "round":
             scale = args[1][1] if len(args) > 1 else 0
             return F.round(_col_spark(args[0]), int(scale))
+        if fn == "substring":
+            # ES|QL 1-based start + length, like SQL SUBSTRING
+            return F.substring(
+                _col_spark(args[0]), int(args[1][1]), int(args[2][1])
+            )
+        if fn == "trim":
+            return F.trim(_col_spark(args[0]))
+        if fn == "replace":
+            # literal (non-regex) replacement on both engines
+            return F.replace(
+                _col_spark(args[0]), F.lit(args[1][1]), F.lit(args[2][1])
+            )
+        if fn == "left":
+            return F.substring(_col_spark(args[0]), 1, int(args[1][1]))
+        if fn == "right":
+            c = _col_spark(args[0])
+            n_ = int(args[1][1])
+            return F.substring(c, -n_, n_)
+        if fn == "to_string":
+            return _col_spark(args[0]).cast("string")
+        if fn == "to_integer":
+            # ES TO_INTEGER truncates toward zero; Spark's double->long
+            # cast does too (the oracle uses trunc() explicitly since
+            # DuckDB's cast rounds)
+            return _col_spark(args[0]).try_cast("double").cast("long")
+        if fn == "to_double":
+            return _col_spark(args[0]).try_cast("double")
+        if fn == "greatest":
+            return F.greatest(*[_col_spark(a) for a in args])
+        if fn == "least":
+            return F.least(*[_col_spark(a) for a in args])
+        if fn == "pow":
+            # pow/log10 are not IEEE-correctly-rounded and differ by an
+            # ulp across libm implementations — quantized 6 dp on both
+            # engines (sqrt/division ARE correctly rounded: left raw)
+            return F.round(
+                F.pow(_col_spark(args[0]), _col_spark(args[1])), 6
+            )
+        if fn == "sqrt":
+            return F.sqrt(_col_spark(args[0]))
+        if fn == "log10":
+            return F.round(F.log10(_col_spark(args[0])), 6)
+        if fn == "floor":
+            return F.floor(_col_spark(args[0]))
+        if fn == "ceil":
+            return F.ceil(_col_spark(args[0]))
         if fn == "mv_count":
             return F.size(_col_spark(args[0])).cast("long")
         if fn == "mv_min":
@@ -585,6 +656,15 @@ def _agg_spark(node, name):
         ).alias(name)
     if fn == "values":
         return F.sort_array(F.collect_set(target)).alias(name)
+    if fn == "percentile":
+        # Spark's exact interpolating percentile == DuckDB quantile_cont
+        # (bit-identical; established by event_value_percentiles)
+        return F.round(
+            F.percentile(target, F.lit(float(args[1][1]))), 6
+        ).alias(name)
+    if fn == "weighted_avg":
+        w = _col_spark(args[1])
+        return F.round(F.sum(target * w) / F.sum(w), 6).alias(name)
     return {"sum": F.sum, "min": F.min, "max": F.max}[fn](target).alias(name)
 
 
@@ -693,6 +773,8 @@ def _col_sql(node) -> str:
         return f"(NOT {_col_sql(node[1])})"
     if kind == "arith":
         return f"({_col_sql(node[2])} {node[1]} {_col_sql(node[3])})"
+    if kind == "isnull":
+        return f"({_col_sql(node[1])} IS NULL)"
     if kind == "in":
         items = ", ".join(_col_sql(lit) for lit in node[2])
         return f"({_col_sql(node[1])} IN ({items}))"
@@ -754,6 +836,41 @@ def _col_sql(node) -> str:
         if fn == "round":
             scale = int(args[1][1]) if len(args) > 1 else 0
             return f"round({_col_sql(args[0])}, {scale})"
+        if fn == "substring":
+            return (f"substring({_col_sql(args[0])}, {int(args[1][1])}, "
+                    f"{int(args[2][1])})")
+        if fn == "trim":
+            return f"trim({_col_sql(args[0])})"
+        if fn == "replace":
+            a = args[1][1].replace("'", "''")
+            b = args[2][1].replace("'", "''")
+            return f"replace({_col_sql(args[0])}, '{a}', '{b}')"
+        if fn == "left":
+            return f"left({_col_sql(args[0])}, {int(args[1][1])})"
+        if fn == "right":
+            return f"right({_col_sql(args[0])}, {int(args[1][1])})"
+        if fn == "to_string":
+            return f"CAST({_col_sql(args[0])} AS VARCHAR)"
+        if fn == "to_integer":
+            return (f"CAST(trunc(TRY_CAST({_col_sql(args[0])} AS DOUBLE)) "
+                    f"AS BIGINT)")
+        if fn == "to_double":
+            return f"TRY_CAST({_col_sql(args[0])} AS DOUBLE)"
+        if fn == "greatest":
+            return "greatest(" + ", ".join(_col_sql(a) for a in args) + ")"
+        if fn == "least":
+            return "least(" + ", ".join(_col_sql(a) for a in args) + ")"
+        if fn == "pow":
+            return f"round(pow({_col_sql(args[0])}, {_col_sql(args[1])}), 6)"
+        if fn == "sqrt":
+            return f"sqrt({_col_sql(args[0])})"
+        if fn == "log10":
+            return f"round(log10({_col_sql(args[0])}), 6)"
+        if fn == "floor":
+            # BIGINT on both engines (Spark's floor returns LONG)
+            return f"CAST(floor({_col_sql(args[0])}) AS BIGINT)"
+        if fn == "ceil":
+            return f"CAST(ceil({_col_sql(args[0])}) AS BIGINT)"
         if fn == "mv_count":
             return f"len({_col_sql(args[0])})::BIGINT"
         if fn == "mv_min":
@@ -800,6 +917,12 @@ def _agg_sql(node, name) -> str:
     if fn == "values":
         return (f"list_sort(list(DISTINCT {target}) "
                 f"FILTER ({target} IS NOT NULL)) AS {name}")
+    if fn == "percentile":
+        p = float(args[1][1])
+        return f"round(quantile_cont({target}, {p}), 6) AS {name}"
+    if fn == "weighted_avg":
+        w = _col_sql(args[1])
+        return f"round(sum({target} * {w}) / sum({w}), 6) AS {name}"
     return f"{fn}({target}) AS {name}"
 
 

@@ -427,3 +427,55 @@ def test_esql_mv_functions_twin(spark, sf_smoke):
           "| KEEP vec_id, s, a | SORT vec_id ASC | LIMIT 10")
     s3, o3 = _both(spark, sf_smoke, q3)
     assert s3 == o3 and len(s3) == 10
+
+
+def test_esql_scalar_functions_twin(spark, sf_smoke):
+    """substring/trim/replace/left/right/to_*/greatest/least/pow/sqrt/
+    log10/floor/ceil + IS [NOT] NULL — identical on both engines."""
+    q = ('FROM documents | WHERE text IS NOT NULL AND doc_id < 30 '
+         '| EVAL head = substring(text, 1, 12), l3 = left(source, 3), '
+         'r2 = right(source, 2), rep = replace(lang, "e", "E"), '
+         'su = to_string(doc_id), fl = floor(n_chars / 7.0), '
+         'ce = ceil(n_chars / 7.0), rt = sqrt(n_chars * 1.0), '
+         'lg = log10(n_chars * 1.0), pw = pow(doc_id * 1.0, 2.0), '
+         'gi = greatest(doc_id, n_chars), li = least(doc_id, n_chars), '
+         'ti = to_integer(su), td = to_double(su) '
+         "| KEEP doc_id, head, l3, r2, rep, su, fl, ce, rt, lg, pw, gi, li, "
+         "ti, td | SORT doc_id ASC | LIMIT 30")
+    s, o = _both(spark, sf_smoke, q)
+    assert s == o and len(s) == 30
+
+
+def test_esql_is_null_twin(spark, sf_smoke):
+    q = ("FROM documents | WHERE lang IS NULL "
+         "| STATS n = count() | LIMIT 1")
+    s, o = _both(spark, sf_smoke, q)
+    assert s == o and s[0][0] == 0
+
+
+def test_esql_to_integer_truncates_toward_zero(spark, tmp_path):
+    """ES TO_INTEGER truncates; DuckDB's bare cast would round — the
+    oracle must use trunc()."""
+    import pandas as pd
+
+    pd.DataFrame({"doc_id": [1, 2, 3],
+                  "v": ["3.9", "12", "oops"]}).to_parquet(
+        f"{tmp_path}/vals.parquet")
+    q = ("FROM vals | EVAL i = to_integer(v) "
+         "| KEEP doc_id, i | SORT doc_id ASC | LIMIT 5")
+    rows = run_esql(spark, str(tmp_path), q).collect()
+    con = duckdb.connect()
+    con.execute(f"create view vals as select * from '{tmp_path}/vals.parquet'")
+    o = con.execute(esql_to_sql(q)).fetchall()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, o))
+    byid = {r["doc_id"]: r["i"] for r in rows}
+    assert byid[1] == 3 and byid[2] == 12 and byid[3] is None
+
+
+def test_esql_percentile_weighted_avg_twin(spark, sf_smoke):
+    q = ("FROM events | STATS p50 = percentile(value, 0.5), "
+         "p90 = percentile(value, 0.9), "
+         "wa = weighted_avg(value, user_id) BY event_type "
+         "| SORT event_type ASC | LIMIT 10")
+    s, o = _both(spark, sf_smoke, q)
+    assert s == o and len(s) > 0
